@@ -1,0 +1,136 @@
+"""The reference HTML→text extractor, in two byte-identical forms.
+
+The reference scrapes HTML payloads into structured values with pandas
+(apps/etl/extraction/sources/gdacs/extract.py:69-79 uses
+``pd.read_html`` over population-exposure tables) and stores derived
+text documents per extraction row (apps/etl/models.py:112). This module
+is the engine's generalization: a *pure, versioned, deterministic*
+``bytes → (text, lang)`` function with
+
+- a plain-Python oracle form (``extract_text_bytes``) used by the
+  replay-equivalence oracle and tests, and
+- an Arrow-vectorized ``pandas_udf`` form (``extract_text_udf``) used
+  on the hot path — Arrow batches in/out, no Spark row-at-a-time
+  Python UDF.
+
+Both forms call the exact same pure function on the same ``bytes``
+values, so output is byte-identical by construction; the test suite
+additionally asserts element-wise equality on every fixture (the
+``input_hint`` per-row invariant in BASELINE.json).
+
+Determinism contract: bytes in → str out. No locale, no wall clock, no
+float formatting. Invalid UTF-8 is decoded with U+FFFD replacement
+(explicit policy, pinned by tests with invalid-byte fixtures).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+# Bump whenever extraction semantics change: the version participates in
+# snapshot metadata so a replay can detect extractor drift.
+EXTRACTOR_VERSION = "1.0.0"
+
+# --- tag stripping -----------------------------------------------------------
+# Drop these elements *with their content*.
+_DROP_CONTENT_RE = re.compile(
+    r"<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+# Block-level elements become newlines so document structure survives.
+_BLOCK_TAG_RE = re.compile(
+    r"</?(p|div|br|hr|h[1-6]|li|ul|ol|table|tr|td|th|thead|tbody|section|"
+    r"article|header|footer|nav|aside|blockquote|pre|form|figure|figcaption|"
+    r"main|title)\b[^>]*/?>",
+    re.IGNORECASE,
+)
+_ANY_TAG_RE = re.compile(r"<[^>]+>")
+_HSPACE_RE = re.compile(r"[ \t\r\f\v\xa0]+")
+_NL_SPACE_RE = re.compile(r" ?\n ?")
+_MULTI_NL_RE = re.compile(r"\n{2,}")
+
+# --- language id -------------------------------------------------------------
+# Deterministic n-gram/stopword heuristic; insertion order breaks ties.
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to in is that it for on with as was at by an be this have from or".split()
+    ),
+    "es": frozenset(
+        "el la de que y en los del se las por un para con una su al es lo como".split()
+    ),
+    "fr": frozenset(
+        "le la de et les des en un du une que est pour qui dans par sur au plus".split()
+    ),
+    "de": frozenset(
+        "der die und das von zu den mit ist des sich nicht ein eine auf als auch".split()
+    ),
+}
+_TOKEN_RE = re.compile(r"[a-zàâçéèêëîïôùûüáíóúñäöß]+")
+
+
+def language_id(text: str) -> str:
+    """Deterministic language tag: en/es/fr/de, else 'und'.
+
+    Counts stopword hits over lowercase alpha tokens; requires >= 2 hits
+    and > 12% stopword ratio. First-declared language wins ties.
+    """
+    tokens = _TOKEN_RE.findall(text.lower())
+    if not tokens:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang, stops in _LANG_STOPWORDS.items():
+        hits = sum(1 for t in tokens if t in stops)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    if best_hits >= 2 and best_hits / len(tokens) > 0.12:
+        return best_lang
+    return "und"
+
+
+def extract_text_bytes(html: bytes | None) -> tuple[str, str]:
+    """Pure oracle form: html bytes → (text, lang).
+
+    Policy (pinned, versioned):
+    1. decode utf-8 with U+FFFD replacement;
+    2. strip comments and script/style/noscript/template with content;
+    3. block-level tags → newline, all other tags → removed;
+    4. HTML entities unescaped;
+    5. horizontal whitespace runs → single space, blank lines collapsed,
+       result stripped;
+    6. lang = stopword-heuristic language id over the text.
+    """
+    if html is None:
+        return "", "und"
+    s = html.decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub("", s)
+    s = _DROP_CONTENT_RE.sub("", s)
+    s = _BLOCK_TAG_RE.sub("\n", s)
+    s = _ANY_TAG_RE.sub("", s)
+    s = _htmlmod.unescape(s)
+    s = _HSPACE_RE.sub(" ", s)
+    s = _NL_SPACE_RE.sub("\n", s)
+    s = _MULTI_NL_RE.sub("\n", s)
+    text = s.strip()
+    return text, language_id(text)
+
+
+_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_RESULT_TYPE)
+def extract_text_udf(html: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized engine form. Same pure function per element →
+    byte-identical to the oracle; Arrow moves batches, not rows."""
+    pairs = [extract_text_bytes(h) for h in html]
+    return pd.DataFrame(pairs, columns=["text", "lang"])

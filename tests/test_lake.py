@@ -1,0 +1,161 @@
+"""Snapshot-log table: create, merge, tombstones, schema evolution,
+time travel, exactly-once, bucket pruning."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from montandon_etl_spark.lake.table import SnapshotTable
+from montandon_etl_spark.oracle import replay_oracle
+from montandon_etl_spark.sources.changelog import gen_changelog
+from montandon_etl_spark.streaming.pipeline import enrich_batch
+from tests.conftest import assert_state_equals_oracle
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return SnapshotTable.create(str(tmp_path / "pages"), n_buckets=8)
+
+
+def _merge_pdf(spark, table, pdf, batch_id=None, **kw):
+    sdf = spark.createDataFrame(pdf[["seq", "url", "warc_ts", "op", "html"]])
+    return table.merge(spark, enrich_batch(sdf), batch_id=batch_id, **kw)
+
+
+def test_create_and_empty_read(spark, table):
+    df = table.read(spark)
+    assert df.count() == 0
+    assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang", "seq"}
+
+
+def test_single_batch_merge_matches_oracle(spark, table, small_changelog):
+    _merge_pdf(spark, table, small_changelog, batch_id=0)
+    got = table.read(spark).toPandas()
+    want = replay_oracle(small_changelog)
+    assert_state_equals_oracle(got, want)
+
+
+def test_multi_batch_merge_matches_oracle(spark, table, small_changelog):
+    n = len(small_changelog)
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        _merge_pdf(spark, table, small_changelog.iloc[lo:hi], batch_id=i)
+    got = table.read(spark).toPandas()
+    assert_state_equals_oracle(got, replay_oracle(small_changelog))
+
+
+def test_out_of_order_batches_same_final_state(spark, table, small_changelog):
+    """LWW commutativity: replaying batches in a different order gives
+    the same final state (late data folds in correctly)."""
+    n = len(small_changelog)
+    chunks = [small_changelog.iloc[2 * n // 3 :], small_changelog.iloc[: n // 3],
+              small_changelog.iloc[n // 3 : 2 * n // 3]]
+    for i, c in enumerate(chunks):
+        _merge_pdf(spark, table, c, batch_id=i)
+    got = table.read(spark).toPandas()
+    assert_state_equals_oracle(got, replay_oracle(small_changelog))
+
+
+def test_delete_tombstone_blocks_older_upsert(spark, table, small_changelog):
+    """A late-arriving upsert older than an already-applied delete must
+    NOT resurrect the url (tombstone correctness across batches)."""
+    import pandas as pd
+
+    ts = pd.Timestamp("2024-06-01")
+    b1 = pd.DataFrame(
+        [(10, "https://x/1", ts + pd.Timedelta(hours=2), "delete", None)],
+        columns=["seq", "url", "warc_ts", "op", "html"],
+    )
+    b2 = pd.DataFrame(
+        [(5, "https://x/1", ts, "upsert", b"<p>old</p>")],
+        columns=["seq", "url", "warc_ts", "op", "html"],
+    )
+    _merge_pdf(spark, table, b1, batch_id=0)
+    _merge_pdf(spark, table, b2, batch_id=1)
+    assert table.read(spark).count() == 0
+    # tombstone is still there internally
+    assert table.read(spark, include_tombstones=True).count() == 1
+
+
+def test_exactly_once_duplicate_batch_noop(spark, table, small_changelog):
+    first = small_changelog.iloc[:400]
+    snap1 = _merge_pdf(spark, table, first, batch_id=0)
+    assert snap1 is not None
+    again = _merge_pdf(spark, table, first, batch_id=0)  # redelivery
+    assert again is None
+    assert table.io.head_snapshot_id() == snap1["snapshot_id"]
+    got = table.read(spark).toPandas()
+    assert_state_equals_oracle(got, replay_oracle(first))
+
+
+def test_salted_merge_equals_unsalted(spark, table, small_changelog):
+    _merge_pdf(spark, table, small_changelog, batch_id=0, use_salted=True, n_salts=8)
+    got = table.read(spark).toPandas()
+    assert_state_equals_oracle(got, replay_oracle(small_changelog))
+
+
+def test_copy_on_write_only_touched_buckets(spark, table, small_changelog):
+    _merge_pdf(spark, table, small_changelog, batch_id=0)
+    snap1 = table.snapshot()
+    # a one-url second batch touches exactly one bucket
+    one = small_changelog.iloc[[0]].copy()
+    one["seq"] = one["seq"] + 10_000
+    one["warc_ts"] = one["warc_ts"] + __import__("pandas").Timedelta(days=1)
+    _merge_pdf(spark, table, one, batch_id=1)
+    snap2 = table.snapshot()
+    assert snap2["metrics"]["buckets_rewritten"] == 1
+    carried = {m["path"] for m in snap1["manifest"]} & {m["path"] for m in snap2["manifest"]}
+    assert len(carried) == len(snap1["manifest"]) - 1  # 7 of 8 buckets carried over
+
+
+def test_time_travel(spark, table, small_changelog):
+    s1 = _merge_pdf(spark, table, small_changelog.iloc[:300], batch_id=0)
+    n1 = table.read(spark).count()
+    _merge_pdf(spark, table, small_changelog.iloc[300:], batch_id=1)
+    n_head = table.read(spark).count()
+    assert table.read(spark, snapshot_id=s1["snapshot_id"]).count() == n1
+    assert n_head >= n1
+
+
+def test_schema_evolution_add_and_rename(spark, table, small_changelog):
+    _merge_pdf(spark, table, small_changelog.iloc[:200], batch_id=0)
+    table.apply_ddl("add_column", "title", dtype="string")
+    table.apply_ddl("rename_column", "lang", new_name="language")
+    df = table.read(spark)
+    assert "language" in df.columns and "lang" not in df.columns and "title" in df.columns
+    # old files still readable: language carries pre-rename data
+    assert df.filter(df.language.isNotNull()).count() > 0
+    assert df.filter(df.title.isNotNull()).count() == 0
+    # new data after evolution merges fine and old+new union correctly
+    _merge_pdf(spark, table, small_changelog.iloc[200:400], batch_id=1)
+    df2 = table.read(spark)
+    assert df2.filter(df2.language.isNotNull()).count() == df2.count()
+    # field ids stable: rename did not change the id of lang/language
+    fields = {f.name: f.id for f in table.user_fields()}
+    assert fields["language"] == 5 and fields["title"] == 6
+
+
+def test_bucket_pruned_read_reads_fewer_files(spark, table, small_changelog):
+    _merge_pdf(spark, table, small_changelog, batch_id=0)
+    snap = table.snapshot()
+    all_buckets = {m["bucket"] for m in snap["manifest"]}
+    one_bucket = next(iter(all_buckets))
+    pruned = table.read(spark, buckets=[one_bucket])
+    full = table.read(spark)
+    assert 0 < pruned.count() < full.count()
+
+
+def test_orphan_files_ignored(spark, table, small_changelog, tmp_path):
+    """Crash-safety: data files written but never committed are invisible."""
+    _merge_pdf(spark, table, small_changelog.iloc[:100], batch_id=0)
+    n = table.read(spark).count()
+    # simulate a crashed commit: stray parquet in a future commit dir
+    d = table.io.commit_data_dir(99)
+    os.makedirs(os.path.join(d, "_bucket=0"), exist_ok=True)
+    import shutil
+
+    src = glob.glob(os.path.join(table.io.commit_data_dir(1), "_bucket=*", "*.parquet"))[0]
+    shutil.copy(src, os.path.join(d, "_bucket=0", "orphan.parquet"))
+    assert table.read(spark).count() == n  # manifest is authoritative
