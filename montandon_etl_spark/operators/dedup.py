@@ -1,0 +1,227 @@
+"""Deduplication operators — exact, revision-chain, MinHash-LSH,
+SimHash, n-gram Jaccard.
+
+The reference dedups payloads by sha-256 content hash with a revision
+chain to the first occurrence
+(apps/etl/extraction/sources/gdacs/extract.py:128-148, models.py:86-93).
+``dedup_exact`` / ``revision_chain`` are that operator, vectorized.
+The near-dup family (MinHash, SimHash, Jaccard) extends it to the
+training-data-pipeline use case over the ``documents`` table.
+
+Portability note: every hash is md5-based —
+``conv(substr(md5(x),1,15),16,10)`` → 60-bit int — because both Spark
+and the DuckDB oracle compute the identical value
+(``('0x'||substr(md5(x),1,15))::bigint``), so these operators are
+oracle-checkable end to end. At 100 TB you would swap md5 for
+``xxhash64`` (cheaper); the algebra is hash-agnostic.
+
+Scale notes per operator are in the docstrings — the shared theme:
+everything is one explode + one shuffle (groupBy/join on the hash),
+no driver-side loops, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash60(col) -> F.Column:
+    """Portable 60-bit hash: md5 hex prefix → bigint (same value in
+    DuckDB via ('0x'||substr(md5(x),1,15))::bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def char_shingles(col: str, n: int) -> F.Column:
+    """Array of overlapping character n-grams (deterministic order)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(1, length({col}) - {n} + 1)),"
+        f" i -> substring({col}, i, {n}))"
+    )
+
+
+def word_shingles(col: str, n: int) -> F.Column:
+    """Array of overlapping word n-grams over whitespace tokens."""
+    words = f"split(trim({col}), '\\\\s+')"
+    return F.expr(
+        f"transform(sequence(1, greatest(1, size({words}) - {n} + 1)),"
+        f" i -> concat_ws(' ', slice({words}, i, {n})))"
+    )
+
+
+# ---------------------------------------------------------------- exact dedup
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the first (min id) row per sha-256 of content.
+
+    Reference: duplicate-content lookup keeps the first stored payload
+    (extract.py:134-139). Plan: sha2 is JVM-side; one hash-shuffle on
+    the digest; min_by gets map-side partial aggregation.
+    """
+    payload = [c for c in df.columns]
+    h = F.sha2(F.col(content_col).cast("binary"), 256)
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.min_by(F.struct(*payload), F.col(id_col)).alias("_w"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("content_hash", "dup_count", *[F.col(f"_w.{c}").alias(c) for c in payload])
+    )
+
+
+def revision_chain(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Annotate every row with ``revision_id`` = first id with the same
+    content hash (the reference's revision FK, models.py:86-93), and
+    ``is_canonical``. Window over the hash — same shuffle key as
+    dedup_exact, no join needed."""
+    from pyspark.sql import Window as W
+
+    h = F.sha2(F.col(content_col).cast("binary"), 256)
+    w = W.partitionBy("content_hash")
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("revision_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", (F.col(id_col) == F.col("revision_id")))
+    )
+
+
+# ------------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    use_words: bool = True,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate near-dup pairs.
+
+    Plan: explode distinct shingles → self-equi-join on shingle →
+    count shared per pair → |A∪B| = |A|+|B|−|A∩B|. The shingle join is
+    the classic inverted-index pattern: cost is Σ df(shingle)², so at
+    scale you run MinHash-LSH first (below) and use this only to
+    verify candidates. ``block_col`` adds a blocking key to the join
+    (only same-block pairs compared — e.g. same source/domain), the
+    standard way to bound the inverted-index blowup.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = (word_shingles(text_col, n) if use_words else char_shingles(text_col, n))
+    sel = [F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("sh")]
+    if block_col:
+        sel.insert(1, F.col(block_col).alias("blk"))
+    toks = df.select(*sel)
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    cond = (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------- minhash lsh
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    min over shingles of hash(shingle ‖ seed_i) approximates Jaccard:
+    P[min_i(A)=min_i(B)] = J(A,B). One explode + one groupBy with k
+    min-aggregates (all map-side combinable) — a single shuffle
+    regardless of k.
+    """
+    sh = word_shingles(text_col, n)
+    toks = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("sh"))
+    aggs = [
+        F.min(hash60(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return toks.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: split the k-wide signature into
+    ``bands`` bands of k/bands rows; docs sharing any band bucket are
+    candidates. Band-bucket join replaces the O(N²) all-pairs compare
+    with Σ bucket² — the scale path for near-dup at 10^10 docs.
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, k=k)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)]
+        band_rows.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[c.cast("string") for c in cols]).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for x in band_rows[1:]:
+        banded = banded.unionByName(x)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------- simhash
+def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token hash, each bit votes ±1; the
+    fingerprint's bit b is 1 iff the vote sum is positive.
+
+    Plan: one explode + one groupBy with ``bits`` conditional-sum
+    aggregates (map-side combinable) — near-dup docs land on equal or
+    Hamming-close fingerprints. 32 bits keeps the bigint arithmetic
+    portable to the DuckDB oracle.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.select(F.col(id_col).alias("id"), F.explode(words).alias("tok"))
+    toks = toks.withColumn("h", hash60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("simhash"))

@@ -1,0 +1,130 @@
+"""Relational operators from the reference's inventory (SURVEY.md §2),
+re-expressed as composable DataFrame functions.
+
+Each function cites the reference operator it generalizes. All are
+built-in-expression compositions — Catalyst gets full pushdown /
+pruning / join-selection freedom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def validation_gate(df: DataFrame, rules: list[tuple[str, F.Column]]) -> DataFrame:
+    """Record-not-drop validation (reference keeps failed rows with a
+    reason — apps/etl/models.py:82-85, extract.py:41-52): evaluate
+    ordered (name, predicate) rules; add ``valid`` and the first
+    failing rule's name as ``fail_reason``."""
+    fail = F.lit(None).cast("string")
+    for name, pred in reversed(rules):
+        fail = F.when(~pred, F.lit(name)).otherwise(fail)
+    return df.withColumn("fail_reason", fail).withColumn(
+        "valid", F.col("fail_reason").isNull()
+    )
+
+
+def try_int(col) -> F.Column:
+    """Null-coalescing int coercion: None/'-'/garbage → NULL
+    (reference get_as_int, extraction/sources/gdacs/extract.py:33-38)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == "-", F.lit(None)).otherwise(c).try_cast("bigint")
+
+
+def priority_fallback_join(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, str, list[str]]],
+    fact_keys: list[str],
+) -> DataFrame:
+    """First-applicable-of-N-levels join (reference joins records to
+    admin level2→level1→level0 shapefiles and keeps the first hit,
+    transform/sources/desinventar.py:98-127).
+
+    ``dims`` = [(dim_df, priority_name, dim_keys)] in priority order.
+    Implemented as a union of priority-tagged dims + one equi-join +
+    min-priority winner — one broadcastable join instead of N
+    sequential left joins.
+    """
+    tagged = None
+    for prio, (dim, name, keys) in enumerate(dims):
+        d = dim.select(
+            *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
+            F.lit(prio).alias("_prio"),
+            F.lit(name).alias("match_level"),
+        )
+        tagged = d if tagged is None else tagged.unionByName(d)
+    # resolve the winning priority per key on the (small) dim side, so
+    # the fact side sees exactly one match — no fact-side window needed
+    kcols = [f"_k{i}" for i in range(len(fact_keys))]
+    winners = (
+        tagged.groupBy(*kcols)
+        .agg(F.min_by(F.col("match_level"), F.col("_prio")).alias("match_level"))
+    )
+    cond = None
+    for i, fk in enumerate(fact_keys):
+        c = fact[fk] == winners[f"_k{i}"]
+        cond = c if cond is None else cond & c
+    return fact.join(F.broadcast(winners), cond, "left").drop(*kcols)
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Per-group latest selection (reference default ordering ['-id'] +
+    .first(), apps/common/models.py:13) — max_by, partial-agg friendly."""
+    from montandon_etl_spark.operators.lww import lww_latest
+
+    return lww_latest(df, keys=keys, order_cols=order_cols)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list[str], order_col: str, k: int, tiebreak: str
+) -> DataFrame:
+    """Top-k per group via row_number window; Spark 4 rewrites the
+    rank filter into WindowGroupLimit (partial top-k below the
+    shuffle), so this holds at 100× data."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def incremental_window(
+    df: DataFrame, ts_col: str, days: int = 1
+) -> DataFrame:
+    """Data-derived incremental scan window: rows within ``days`` of
+    the max timestamp *in the data* — the replayable version of the
+    reference's wall-clock yesterday→today URL window
+    (apps/etl/etl_tasks/gdacs.py:33-35). The max-ts subquery is a
+    scalar broadcast; the filter pushes to the scan."""
+    hi = df.agg(F.max(ts_col)).collect()[0][0]
+    return df.filter(F.col(ts_col) >= F.lit(hi) - F.expr(f"INTERVAL {days} DAYS"))
+
+
+def sessionize(
+    df: DataFrame, key: str, ts_col: str, gap_minutes: int = 30,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Sessionization: new session when the gap to the previous event
+    exceeds the threshold; session id = count of boundaries so far.
+    Two stacked windows over the same (key, ts) partitioning — a
+    single shuffle. ``tiebreak`` makes equal-ts ordering deterministic.
+    Gap math in integer microseconds (portable to the SQL oracle)."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    # cast handles TIMESTAMP_NTZ parquet columns (session tz is UTC)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    return df.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("_new")
+
+
+def kv_pivot(df: DataFrame, group: str, k_col: str, v_col: str) -> DataFrame:
+    """2-column → map pivot (reference dict(zip(col0, col1)) over an
+    HTML table, extraction/sources/gdacs/extract.py:71-79)."""
+    return df.groupBy(group).agg(
+        F.map_from_arrays(
+            F.collect_list(k_col), F.collect_list(v_col)
+        ).alias("kv")
+    )

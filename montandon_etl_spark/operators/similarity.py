@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline operators: brute-force cosine top-k as the
+correctness baseline, a label-partitioned (IVF-style coarse-cell)
+variant as the scale path, and a random-hyperplane LSH bucketer.
+
+All dot products run JVM-side via ``aggregate(zip_with(...))`` —
+no Python in the hot loop. Top-k is a per-query window, which Catalyst
+executes as partial top-k (WindowGroupLimit pushes rank<=k below the
+shuffle in Spark 3.5+/4.x).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, cast(0.0 as double),"
+            " (acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+    )
+
+
+def cosine_similarity_col(a: str, b: str) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (few rows) is broadcast; the corpus scan is
+    embarrassingly parallel — per-partition score + partial top-k,
+    final top-k after a k-row-per-query shuffle. This is the oracle
+    baseline the approximate variants are measured against.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity_col("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the query's coarse cell.
+
+    ``cell_col`` is the coarse quantizer assignment (here the
+    pre-assigned ``label``; at scale: nearest-centroid from a sampled
+    k-means). Probing 1 of C cells cuts the scan by ~C×; the cell
+    equi-join also makes the search a co-partitioned join instead of a
+    broadcast-everything scan.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(cell_col).alias("cell"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity_col("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id",
+                F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def lsh_hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of dot products
+    with ``n_planes`` fixed seeded hyperplanes. Vectors in the same
+    bucket are ANN candidates; bucket join replaces all-pairs.
+
+    Hyperplanes are deterministic literals (seeded LCG, no wall-clock)
+    compiled into the plan — no side-channel state on executors.
+    """
+    # deterministic pseudo-random hyperplanes via a tiny LCG
+    def lcg(s: int):
+        while True:
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            yield (s >> 11) / float(1 << 53) - 0.5
+
+    g = lcg(seed)
+    planes = [[next(g) for _ in range(dim)] for _ in range(n_planes)]
+    df = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
+    out = df
+    bit_cols = []
+    for i, p in enumerate(planes):
+        out = out.withColumn("_plane", F.array(*[F.lit(float(x)) for x in p]))
+        out = out.withColumn(
+            f"_b{i}",
+            F.when(
+                F.expr(
+                    "aggregate(zip_with(_vec, _plane, (x, y) -> cast(x as double) * y),"
+                    " cast(0.0 as double), (acc, v) -> acc + v)"
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ).drop("_plane")
+        bit_cols.append(f"_b{i}")
+    return out.select(
+        "id", F.concat(*[F.col(c) for c in bit_cols]).alias("bucket")
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators over document tables.
+
+Training-data-pipeline stages: language id, quality scoring, token
+counting, document fingerprinting. All pure ``pyspark.sql.functions``
+expressions (whole-stage-codegen'd; no UDFs) so they run at scan speed
+and are oracle-checkable in ANSI SQL.
+
+Reference lineage: the reference derives per-document structured
+values from raw payloads and records them beside the row
+(apps/etl/transform/sources/gdacs.py:35-57, models.py:112); these
+operators are the columnar generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from montandon_etl_spark.operators.dedup import word_shingles
+
+# Small, fixed stopword lists (must stay in sync with the SQL oracle
+# strings in __spark_entry__.py — they are the *same* list).
+EN_STOP = ["the", "of", "and", "to", "in", "is", "a", "that", "it", "for"]
+ES_STOP = ["el", "la", "de", "que", "y", "en", "los", "se", "un", "por"]
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens, BPE-ish regex tokens, chars — per document."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_obs"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(_BPE_ISH)).alias("n_bpe_tokens"),
+    )
+
+
+def stopword_hits(text_col: str, stops: list[str]) -> F.Column:
+    """Count of tokens (with multiplicity) that are in the stop list."""
+    words = f"split(lower(trim({text_col})), '\\\\s+')"
+    lit_list = ", ".join(f"'{s}'" for s in stops)
+    return F.expr(
+        f"size(filter({words}, w -> array_contains(array({lit_list}), w)))"
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic quality heuristics: length, punctuation ratio,
+    stopword ratio, mean word length, and a composite score.
+
+    score = stop_ratio − punct_ratio − |mean_word_len − 5| / 10,
+    clipped to [0, 1] — the shape (not the weights) is what matters:
+    every term is a scan-local expression, so quality filtering of a
+    100 TB corpus is a single pushed-down scan.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    stops = stopword_hits(text_col, EN_STOP)
+    mean_wl = (n_chars - (n_words - 1)) / n_words
+    raw = (stops / n_words) - (n_punct / F.greatest(n_chars, F.lit(1))) - (
+        F.abs(mean_wl - 5.0) / 10.0
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_obs"),
+        n_words.alias("n_words"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stops / n_words, 6).alias("stop_ratio"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)), 6).alias("quality"),
+    )
+
+
+def lang_id_stopwords(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SQL-expressible language id: en vs es stopword hits, 'und' when
+    neither clears 2 hits. (The CDC pipeline's richer variant lives in
+    functions/extract.py; this one is the scan-speed analytics form.)"""
+    en = stopword_hits(text_col, EN_STOP)
+    es = stopword_hits(text_col, ES_STOP)
+    return df.select(
+        F.col(id_col),
+        F.when((en >= es) & (en >= 2), F.lit("en"))
+        .when((es > en) & (es >= 2), F.lit("es"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """Rolling-shingle fingerprint: min md5 over word 4-grams — one
+    stable 32-hex token per document (winnowing with window = whole
+    doc). Equal fingerprints ⇒ near-identical prefixes of content;
+    grouping by it is a cheap near-dup pre-cluster."""
+    sh = word_shingles(text_col, n)
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
+    )

@@ -1,0 +1,86 @@
+"""Mimics the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB at sf0.001; compare row count,
+column set, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+import os
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v
+            )
+        # decimals → float for cross-engine comparison
+        if df[c].dtype == object and len(df) and any(
+            type(v).__name__ == "Decimal" for v in df[c].dropna().head(3)
+        ):
+            df[c] = df[c].astype(float)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert name in oracles, f"{name} missing an oracle_sql entry"
+    got = _canon(qs[name](spark, SF_DIR).toPandas())
+    want = _canon(ddb.execute(oracles[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        gv, wv = list(got[c]), list(want[c])
+        bad = [
+            (i, a, b) for i, (a, b) in enumerate(zip(gv, wv)) if not _values_equal(a, b)
+        ]
+        assert not bad, f"{name}.{c}: first mismatches {bad[:3]} of {len(bad)}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 4
