@@ -321,6 +321,28 @@ def q_embedding_norms(spark, sf):
     )
 
 
+def q_explode_tokens(spark, sf):
+    """Doc → N items fan-out with stable ordinality (SURVEY §2.3 P6/P7:
+    transformer emits N items per document; JVM-side posexplode)."""
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("tok_idx", "token")
+    )
+
+
+def q_validate_json_payload(spark, sf):
+    """Schema-on-read validation gate (SURVEY §2.2 F1/F2): pydantic →
+    from_json with explicit schema; failures recorded, not dropped."""
+    from montandon_etl_spark.sources.payload import validate_json_payload
+
+    ev = _t(spark, sf, "events")
+    out = validate_json_payload(ev, "props", "k bigint")
+    return out.select(
+        "event_id", "payload_valid", F.col("parsed.k").alias("k_value")
+    )
+
+
 def q_multimodal_binary_meta(spark, sf):
     from montandon_etl_spark.operators.multimodal import binary_metadata
 
@@ -452,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_norms": q_embedding_norms,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "explode_tokens": q_explode_tokens,
+        "validate_json_payload": q_validate_json_payload,
     }
 
 
@@ -652,6 +676,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents""",
+        "explode_tokens": f"""
+            WITH s AS (SELECT doc_id, {_W} AS arr FROM documents),
+            u AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(arr)),
+                                i -> {{'idx': i, 'tok': arr[i]}})) AS x
+                  FROM s)
+            SELECT doc_id, x.idx - 1 AS tok_idx, x.tok AS token FROM u""",
+        "validate_json_payload": """
+            SELECT event_id, json_valid(props) AS payload_valid,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+            FROM events""",
     }
 
 

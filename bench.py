@@ -1,0 +1,149 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "cdc_events_per_sec", "value": N, "unit": "events/sec",
+   "queries": {...per-query seconds...}, "sf": ..., ...}
+
+Headline: the CDC pipeline itself — a seeded changelog (cached in
+/tmp, deterministic) replayed through extract → LWW MERGE → snapshot
+commits; value = change-events/sec to committed upserts (the
+BASELINE.json metric). The queries dict adds representative operator
+timings at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_CDC_EVENTS     changelog size (default 300000)
+  BENCH_CDC_URLS       keyspace size (default 100000)
+  BENCH_JSON_OUT       also write the JSON line to this path
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault("PYTHONPATH", REPO)
+
+
+def _ensure_changelog(n_events: int, n_urls: int, seed: int = 42) -> str:
+    """Generate-once, cache in /tmp keyed by parameters."""
+    out = f"/tmp/montandon_bench/chg_{n_events}_{n_urls}_{seed}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    from montandon_etl_spark.sources.changelog import gen_changelog, write_changelog
+
+    df = gen_changelog(n_events=n_events, n_urls=n_urls, seed=seed, n_domains=2000)
+    write_changelog(df, out, n_chunks=8)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def bench_cdc(spark, n_events: int, n_urls: int, work_dir: str) -> dict:
+    """Replay the changelog through the full pipeline; return timings."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from montandon_etl_spark.lake.table import SnapshotTable
+    from montandon_etl_spark.streaming.pipeline import (
+        CHANGELOG_SPARK_SCHEMA,
+        merge_microbatch,
+    )
+
+    log_dir = _ensure_changelog(n_events, n_urls)
+    table_path = os.path.join(work_dir, "pages")
+    shutil.rmtree(table_path, ignore_errors=True)
+    table = SnapshotTable.create(table_path, n_buckets=64)
+
+    chunks = sorted(
+        os.path.join(log_dir, f) for f in os.listdir(log_dir) if f.endswith(".parquet")
+    )
+    t0 = time.time()
+    for i, chunk in enumerate(chunks):
+        df = spark.read.schema(CHANGELOG_SPARK_SCHEMA).parquet(chunk)
+        merge_microbatch(spark, table, df, batch_id=i)
+    wall = time.time() - t0
+    final_rows = table.read(spark).count()
+    return {
+        "cdc_wall_sec": round(wall, 3),
+        "cdc_events": n_events,
+        "cdc_events_per_sec": round(n_events / wall, 1),
+        "cdc_final_rows": final_rows,
+        "cdc_batches": len(chunks),
+    }
+
+
+# operator queries worth timing at bench scale (subset of the driver
+# queries: the scale-relevant ones; ngram_jaccard excluded — it is the
+# verify stage of near-dup, LSH is the scale path)
+BENCH_QUERIES = [
+    "cdc_lww_latest_state",
+    "dedup_exact_content",
+    "minhash_lsh_candidates",
+    "simhash",
+    "token_stats",
+    "quality_score",
+    "doc_fingerprint",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "q1_pricing_summary",
+    "order_revenue",
+    "region_revenue",
+    "sessionize",
+    "topk_per_user",
+    "tumbling_window_agg",
+    "metrics_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "300000"))
+    n_urls = int(os.environ.get("BENCH_CDC_URLS", "100000"))
+
+    from montandon_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    work_dir = f"/tmp/montandon_bench/work_{cpus}"
+    cdc = bench_cdc(spark, n_events, n_urls, work_dir)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "cdc_events_per_sec",
+        "value": cdc["cdc_events_per_sec"],
+        "unit": "events/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "cdc": cdc,
+        "suite_sec": round(sum(timings.values()), 3),
+    }
+    line = json.dumps(out)
+    print(line)
+    path = os.environ.get("BENCH_JSON_OUT")
+    if path:
+        with open(path, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

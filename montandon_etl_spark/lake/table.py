@@ -63,8 +63,22 @@ class SnapshotTable:
         n_buckets: int = 64,
         key_col: str = "url",
         order_cols: tuple[str, str] = ("warc_ts", "seq"),
+        write_mode: str = "mor",
+        compact_threshold: int = 8,
     ) -> "SnapshotTable":
-        """Create an empty table: snapshot 0 with schema, no data files."""
+        """Create an empty table: snapshot 0 with schema, no data files.
+
+        ``write_mode``:
+        - ``"mor"`` (merge-on-read, default): MERGE appends per-bucket
+          delta files of batch winners; reads resolve LWW across
+          deltas; buckets exceeding ``compact_threshold`` delta files
+          are compacted (the LSM/Hudi-MOR shape — write-optimized,
+          the right default for a 10^10-event ingest firehose);
+        - ``"cow"`` (copy-on-write): MERGE rewrites affected buckets to
+          exactly one resolved row per key — read-optimized.
+        """
+        if write_mode not in ("mor", "cow"):
+            raise ValueError(f"write_mode must be mor|cow, got {write_mode}")
         t = cls(path)
         if t.io.exists():
             raise FileExistsError(f"table already exists at {path}")
@@ -82,6 +96,8 @@ class SnapshotTable:
                 "n_buckets": n_buckets,
                 "key_col": key_col,
                 "order_cols": list(order_cols),
+                "write_mode": write_mode,
+                "compact_threshold": compact_threshold,
                 "extractor_version": EXTRACTOR_VERSION,
             },
             "offsets": None,
@@ -142,12 +158,18 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         include_tombstones: bool = False,
         buckets: Iterable[int] | None = None,
+        resolve: bool = True,
     ) -> DataFrame:
         """Read table state at a snapshot (HEAD by default).
 
         Only manifest files are read; bucket pruning (``buckets=``)
         skips files whose bucket can't match — the lake-format
         equivalent of partition pruning.
+
+        On a merge-on-read table, ``resolve=True`` (default) applies
+        the read-side LWW across delta files (one hash-agg keyed by
+        url — partial-agg pre-reduces per delta file before the
+        shuffle); ``resolve=False`` exposes the raw delta rows.
         """
         snap = self.snapshot(snapshot_id)
         manifest = snap["manifest"]
@@ -173,6 +195,9 @@ class SnapshotTable:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+        props = snap["properties"]
+        if resolve and props.get("write_mode", "cow") == "mor":
+            out = lww_latest(out, keys=props["key_col"], order_cols=props["order_cols"])
         if not include_tombstones:
             out = out.filter(F.col("op") == F.lit("upsert")).drop("op")
         return out
@@ -189,11 +214,16 @@ class SnapshotTable:
         batch_id: int | None = None,
         use_salted: bool = False,
         n_salts: int = 16,
+        enrich=None,
     ) -> dict | None:
         """MERGE a change-event batch into the table (LWW per key).
 
-        ``batch_df`` columns: seq, url, warc_ts, op, html [, extra
-        user columns e.g. text/lang/title if pre-extracted].
+        ``batch_df`` columns: seq, url, warc_ts, op, html [, extra user
+        columns]. ``seq`` must be unique per event (the changelog's
+        global sequence — the contract a binlog/WAL gives you).
+        ``enrich``, if given, is a DataFrame→DataFrame derivation (the
+        text/lang extractor) applied ONLY to rows that win the merge —
+        losers never pay the UDF.
 
         Exactly-once: with a monotonic ``batch_id`` (Structured
         Streaming epoch id), a batch at or below the committed
@@ -201,11 +231,22 @@ class SnapshotTable:
         dedup the reference approximates with instance_id reuse
         (apps/etl/etl_tasks/gdacs.py:39-53).
 
-        Plan shape (scale rationale):
-          batch → map-side partial LWW → shuffle by url → final LWW
-          (one shuffle); affected-bucket file pruning bounds the
-          current-state scan; union + second LWW per url resolves
-          batch-vs-table; one write per touched bucket.
+        Plan shape (the scale story):
+          1. one columnar agg over the batch (seq range, affected
+             buckets) — html is never read here (column pruning);
+          2. LWW winner election on (key, order, side) KEYS ONLY —
+             the single shuffle in the merge moves ~24 B/row, not
+             payloads; map-side partial max_by pre-reduces hot urls;
+          3. payload resolution by broadcast left-semi joins against
+             the elected keys — wide columns (html/text) never enter
+             a shuffle; the current side is read and rewritten in
+             place (one-bucket-per-file layout → narrow write);
+          4. copy-on-write of affected buckets only; untouched files
+             carry over in the manifest.
+        At 10^10 events the winner-key set of one micro-batch is what
+        must fit in a broadcast (~batch size + matched keys); beyond
+        that, swap the broadcast hint for a shuffle semi-join of keys —
+        still payload-free.
         """
         snap = self.snapshot()
         if batch_id is not None and batch_id <= snap["committed_max_batch_id"]:
@@ -214,75 +255,139 @@ class SnapshotTable:
         props = snap["properties"]
         key = props["key_col"]
         order_cols = props["order_cols"]
+        seqk = order_cols[-1]  # unique event id → exact row match
         next_sid = snap["snapshot_id"] + 1
 
-        current_fields = self.current_fields(snap)
-        # 1. conform batch to internal schema. A field missing by its
-        #    current name may arrive under a historical name (a producer
-        #    that predates a RENAME) — resolve via field-id name history;
-        #    otherwise NULL.
-        history: dict[int, list[str]] = {}
-        for ver_fields in snap["schemas"].values():
-            for fj in ver_fields:
-                names = history.setdefault(fj["id"], [])
-                if fj["name"] not in names:
-                    names.append(fj["name"])
-        exprs = []
-        for f in current_fields:
-            candidates = [f.name] + [n for n in history.get(f.id, []) if n != f.name]
-            src = next((n for n in candidates if n in batch_df.columns), None)
-            if src is None:
-                exprs.append(F.lit(None).cast(f.type).alias(f.name))
-            else:
-                exprs.append(F.col(src).cast(f.type).alias(f.name))
-        batch = batch_df.select(*exprs)
-
-        # 2. within-batch LWW winners per key
-        reduce = lww_latest_salted if use_salted else lww_latest
+        write_mode = props.get("write_mode", "cow")
+        elect = lww_latest_salted if use_salted else lww_latest
         kwargs = {"n_salts": n_salts} if use_salted else {}
-        winners = reduce(batch, keys=key, order_cols=order_cols, **kwargs)
-        winners = winners.withColumn(_BUCKET_COL, self.bucket_expr(key))
-        winners.persist()
-        try:
-            # 3. affected buckets (small: bounded by n_buckets)
-            affected = sorted(
-                r[0] for r in winners.select(_BUCKET_COL).distinct().collect()
-            )
-            if not affected:
-                winners.unpersist()
-                return None
+        out_dir = self.io.commit_data_dir(next_sid)
 
-            # 4. current state of affected buckets only (file pruning);
-            #    bucket is a pure function of the key, recompute on read
+        if write_mode == "mor":
+            # ---- merge-on-read: append batch winners as delta files.
+            # Election is within-batch only (no current-state read at
+            # all — the read side resolves LWW across deltas). The
+            # whole merge is ONE Spark job: scan → observe (lineage
+            # offsets ride the same pass, no separate agg job) →
+            # map-side partial LWW → one batch-bounded shuffle →
+            # extract winners → write per-bucket deltas. Ingest cost
+            # is O(batch), independent of table size — the property
+            # that holds at 10^10 events.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"merge-{next_sid}")
+            observed = batch_df.observe(
+                obs,
+                F.min(seqk).alias("lo"),
+                F.max(seqk).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            # Repartition by BUCKET first, then elect per (bucket, key):
+            # hash(bucket) partitioning already clusters every key (a
+            # key's bucket is a pure function of it), so Catalyst plans
+            # the groupBy WITHOUT a second exchange — payloads cross
+            # the wire exactly once, and election + extraction + file
+            # write fuse into the single post-shuffle stage.
+            # 4 waves per core: hashing 64 buckets into exactly `cores`
+            # partitions leaves ±30% bucket-skew stragglers; 4x width
+            # load-balances the reduce+extract stage at small task cost
+            n_part = max(
+                1,
+                min(
+                    props["n_buckets"],
+                    4 * int(spark.conf.get("spark.sql.shuffle.partitions")),
+                ),
+            )
+            bucketed = observed.withColumn(
+                _BUCKET_COL, self.bucket_expr(key)
+            ).repartition(n_part, F.col(_BUCKET_COL))
+            winners = elect(
+                bucketed, keys=[_BUCKET_COL, key], order_cols=order_cols, **kwargs
+            )
+            if enrich is not None:
+                winners = enrich(winners)
+            winners = self._conform(winners, snap).withColumn(
+                _BUCKET_COL, self.bucket_expr(key)
+            )
+            (
+                winners.write.mode("overwrite")
+                .partitionBy(_BUCKET_COL)
+                .parquet(out_dir)
+            )
+            try:
+                stats = obs.get
+            except Exception:
+                # empty input: the observed node saw no rows (e.g. a
+                # zero-row DDL segment) and never published metrics
+                stats = {"lo": None, "hi": None, "n": 0}
+            if stats["n"] == 0:
+                return None
+            new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
+            manifest = snap["manifest"] + new_entries
+            buckets_rewritten = 0
+        else:
+            # 1. one columnar pass: offsets + affected buckets (html pruned)
+            row = batch_df.agg(
+                F.min(seqk).alias("lo"),
+                F.max(seqk).alias("hi"),
+                F.count("*").alias("n"),
+                F.collect_set(self.bucket_expr(key)).alias("buckets"),
+            ).collect()[0]
+            if row["n"] == 0:
+                return None
+            affected = sorted(row["buckets"])
+            stats = {"lo": row["lo"], "hi": row["hi"], "n": row["n"]}
+            # ---- copy-on-write: rewrite affected buckets resolved.
+            # 2. current state of affected buckets only (file pruning)
             current = self.read(
                 spark, include_tombstones=True, buckets=affected
             ).withColumn(_BUCKET_COL, self.bucket_expr(key))
 
-            # 5. batch ∪ current, LWW again per key (tombstones compete,
-            #    so a delete beats an older upsert across batches)
-            merged = lww_latest(
-                current.unionByName(winners), keys=key, order_cols=order_cols
+            # 3. LWW winner election on keys only. '_side' breaks exact
+            #    (warc_ts, seq) ties in favor of the batch copy
+            #    (idempotent re-delivery of the same event).
+            keys_cur = current.select(
+                F.col(key), *[F.col(c) for c in order_cols], F.lit(0).alias("_side")
             )
-
-            # 6. copy-on-write: write merged rows of affected buckets
-            out_dir = self.io.commit_data_dir(next_sid)
-            (
-                merged.repartition(max(1, min(len(affected), 32)), F.col(_BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(_BUCKET_COL)
-                .parquet(out_dir)
+            keys_bat = batch_df.select(
+                F.col(key), *[F.col(c) for c in order_cols], F.lit(1).alias("_side")
             )
-        finally:
-            winners.unpersist()
+            winkeys = elect(
+                keys_cur.unionByName(keys_bat),
+                keys=key,
+                order_cols=order_cols + ["_side"],
+                **kwargs,
+            ).persist()
+            try:
+                keep_cur = winkeys.filter(F.col("_side") == 0).select(key, seqk)
+                keep_bat = winkeys.filter(F.col("_side") == 1).select(key, seqk)
+                kept_current = current.join(
+                    F.broadcast(keep_cur), [key, seqk], "left_semi"
+                )
+                kept_batch = batch_df.join(
+                    F.broadcast(keep_bat), [key, seqk], "left_semi"
+                )
+                # 4. derive payload columns for winners only
+                if enrich is not None:
+                    kept_batch = enrich(kept_batch)
+                kept_batch = self._conform(kept_batch, snap).withColumn(
+                    _BUCKET_COL, self.bucket_expr(key)
+                )
+                # 5. rewrite affected buckets: current side narrow
+                #    (one-bucket-per-file), batch side one small shuffle
+                merged = kept_current.unionByName(
+                    kept_batch.repartition(
+                        max(1, min(len(affected), 32)), F.col(_BUCKET_COL)
+                    )
+                )
+                merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
+            finally:
+                winkeys.unpersist()
+            new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
+            carried = [m for m in snap["manifest"] if m["bucket"] not in set(affected)]
+            manifest = carried + new_entries
+            buckets_rewritten = len(affected)
 
-        # 7. build manifest: carried-over files + new files
-        new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
-        carried = [m for m in snap["manifest"] if m["bucket"] not in set(affected)]
-        manifest = carried + new_entries
-
-        stats = batch_df.agg(
-            F.min("seq").alias("lo"), F.max("seq").alias("hi"), F.count("*").alias("n")
-        ).collect()[0]
         new_snap = {
             "snapshot_id": next_sid,
             "parent_id": snap["snapshot_id"],
@@ -295,7 +400,7 @@ class SnapshotTable:
             "offsets": {"min_seq": stats["lo"], "max_seq": stats["hi"], "events": stats["n"]},
             "metrics": {
                 "rows_written": sum(e["rows"] for e in new_entries),
-                "buckets_rewritten": len(affected),
+                "buckets_rewritten": buckets_rewritten,
                 "bucket_rows": {str(e["bucket"]): e["rows"] for e in new_entries},
             },
             "committed_max_batch_id": (
@@ -305,28 +410,110 @@ class SnapshotTable:
             ),
         }
         self.io.write_snapshot_and_swap_head(new_snap)
+
+        # amortized compaction: any bucket over the delta-file budget
+        # gets rewritten to one resolved file set (its own snapshot)
+        if write_mode == "mor":
+            counts: dict[int, int] = {}
+            for m in manifest:
+                counts[m["bucket"]] = counts.get(m["bucket"], 0) + 1
+            over = sorted(
+                b for b, c in counts.items() if c > props.get("compact_threshold", 8)
+            )
+            if over:
+                self.compact(spark, buckets=over)
+        return self.snapshot()
+
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict:
+        """Rewrite buckets' delta files to one resolved file each
+        (read-side LWW materialized). Tombstones are preserved — a
+        compaction must not forget deletes, or a late older upsert
+        could resurrect a deleted key."""
+        snap = self.snapshot()
+        props = snap["properties"]
+        if buckets is None:
+            counts: dict[int, int] = {}
+            for m in snap["manifest"]:
+                counts[m["bucket"]] = counts.get(m["bucket"], 0) + 1
+            buckets = sorted(b for b, c in counts.items() if c > 1)
+        if not buckets:
+            return snap
+        next_sid = snap["snapshot_id"] + 1
+        resolved = self.read(
+            spark, include_tombstones=True, buckets=buckets, resolve=True
+        ).withColumn(_BUCKET_COL, self.bucket_expr(props["key_col"]))
+        out_dir = self.io.commit_data_dir(next_sid)
+        (
+            resolved.repartition(max(1, min(len(buckets), 32)), F.col(_BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(out_dir)
+        )
+        new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
+        carried = [m for m in snap["manifest"] if m["bucket"] not in set(buckets)]
+        new_snap = {
+            "snapshot_id": next_sid,
+            "parent_id": snap["snapshot_id"],
+            "type": "compact",
+            "batch_id": None,
+            "schema_version": snap["schema_version"],
+            "schemas": snap["schemas"],
+            "manifest": carried + new_entries,
+            "properties": props,
+            "offsets": snap["offsets"],
+            "metrics": {
+                "rows_written": sum(e["rows"] for e in new_entries),
+                "buckets_rewritten": len(buckets),
+                "bucket_rows": {str(e["bucket"]): e["rows"] for e in new_entries},
+            },
+            "committed_max_batch_id": snap["committed_max_batch_id"],
+        }
+        self.io.write_snapshot_and_swap_head(new_snap)
         return new_snap
 
+    def _conform(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Project ``df`` onto the snapshot's internal schema. A field
+        missing by its current name may arrive under a historical name
+        (a producer that predates a RENAME) — resolved via field-id
+        name history; otherwise NULL."""
+        history: dict[int, list[str]] = {}
+        for ver_fields in snap["schemas"].values():
+            for fj in ver_fields:
+                names = history.setdefault(fj["id"], [])
+                if fj["name"] not in names:
+                    names.append(fj["name"])
+        exprs = []
+        for f in self.current_fields(snap):
+            cands = [f.name] + [n for n in history.get(f.id, []) if n != f.name]
+            src = next((n for n in cands if n in df.columns), None)
+            exprs.append((F.col(src) if src else F.lit(None)).cast(f.type).alias(f.name))
+        return df.select(*exprs)
+
     def _scan_commit_dir(self, snapshot_id: int, schema_version: int) -> list[dict]:
-        """Enumerate data files a commit just wrote, with bucket + rows."""
+        """Enumerate data files a commit just wrote, with bucket + rows.
+        Footer reads fan out over a thread pool — this runs on the
+        driver between jobs, so serial I/O here is Amdahl overhead."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         out_dir = self.io.commit_data_dir(snapshot_id)
-        entries = []
-        for p in sorted(glob.glob(os.path.join(out_dir, f"{_BUCKET_COL}=*", "*.parquet"))):
-            m = re.search(rf"{_BUCKET_COL}=(\d+)", p)
+        paths = sorted(glob.glob(os.path.join(out_dir, f"{_BUCKET_COL}=*", "*.parquet")))
+
+        def entry(p: str) -> dict | None:
             rows = pq.ParquetFile(p).metadata.num_rows
             if rows == 0:
-                continue
-            entries.append(
-                {
-                    "path": os.path.relpath(p, self.path),
-                    "bucket": int(m.group(1)),
-                    "rows": rows,
-                    "schema_version": schema_version,
-                }
-            )
-        return entries
+                return None
+            m = re.search(rf"{_BUCKET_COL}=(\d+)", p)
+            return {
+                "path": os.path.relpath(p, self.path),
+                "bucket": int(m.group(1)),
+                "rows": rows,
+                "schema_version": schema_version,
+            }
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return [e for e in ex.map(entry, paths) if e is not None]
 
     # -------------------------------------------------------------------- ddl
     def apply_ddl(self, op: str, field: str, new_name: str | None = None,

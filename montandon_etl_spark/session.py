@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # payload-heavy rows (binary html): split scans well below the
+        # 128MB default so a single micro-batch file fans out across
+        # cores instead of pinning one task (generator writes 4096-row
+        # row groups to make the files splittable). At 100TB with many
+        # large files you would raise this back toward 128MB.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        # AQE's 64MB advisory target coalesces post-shuffle partitions
+        # so aggressively that Arrow-UDF stages (extraction) run on a
+        # handful of tasks; 8MB keeps those stages as wide as the core
+        # count while still merging truly tiny partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024))
         # local mode: shuffle spill dir under /tmp by default is fine
     )
     for k, v in (extra_conf or {}).items():

@@ -59,11 +59,13 @@ def _zipf_weights(n: int, s: float) -> np.ndarray:
     return w / w.sum()
 
 
-def _make_html(rng: np.random.Generator, lang: str, url: str) -> bytes:
+def _make_html(rng: np.random.Generator, lang: str, url: str, page_scale: int = 1) -> bytes:
     """One synthetic page: nested tags, entities, a script block, and
-    (2% of pages) trailing invalid bytes."""
+    (2% of pages) trailing invalid bytes. ``page_scale`` multiplies the
+    paragraph count (1 → ~0.2-2 KB pages; 8 → ~2-15 KB, closer to real
+    web pages)."""
     words = _WORDS[lang]
-    n_paras = int(rng.integers(1, 5))
+    n_paras = int(rng.integers(1, 5)) * page_scale
     paras = []
     for _ in range(n_paras):
         n = int(rng.integers(8, 40))
@@ -93,6 +95,7 @@ def gen_changelog(
     n_domains: int = 1000,
     zipf_s: float = 1.2,
     delete_frac: float = 0.05,
+    page_scale: int = 1,
 ) -> pd.DataFrame:
     """Generate a deterministic changelog as a pandas DataFrame."""
     rng = np.random.default_rng(np.random.PCG64(seed))
@@ -129,7 +132,7 @@ def gen_changelog(
             html = None
         else:
             lang = _LANGS[int(dom_lang[url_domain[u_idx]])]
-            html = _make_html(rng, lang, url)
+            html = _make_html(rng, lang, url, page_scale)
         rows.append((int(seq[i]), url, ts_us[i], "delete" if is_delete[i] else "upsert", html))
 
     df = pd.DataFrame(rows, columns=["seq", "url", "warc_ts", "op", "html"])
@@ -163,6 +166,8 @@ def write_changelog(df: pd.DataFrame, out_dir: str, n_chunks: int = 8) -> list[s
             continue
         table = pa.Table.from_pandas(part, schema=CHANGELOG_SCHEMA, preserve_index=False)
         path = os.path.join(out_dir, f"chunk-{k:05d}.parquet")
-        pq.write_table(table, path)
+        # small row groups so Spark can split one chunk file across
+        # many tasks (a single-row-group file caps scan parallelism at 1)
+        pq.write_table(table, path, row_group_size=4096)
         paths.append(path)
     return paths

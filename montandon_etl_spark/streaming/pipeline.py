@@ -80,22 +80,30 @@ def merge_microbatch(
     if batch_id is not None and batch_id <= head["committed_max_batch_id"]:
         return  # duplicate epoch delivery → full no-op
 
+    # the seq-range probe is only needed to place DDL events — skip the
+    # extra job entirely on the (overwhelmingly common) no-DDL path
+    if ddl_events is None or len(ddl_events) == 0:
+        table.merge(spark, batch_df, batch_id=batch_id, use_salted=use_salted,
+                    enrich=enrich_batch)
+        return
+
     bounds = batch_df.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
     if bounds["lo"] is None:
         return
     ddls = _pending_ddl(table, ddl_events, bounds["lo"], bounds["hi"])
 
-    enriched = enrich_batch(batch_df)
+    # enrichment is handed to merge() so the extractor UDF runs only on
+    # rows that actually win the merge (losers never pay for it)
     lo = bounds["lo"]
     for d in ddls:
-        seg = enriched.filter((F.col("seq") >= lo) & (F.col("seq") < d["seq"]))
+        seg = batch_df.filter((F.col("seq") >= lo) & (F.col("seq") < d["seq"]))
         # pre-DDL segment committed without the epoch id (idempotent re-merge);
         # only the final segment advances the batch high-water mark
-        table.merge(spark, seg, batch_id=None, use_salted=use_salted)
+        table.merge(spark, seg, batch_id=None, use_salted=use_salted, enrich=enrich_batch)
         table.apply_ddl(d["op"], d["field"], d["new_name"], d["dtype"])
         lo = d["seq"]
-    final = enriched.filter(F.col("seq") >= lo)
-    table.merge(spark, final, batch_id=batch_id, use_salted=use_salted)
+    final = batch_df.filter(F.col("seq") >= lo)
+    table.merge(spark, final, batch_id=batch_id, use_salted=use_salted, enrich=enrich_batch)
 
 
 def run_stream(

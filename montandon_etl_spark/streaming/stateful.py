@@ -1,0 +1,92 @@
+"""Stateful streaming operators: watermarked windowed aggregation and a
+custom per-key LWW state store via applyInPandasWithState.
+
+The reference has no watermark policy (its daily date-window re-scan
+tolerates lateness — SURVEY.md §2.10 T8); the engine adds the real
+streaming constructs:
+
+- ``windowed_event_counts`` — tumbling event-time windows with a
+  watermark bounding state (the metrics stage of the firehose);
+- ``streaming_lww_state`` — an ``applyInPandasWithState`` operator
+  holding the current LWW winner key per url across micro-batches and
+  emitting only CHANGED winners (a changelog compactor: upstream of
+  the sink it turns an at-least-once event stream into a minimal
+  upsert stream). State is (warc_ts, seq) per url — tiny and bounded
+  by the keyspace, the payload itself stays out of the state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window event counts with bounded state: late rows beyond
+    the watermark are dropped from state (not from the table — the LWW
+    merge is order-insensitive; this operator only feeds metrics)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("op"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "op",
+            "n",
+        )
+    )
+
+
+_LWW_STATE_SCHEMA = "warc_ts_us long, seq long"
+_LWW_OUT_SCHEMA = "url string, warc_ts timestamp, seq long, op string"
+
+
+def _lww_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep the max (warc_ts, seq) per url; emit a row only when the
+    winner advances (dedup/no-change suppression — the reference's
+    NO_CHANGE state, apps/etl/models.py:45, done streaming-side)."""
+    if state.exists:
+        cur_ts, cur_seq = state.get
+    else:
+        cur_ts, cur_seq = -1, -1
+    best = None
+    for pdf in pdfs:
+        for r in pdf.itertuples():
+            ts_us = int(r.warc_ts.value // 1000)  # pandas ns → us
+            if (ts_us, int(r.seq)) > (cur_ts, cur_seq):
+                cur_ts, cur_seq = ts_us, int(r.seq)
+                best = (r.url, r.warc_ts, int(r.seq), r.op)
+    if best is not None:
+        state.update((cur_ts, cur_seq))
+        yield pd.DataFrame(
+            [best], columns=["url", "warc_ts", "seq", "op"]
+        )
+
+
+def streaming_lww_state(stream: DataFrame) -> DataFrame:
+    """Per-url LWW winner tracking across micro-batches; emits only
+    winner changes. Arrow-batched state function (pandas in/out), state
+    is 16 bytes per url."""
+    return (
+        stream.select("url", "warc_ts", "seq", "op")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _lww_state_fn,
+            outputStructType=_LWW_OUT_SCHEMA,
+            stateStructType=_LWW_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

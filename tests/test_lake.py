@@ -15,9 +15,12 @@ from montandon_etl_spark.streaming.pipeline import enrich_batch
 from tests.conftest import assert_state_equals_oracle
 
 
-@pytest.fixture()
-def table(tmp_path):
-    return SnapshotTable.create(str(tmp_path / "pages"), n_buckets=8)
+@pytest.fixture(params=["mor", "cow"])
+def table(tmp_path, request):
+    """Both write modes run the full semantic suite."""
+    return SnapshotTable.create(
+        str(tmp_path / "pages"), n_buckets=8, write_mode=request.param
+    )
 
 
 def _merge_pdf(spark, table, pdf, batch_id=None, **kw):
@@ -96,7 +99,9 @@ def test_salted_merge_equals_unsalted(spark, table, small_changelog):
     assert_state_equals_oracle(got, replay_oracle(small_changelog))
 
 
-def test_copy_on_write_only_touched_buckets(spark, table, small_changelog):
+def test_copy_on_write_only_touched_buckets(spark, tmp_path, small_changelog):
+    table = SnapshotTable.create(str(tmp_path / "cow_pages"), n_buckets=8,
+                                 write_mode="cow")
     _merge_pdf(spark, table, small_changelog, batch_id=0)
     snap1 = table.snapshot()
     # a one-url second batch touches exactly one bucket
@@ -145,6 +150,46 @@ def test_bucket_pruned_read_reads_fewer_files(spark, table, small_changelog):
     pruned = table.read(spark, buckets=[one_bucket])
     full = table.read(spark)
     assert 0 < pruned.count() < full.count()
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path, small_changelog):
+    """Deltas accumulate per bucket; compact() folds them to one file
+    per bucket without changing visible state, and keeps tombstones."""
+    table = SnapshotTable.create(str(tmp_path / "mor_pages"), n_buckets=4,
+                                 write_mode="mor", compact_threshold=1000)
+    n = len(small_changelog)
+    for i, lo in enumerate(range(0, n, n // 6)):
+        _merge_pdf(spark, table, small_changelog.iloc[lo : lo + n // 6], batch_id=i)
+    before = table.read(spark).toPandas()
+    files_before = len(table.snapshot()["manifest"])
+    tombs_before = table.read(spark, include_tombstones=True).count() - len(before)
+    assert files_before > 4  # real delta accumulation
+    snap = table.compact(spark)
+    assert snap["type"] == "compact"
+    files_after = len(table.snapshot()["manifest"])
+    assert files_after <= 4
+    after = table.read(spark).toPandas()
+    assert_state_equals_oracle(after, replay_oracle(small_changelog))
+    assert before.sort_values("url").reset_index(drop=True).equals(
+        after.sort_values("url").reset_index(drop=True)
+    )
+    tombs_after = table.read(spark, include_tombstones=True).count() - len(after)
+    assert tombs_after == tombs_before > 0  # deletes survive compaction
+
+
+def test_mor_auto_compaction_triggers(spark, tmp_path, small_changelog):
+    table = SnapshotTable.create(str(tmp_path / "mor_auto"), n_buckets=2,
+                                 write_mode="mor", compact_threshold=2)
+    n = len(small_changelog)
+    for i, lo in enumerate(range(0, n, n // 6)):
+        _merge_pdf(spark, table, small_changelog.iloc[lo : lo + n // 6], batch_id=i)
+    counts: dict[int, int] = {}
+    for m in table.snapshot()["manifest"]:
+        counts[m["bucket"]] = counts.get(m["bucket"], 0) + 1
+    assert max(counts.values()) <= 2 + 1  # budget respected (±1 fresh delta)
+    assert any(s["type"] == "compact" for s in table.history())
+    assert_state_equals_oracle(table.read(spark).toPandas(),
+                               replay_oracle(small_changelog))
 
 
 def test_orphan_files_ignored(spark, table, small_changelog, tmp_path):
