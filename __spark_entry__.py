@@ -343,6 +343,56 @@ def q_validate_json_payload(spark, sf):
     )
 
 
+def q_geojson_bbox(spark, sf):
+    """GeoJSON parse + nested-array bbox (SURVEY §2.2 F3 geometry
+    validation, §2.9 geometry ops): deterministic unit squares built
+    from event ids, parsed schema-on-read, bbox via JVM-side nested
+    aggregate — the oracle knows the answer independently."""
+    from montandon_etl_spark.functions.geo import parse_polygon, polygon_bbox
+
+    ev = _t(spark, sf, "events")
+    k = (F.col("event_id") % 100).cast("string")
+    k1 = (F.col("event_id") % 100 + 1).cast("string")
+    gj = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['), k, F.lit(","), k,
+        F.lit("],["), k1, F.lit(","), k, F.lit("],["), k1, F.lit(","), k1,
+        F.lit("],["), k, F.lit(","), k1, F.lit("],["), k, F.lit(","), k,
+        F.lit("]]]}"),
+    )
+    parsed = parse_polygon(ev.withColumn("gj", gj), "gj")
+    return parsed.select(
+        "event_id",
+        "geom_valid",
+        polygon_bbox("geom").alias("bbox"),
+    ).select(
+        "event_id", "geom_valid",
+        F.col("bbox.xmin").alias("xmin"), F.col("bbox.ymin").alias("ymin"),
+        F.col("bbox.xmax").alias("xmax"), F.col("bbox.ymax").alias("ymax"),
+    )
+
+
+def q_xml_roundtrip(spark, sf):
+    """XML row-iterator source (SURVEY §2.1 S9 + P3 rename projection):
+    events serialized to XML, re-parsed via the ElementTree mapInPandas
+    source; the oracle checks against the original columns."""
+    from montandon_etl_spark.sources.xmlsrc import xml_records
+
+    ev = _t(spark, sf, "events")
+    xml = F.concat(
+        F.lit("<doc><r><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><t>"), F.col("event_type"), F.lit("</t></r></doc>"),
+    )
+    out = xml_records(
+        ev.withColumn("xmldoc", xml), "event_id", "xmldoc", "r",
+        {"id": "xml_id", "t": "xml_type"},
+    )
+    return out.select(
+        "event_id",
+        F.col("xml_id").cast("bigint").alias("xml_id"),
+        "xml_type",
+    )
+
+
 def q_multimodal_binary_meta(spark, sf):
     from montandon_etl_spark.operators.multimodal import binary_metadata
 
@@ -476,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "explode_tokens": q_explode_tokens,
         "validate_json_payload": q_validate_json_payload,
+        "geojson_bbox": q_geojson_bbox,
+        "xml_roundtrip": q_xml_roundtrip,
     }
 
 
@@ -686,6 +738,16 @@ def oracle_sql() -> dict[str, str]:
         "validate_json_payload": """
             SELECT event_id, json_valid(props) AS payload_valid,
                    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+            FROM events""",
+        "geojson_bbox": """
+            SELECT event_id, true AS geom_valid,
+                   CAST(event_id % 100 AS DOUBLE) AS xmin,
+                   CAST(event_id % 100 AS DOUBLE) AS ymin,
+                   CAST(event_id % 100 + 1 AS DOUBLE) AS xmax,
+                   CAST(event_id % 100 + 1 AS DOUBLE) AS ymax
+            FROM events""",
+        "xml_roundtrip": """
+            SELECT event_id, event_id AS xml_id, event_type AS xml_type
             FROM events""",
     }
 
