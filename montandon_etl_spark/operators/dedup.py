@@ -174,28 +174,35 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     r = k // bands
     sig = minhash_signatures(df, id_col, text_col, n=n, k=k)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)]
-        band_rows.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *[c.cast("string") for c in cols]).alias("bucket"),
-            )
+    # One pass: explode the signature into its bands (a union of band
+    # projections would recompute the whole shingle+minhash pipeline
+    # per band — 4x the aggregation work and 4x the scans; a self-join
+    # would double it again). Pairs are generated inside each bucket
+    # from the collected id list: Σ|bucket|² work, the true LSH cost.
+    # At web scale, cap pathological buckets (a near-universal band
+    # signature) by filtering F.size("ids") before pair generation.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+            ).alias("bucket"),
         )
-    banded = band_rows[0]
-    for x in band_rows[1:]:
-        banded = banded.unionByName(x)
-    a, b_ = banded.alias("a"), banded.alias("b")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    pairs_in_bucket = F.expr(
+        "filter(flatten(transform(ids, x -> transform(ids,"
+        " y -> struct(x AS id_a, y AS id_b)))), p -> p.id_a < p.id_b)"
+    )
     return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pairs_in_bucket).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
