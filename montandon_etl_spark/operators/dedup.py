@@ -86,6 +86,35 @@ def revision_chain(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def suppress_unchanged(
+    batch: DataFrame,
+    current: DataFrame,
+    key_col: str = "url",
+    content_col: str = "html",
+) -> DataFrame:
+    """NO_CHANGE suppression (reference ValidationStatus.NO_CHANGE,
+    apps/etl/models.py:45 + dedup-by-content extract.py:128-139): drop
+    batch events whose content hash equals the current table row's —
+    re-crawls of unchanged pages never reach the merge, cutting write
+    amplification at the source.
+
+    Semantics note: suppressed events do NOT advance the row's
+    (warc_ts, seq) metadata — exactly the reference's behavior (the
+    original row is kept; only a revision pointer is recorded). Use
+    upstream of ``SnapshotTable.merge`` when that trade-off is wanted.
+
+    Plan: current side reduced to (key, hash) — the wide content never
+    joins; left-anti on (key, hash) with the batch's computed hash.
+    """
+    cur_hashes = current.select(
+        F.col(key_col), F.sha2(F.col(content_col).cast("binary"), 256).alias("_h")
+    )
+    hashed = batch.withColumn(
+        "_h", F.sha2(F.col(content_col).cast("binary"), 256)
+    )
+    return hashed.join(cur_hashes, [key_col, "_h"], "left_anti").drop("_h")
+
+
 # ------------------------------------------------------------- ngram jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,

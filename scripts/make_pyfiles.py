@@ -1,0 +1,29 @@
+"""Build dist/montandon_etl_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "montandon_etl_spark.zip")
+    pkg = os.path.join(REPO, "montandon_etl_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    zf.write(p, os.path.relpath(p, REPO))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,26 @@ def test_lsh_recall_against_jaccard(spark):
         assert recall >= 0.8, f"LSH recall {recall} over {len(true_pairs)} pairs"
 
 
+def test_suppress_unchanged_no_change_semantics(spark):
+    """Re-crawl with identical content is suppressed (metadata does not
+    advance); changed content passes through — reference NO_CHANGE."""
+    from montandon_etl_spark.operators.dedup import suppress_unchanged
+
+    current = spark.createDataFrame(
+        [("u1", 10, b"<p>same</p>"), ("u2", 11, b"<p>old</p>")],
+        "url string, seq long, html binary",
+    )
+    batch = spark.createDataFrame(
+        [("u1", 20, b"<p>same</p>"),   # unchanged → suppressed
+         ("u2", 21, b"<p>new</p>"),    # changed → kept
+         ("u3", 22, b"<p>fresh</p>")], # new url → kept
+        "url string, seq long, html binary",
+    )
+    out = suppress_unchanged(batch, current).toPandas().sort_values("url")
+    assert list(out["url"]) == ["u2", "u3"]
+    assert list(out["seq"]) == [21, 22]
+
+
 def test_salted_equals_unsalted_on_skewed_keys(spark):
     """Extreme skew: one key holds 90% of rows; salted and plain LWW
     must agree exactly."""
