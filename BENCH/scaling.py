@@ -150,6 +150,8 @@ def main() -> None:
         "rows_equal": r8["rows"] == r32["rows"],
     }
     print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+        json.dump(result, f)
 
     md = f"""# BENCH/BASELINE.md — two-cluster-size scaling evidence
 

@@ -305,6 +305,13 @@ def q_ann_topk_ivf(spark, sf):
     return S.cosine_topk_ivf(emb, queries, k=5)
 
 
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs, label-blocked (training-data
+    dedup family, scale path = LSH blocking)."""
+    emb = _t(spark, sf, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
+
+
 def q_embedding_norms(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return emb.select(
@@ -522,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_norms": q_embedding_norms,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "explode_tokens": q_explode_tokens,
@@ -719,6 +727,14 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, cell, neighbor_id, round(cosine, 6) AS cosine, rank
             FROM ranked WHERE rank <= 5""",
+        "embedding_near_dup": f"""
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     {_COS.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')} AS cosine
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cosine, 6) AS cosine
+            FROM p WHERE cosine >= 0.3""",
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_sum(list_transform(embedding,

@@ -128,6 +128,11 @@ def main() -> None:
     cdc = bench_cdc(spark, n_events, n_urls, work_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    scaling = None
+    sp = os.path.join(REPO, "BENCH", "scaling_result.json")
+    if os.path.exists(sp):
+        with open(sp) as f:
+            scaling = json.load(f)
     out = {
         "metric": "cdc_events_per_sec",
         "value": cdc["cdc_events_per_sec"],
@@ -137,6 +142,7 @@ def main() -> None:
         "cpus": cpus,
         "cdc": cdc,
         "suite_sec": round(sum(timings.values()), 3),
+        "scaling": scaling,
     }
     line = json.dumps(out)
     print(line)

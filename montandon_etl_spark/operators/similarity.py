@@ -110,6 +110,38 @@ def cosine_topk_ivf(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold, id_a < id_b.
+
+    ``block_col`` restricts comparisons to the same block (coarse cell
+    / domain) — the standard way to keep the pair join from going
+    O(N²); at web scale you'd block by ``lsh_hyperplane_buckets``
+    instead. Dot products are JVM-side zip_with aggregates.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, (["blk"] if block_col else []) or None) if block_col else a.crossJoin(b)
+    joined = joined.filter(cond)
+    cos = cosine_similarity_col("va", "vb")
+    out = joined.withColumn("cosine", cos).filter(F.col("cosine") >= threshold)
+    cols = ["id_a", "id_b", F.round("cosine", 6).alias("cosine")]
+    return out.select(*cols)
+
+
 def lsh_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
