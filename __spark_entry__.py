@@ -314,17 +314,15 @@ def q_embedding_near_dup(spark, sf):
 
 def q_embedding_norms(spark, sf):
     emb = _t(spark, sf, "embeddings")
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(embedding, cast(0.0 as double),"
+            " (acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+    )
     return emb.select(
         "vec_id",
-        F.round(
-            F.sqrt(
-                F.expr(
-                    "aggregate(embedding, cast(0.0 as double),"
-                    " (acc, v) -> acc + cast(v as double) * cast(v as double))"
-                )
-            ),
-            5,
-        ).alias("l2_norm"),
+        (F.floor(norm * 100_000 + F.lit(0.5)) / 100_000).alias("l2_norm"),
     )
 
 
@@ -426,7 +424,7 @@ inter AS (
   FROM toks a JOIN toks b ON a.sh = b.sh AND a.blk = b.blk AND a.id < b.id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
@@ -680,14 +678,14 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter({_WLOW}, w -> w IN ({_STOP_EN_SQL}))) AS stops
               FROM documents)
             SELECT doc_id, n_chars AS n_chars_obs, n_words,
-                   round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
-                   round(stops / n_words, 6) AS stop_ratio,
-                   round((n_chars - (n_words - 1)) / n_words, 6) AS mean_word_len,
-                   round(least(greatest(
+                   floor(n_punct / greatest(n_chars, 1) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+                   floor(stops / n_words * 1000000 + 0.5) / 1000000 AS stop_ratio,
+                   floor((n_chars - (n_words - 1)) / n_words * 1000000 + 0.5) / 1000000 AS mean_word_len,
+                   floor(least(greatest(
                      stops / n_words
                      - n_punct / greatest(n_chars, 1)
                      - abs((n_chars - (n_words - 1)) / n_words - 5.0) / 10.0,
-                     0.0), 1.0), 6) AS quality
+                     0.0), 1.0) * 1000000 + 0.5) / 1000000 AS quality
             FROM b""",
         "lang_id": f"""
             WITH b AS (
@@ -712,7 +710,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored)
-            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+            SELECT query_id, neighbor_id, floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
             FROM ranked WHERE rank <= 5""",
         "ann_topk_ivf": f"""
             WITH scored AS (
@@ -725,7 +723,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored)
-            SELECT query_id, cell, neighbor_id, round(cosine, 6) AS cosine, rank
+            SELECT query_id, cell, neighbor_id, floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
             FROM ranked WHERE rank <= 5""",
         "embedding_near_dup": f"""
             WITH p AS (
@@ -733,12 +731,12 @@ def oracle_sql() -> dict[str, str]:
                      {_COS.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')} AS cosine
               FROM embeddings a JOIN embeddings b
                 ON a.label = b.label AND a.vec_id < b.vec_id)
-            SELECT id_a, id_b, round(cosine, 6) AS cosine
+            SELECT id_a, id_b, floor(cosine * 1000000 + 0.5) / 1000000 AS cosine
             FROM p WHERE cosine >= 0.3""",
         "embedding_norms": """
             SELECT vec_id,
-                   round(sqrt(list_sum(list_transform(embedding,
-                         x -> CAST(x AS DOUBLE) * x))), 5) AS l2_norm
+                   floor(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * x))) * 100000 + 0.5) / 100000 AS l2_norm
             FROM embeddings""",
         "multimodal_binary_meta": """
             SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from montandon_etl_spark.operators.util import stable_round6
+
 
 def hash60(col) -> F.Column:
     """Portable 60-bit hash: md5 hex prefix → bigint (same value in
@@ -162,7 +164,7 @@ def ngram_jaccard_pairs(
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", stable_round6("jaccard").alias("jaccard"))
     )
 
 

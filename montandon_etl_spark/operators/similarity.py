@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from montandon_etl_spark.operators.util import stable_round6
+
 
 def _dot(a: str, b: str) -> F.Column:
     return F.expr(
@@ -66,7 +68,7 @@ def cosine_topk_bruteforce(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", stable_round6("cosine").alias("cosine"), "rank")
     )
 
 
@@ -106,7 +108,7 @@ def cosine_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cell", "neighbor_id",
-                F.round("cosine", 6).alias("cosine"), "rank")
+                stable_round6("cosine").alias("cosine"), "rank")
     )
 
 
@@ -138,7 +140,7 @@ def embedding_near_dup_pairs(
     joined = joined.filter(cond)
     cos = cosine_similarity_col("va", "vb")
     out = joined.withColumn("cosine", cos).filter(F.col("cosine") >= threshold)
-    cols = ["id_a", "id_b", F.round("cosine", 6).alias("cosine")]
+    cols = ["id_a", "id_b", stable_round6("cosine").alias("cosine")]
     return out.select(*cols)
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from montandon_etl_spark.operators.dedup import word_shingles
+from montandon_etl_spark.operators.util import stable_round6
 
 # Small, fixed stopword lists (must stay in sync with the SQL oracle
 # strings in __spark_entry__.py — they are the *same* list).
@@ -67,10 +68,10 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         n_chars.alias("n_chars_obs"),
         n_words.alias("n_words"),
-        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(stops / n_words, 6).alias("stop_ratio"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)), 6).alias("quality"),
+        stable_round6(n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        stable_round6(stops / n_words).alias("stop_ratio"),
+        stable_round6(mean_wl).alias("mean_word_len"),
+        stable_round6(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))).alias("quality"),
     )
 
 
