@@ -235,11 +235,13 @@ def q_region_revenue(spark, sf):
 def q_set_except_pairs(spark, sf):
     """Set difference (SURVEY.md §2.8 left-anti): (user, type) pairs
     seen only in the first half of the changelog — 'rows not yet
-    committed' shape."""
+    committed' shape. The midpoint scalar is a 1-row broadcast
+    cross-join, keeping the whole query ONE plan (no driver collect)."""
     ev = _t(spark, sf, "events")
-    mid = ev.agg((F.max("event_id") / 2).alias("m")).collect()[0]["m"]
-    early = ev.filter(F.col("event_id") <= mid).select("user_id", "event_type").distinct()
-    late = ev.filter(F.col("event_id") > mid).select("user_id", "event_type").distinct()
+    mid = ev.agg((F.max("event_id") / 2).alias("_m"))
+    ev2 = ev.join(F.broadcast(mid))
+    early = ev2.filter(F.col("event_id") <= F.col("_m")).select("user_id", "event_type").distinct()
+    late = ev2.filter(F.col("event_id") > F.col("_m")).select("user_id", "event_type").distinct()
     return early.join(late, ["user_id", "event_type"], "left_anti")
 
 
@@ -269,7 +271,7 @@ def q_minhash_signatures(spark, sf):
 
 def q_minhash_lsh_candidates(spark, sf):
     docs = _t(spark, sf, "documents")
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4)
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4, max_bucket=500)
 
 
 def q_simhash(spark, sf):
@@ -310,6 +312,14 @@ def q_embedding_near_dup(spark, sf):
     dedup family, scale path = LSH blocking)."""
     emb = _t(spark, sf, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
+
+
+def q_embedding_near_dup_lsh(spark, sf):
+    """Embedding near-dup pairs blocked by random-hyperplane LSH — the
+    100-TB path: blocking key derived from the vector itself, computed
+    inline in the scan, no label column and no extra join."""
+    emb = _t(spark, sf, "embeddings")
+    return S.embedding_near_dup_lsh(emb, threshold=0.3, n_planes=4, dim=64, seed=42)
 
 
 def q_embedding_norms(spark, sf):
@@ -398,6 +408,27 @@ def q_xml_roundtrip(spark, sf):
     )
 
 
+def q_kv_pivot_roundtrip(spark, sf):
+    """2-column → map pivot (SURVEY §2.7 A1, reference dict(zip(...))
+    over an HTML table): build the per-user map with kv_pivot, then
+    explode it back to rows so the oracle can check every entry."""
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").cast("string").alias("k"),
+        F.col("value").alias("v"),
+    )
+    piv = R.kv_pivot(ev, "user_id", "k", "v")
+    return piv.select("user_id", F.explode("kv").alias("k", "v"))
+
+
+def q_split_sentences(spark, sf):
+    """1→N sentence fan-out with stable pre-filter ordinality
+    (SURVEY §2.3 P6/P7 doc → derived items)."""
+    from montandon_etl_spark.sources.payload import split_sentences
+
+    return split_sentences(_t(spark, sf, "documents"), "doc_id", "text")
+
+
 def q_multimodal_binary_meta(spark, sf):
     from montandon_etl_spark.operators.multimodal import binary_metadata
 
@@ -446,23 +477,28 @@ FROM toks GROUP BY id
 """
 
 
-def _oracle_minhash_lsh(n: int = 2, k: int = 8, bands: int = 4) -> str:
+def _oracle_minhash_lsh(n: int = 2, k: int = 8, bands: int = 4,
+                        max_bucket: int = 500) -> str:
     r = k // bands
     band_selects = []
     for b in range(bands):
         cols = " || '|' || ".join(f"mh{i}::VARCHAR" for i in range(b * r, (b + 1) * r))
         band_selects.append(f"SELECT doc_id AS id, {b} AS band, {cols} AS bucket FROM sig")
     banded = " UNION ALL ".join(band_selects)
+    # ok-bucket CTE mirrors the Spark-side pathological-bucket cap
     return f"""
 WITH {_oracle_shingle_cte(n)},
 sig AS (
   SELECT id AS doc_id,
          {", ".join(_min_h60(i) for i in range(k))}
   FROM toks GROUP BY id),
-banded AS ({banded})
+banded AS ({banded}),
+ok AS (SELECT band, bucket FROM banded GROUP BY 1, 2
+       HAVING count(*) BETWEEN 2 AND {max_bucket})
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+FROM banded a
+JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 """
 
 
@@ -493,6 +529,38 @@ _COS = (
     " / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))"
     " * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x))))"
 )
+
+
+def _oracle_lsh_bucket_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB expression recomputing the hyperplane-LSH bucket with the
+    SAME seeded-LCG planes the Spark side compiles into its plan
+    (shortest-round-trip float repr → identical doubles). list_reduce
+    is a strict left fold, matching Spark's aggregate() order, so the
+    sign test agrees bit-for-bit."""
+    from montandon_etl_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(n_planes, dim, seed)
+    bits = []
+    for p in planes:
+        lits = ", ".join(repr(x) for x in p)
+        dot = (f"list_reduce(list_transform(list_zip(embedding, [{lits}]),"
+               f" x -> CAST(x[1] AS DOUBLE) * x[2]), (acc, v) -> acc + v)")
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def _oracle_embedding_near_dup_lsh(threshold: float = 0.3) -> str:
+    cos = _COS.replace("q.embedding", "a.embedding").replace("c.embedding", "b.embedding")
+    return f"""
+        WITH bk AS (
+          SELECT vec_id, embedding, {_oracle_lsh_bucket_sql(4, 64, 42)} AS bucket
+          FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+          FROM bk a JOIN bk b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, floor(cosine * 1000000 + 0.5) / 1000000 AS cosine
+        FROM p WHERE cosine >= {threshold}"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -528,8 +596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_norms": q_embedding_norms,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "kv_pivot_roundtrip": q_kv_pivot_roundtrip,
+        "split_sentences": q_split_sentences,
         "explode_tokens": q_explode_tokens,
         "validate_json_payload": q_validate_json_payload,
         "geojson_bbox": q_geojson_bbox,
@@ -615,8 +686,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, event_id, ts,
-                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM g""",
         "tumbling_window_agg": f"""
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
@@ -657,7 +728,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1""",
         "ngram_jaccard_pairs": _oracle_jaccard(n=2, threshold=0.2),
         "minhash_signatures": _oracle_minhash_sig(n=2, k=8),
-        "minhash_lsh_candidates": _oracle_minhash_lsh(n=2, k=8, bands=4),
+        "minhash_lsh_candidates": _oracle_minhash_lsh(n=2, k=8, bands=4, max_bucket=500),
         "simhash": _oracle_simhash(bits=32),
         "doc_fingerprint": f"""
             SELECT doc_id,
@@ -733,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
                 ON a.label = b.label AND a.vec_id < b.vec_id)
             SELECT id_a, id_b, floor(cosine * 1000000 + 0.5) / 1000000 AS cosine
             FROM p WHERE cosine >= 0.3""",
+        "embedding_near_dup_lsh": _oracle_embedding_near_dup_lsh(threshold=0.3),
         "embedding_norms": """
             SELECT vec_id,
                    floor(sqrt(list_sum(list_transform(embedding,
@@ -742,6 +814,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents""",
+        "kv_pivot_roundtrip": """
+            SELECT user_id, CAST(event_id AS VARCHAR) AS k, value AS v
+            FROM events""",
+        "split_sentences": """
+            WITH s AS (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS arr
+                       FROM documents),
+            u AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(arr)),
+                                i -> {'idx': i, 'sent': arr[i]})) AS x
+                  FROM s)
+            SELECT doc_id, x.idx - 1 AS sent_idx, x.sent AS sentence FROM u
+            WHERE length(trim(x.sent)) > 0""",
         "explode_tokens": f"""
             WITH s AS (SELECT doc_id, {_W} AS arr FROM documents),
             u AS (SELECT doc_id,

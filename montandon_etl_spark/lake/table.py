@@ -112,11 +112,16 @@ class SnapshotTable:
         return self.io.read_snapshot(snapshot_id)
 
     def history(self) -> list[dict]:
-        """All snapshots, oldest first (the table's commit log)."""
+        """Retained snapshots, oldest first (the table's commit log).
+        Stops at the expiry horizon: a parent pruned by
+        ``expire_snapshots`` ends the walk instead of erroring."""
         snaps = []
         sid = self.io.head_snapshot_id()
         while sid is not None:
-            s = self.io.read_snapshot(sid)
+            try:
+                s = self.io.read_snapshot(sid)
+            except FileNotFoundError:
+                break  # expired beyond the retention window
             snaps.append(s)
             sid = s["parent_id"]
         return list(reversed(snaps))
@@ -152,6 +157,29 @@ class SnapshotTable:
                 exprs.append(F.lit(None).cast(f.type).alias(f.name))
         return exprs
 
+    def manifest_entries(
+        self,
+        snapshot_id: int | None = None,
+        buckets: Iterable[int] | None = None,
+        point_lookup: str | None = None,
+    ) -> list[dict]:
+        """The manifest after pruning: bucket pruning (partition-level)
+        then per-file key min/max pruning (file-level, Iceberg-style).
+        A file written before stats existed (key_min/key_max absent or
+        None) is conservatively kept."""
+        snap = self.snapshot(snapshot_id)
+        manifest = snap["manifest"]
+        if buckets is not None:
+            bset = set(buckets)
+            manifest = [m for m in manifest if m["bucket"] in bset]
+        if point_lookup is not None:
+            manifest = [
+                m for m in manifest
+                if m.get("key_min") is None or m.get("key_max") is None
+                or (m["key_min"] <= point_lookup <= m["key_max"])
+            ]
+        return manifest
+
     def read(
         self,
         spark: SparkSession,
@@ -159,12 +187,17 @@ class SnapshotTable:
         include_tombstones: bool = False,
         buckets: Iterable[int] | None = None,
         resolve: bool = True,
+        point_lookup: str | None = None,
     ) -> DataFrame:
         """Read table state at a snapshot (HEAD by default).
 
         Only manifest files are read; bucket pruning (``buckets=``)
         skips files whose bucket can't match — the lake-format
-        equivalent of partition pruning.
+        equivalent of partition pruning. ``point_lookup=<key>``
+        additionally prunes files by their manifest key min/max stats
+        and filters the scan to that key — "latest text for url X"
+        reads only the files inside the key's bucket that can actually
+        contain it, not the whole bucket.
 
         On a merge-on-read table, ``resolve=True`` (default) applies
         the read-side LWW across delta files (one hash-agg keyed by
@@ -172,10 +205,9 @@ class SnapshotTable:
         shuffle); ``resolve=False`` exposes the raw delta rows.
         """
         snap = self.snapshot(snapshot_id)
-        manifest = snap["manifest"]
-        if buckets is not None:
-            bset = set(buckets)
-            manifest = [m for m in manifest if m["bucket"] in bset]
+        manifest = self.manifest_entries(
+            snapshot_id=snap["snapshot_id"], buckets=buckets, point_lookup=point_lookup
+        )
 
         current = self.current_fields(snap)
         ddl = ", ".join(f"`{f.name}` {f.type}" for f in current)
@@ -196,6 +228,10 @@ class SnapshotTable:
             for p in parts[1:]:
                 out = out.unionByName(p)
         props = snap["properties"]
+        if point_lookup is not None:
+            # exact-key filter on top of the file pruning (a pruned-in
+            # file can still hold other keys in the same range)
+            out = out.filter(F.col(props["key_col"]) == F.lit(point_lookup))
         if resolve and props.get("write_mode", "cow") == "mor":
             out = lww_latest(out, keys=props["key_col"], order_cols=props["order_cols"])
         if not include_tombstones:
@@ -215,6 +251,8 @@ class SnapshotTable:
         use_salted: bool = False,
         n_salts: int = 16,
         enrich=None,
+        broadcast_keys: bool | None = None,
+        gc_tombstones: bool = False,
     ) -> dict | None:
         """MERGE a change-event batch into the table (LWW per key).
 
@@ -245,8 +283,11 @@ class SnapshotTable:
              carry over in the manifest.
         At 10^10 events the winner-key set of one micro-batch is what
         must fit in a broadcast (~batch size + matched keys); beyond
-        that, swap the broadcast hint for a shuffle semi-join of keys —
-        still payload-free.
+        that, ``broadcast_keys=False`` swaps the broadcast hint for a
+        shuffle semi-join of keys — still payload-free (the shuffled
+        side is (url, seq) pairs, never html/text). ``broadcast_keys``:
+        True forces the hint, False forces the shuffle semi-join, None
+        (default) auto-selects by batch size.
         """
         snap = self.snapshot()
         if batch_id is not None and batch_id <= snap["committed_max_batch_id"]:
@@ -358,28 +399,46 @@ class SnapshotTable:
                 order_cols=order_cols + ["_side"],
                 **kwargs,
             ).persist()
+            # winner-key resolution strategy: broadcast is right while
+            # the elected key set (~batch + matched keys, ~tens of bytes
+            # per key) fits executor memory; a 10^8+-event mega-batch
+            # flips to a shuffle semi-join — keys-only, still payload-free
+            if broadcast_keys is None:
+                broadcast_keys = stats["n"] <= 2_000_000
+            hint = F.broadcast if broadcast_keys else (lambda d: d)
             try:
                 keep_cur = winkeys.filter(F.col("_side") == 0).select(key, seqk)
                 keep_bat = winkeys.filter(F.col("_side") == 1).select(key, seqk)
                 kept_current = current.join(
-                    F.broadcast(keep_cur), [key, seqk], "left_semi"
+                    hint(keep_cur), [key, seqk], "left_semi"
                 )
                 kept_batch = batch_df.join(
-                    F.broadcast(keep_bat), [key, seqk], "left_semi"
+                    hint(keep_bat), [key, seqk], "left_semi"
                 )
-                # 4. derive payload columns for winners only
+                # 4. within-batch physical dedup: an at-least-once source
+                #    can deliver the SAME event (url, seq) twice inside one
+                #    micro-batch; the semi-join keeps both copies, so drop
+                #    exact duplicates before writing. Ordered after the
+                #    repartition-by-bucket: hash(bucket) clusters every
+                #    (bucket, key, seq) group, so the dedup aggregate plans
+                #    WITHOUT a second exchange — payloads still cross the
+                #    wire exactly once. Enrichment runs after dedup so the
+                #    extractor never pays for a duplicate copy.
+                kept_batch = (
+                    kept_batch.withColumn(_BUCKET_COL, self.bucket_expr(key))
+                    .repartition(
+                        max(1, min(len(affected), 32)), F.col(_BUCKET_COL)
+                    )
+                    .dropDuplicates([_BUCKET_COL, key, seqk])
+                )
                 if enrich is not None:
                     kept_batch = enrich(kept_batch)
                 kept_batch = self._conform(kept_batch, snap).withColumn(
                     _BUCKET_COL, self.bucket_expr(key)
                 )
                 # 5. rewrite affected buckets: current side narrow
-                #    (one-bucket-per-file), batch side one small shuffle
-                merged = kept_current.unionByName(
-                    kept_batch.repartition(
-                        max(1, min(len(affected), 32)), F.col(_BUCKET_COL)
-                    )
-                )
+                #    (one-bucket-per-file), batch side already bucketed
+                merged = kept_current.unionByName(kept_batch)
                 merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
             finally:
                 winkeys.unpersist()
@@ -412,7 +471,12 @@ class SnapshotTable:
         self.io.write_snapshot_and_swap_head(new_snap)
 
         # amortized compaction: any bucket over the delta-file budget
-        # gets rewritten to one resolved file set (its own snapshot)
+        # gets rewritten to one resolved file set (its own snapshot).
+        # ``gc_tombstones`` (caller asserts a seq-ordered source — a
+        # WAL/binlog tail) additionally drops tombstones at or below
+        # this batch's committed max_seq during the rewrite: with a
+        # monotone source no future event can carry a smaller seq, so
+        # the tombstone has nothing left to defeat.
         if write_mode == "mor":
             counts: dict[int, int] = {}
             for m in manifest:
@@ -421,30 +485,58 @@ class SnapshotTable:
                 b for b, c in counts.items() if c > props.get("compact_threshold", 8)
             )
             if over:
-                self.compact(spark, buckets=over)
+                horizon = stats["hi"] if gc_tombstones else None
+                self.compact(spark, buckets=over, tombstone_horizon=horizon)
         return self.snapshot()
 
-    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict:
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None,
+                tombstone_horizon: int | None = None) -> dict:
         """Rewrite buckets' delta files to one resolved file each
-        (read-side LWW materialized). Tombstones are preserved — a
-        compaction must not forget deletes, or a late older upsert
-        could resurrect a deleted key."""
+        (read-side LWW materialized). Tombstones are preserved by
+        default — a compaction must not forget deletes, or a late older
+        upsert could resurrect a deleted key.
+
+        ``tombstone_horizon`` is the delete-GC knob: a tombstone whose
+        winning ``seq`` is <= the horizon is physically dropped during
+        the rewrite. Correctness contract: the caller guarantees no
+        FUTURE batch can carry an event with seq <= horizon for any key
+        (e.g. the source's monotone WAL position / the committed
+        ``max_seq`` of an ordered changelog). Under that guarantee the
+        tombstone has no event left to defeat: any later event for the
+        key has a larger seq and would win LWW regardless. Without GC,
+        at 10^10 events with 5% deletes the table carries 5x10^8
+        permanent tombstone rows.
+        """
         snap = self.snapshot()
         props = snap["properties"]
         if buckets is None:
             counts: dict[int, int] = {}
             for m in snap["manifest"]:
                 counts[m["bucket"]] = counts.get(m["bucket"], 0) + 1
-            buckets = sorted(b for b, c in counts.items() if c > 1)
+            # plain compaction targets multi-file buckets; a tombstone-GC
+            # pass must visit single-file buckets too (their one file can
+            # still hold droppable tombstones)
+            min_files = 1 if tombstone_horizon is not None else 2
+            buckets = sorted(b for b, c in counts.items() if c >= min_files)
         if not buckets:
             return snap
         next_sid = snap["snapshot_id"] + 1
         resolved = self.read(
             spark, include_tombstones=True, buckets=buckets, resolve=True
         ).withColumn(_BUCKET_COL, self.bucket_expr(props["key_col"]))
+        if tombstone_horizon is not None:
+            seqk = props["order_cols"][-1]
+            resolved = resolved.filter(
+                ~((F.col("op") == F.lit("delete")) & (F.col(seqk) <= tombstone_horizon))
+            )
         out_dir = self.io.commit_data_dir(next_sid)
         (
             resolved.repartition(max(1, min(len(buckets), 32)), F.col(_BUCKET_COL))
+            # key-clustered layout (1-D z-order): sorting within the
+            # bucket partition tightens parquet row-group and manifest
+            # key min/max, so point lookups prune harder; rides the
+            # compaction shuffle's sort slot — no extra exchange
+            .sortWithinPartitions(_BUCKET_COL, props["key_col"])
             .write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
             .parquet(out_dir)
@@ -465,6 +557,7 @@ class SnapshotTable:
                 "rows_written": sum(e["rows"] for e in new_entries),
                 "buckets_rewritten": len(buckets),
                 "bucket_rows": {str(e["bucket"]): e["rows"] for e in new_entries},
+                "tombstone_horizon": tombstone_horizon,
             },
             "committed_max_batch_id": snap["committed_max_batch_id"],
         }
@@ -490,52 +583,204 @@ class SnapshotTable:
         return df.select(*exprs)
 
     def _scan_commit_dir(self, snapshot_id: int, schema_version: int) -> list[dict]:
-        """Enumerate data files a commit just wrote, with bucket + rows.
-        Footer reads fan out over a thread pool — this runs on the
-        driver between jobs, so serial I/O here is Amdahl overhead."""
+        """Enumerate data files a commit just wrote, with bucket + rows
+        + per-file key min/max (Iceberg-style file stats, harvested from
+        the parquet footers' column statistics — zero extra data reads).
+        Point lookups prune on these WITHIN a bucket: a key's bucket may
+        hold hundreds of files but only those whose [key_min, key_max]
+        covers the key are scanned. Footer reads fan out over a thread
+        pool — this runs on the driver between jobs, so serial I/O here
+        is Amdahl overhead."""
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
+        key_col = self.properties["key_col"]
         out_dir = self.io.commit_data_dir(snapshot_id)
         paths = sorted(glob.glob(os.path.join(out_dir, f"{_BUCKET_COL}=*", "*.parquet")))
 
         def entry(p: str) -> dict | None:
-            rows = pq.ParquetFile(p).metadata.num_rows
+            md = pq.ParquetFile(p).metadata
+            rows = md.num_rows
             if rows == 0:
                 return None
+            key_min = key_max = None
+            try:
+                idx = md.schema.to_arrow_schema().get_field_index(key_col)
+                if idx >= 0:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            key_min = key_max = None
+                            break
+                        key_min = st.min if key_min is None else min(key_min, st.min)
+                        key_max = st.max if key_max is None else max(key_max, st.max)
+            except Exception:
+                key_min = key_max = None  # stats are an optimization, never a failure
             m = re.search(rf"{_BUCKET_COL}=(\d+)", p)
             return {
                 "path": os.path.relpath(p, self.path),
                 "bucket": int(m.group(1)),
                 "rows": rows,
                 "schema_version": schema_version,
+                "key_min": key_min,
+                "key_max": key_max,
             }
 
         with ThreadPoolExecutor(max_workers=16) as ex:
             return [e for e in ex.map(entry, paths) if e is not None]
 
+    # --------------------------------------------------------------- lifecycle
+    def expire_snapshots(self, keep_n: int = 2) -> dict:
+        """Expire snapshots older than the newest ``keep_n``: delete
+        their snapshot jsons and every data file referenced ONLY by
+        expired snapshots. Time travel within the retention window
+        stays byte-identical (a file carried forward into any retained
+        manifest is live and untouched).
+
+        Without this, every MOR merge and compaction leaves its
+        superseded delta files on disk forever — a continuously
+        ingesting table grows without bound. Mirrors the reference's
+        reuse-don't-restore payload policy (payload blobs are shared,
+        never duplicated — extraction/sources/gdacs/extract.py:128-139)
+        extended with an explicit retention horizon.
+
+        Single-writer assumption (same as commit): no concurrent merge
+        while expiring. Directories of ids above HEAD are left for
+        ``vacuum_orphans`` — they belong to a crashed in-flight commit,
+        a different lifecycle event.
+        """
+        import shutil
+
+        head = self.io.head_snapshot_id()
+        retained: list[int] = []
+        sid: int | None = head
+        while sid is not None and len(retained) < keep_n:
+            try:
+                s = self.io.read_snapshot(sid)
+            except FileNotFoundError:
+                break
+            retained.append(sid)
+            sid = s["parent_id"]
+
+        live = set()
+        for rid in retained:
+            for m in self.io.read_snapshot(rid)["manifest"]:
+                live.add(os.path.normpath(m["path"]))
+
+        removed_files = 0
+        for sdir in sorted(glob.glob(os.path.join(self.io.data_dir, "s*"))):
+            m = re.fullmatch(r"s(\d+)", os.path.basename(sdir))
+            if not m or int(m.group(1)) > head:
+                continue  # crashed-commit dirs are vacuum_orphans' job
+            for p in glob.glob(os.path.join(sdir, "**", "*.parquet"), recursive=True):
+                if os.path.normpath(os.path.relpath(p, self.path)) in live:
+                    continue
+                os.remove(p)
+                removed_files += 1
+                crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+            # prune directories that no longer hold any data file
+            if not glob.glob(os.path.join(sdir, "**", "*.parquet"), recursive=True):
+                shutil.rmtree(sdir, ignore_errors=True)
+            else:
+                for bdir in glob.glob(os.path.join(sdir, f"{_BUCKET_COL}=*")):
+                    if not glob.glob(os.path.join(bdir, "*.parquet")):
+                        shutil.rmtree(bdir, ignore_errors=True)
+
+        removed_snaps = 0
+        keep = set(retained)
+        for sp in glob.glob(os.path.join(self.io.meta_dir, "snapshot-*.json")):
+            m = re.fullmatch(r"snapshot-(\d+)\.json", os.path.basename(sp))
+            if m and int(m.group(1)) not in keep:
+                os.remove(sp)
+                removed_snaps += 1
+        return {
+            "retained_snapshots": sorted(retained),
+            "removed_snapshots": removed_snaps,
+            "removed_data_files": removed_files,
+        }
+
+    def vacuum_orphans(self) -> list[str]:
+        """Startup sweep for crash debris: delete data directories of
+        commits that wrote files but never swapped HEAD (``data/s<id>``
+        with id above HEAD — step 1 of the commit protocol completed,
+        steps 2-3 did not), plus torn ``_meta/*.tmp`` files. Safe by
+        construction: files under ``data/s<id>`` are first referenced
+        by snapshot ``id`` itself, so an id above HEAD is referenced by
+        nothing. Returns the removed paths."""
+        import shutil
+
+        removed: list[str] = []
+        head = self.io.head_snapshot_id()
+        for sdir in sorted(glob.glob(os.path.join(self.io.data_dir, "s*"))):
+            m = re.fullmatch(r"s(\d+)", os.path.basename(sdir))
+            if m and int(m.group(1)) > head:
+                shutil.rmtree(sdir, ignore_errors=True)
+                removed.append(sdir)
+        for tmp in glob.glob(os.path.join(self.io.meta_dir, "*.tmp")):
+            os.remove(tmp)
+            removed.append(tmp)
+        return removed
+
     # -------------------------------------------------------------------- ddl
+    # widenings where every value of the narrow type maps losslessly —
+    # the only type changes applicable without rewriting data files
+    _WIDENINGS = {
+        ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
+        ("float", "double"), ("int", "double"), ("bigint", "double"),
+        ("string", "string"),
+    }
+
     def apply_ddl(self, op: str, field: str, new_name: str | None = None,
                   dtype: str | None = None, batch_id: int | None = None) -> dict:
-        """Apply a schema-evolution event as a schema-only snapshot.
+        """Apply a schema-evolution event as a schema-only snapshot —
+        no data file is touched by any of these (Iceberg-style id-based
+        column mapping):
 
-        add_column: new field gets the next unused user field id.
-        rename_column: same field id, new name — existing data files
-        remain readable (id-based mapping), no rewrite.
+        - add_column: new field gets the next unused user field id;
+          pre-DDL files read it as NULL.
+        - rename_column: same field id, new name — old files stay
+          readable through the id → current-name mapping.
+        - drop_column: field removed from the current schema; old files
+          still physically hold the column but reads project it away.
+          The id is never reused, so a later add of the same NAME is a
+          distinct column (old values do not leak into it).
+        - widen_column: in-place lossless type widening (int→bigint,
+          float→double, ...); reads cast old files' narrow values up.
         """
         snap = self.snapshot()
         fields = self.current_fields(snap)
         if op == "add_column":
             if any(f.name == field for f in fields):
                 raise ValueError(f"column {field} already exists")
-            next_id = max([f.id for f in fields if f.id < 1000], default=0) + 1
+            used = set()
+            for ver_fields in snap["schemas"].values():
+                used.update(fj["id"] for fj in ver_fields if fj["id"] < 1000)
+            next_id = max(used, default=0) + 1
             fields = fields[:-2] + [Field(next_id, field, dtype or "string", True)] + fields[-2:]
         elif op == "rename_column":
             hits = [f for f in fields if f.name == field]
             if not hits:
                 raise ValueError(f"no such column {field}")
             hits[0].name = new_name
+        elif op == "drop_column":
+            hits = [f for f in fields if f.name == field]
+            if not hits:
+                raise ValueError(f"no such column {field}")
+            if hits[0].id >= 1000 or field == snap["properties"]["key_col"]:
+                raise ValueError(f"cannot drop system/key column {field}")
+            fields = [f for f in fields if f.name != field]
+        elif op == "widen_column":
+            hits = [f for f in fields if f.name == field]
+            if not hits:
+                raise ValueError(f"no such column {field}")
+            if (hits[0].type, dtype) not in self._WIDENINGS:
+                raise ValueError(
+                    f"not a lossless widening: {hits[0].type} -> {dtype}"
+                )
+            hits[0].type = dtype
         else:
             raise ValueError(f"unknown ddl op {op}")
 

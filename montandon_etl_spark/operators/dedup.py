@@ -195,12 +195,24 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: split the k-wide signature into
     ``bands`` bands of k/bands rows; docs sharing any band bucket are
     candidates. Band-bucket join replaces the O(N²) all-pairs compare
     with Σ bucket² — the scale path for near-dup at 10^10 docs.
     Returns distinct (id_a, id_b), id_a < id_b.
+
+    ``max_bucket`` caps pathological buckets: a near-universal band
+    signature (boilerplate/identical pages) would otherwise materialize
+    |bucket|² pair structs in a single row — executor OOM at scale.
+    Buckets larger than the cap are dropped BEFORE pair expansion (a
+    size filter on the collected id list, so the blowup never
+    materializes). The members of a dropped bucket are exact or
+    near-exact duplicates of each other — ``dedup_exact`` upstream is
+    the operator that owns that case; LSH's job is the long tail.
+    Use ``minhash_lsh_bucket_stats`` to audit how many buckets/docs the
+    cap drops at a given corpus. ``max_bucket=None`` disables the cap.
     """
     assert k % bands == 0
     r = k // bands
@@ -210,8 +222,6 @@ def minhash_lsh_pairs(
     # per band — 4x the aggregation work and 4x the scans; a self-join
     # would double it again). Pairs are generated inside each bucket
     # from the collected id list: Σ|bucket|² work, the true LSH cost.
-    # At web scale, cap pathological buckets (a near-universal band
-    # signature) by filtering F.size("ids") before pair generation.
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -228,13 +238,56 @@ def minhash_lsh_pairs(
         "filter(flatten(transform(ids, x -> transform(ids,"
         " y -> struct(x AS id_a, y AS id_b)))), p -> p.id_a < p.id_b)"
     )
+    size_pred = F.size("ids") > 1
+    if max_bucket is not None:
+        size_pred = size_pred & (F.size("ids") <= max_bucket)
     return (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(size_pred)
         .select(F.explode(pairs_in_bucket).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Audit sidecar for ``minhash_lsh_pairs``: one row of bucket-size
+    accounting (n_buckets, n_candidate_buckets, n_dropped_buckets,
+    n_dropped_docs, max_bucket_size) so a pipeline can log what the
+    pathological-bucket cap discarded instead of silently truncating.
+    Count-only aggregation — the id lists are never collected."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, k=k)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("sz") > 1).cast("long")).alias("n_candidate_buckets"),
+        F.sum((F.col("sz") > cap).cast("long")).alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("sz") > cap, F.col("sz")).otherwise(0)).alias("n_dropped_docs"),
+        F.max("sz").alias("max_bucket_size"),
     )
 
 

@@ -68,16 +68,6 @@ def priority_fallback_join(
     return fact.join(F.broadcast(winners), cond, "left").drop(*kcols)
 
 
-def latest_per_key(
-    df: DataFrame, keys: list[str], order_cols: list[str]
-) -> DataFrame:
-    """Per-group latest selection (reference default ordering ['-id'] +
-    .first(), apps/common/models.py:13) — max_by, partial-agg friendly."""
-    from montandon_etl_spark.operators.lww import lww_latest
-
-    return lww_latest(df, keys=keys, order_cols=order_cols)
-
-
 def top_k_per_group(
     df: DataFrame, keys: list[str], order_col: str, k: int, tiebreak: str
 ) -> DataFrame:
@@ -94,10 +84,18 @@ def incremental_window(
     """Data-derived incremental scan window: rows within ``days`` of
     the max timestamp *in the data* — the replayable version of the
     reference's wall-clock yesterday→today URL window
-    (apps/etl/etl_tasks/gdacs.py:33-35). The max-ts subquery is a
-    scalar broadcast; the filter pushes to the scan."""
-    hi = df.agg(F.max(ts_col)).collect()[0][0]
-    return df.filter(F.col(ts_col) >= F.lit(hi) - F.expr(f"INTERVAL {days} DAYS"))
+    (apps/etl/etl_tasks/gdacs.py:33-35).
+
+    The max-ts aggregate is a 1-row broadcast cross-joined against the
+    scan — ONE Spark plan (no driver-side .collect() splitting it into
+    two jobs), so AQE can reuse the exchange and the whole thing
+    submits as a single action."""
+    hi = df.agg(F.max(ts_col).alias("_hi"))
+    return (
+        df.join(F.broadcast(hi))
+        .filter(F.col(ts_col) >= F.col("_hi") - F.expr(f"INTERVAL {days} DAYS"))
+        .drop("_hi")
+    )
 
 
 def sessionize(

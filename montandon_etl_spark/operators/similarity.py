@@ -144,6 +144,38 @@ def embedding_near_dup_pairs(
     return out.select(*cols)
 
 
+def hyperplane_planes(
+    n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via a tiny LCG (seeded,
+    no wall-clock) — the SAME plane literals can be inlined into an
+    external SQL oracle, so the bucketing is cross-engine checkable."""
+    def lcg(s: int):
+        while True:
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            yield (s >> 11) / float(1 << 53) - 0.5
+
+    g = lcg(seed)
+    return [[next(g) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Bucket = sign-bit string of dot products with fixed hyperplanes,
+    as a pure column expression (JVM-side zip_with/aggregate): usable
+    inline as a blocking key — no join against a bucket side-table."""
+    bits = []
+    for p in planes:
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_lit,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def lsh_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -152,38 +184,38 @@ def lsh_hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-bit string of dot products
-    with ``n_planes`` fixed seeded hyperplanes. Vectors in the same
-    bucket are ANN candidates; bucket join replaces all-pairs.
+    """Random-hyperplane LSH bucket assignment per vector. Vectors in
+    the same bucket are ANN candidates; bucket join replaces all-pairs.
+    Hyperplanes are deterministic literals compiled into the plan — no
+    side-channel state on executors."""
+    planes = hyperplane_planes(n_planes, dim, seed)
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+    )
 
-    Hyperplanes are deterministic literals (seeded LCG, no wall-clock)
-    compiled into the plan — no side-channel state on executors.
-    """
-    # deterministic pseudo-random hyperplanes via a tiny LCG
-    def lcg(s: int):
-        while True:
-            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            yield (s >> 11) / float(1 << 53) - 0.5
 
-    g = lcg(seed)
-    planes = [[next(g) for _ in range(dim)] for _ in range(n_planes)]
-    df = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
-    out = df
-    bit_cols = []
-    for i, p in enumerate(planes):
-        out = out.withColumn("_plane", F.array(*[F.lit(float(x)) for x in p]))
-        out = out.withColumn(
-            f"_b{i}",
-            F.when(
-                F.expr(
-                    "aggregate(zip_with(_vec, _plane, (x, y) -> cast(x as double) * y),"
-                    " cast(0.0 as double), (acc, v) -> acc + v)"
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        ).drop("_plane")
-        bit_cols.append(f"_b{i}")
-    return out.select(
-        "id", F.concat(*[F.col(c) for c in bit_cols]).alias("bucket")
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by random-hyperplane LSH bucket
+    — the production-scale path: the blocking key is derived from the
+    vector itself (no label/domain column needed), computed inline in
+    the scan (zero extra join/shuffle to attach it), and the pair join
+    cost drops from Σ|block|² over data-defined blocks to Σ|bucket|²
+    over 2^n_planes sign buckets. Standard LSH recall caveat applies:
+    only same-bucket pairs are compared (near-dups with cosine just
+    over the threshold can straddle a hyperplane); raise recall by
+    unioning over several seeds."""
+    planes = hyperplane_planes(n_planes, dim, seed)
+    withb = embeddings.withColumn("_lsh_bucket", hyperplane_bucket_expr(vec_col, planes))
+    return embedding_near_dup_pairs(
+        withb, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col="_lsh_bucket",
     )

@@ -34,16 +34,28 @@ class CdcPipelinePlan:
     write_mode: str = "mor"
     use_salted: bool = False
     ddl_events: object | None = None
+    # maintenance policy: ``ordered_source`` asserts the changelog is
+    # globally seq-ordered (WAL/binlog tail) → tombstones are GC'd at
+    # amortized compactions; ``retention_snapshots`` expires snapshots
+    # beyond the newest N so a forever-running tail's disk is bounded
+    ordered_source: bool = False
+    retention_snapshots: int | None = None
+    compact_threshold: int = 8
     _table: SnapshotTable | None = field(default=None, repr=False)
 
     def table(self) -> SnapshotTable:
         if self._table is None:
             try:
                 self._table = SnapshotTable.create(
-                    self.table_path, n_buckets=self.n_buckets, write_mode=self.write_mode
+                    self.table_path, n_buckets=self.n_buckets,
+                    write_mode=self.write_mode,
+                    compact_threshold=self.compact_threshold,
                 )
             except FileExistsError:
                 self._table = SnapshotTable(self.table_path)
+                # startup sweep: a previous run killed mid-commit leaves
+                # data under data/s<HEAD+1> that no snapshot references
+                self._table.vacuum_orphans()
         return self._table
 
     # ---- plan inspection -----------------------------------------------
@@ -69,15 +81,26 @@ class CdcPipelinePlan:
             for f in os.listdir(self.changelog_dir)
             if f.endswith(".parquet")
         )
-        # preserve seq order: chunk files are written in seq order
-        step = max(1, len(chunks) // n_batches)
+        # preserve seq order: chunk files are written in seq order.
+        # ceil division so the caller gets AT MOST n_batches commits
+        # (floor could yield more groups than asked for, e.g. 8 chunks
+        # / 3 batches -> 4 merges)
+        step = max(1, -(-len(chunks) // n_batches))
         groups = [chunks[i : i + step] for i in range(0, len(chunks), step)]
         for i, grp in enumerate(groups):
             if not grp:
                 continue
             df = spark.read.schema(CHANGELOG_SPARK_SCHEMA).parquet(*grp)
             merge_microbatch(spark, table, df, batch_id=i,
-                             ddl_events=self.ddl_events, use_salted=self.use_salted)
+                             ddl_events=self.ddl_events, use_salted=self.use_salted,
+                             gc_tombstones=self.ordered_source)
+        # DDL events sequenced after the changelog's last DML have no
+        # carrying batch — apply them now so replay matches total order
+        from montandon_etl_spark.streaming.pipeline import apply_trailing_ddl
+
+        apply_trailing_ddl(table, self.ddl_events)
+        if self.retention_snapshots is not None:
+            table.expire_snapshots(keep_n=self.retention_snapshots)
         return table
 
     def run_streaming(self, spark: SparkSession, available_now: bool = True):
@@ -90,4 +113,6 @@ class CdcPipelinePlan:
             ddl_events=self.ddl_events,
             available_now=available_now,
             use_salted=self.use_salted,
+            gc_tombstones=self.ordered_source,
+            retention_snapshots=self.retention_snapshots,
         )

@@ -14,6 +14,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _infer_shuffle_partitions(master: str, cpus: int) -> int:
+    """local[N] → N; "local[*]", "local[N,maxFailures]" (the
+    threads,maxFailures form keeps only the thread count), non-local
+    masters, and malformed strings → the cpus default. Never raises —
+    a bad master string should fail in Spark with a clear error, not
+    here with a ValueError about shuffle partitions."""
+    if "[" in master and "]" in master:
+        inner = master[master.find("[") + 1 : master.find("]")]
+        threads = inner.split(",")[0].strip()
+        if threads != "*":
+            try:
+                return int(threads)
+            except ValueError:
+                pass
+    return cpus
+
+
 def get_spark(
     app_name: str = "montandon_etl_spark",
     master: str | None = None,
@@ -32,9 +49,7 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; "local[*]" → cpus
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if inner == "*" else int(inner)
+        shuffle_partitions = _infer_shuffle_partitions(master, cpus)
 
     builder = (
         SparkSession.builder.master(master)

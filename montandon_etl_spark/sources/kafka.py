@@ -1,0 +1,110 @@
+"""Kafka/binlog wire-format decode → changelog schema (SURVEY §2.1 S1
+generalized to the production source).
+
+The engine's streaming contract is a DataFrame of change events
+``(seq, url, warc_ts, op, html)`` delivered in micro-batches with
+offsets tracked by the checkpoint (streaming/pipeline.py). The sandbox
+satisfies it with a file source; a real deployment tails Kafka, whose
+frames always arrive under the fixed columns ``key binary, value
+binary, topic, partition, offset, timestamp``. This module is the
+decode from that wire shape to the changelog schema — pure column
+programs (from_json / unbase64 / timestamp arithmetic, zero Python in
+the row path), so the SAME expression tree runs on
+``spark.readStream.format("kafka")`` in production and on a static
+DataFrame in tests: swapping the source changes one line, not the
+pipeline.
+
+Two envelope dialects:
+- ``decode_json_changelog``: flat JSON values (the engine's native
+  producer format);
+- ``decode_debezium``: the Debezium CDC envelope (op codes c/u/r→
+  upsert, d→delete; payload under ``after``, deleted key under
+  ``before``) — the de-facto standard binlog/WAL tail.
+
+Malformed frames follow the engine's record-not-drop policy: they come
+back with ``decode_ok=false`` and NULL fields so the caller can route
+them to quarantine (reference keeps failures as rows,
+apps/etl/models.py:82-85).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# native producer value: html shipped base64 (Kafka JSON is text)
+JSON_VALUE_SCHEMA = (
+    "seq bigint, url string, warc_ts_us bigint, op string, html_b64 string"
+)
+
+DEBEZIUM_VALUE_SCHEMA = (
+    "op string, ts_ms bigint,"
+    " source struct<seq: bigint, ts_us: bigint>,"
+    " before struct<url: string>,"
+    " after struct<url: string, warc_ts_us: bigint, html_b64: string>"
+)
+
+CHANGELOG_COLS = ["seq", "url", "warc_ts", "op", "html"]
+
+
+def _parse(value_col: str, schema: str) -> F.Column:
+    return F.from_json(
+        F.col(value_col).cast("string"),
+        schema + ", _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+
+
+def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Flat-JSON frames → changelog rows (+ ``decode_ok``)."""
+    v = _parse(value_col, JSON_VALUE_SCHEMA)
+    out = kafka_df.withColumn("_v", v)
+    ok = F.col(f"{value_col}").isNotNull() & F.col("_v._corrupt").isNull()
+    return out.select(
+        F.col("_v.seq").alias("seq"),
+        F.col("_v.url").alias("url"),
+        F.timestamp_micros(F.col("_v.warc_ts_us")).alias("warc_ts"),
+        F.col("_v.op").alias("op"),
+        F.unbase64(F.col("_v.html_b64")).alias("html"),
+        ok.alias("decode_ok"),
+    )
+
+
+def decode_debezium(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Debezium envelope → changelog rows (+ ``decode_ok``).
+
+    op mapping: c(reate)/u(pdate)/r(ead, snapshot backfill) → upsert;
+    d(elete) → delete with the key taken from ``before``. ``seq`` is
+    the source's monotone position (LSN/GTID surrogate) — exactly the
+    contract the MERGE's LWW tie-break expects.
+    """
+    v = _parse(value_col, DEBEZIUM_VALUE_SCHEMA)
+    out = kafka_df.withColumn("_v", v)
+    is_del = F.col("_v.op") == F.lit("d")
+    ok = (
+        F.col(f"{value_col}").isNotNull()
+        & F.col("_v._corrupt").isNull()
+        & F.col("_v.op").isin("c", "u", "r", "d")
+    )
+    return out.select(
+        F.col("_v.source.seq").alias("seq"),
+        F.when(is_del, F.col("_v.before.url"))
+        .otherwise(F.col("_v.after.url"))
+        .alias("url"),
+        F.when(is_del, F.timestamp_micros(F.col("_v.source.ts_us")))
+        .otherwise(F.timestamp_micros(F.col("_v.after.warc_ts_us")))
+        .alias("warc_ts"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        F.when(is_del, F.lit(None).cast("binary"))
+        .otherwise(F.unbase64(F.col("_v.after.html_b64")))
+        .alias("html"),
+        ok.alias("decode_ok"),
+    )
+
+
+def split_quarantine(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good changelog rows, quarantined frames). Good rows carry
+    exactly the changelog schema the MERGE expects."""
+    good = decoded.filter(F.col("decode_ok")).select(*CHANGELOG_COLS)
+    bad = decoded.filter(~F.coalesce(F.col("decode_ok"), F.lit(False)))
+    return good, bad

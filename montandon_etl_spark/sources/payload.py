@@ -47,12 +47,30 @@ def validate_json_payload(
     apps/etl/models.py:82-85 + extraction validate dispatch
     extract.py:180-186).
 
-    PERMISSIVE-mode from_json yields NULL struct on corrupt input —
-    fully JVM-side, no Python validators in the hot path.
+    Validity detection: PERMISSIVE-mode from_json returns a
+    struct-of-NULLs (NOT a NULL struct) for unparseable input, so
+    ``parsed.isNotNull()`` would mark garbage as valid. The reliable
+    JVM-side signal is the corrupt-record column: a field appended to
+    the parse schema that Spark fills with the raw malformed string
+    exactly when the JSON failed to parse. ``payload_valid`` is
+    therefore ``corrupt IS NULL`` (NULL input stays NULL — matching
+    SQL ``json_valid(NULL)``). ``allowSingleQuotes`` is disabled so
+    Spark's notion of "valid JSON" agrees with strict parsers.
     """
-    parsed = F.from_json(F.col(payload_col), schema_ddl)
-    return df.withColumn("parsed", parsed).withColumn(
-        "payload_valid", F.col("parsed").isNotNull()
+    parsed = F.from_json(
+        F.col(payload_col),
+        schema_ddl + ", _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt", "allowSingleQuotes": "false"},
+    )
+    return (
+        df.withColumn("_p", parsed)
+        .withColumn(
+            "payload_valid",
+            F.when(F.col(payload_col).isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.col("_p._corrupt").isNull()),
+        )
+        .withColumn("parsed", F.col("_p").dropFields("_corrupt"))
+        .drop("_p")
     )
 
 

@@ -49,22 +49,54 @@ def enrich_batch(batch_df: DataFrame) -> DataFrame:
 
 
 def _pending_ddl(table: SnapshotTable, ddl_events: pd.DataFrame | None,
-                 lo: int, hi: int) -> list[dict]:
-    """DDL events whose seq falls in (lo, hi] and are not yet applied."""
+                 hi: int | None) -> list[dict]:
+    """Not-yet-applied DDL events with seq <= ``hi`` (all of them when
+    ``hi`` is None). High-water semantics, not range semantics: a DDL
+    whose seq lands in a gap between micro-batches (or below a batch's
+    min seq after a replay split) is picked up by the next batch whose
+    max seq passes it, instead of being silently skipped. "Already
+    applied" is inferred from the live schema, so retrying a
+    partially-committed batch is idempotent; the per-seq application
+    loop in ``merge_microbatch`` keeps total order vs DML."""
     if ddl_events is None or len(ddl_events) == 0:
         return []
-    current_names = {f.name for f in table.user_fields()}
+    current: dict[str, str] = {f.name: f.type for f in table.user_fields()}
     out = []
     for r in ddl_events.sort_values("seq").itertuples():
-        if not (lo <= r.seq <= hi):
+        if hi is not None and r.seq > hi:
             continue
-        if r.op == "add_column" and r.field in current_names:
-            continue  # already applied (retry of a partially-done batch)
-        if r.op == "rename_column" and r.field not in current_names:
+        # "already applied" inferred from the live schema (retry of a
+        # partially-done batch must be idempotent)
+        if r.op == "add_column" and r.field in current:
+            continue
+        if r.op in ("rename_column", "drop_column") and r.field not in current:
+            continue
+        if r.op == "widen_column" and current.get(r.field) == r.dtype:
             continue
         out.append({"seq": int(r.seq), "op": r.op, "field": r.field,
                     "new_name": r.new_name, "dtype": r.dtype})
+        # track the evolving schema so chained DDLs in one batch
+        # (add a, rename a->b, widen b) are all emitted
+        if r.op == "add_column":
+            current[r.field] = r.dtype
+        elif r.op == "rename_column":
+            current[r.new_name] = current.pop(r.field)
+        elif r.op == "drop_column":
+            current.pop(r.field)
+        elif r.op == "widen_column":
+            current[r.field] = r.dtype
     return out
+
+
+def apply_trailing_ddl(table: SnapshotTable,
+                       ddl_events: pd.DataFrame | None) -> int:
+    """Apply every not-yet-applied DDL event (a DDL with seq beyond the
+    changelog's last DML event has no carrying batch — call this once
+    after replay/stream completion). Returns the number applied."""
+    ddls = _pending_ddl(table, ddl_events, None)
+    for d in ddls:
+        table.apply_ddl(d["op"], d["field"], d["new_name"], d["dtype"])
+    return len(ddls)
 
 
 def merge_microbatch(
@@ -74,8 +106,12 @@ def merge_microbatch(
     batch_id: int | None,
     ddl_events: pd.DataFrame | None = None,
     use_salted: bool = False,
+    gc_tombstones: bool = False,
 ) -> None:
-    """One exactly-once micro-batch commit, with DDL interleaving."""
+    """One exactly-once micro-batch commit, with DDL interleaving.
+    ``gc_tombstones``: the caller asserts the changelog is globally
+    seq-ordered (a WAL/binlog tail), enabling tombstone GC at the
+    amortized compactions (see SnapshotTable.compact)."""
     head = table.snapshot()
     if batch_id is not None and batch_id <= head["committed_max_batch_id"]:
         return  # duplicate epoch delivery → full no-op
@@ -84,26 +120,29 @@ def merge_microbatch(
     # extra job entirely on the (overwhelmingly common) no-DDL path
     if ddl_events is None or len(ddl_events) == 0:
         table.merge(spark, batch_df, batch_id=batch_id, use_salted=use_salted,
-                    enrich=enrich_batch)
+                    enrich=enrich_batch, gc_tombstones=gc_tombstones)
         return
 
     bounds = batch_df.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
     if bounds["lo"] is None:
         return
-    ddls = _pending_ddl(table, ddl_events, bounds["lo"], bounds["hi"])
+    ddls = _pending_ddl(table, ddl_events, bounds["hi"])
 
     # enrichment is handed to merge() so the extractor UDF runs only on
     # rows that actually win the merge (losers never pay for it)
     lo = bounds["lo"]
     for d in ddls:
+        # a DDL whose seq precedes this batch (gap between micro-batches)
+        # yields an empty pre-segment: merge() no-ops, the DDL still applies
         seg = batch_df.filter((F.col("seq") >= lo) & (F.col("seq") < d["seq"]))
         # pre-DDL segment committed without the epoch id (idempotent re-merge);
         # only the final segment advances the batch high-water mark
         table.merge(spark, seg, batch_id=None, use_salted=use_salted, enrich=enrich_batch)
         table.apply_ddl(d["op"], d["field"], d["new_name"], d["dtype"])
-        lo = d["seq"]
+        lo = max(lo, d["seq"])
     final = batch_df.filter(F.col("seq") >= lo)
-    table.merge(spark, final, batch_id=batch_id, use_salted=use_salted, enrich=enrich_batch)
+    table.merge(spark, final, batch_id=batch_id, use_salted=use_salted,
+                enrich=enrich_batch, gc_tombstones=gc_tombstones)
 
 
 def run_stream(
@@ -115,13 +154,20 @@ def run_stream(
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
     use_salted: bool = False,
+    gc_tombstones: bool = False,
+    retention_snapshots: int | None = None,
 ):
     """Tail a changelog directory into the table.
 
     File-based source here (the sandbox has no Kafka); the source
     contract — offsets tracked in the checkpoint, epochs delivered to
     foreachBatch — is identical for a Kafka/binlog source, so only
-    ``readStream.format(...)`` changes on a real deployment.
+    ``readStream.format(...)`` changes on a real deployment (see
+    ``sources/kafka.py`` for the wire-format decode).
+
+    ``retention_snapshots``: expire snapshots beyond the newest N after
+    each commit — bounds on-disk growth for a forever-running tail
+    (driver-side file ops between batches, off the hot path).
     """
     reader = spark.readStream.schema(CHANGELOG_SPARK_SCHEMA)
     if max_files_per_trigger:
@@ -129,7 +175,10 @@ def run_stream(
     stream = reader.parquet(changelog_dir)
 
     def sink(df: DataFrame, epoch_id: int) -> None:
-        merge_microbatch(spark, table, df, epoch_id, ddl_events, use_salted)
+        merge_microbatch(spark, table, df, epoch_id, ddl_events, use_salted,
+                         gc_tombstones=gc_tombstones)
+        if retention_snapshots is not None:
+            table.expire_snapshots(keep_n=retention_snapshots)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

@@ -1,0 +1,127 @@
+"""Kafka wire-format decode: both envelope dialects on kafka-shaped
+static frames (same fixed columns the real source emits), quarantine of
+malformed frames, and an end-to-end decode → MERGE → oracle check."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pandas as pd
+import pytest
+
+from montandon_etl_spark.lake.table import SnapshotTable
+from montandon_etl_spark.oracle import replay_oracle
+from montandon_etl_spark.sources.kafka import (
+    decode_debezium,
+    decode_json_changelog,
+    split_quarantine,
+)
+from montandon_etl_spark.streaming.pipeline import enrich_batch
+from tests.conftest import assert_state_equals_oracle
+
+TS = pd.Timestamp("2024-06-01", tz="UTC")
+KAFKA_DDL = (
+    "key binary, value binary, topic string, partition int,"
+    " offset bigint, timestamp timestamp"
+)
+
+
+def _us(ts: pd.Timestamp) -> int:
+    return int(ts.value // 1000)
+
+
+def _frame(url: str, value: bytes | None, offset: int):
+    return (url.encode(), value, "pages", 0, offset,
+            TS.tz_localize(None).to_pydatetime())
+
+
+def _kafka_df(spark, frames):
+    return spark.createDataFrame(frames, KAFKA_DDL)
+
+
+def _native_value(seq, url, ts, op, html: bytes | None) -> bytes:
+    return json.dumps({
+        "seq": seq, "url": url, "warc_ts_us": _us(ts), "op": op,
+        "html_b64": base64.b64encode(html).decode() if html is not None else None,
+    }).encode()
+
+
+def _dbz_value(seq, url, ts, op, html: bytes | None) -> bytes:
+    body = {"op": op, "ts_ms": _us(ts) // 1000,
+            "source": {"seq": seq, "ts_us": _us(ts)}}
+    if op == "d":
+        body["before"] = {"url": url}
+    else:
+        body["after"] = {"url": url, "warc_ts_us": _us(ts),
+                         "html_b64": base64.b64encode(html).decode()}
+    return json.dumps(body).encode()
+
+
+def test_decode_json_changelog_roundtrip_and_quarantine(spark):
+    frames = [
+        _frame("https://k/1", _native_value(1, "https://k/1", TS, "upsert", b"<p>a</p>"), 0),
+        _frame("https://k/2", _native_value(2, "https://k/2", TS, "upsert", b"<p>b</p>"), 1),
+        _frame("https://k/1", _native_value(3, "https://k/1", TS, "delete", None), 2),
+        _frame("https://k/x", b"not json at all", 3),
+        _frame("https://k/y", None, 4),  # Kafka tombstone frame
+    ]
+    good, bad = split_quarantine(decode_json_changelog(_kafka_df(spark, frames)))
+    g = good.orderBy("seq").collect()
+    assert [r["seq"] for r in g] == [1, 2, 3]
+    assert g[0]["html"] == b"<p>a</p>" and g[0]["op"] == "upsert"
+    assert g[2]["op"] == "delete" and g[2]["html"] is None
+    assert g[0]["warc_ts"] == TS.tz_localize(None)
+    assert bad.count() == 2
+
+
+def test_decode_debezium_envelope(spark):
+    frames = [
+        _frame("https://d/1", _dbz_value(1, "https://d/1", TS, "c", b"<p>v1</p>"), 0),
+        _frame("https://d/1", _dbz_value(2, "https://d/1", TS + pd.Timedelta(hours=1), "u", b"<p>v2</p>"), 1),
+        _frame("https://d/2", _dbz_value(3, "https://d/2", TS, "r", b"<p>snap</p>"), 2),
+        _frame("https://d/2", _dbz_value(4, "https://d/2", TS + pd.Timedelta(hours=2), "d", None), 3),
+        _frame("https://d/z", json.dumps({"op": "weird"}).encode(), 4),
+    ]
+    good, bad = split_quarantine(decode_debezium(_kafka_df(spark, frames)))
+    g = {r["seq"]: r for r in good.collect()}
+    assert set(g) == {1, 2, 3, 4}
+    assert g[2]["op"] == "upsert" and g[2]["html"] == b"<p>v2</p>"
+    assert g[4]["op"] == "delete" and g[4]["url"] == "https://d/2"
+    assert g[4]["html"] is None
+    assert bad.count() == 1  # unknown op code quarantined, not dropped
+
+
+@pytest.mark.parametrize("dialect", ["native", "debezium"])
+def test_kafka_decode_merge_matches_oracle(spark, tmp_path, dialect):
+    """decode → enrich → MERGE: the Kafka-shaped feed replays to the
+    same table state as the plain changelog oracle."""
+    events = [
+        (1, "https://m/1", TS, "upsert", b"<p>one</p>"),
+        (2, "https://m/2", TS, "upsert", b"<p>two</p>"),
+        (3, "https://m/1", TS + pd.Timedelta(hours=1), "upsert", b"<p>one v2</p>"),
+        (4, "https://m/2", TS + pd.Timedelta(hours=1), "delete", None),
+    ]
+    if dialect == "native":
+        frames = [
+            _frame(u, _native_value(s, u, t, op, h), i)
+            for i, (s, u, t, op, h) in enumerate(events)
+        ]
+        decoded = decode_json_changelog(_kafka_df(spark, frames))
+    else:
+        dbz_op = {"upsert": "u", "delete": "d"}
+        frames = [
+            _frame(u, _dbz_value(s, u, t, dbz_op[op], h), i)
+            for i, (s, u, t, op, h) in enumerate(events)
+        ]
+        decoded = decode_debezium(_kafka_df(spark, frames))
+    good, _ = split_quarantine(decoded)
+
+    table = SnapshotTable.create(str(tmp_path / f"kafka_{dialect}"), n_buckets=4)
+    table.merge(spark, enrich_batch(good), batch_id=0)
+    got = table.read(spark).toPandas()
+    pdf = pd.DataFrame(
+        [(s, u, t.tz_localize(None), op, h) for s, u, t, op, h in events],
+        columns=["seq", "url", "warc_ts", "op", "html"],
+    )
+    assert_state_equals_oracle(got, replay_oracle(pdf))

@@ -49,13 +49,19 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b) -> bool:
+    """EXACT value equality — the driver hash-compares values, so a
+    last-ulp float difference or an int-vs-float representation drift
+    (how the sessionize HUGEINT artifact slipped round 1) must fail
+    here too. Both engines round floats with the identical
+    floor(x*1e6+0.5)/1e6 formula, so bit-exact is the contract."""
     if pd.isna(a) and pd.isna(b):
         return True
     if isinstance(a, float) or isinstance(b, float):
-        try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
-        except (TypeError, ValueError):
+        # representation must match, not just the numeric value:
+        # 3 (int64) vs 3.0 (float64) hashes differently in the driver
+        if isinstance(a, float) != isinstance(b, float):
             return False
+        return a == b
     return a == b
 
 
