@@ -274,6 +274,49 @@ def q_minhash_lsh_candidates(spark, sf):
     return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4, max_bucket=500)
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clustering: LSH candidate pairs → connected components
+    → per-doc canonical cluster id (the keep-one-copy decision stage of
+    a web-scale dedup pipeline)."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4,
+                                max_bucket=500)
+    out = D.dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "cluster_id", "is_canonical")
+
+
+def q_asof_join(spark, sf):
+    """As-of join (temporal lookup): each event picks the latest
+    purchase by the same user at or before its timestamp — one
+    keys-shuffle union-window plan, no range-join blowup. The right
+    side is deduped to one purchase per (user, ts) so the pick is
+    deterministic; DuckDB checks it with its native ASOF JOIN."""
+    ev = _t(spark, sf, "events")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.struct("event_id", "value"), F.col("event_id")).alias("_w"))
+        .select("user_id", "ts",
+                F.col("_w.event_id").alias("purchase_event_id"),
+                F.col("_w.value").alias("purchase_value"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = R.asof_join(left, purch, keys=["user_id"], ts_col="ts",
+                      right_cols=["purchase_event_id", "purchase_value"])
+    return out.select("event_id", "user_id", "ts",
+                      "purchase_event_id", "purchase_value")
+
+
+def q_heavy_hitters(spark, sf):
+    """Hot-key probe (the skew detector behind the salted LWW path):
+    top-10 users by event count with share of total."""
+    from montandon_etl_spark.operators.util import stable_round6
+
+    ev = _t(spark, sf, "events")
+    out = R.heavy_hitters(ev, F.col("user_id"), k=10, alias="user_id")
+    return out.select("user_id", "n", "rank", stable_round6("share").alias("share"))
+
+
 def q_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
     return D.simhash64(docs, "doc_id", "text", bits=32).withColumnRenamed("id", "doc_id")
@@ -502,6 +545,50 @@ JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 """
 
 
+def _oracle_dedup_clusters(n: int = 2, k: int = 8, bands: int = 4,
+                           max_bucket: int = 500) -> str:
+    """Connected components via recursive min-label propagation: cc
+    holds (node, seed-root) for every seed whose component contains the
+    node; min(root) per node = component min = cluster id."""
+    r = k // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{i}::VARCHAR" for i in range(b * r, (b + 1) * r))
+        band_selects.append(f"SELECT doc_id AS id, {b} AS band, {cols} AS bucket FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH RECURSIVE {_oracle_shingle_cte(n)},
+sig AS (
+  SELECT id AS doc_id,
+         {", ".join(_min_h60(i) for i in range(k))}
+  FROM toks GROUP BY id),
+banded AS ({banded}),
+ok AS (SELECT band, bucket FROM banded GROUP BY 1, 2
+       HAVING count(*) BETWEEN 2 AND {max_bucket}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+-- MATERIALIZED: the recursive step re-evaluates referenced CTEs each
+-- iteration; without this the whole minhash pipeline reruns per round
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+cc(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  -- prune: only spread roots smaller than the target node. The
+  -- component min m is < every member, so m still reaches all of
+  -- them; larger roots die early instead of flooding the component
+  SELECT e.dst, c.root FROM cc c JOIN edges e ON e.src = c.id
+  WHERE c.root < e.dst)
+SELECT id AS doc_id, min(root) AS cluster_id,
+       min(root) = id AS is_canonical
+FROM cc GROUP BY id
+"""
+
+
 def _oracle_simhash(bits: int = 32) -> str:
     votes = ",\n       ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -588,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "dedup_clusters": q_dedup_clusters,
+        "asof_join": q_asof_join,
+        "heavy_hitters": q_heavy_hitters,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
@@ -729,6 +819,28 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _oracle_jaccard(n=2, threshold=0.2),
         "minhash_signatures": _oracle_minhash_sig(n=2, k=8),
         "minhash_lsh_candidates": _oracle_minhash_lsh(n=2, k=8, bands=4, max_bucket=500),
+        "dedup_clusters": _oracle_dedup_clusters(n=2, k=8, bands=4, max_bucket=500),
+        "asof_join": """
+            WITH purch AS (
+              SELECT user_id, ts,
+                     max(event_id) AS purchase_event_id,
+                     max_by(value, event_id) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.purchase_event_id, p.purchase_value
+            FROM events e
+            ASOF LEFT JOIN purch p
+              ON e.user_id = p.user_id AND e.ts >= p.ts""",
+        "heavy_hitters": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c),
+            r AS (SELECT user_id, n,
+                         row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+                  FROM c)
+            SELECT user_id, n, rank,
+                   floor(n / total * 1000000 + 0.5) / 1000000 AS share
+            FROM r, t WHERE rank <= 10""",
         "simhash": _oracle_simhash(bits=32),
         "doc_fingerprint": f"""
             SELECT doc_id,

@@ -291,6 +291,95 @@ def minhash_lsh_bucket_stats(
     )
 
 
+# -------------------------------------------------------------- dedup clusters
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → cluster
+    assignment: every doc gets ``cluster_id`` = min doc id reachable
+    through the pair graph (the canonical representative). This is the
+    stage after LSH in a web-scale dedup pipeline: pairs say "these two
+    match"; clustering decides which single copy survives.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels (one join
+    + one groupBy per round, all map-side combinable). Rounds needed =
+    graph diameter; near-dup components are shallow (pairs come from
+    shared buckets, so diameter is small). The loop is driver-side but
+    each round is fully distributed, and it exits on convergence via a
+    single scalar count. At 10^10 nodes with adversarial long chains
+    you would switch to the large-star/small-star algorithm (same
+    primitive ops, O(log n) rounds guaranteed); the semantics here are
+    identical.
+
+    ``pairs``: (id_a, id_b) with id_a < id_b, e.g. from
+    ``minhash_lsh_pairs`` (optionally Jaccard-verified first).
+    Returns (id, cluster_id, is_canonical).
+    """
+    # localCheckpoint per round: an iterative DataFrame program's
+    # lineage otherwise deepens every round and Catalyst re-optimizes
+    # the whole nested plan at each action — O(rounds²) planning that
+    # dwarfs the actual work. Checkpointing pins each round's result
+    # and restarts the plan from a leaf (exactly what GraphX/GraphFrames
+    # do internally for the same reason).
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        # step 1 — neighbor-min: each node takes the min label across
+        # its edges (covers one hop of graph distance per round)
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        stepped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # step 2 — pointer jump (path halving): follow the label to ITS
+        # label; chains collapse in O(log diameter) rounds instead of
+        # O(diameter), so a 10^4-long revision chain converges in ~14
+        # rounds. The label is always a node id, so the self-join hits.
+        jump = stepped.select(
+            F.col("id").alias("cluster_id"), F.col("cluster_id").alias("_jump")
+        )
+        new_labels = (
+            stepped.join(jump, "cluster_id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_jump", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_cid")
+            .join(labels, "id")
+            .filter(F.col("new_cid") != F.col("cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+
+
 # ------------------------------------------------------------------- simhash
 def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per token hash, each bit votes ±1; the

@@ -118,6 +118,85 @@ def sessionize(
     ).drop("_new")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: each left row picks the LATEST right row with the
+    same keys and ``right.ts <= left.ts`` (the temporal lookup Spark
+    lacks as a builtin; reference-shaped use: enrich a change event
+    with the most recent prior state).
+
+    Plan: union the two sides tagged, one window over (keys, ts, side)
+    with ``last(value, ignorenulls)`` carrying right values forward —
+    a SINGLE shuffle on the keys, no range-join explosion, no
+    per-row probe. This is the standard scalable as-of shape: cost is
+    one sort-shuffle of |L|+|R|, independent of time-gap skew.
+    ``tiebreak`` orders equal timestamps deterministically; right rows
+    sort before left rows at the same (ts, tiebreak) so a same-instant
+    right row IS visible to the left row (<=, not <).
+    """
+    lcols = list(left.columns)
+    rtypes = dict(right.dtypes)
+    # the carried right payload is ONE struct so a row's values can
+    # never mix with an older right row's values through column-wise
+    # null skipping
+    r_struct_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
+    tagged_l = left.select(
+        *lcols, F.lit(1).alias("_side"),
+        F.lit(None).cast(r_struct_ddl).alias("_r"),
+    )
+    ltypes = dict(left.dtypes)
+    tagged_r = right.select(
+        *keys, F.col(ts_col),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols
+          if c not in keys and c != ts_col],
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    order = [F.col(ts_col), F.col("_side")] + (
+        [F.col(tiebreak)] if tiebreak else []
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged_l.unionByName(tagged_r).withColumn(
+        "_r", F.last("_r", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(*lcols, *[F.col(f"_r.{c}").alias(c) for c in right_cols])
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, key_expr: F.Column, k: int = 10, alias: str = "key"
+) -> DataFrame:
+    """Top-k hottest keys with share of total — the skew probe a CDC
+    operator runs before choosing a salting strategy (the engine's
+    salted LWW exists because of exactly these keys). One map-side
+    combinable count, then orderBy+limit — Spark plans that as
+    TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    driver side), NOT a global sort; the rank window runs over k rows
+    only. No unpartitioned window over the full key set."""
+    counts = df.groupBy(key_expr.alias(alias)).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = counts.orderBy(F.desc("n"), F.asc(alias)).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc(alias))  # k rows only
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("share", (F.col("n") / F.col("_total")))
+        .drop("_total")
+    )
+
+
 def kv_pivot(df: DataFrame, group: str, k_col: str, v_col: str) -> DataFrame:
     """2-column → map pivot (reference dict(zip(col0, col1)) over an
     HTML table, extraction/sources/gdacs/extract.py:71-79)."""
