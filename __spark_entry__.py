@@ -334,6 +334,12 @@ def q_quality_score(spark, sf):
     return X.quality_score(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style within-document repetition ratios (boilerplate /
+    SEO-spam signal) — scan-local, zero shuffle."""
+    return X.repetition_stats(_t(spark, sf, "documents"), "doc_id", "text", ngram=3)
+
+
 def q_lang_id(spark, sf):
     return X.lang_id_stopwords(_t(spark, sf, "documents"), "doc_id", "text")
 
@@ -682,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -869,6 +876,18 @@ def oracle_sql() -> dict[str, str]:
                      - n_punct / greatest(n_chars, 1)
                      - abs((n_chars - (n_words - 1)) / n_words - 5.0) / 10.0,
                      0.0), 1.0) * 1000000 + 0.5) / 1000000 AS quality
+            FROM b""",
+        "repetition_stats": f"""
+            WITH b AS (
+              SELECT doc_id, {_W} AS w,
+                     list_transform(generate_series(1, greatest(1, len({_W}) - 2)),
+                                    i -> array_to_string(({_W})[i:i+2], ' ')) AS sh
+              FROM documents)
+            SELECT doc_id, len(w) AS n_words,
+                   floor((1.0 - len(list_distinct(w)) / len(w)) * 1000000 + 0.5)
+                     / 1000000 AS dup_word_ratio,
+                   floor((1.0 - len(list_distinct(sh)) / len(sh)) * 1000000 + 0.5)
+                     / 1000000 AS dup_ngram_ratio
             FROM b""",
         "lang_id": f"""
             WITH b AS (

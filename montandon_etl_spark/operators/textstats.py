@@ -92,6 +92,37 @@ def lang_id_stopwords(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """Within-document repetition ratios — the Gopher-rules-style
+    boilerplate signal a web-corpus filter keys on (nav bars, SEO spam,
+    generated pages repeat themselves):
+
+    - ``dup_word_ratio``: 1 − distinct/total whitespace tokens;
+    - ``dup_ngram_ratio``: 1 − distinct/total word n-grams (captures
+      repeated PHRASES that unique words miss).
+
+    Pure scan-local array expressions (split → array_distinct → size):
+    zero shuffle, zero Python — filtering 100 TB on these is one
+    pushed-down scan, same shape as quality_score.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    sh = word_shingles(text_col, ngram)
+    n_sh = F.size(sh)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        stable_round6(
+            1.0 - F.size(F.array_distinct(words)) / n_words
+        ).alias("dup_word_ratio"),
+        stable_round6(
+            1.0 - F.size(F.array_distinct(sh)) / n_sh
+        ).alias("dup_ngram_ratio"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
     """Rolling-shingle fingerprint: min md5 over word 4-grams — one
     stable 32-hex token per document (winnowing with window = whole
