@@ -106,8 +106,13 @@ BENCH_QUERIES = [
     "token_stats",
     "quality_score",
     "doc_fingerprint",
+    "dedup_clusters",
+    "repetition_stats",
+    "embedding_near_dup_lsh",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "asof_join",
+    "heavy_hitters",
     "q1_pricing_summary",
     "order_revenue",
     "region_revenue",

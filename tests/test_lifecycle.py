@@ -364,6 +364,24 @@ def test_plan_with_maintenance_policy(spark, tmp_path, small_changelog):
         assert not ((raw["op"] == "delete") & (raw["seq"] <= h)).any()
 
 
+def test_streaming_sink_retention(spark, tmp_path, small_changelog):
+    """The streaming sink applies the retention policy between epochs:
+    after the tail drains, only keep_n snapshots remain and the state
+    still equals the oracle."""
+    from montandon_etl_spark.sources.changelog import write_changelog
+    from montandon_etl_spark.streaming.pipeline import run_stream
+
+    log_dir = str(tmp_path / "schg")
+    write_changelog(small_changelog, log_dir, n_chunks=4)
+    t = SnapshotTable.create(str(tmp_path / "spages"), n_buckets=4)
+    q = run_stream(spark, t, log_dir, str(tmp_path / "sckpt"),
+                   gc_tombstones=True, retention_snapshots=2)
+    q.awaitTermination(300)
+    assert len(t.history()) <= 2
+    assert_state_equals_oracle(t.read(spark).toPandas(),
+                               replay_oracle(small_changelog))
+
+
 # ------------------------------------------------------------- JSON validity --
 def test_validate_json_payload_flags_malformed(spark):
     from montandon_etl_spark.sources.payload import validate_json_payload
