@@ -1,26 +1,33 @@
-"""On-disk metadata format: schemas with field ids, snapshots, HEAD.
+"""On-disk metadata format: schemas with field ids, snapshots,
+per-bucket manifest files, HEAD.
 
 Layout of a table directory::
 
     <table>/
       data/s<snapshot>/_bucket=<b>/part-*.parquet   # immutable data files
+      _meta/manifests/m-<snapshot>-b<bucket>.json    # immutable manifests
       _meta/snapshot-<n>.json                        # immutable snapshots
       _meta/HEAD                                     # atomic pointer
 
-A snapshot json is self-contained: it embeds the full schema history
-(version → fields) and the full manifest (every live data file with
-its bucket, row count and the schema version it was written under), so
-reading any snapshot needs exactly one metadata file. At 10^10-event
-scale the manifest would be split into Iceberg-style manifest files +
-a manifest list; the single-json form keeps the same information
-content and commit protocol.
+A snapshot json embeds the full schema history (version → fields) and a
+``manifest_files`` map ``{bucket: manifest path}`` — the Iceberg
+manifest-list shape. Each manifest file lists one bucket's live data
+files (path, rows, schema version, key min/max). A commit writes NEW
+manifest files only for the buckets it touched and carries the rest BY
+REFERENCE, so per-commit metadata is O(touched buckets), not O(total
+files): with 10^6 data files and a 10-bucket micro-batch, the old
+inline form rewrote a million-entry json every commit (O(files²)
+metadata bytes over the table's life); this form writes ~10 small
+files. Reading a snapshot is HEAD → snapshot json → the bucket
+manifests the query's pruning actually needs.
 
 Commit protocol (crash-safe, single-writer):
-  1. data files are written under ``data/s<next>/`` (never referenced
-     until the snapshot commits — a crash leaves ignorable orphans);
+  1. data files are written under ``data/s<next>/``, manifest files
+     under ``_meta/manifests/m-<next>-*`` (neither is referenced until
+     the snapshot commits — a crash leaves ignorable orphans);
   2. ``snapshot-<n>.json`` is written to a temp name and ``os.replace``d;
   3. ``HEAD`` is swapped by ``os.replace`` (atomic on POSIX).
-A reader always follows HEAD → snapshot json → manifest, so it sees
+A reader always follows HEAD → snapshot json → manifests, so it sees
 either the old or the new snapshot, never a torn state.
 """
 
@@ -59,10 +66,19 @@ class TableMetadataIO:
     def commit_data_dir(self, snapshot_id: int) -> str:
         return os.path.join(self.data_dir, f"s{snapshot_id:08d}")
 
+    def manifests_dir(self) -> str:
+        return os.path.join(self.meta_dir, "manifests")
+
+    def bucket_manifest_relpath(self, snapshot_id: int, bucket: int) -> str:
+        return os.path.join(
+            "_meta", "manifests", f"m-{snapshot_id:08d}-b{bucket:05d}.json"
+        )
+
     # -- io ------------------------------------------------------------------
     def init_dirs(self) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifests_dir(), exist_ok=True)
 
     def exists(self) -> bool:
         return os.path.exists(self.head_path())
@@ -95,6 +111,45 @@ class TableMetadataIO:
             f.flush()
             os.fsync(f.fileno())
         os.replace(head_tmp, self.head_path())
+
+    # -- manifests -------------------------------------------------------------
+    def write_bucket_manifest(
+        self, snapshot_id: int, bucket: int, entries: list[dict]
+    ) -> str:
+        """Write one bucket's manifest file (immutable — the name embeds
+        the committing snapshot id). Returns the table-relative path
+        stored in the snapshot's manifest_files map."""
+        rel = self.bucket_manifest_relpath(snapshot_id, bucket)
+        path = os.path.join(self.table_path, rel)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(entries, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return rel
+
+    def read_bucket_manifest(self, relpath: str) -> list[dict]:
+        with open(os.path.join(self.table_path, relpath), encoding="utf-8") as f:
+            return json.load(f)
+
+    def load_manifest(
+        self, snap: dict, buckets: set[int] | None = None
+    ) -> list[dict]:
+        """All live data-file entries of a snapshot (optionally only for
+        ``buckets`` — bucket pruning then never opens the other
+        manifests). Accepts the legacy inline ``manifest`` list form."""
+        if "manifest" in snap:  # legacy inline form
+            entries = snap["manifest"]
+            if buckets is not None:
+                entries = [m for m in entries if m["bucket"] in buckets]
+            return entries
+        out: list[dict] = []
+        for b_str, rel in sorted(snap.get("manifest_files", {}).items()):
+            if buckets is not None and int(b_str) not in buckets:
+                continue
+            out.extend(self.read_bucket_manifest(rel))
+        return out
 
     # -- schema helpers ------------------------------------------------------
     @staticmethod

@@ -91,7 +91,7 @@ class SnapshotTable:
             "batch_id": None,
             "schema_version": 0,
             "schemas": {"0": TableMetadataIO.fields_to_json(fields)},
-            "manifest": [],
+            "manifest_files": {},
             "properties": {
                 "n_buckets": n_buckets,
                 "key_col": key_col,
@@ -163,15 +163,14 @@ class SnapshotTable:
         buckets: Iterable[int] | None = None,
         point_lookup: str | None = None,
     ) -> list[dict]:
-        """The manifest after pruning: bucket pruning (partition-level)
-        then per-file key min/max pruning (file-level, Iceberg-style).
-        A file written before stats existed (key_min/key_max absent or
-        None) is conservatively kept."""
+        """The manifest after pruning: bucket pruning (partition-level —
+        only the matching buckets' manifest files are even OPENED) then
+        per-file key min/max pruning (file-level, Iceberg-style). A file
+        written before stats existed (key_min/key_max absent or None) is
+        conservatively kept."""
         snap = self.snapshot(snapshot_id)
-        manifest = snap["manifest"]
-        if buckets is not None:
-            bset = set(buckets)
-            manifest = [m for m in manifest if m["bucket"] in bset]
+        bset = set(buckets) if buckets is not None else None
+        manifest = self.io.load_manifest(snap, buckets=bset)
         if point_lookup is not None:
             manifest = [
                 m for m in manifest
@@ -239,6 +238,60 @@ class SnapshotTable:
         return out
 
     # ------------------------------------------------------------------ merge
+    def _commit_manifests(
+        self,
+        next_sid: int,
+        parent_snap: dict,
+        new_entries: list[dict],
+        replaced_buckets: Iterable[int] | None = None,
+    ) -> tuple[dict, dict]:
+        """Write manifest files for the buckets this commit touched and
+        carry every other bucket's manifest BY REFERENCE — per-commit
+        metadata is O(touched buckets), not O(total files).
+
+        ``replaced_buckets``: buckets whose previous entries this commit
+        supersedes (COW rewrite / compaction); a touched bucket NOT in
+        the set appends to its parent entries (MOR delta). Returns
+        (manifest_files map, per-written-bucket entry counts — the only
+        buckets whose delta-file count can newly exceed the compaction
+        threshold).
+        """
+        by_bucket: dict[int, list[dict]] = {}
+        for e in new_entries:
+            by_bucket.setdefault(e["bucket"], []).append(e)
+        replaced = set(replaced_buckets or ())
+        touched = set(by_bucket) | replaced
+        legacy = parent_snap.get("manifest")  # pre-split inline form
+        parent_files: dict[str, str] = parent_snap.get("manifest_files", {})
+
+        files: dict[str, str] = {}
+        # carry untouched buckets
+        if legacy is not None:
+            leg_by_bucket: dict[int, list[dict]] = {}
+            for m in legacy:
+                leg_by_bucket.setdefault(m["bucket"], []).append(m)
+            for b, ents in leg_by_bucket.items():
+                if b not in touched:
+                    files[str(b)] = self.io.write_bucket_manifest(next_sid, b, ents)
+        else:
+            for b_str, rel in parent_files.items():
+                if int(b_str) not in touched:
+                    files[b_str] = rel
+
+        sizes: dict[int, int] = {}
+        for b, ents in by_bucket.items():
+            if b not in replaced:  # MOR append: keep the parent deltas
+                if legacy is not None:
+                    prev = [m for m in legacy if m["bucket"] == b]
+                elif str(b) in parent_files:
+                    prev = self.io.read_bucket_manifest(parent_files[str(b)])
+                else:
+                    prev = []
+                ents = prev + ents
+            files[str(b)] = self.io.write_bucket_manifest(next_sid, b, ents)
+            sizes[b] = len(ents)
+        return files, sizes
+
     def bucket_expr(self, col: str = "url"):
         n = self.properties["n_buckets"]
         return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
@@ -364,7 +417,9 @@ class SnapshotTable:
             if stats["n"] == 0:
                 return None
             new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
-            manifest = snap["manifest"] + new_entries
+            manifest_files, bucket_sizes = self._commit_manifests(
+                next_sid, snap, new_entries
+            )
             buckets_rewritten = 0
         else:
             # 1. one columnar pass: offsets + affected buckets (html pruned)
@@ -443,8 +498,9 @@ class SnapshotTable:
             finally:
                 winkeys.unpersist()
             new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
-            carried = [m for m in snap["manifest"] if m["bucket"] not in set(affected)]
-            manifest = carried + new_entries
+            manifest_files, bucket_sizes = self._commit_manifests(
+                next_sid, snap, new_entries, replaced_buckets=affected
+            )
             buckets_rewritten = len(affected)
 
         new_snap = {
@@ -454,7 +510,7 @@ class SnapshotTable:
             "batch_id": batch_id,
             "schema_version": snap["schema_version"],
             "schemas": snap["schemas"],
-            "manifest": manifest,
+            "manifest_files": manifest_files,
             "properties": props,
             "offsets": {"min_seq": stats["lo"], "max_seq": stats["hi"], "events": stats["n"]},
             "metrics": {
@@ -478,11 +534,12 @@ class SnapshotTable:
         # monotone source no future event can carry a smaller seq, so
         # the tombstone has nothing left to defeat.
         if write_mode == "mor":
-            counts: dict[int, int] = {}
-            for m in manifest:
-                counts[m["bucket"]] = counts.get(m["bucket"], 0) + 1
+            # only buckets this commit appended to can newly exceed the
+            # budget — their sizes came back from the manifest write, so
+            # no full-manifest scan is needed here
             over = sorted(
-                b for b, c in counts.items() if c > props.get("compact_threshold", 8)
+                b for b, c in bucket_sizes.items()
+                if c > props.get("compact_threshold", 8)
             )
             if over:
                 horizon = stats["hi"] if gc_tombstones else None
@@ -511,7 +568,7 @@ class SnapshotTable:
         props = snap["properties"]
         if buckets is None:
             counts: dict[int, int] = {}
-            for m in snap["manifest"]:
+            for m in self.io.load_manifest(snap):
                 counts[m["bucket"]] = counts.get(m["bucket"], 0) + 1
             # plain compaction targets multi-file buckets; a tombstone-GC
             # pass must visit single-file buckets too (their one file can
@@ -542,7 +599,9 @@ class SnapshotTable:
             .parquet(out_dir)
         )
         new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
-        carried = [m for m in snap["manifest"] if m["bucket"] not in set(buckets)]
+        manifest_files, _ = self._commit_manifests(
+            next_sid, snap, new_entries, replaced_buckets=buckets
+        )
         new_snap = {
             "snapshot_id": next_sid,
             "parent_id": snap["snapshot_id"],
@@ -550,7 +609,7 @@ class SnapshotTable:
             "batch_id": None,
             "schema_version": snap["schema_version"],
             "schemas": snap["schemas"],
-            "manifest": carried + new_entries,
+            "manifest_files": manifest_files,
             "properties": props,
             "offsets": snap["offsets"],
             "metrics": {
@@ -664,9 +723,13 @@ class SnapshotTable:
             sid = s["parent_id"]
 
         live = set()
+        keep_manifests = set()
         for rid in retained:
-            for m in self.io.read_snapshot(rid)["manifest"]:
+            rs = self.io.read_snapshot(rid)
+            for m in self.io.load_manifest(rs):
                 live.add(os.path.normpath(m["path"]))
+            for rel in rs.get("manifest_files", {}).values():
+                keep_manifests.add(os.path.normpath(rel))
 
         removed_files = 0
         for sdir in sorted(glob.glob(os.path.join(self.io.data_dir, "s*"))):
@@ -696,10 +759,17 @@ class SnapshotTable:
             if m and int(m.group(1)) not in keep:
                 os.remove(sp)
                 removed_snaps += 1
+        removed_manifests = 0
+        for mf in glob.glob(os.path.join(self.io.manifests_dir(), "*.json")):
+            rel = os.path.normpath(os.path.relpath(mf, self.path))
+            if rel not in keep_manifests:
+                os.remove(mf)
+                removed_manifests += 1
         return {
             "retained_snapshots": sorted(retained),
             "removed_snapshots": removed_snaps,
             "removed_data_files": removed_files,
+            "removed_manifest_files": removed_manifests,
         }
 
     def vacuum_orphans(self) -> list[str]:
@@ -719,7 +789,16 @@ class SnapshotTable:
             if m and int(m.group(1)) > head:
                 shutil.rmtree(sdir, ignore_errors=True)
                 removed.append(sdir)
-        for tmp in glob.glob(os.path.join(self.io.meta_dir, "*.tmp")):
+        # manifest files written by the crashed commit (their name embeds
+        # the committing snapshot id, which never reached HEAD)
+        for mf in glob.glob(os.path.join(self.io.manifests_dir(), "m-*.json")):
+            m = re.fullmatch(r"m-(\d+)-b\d+\.json", os.path.basename(mf))
+            if m and int(m.group(1)) > head:
+                os.remove(mf)
+                removed.append(mf)
+        for tmp in glob.glob(os.path.join(self.io.meta_dir, "*.tmp")) + glob.glob(
+            os.path.join(self.io.manifests_dir(), "*.tmp")
+        ):
             os.remove(tmp)
             removed.append(tmp)
         return removed
@@ -795,7 +874,13 @@ class SnapshotTable:
             "batch_id": batch_id,
             "schema_version": next_version,
             "schemas": schemas,
-            "manifest": snap["manifest"],
+            # schema-only snapshot: data unchanged, carry by reference
+            # (legacy inline-manifest parents keep their inline form)
+            **(
+                {"manifest": snap["manifest"]}
+                if "manifest" in snap
+                else {"manifest_files": snap.get("manifest_files", {})}
+            ),
             "properties": snap["properties"],
             "offsets": snap["offsets"],
             "metrics": {"rows_written": 0, "buckets_rewritten": 0},

@@ -111,8 +111,15 @@ def test_copy_on_write_only_touched_buckets(spark, tmp_path, small_changelog):
     _merge_pdf(spark, table, one, batch_id=1)
     snap2 = table.snapshot()
     assert snap2["metrics"]["buckets_rewritten"] == 1
-    carried = {m["path"] for m in snap1["manifest"]} & {m["path"] for m in snap2["manifest"]}
-    assert len(carried) == len(snap1["manifest"]) - 1  # 7 of 8 buckets carried over
+    man1 = table.manifest_entries(snapshot_id=snap1["snapshot_id"])
+    man2 = table.manifest_entries(snapshot_id=snap2["snapshot_id"])
+    carried = {m["path"] for m in man1} & {m["path"] for m in man2}
+    assert len(carried) == len(man1) - 1  # 7 of 8 buckets carried over
+    # manifest-list form: untouched buckets carry the SAME manifest file
+    # by reference, so commit metadata is O(touched buckets)
+    shared_refs = set(snap1["manifest_files"].values()) & set(
+        snap2["manifest_files"].values())
+    assert len(shared_refs) == len(snap1["manifest_files"]) - 1
 
 
 def test_time_travel(spark, table, small_changelog):
@@ -145,7 +152,7 @@ def test_schema_evolution_add_and_rename(spark, table, small_changelog):
 def test_bucket_pruned_read_reads_fewer_files(spark, table, small_changelog):
     _merge_pdf(spark, table, small_changelog, batch_id=0)
     snap = table.snapshot()
-    all_buckets = {m["bucket"] for m in snap["manifest"]}
+    all_buckets = {m["bucket"] for m in table.manifest_entries(snapshot_id=snap["snapshot_id"])}
     one_bucket = next(iter(all_buckets))
     pruned = table.read(spark, buckets=[one_bucket])
     full = table.read(spark)
@@ -161,12 +168,12 @@ def test_mor_compaction_preserves_state(spark, tmp_path, small_changelog):
     for i, lo in enumerate(range(0, n, n // 6)):
         _merge_pdf(spark, table, small_changelog.iloc[lo : lo + n // 6], batch_id=i)
     before = table.read(spark).toPandas()
-    files_before = len(table.snapshot()["manifest"])
+    files_before = len(table.manifest_entries())
     tombs_before = table.read(spark, include_tombstones=True).count() - len(before)
     assert files_before > 4  # real delta accumulation
     snap = table.compact(spark)
     assert snap["type"] == "compact"
-    files_after = len(table.snapshot()["manifest"])
+    files_after = len(table.manifest_entries())
     assert files_after <= 4
     after = table.read(spark).toPandas()
     assert_state_equals_oracle(after, replay_oracle(small_changelog))
@@ -184,7 +191,7 @@ def test_mor_auto_compaction_triggers(spark, tmp_path, small_changelog):
     for i, lo in enumerate(range(0, n, n // 6)):
         _merge_pdf(spark, table, small_changelog.iloc[lo : lo + n // 6], batch_id=i)
     counts: dict[int, int] = {}
-    for m in table.snapshot()["manifest"]:
+    for m in table.manifest_entries():
         counts[m["bucket"]] = counts.get(m["bucket"], 0) + 1
     assert max(counts.values()) <= 2 + 1  # budget respected (±1 fresh delta)
     assert any(s["type"] == "compact" for s in table.history())

@@ -98,7 +98,7 @@ def test_expire_snapshots_reclaims_files_keeps_time_travel(spark, tmp_path,
     assert _parquet_count(t.path) < before
     # live files = exactly the union of the two retained manifests
     live = {os.path.normpath(m["path"]) for rid in report["retained_snapshots"]
-            for m in t.snapshot(rid)["manifest"]}
+            for m in t.manifest_entries(snapshot_id=rid)}
     on_disk = {
         os.path.normpath(os.path.relpath(p, t.path))
         for p in glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
@@ -344,7 +344,7 @@ def test_plan_with_maintenance_policy(spark, tmp_path, small_changelog):
     assert_state_equals_oracle(got, replay_oracle(small_changelog))
     # retention kept only the newest snapshots
     assert len(table.history()) <= 2
-    live = {os.path.normpath(m["path"]) for m in table.snapshot()["manifest"]}
+    live = {os.path.normpath(m["path"]) for m in table.manifest_entries()}
     on_disk = {
         os.path.normpath(os.path.relpath(p, table.path))
         for p in glob.glob(os.path.join(table.path, "data", "**", "*.parquet"),
