@@ -334,6 +334,15 @@ def q_quality_score(spark, sf):
     return X.quality_score(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_winnowing_fingerprints(spark, sf):
+    """MOSS-style winnowing: sliding-window min over shingle hashes —
+    the substring-level fingerprint family (doc_fingerprint is the
+    whole-doc degenerate case)."""
+    return X.winnowing_fingerprints(
+        _t(spark, sf, "documents"), "doc_id", "text", n=4, window=8
+    )
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style within-document repetition ratios (boilerplate /
     SEO-spam signal) — scan-local, zero shuffle."""
@@ -354,6 +363,14 @@ def q_ann_topk_ivf(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return S.cosine_topk_ivf(emb, queries, k=5)
+
+
+def q_ann_topk_ivf_computed(spark, sf):
+    """IVF with data-computed cells (nearest of 8 deterministic
+    centroids) — the no-label-column scale path."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.cosine_topk_ivf_computed(emb, queries, k=5, n_centroids=8)
 
 
 def q_embedding_near_dup(spark, sf):
@@ -688,10 +705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_computed": q_ann_topk_ivf_computed,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_norms": q_embedding_norms,
@@ -877,6 +896,19 @@ def oracle_sql() -> dict[str, str]:
                      - abs((n_chars - (n_words - 1)) / n_words - 5.0) / 10.0,
                      0.0), 1.0) * 1000000 + 0.5) / 1000000 AS quality
             FROM b""",
+        "winnowing_fingerprints": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_transform(generate_series(1, greatest(1, len({_W}) - 3)),
+                                      i -> array_to_string(({_W})[i:i+3], ' ')),
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+              FROM documents)
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(1, len(hs) - 7)),
+                     i -> list_min(hs[i:i+7])))) AS fingerprint
+            FROM h""",
         "repetition_stats": f"""
             WITH b AS (
               SELECT doc_id, {_W} AS w,
@@ -926,6 +958,38 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored)
             SELECT query_id, cell, neighbor_id, floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
+            FROM ranked WHERE rank <= 5""",
+        "ann_topk_ivf_computed": f"""
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cvec
+              FROM embeddings WHERE vec_id < 8),
+            sc AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                       (a, v) -> a + v)
+                     / (sqrt(list_reduce(list_transform(c.cvec,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
+                        * sqrt(list_reduce(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))) AS cos
+              FROM embeddings e CROSS JOIN cents c),
+            assign AS (
+              SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid ASC) AS rn
+              FROM sc),
+            cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+            scored AS (
+              SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+                     {_COS} AS cosine
+              FROM cells c JOIN cells q
+                ON c.cell = q.cell AND q.vec_id < 3 AND c.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, cell, neighbor_id,
+                   floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
             FROM ranked WHERE rank <= 5""",
         "embedding_near_dup": f"""
             WITH p AS (

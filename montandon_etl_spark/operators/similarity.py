@@ -112,6 +112,75 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_ivf_computed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF where the coarse cells are COMPUTED from the data: cell =
+    nearest centroid by cosine over a deterministic centroid set (the
+    ``n_centroids`` smallest-id vectors — a seeded k-means sample would
+    slot into the same plan). Unlike ``cosine_topk_ivf`` this needs no
+    pre-assigned label column, which is the realistic 100-TB setting.
+
+    The centroids are collected once (C rows of quantizer METADATA, not
+    a data collect) and compiled into the plan as literals, so cell
+    assignment is a scan-local argmax over C fold-ordered dot products —
+    zero extra shuffle; the probe is the same co-partitioned cell
+    equi-join as the label-based variant. Deterministic tie-break:
+    highest cosine, then smallest centroid id.
+    """
+    import math
+
+    cents = (
+        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+
+    def cell_expr(vc: str) -> F.Column:
+        entries = []
+        for c in cents:
+            vec = [float(x) for x in c["cvec"]]
+            nrm = math.sqrt(sum(x * x for x in vec))
+            lit = F.array(*[F.lit(x) for x in vec])
+            dot = F.aggregate(
+                F.zip_with(F.col(vc), lit, lambda a, b: a.cast("double") * b),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            cos = dot / (F.lit(nrm) * _norm(vc))
+            # array_max on structs compares fields in order: cos first,
+            # then negated cid — ties go to the SMALLEST centroid id
+            entries.append(
+                F.struct(cos.alias("cos"), F.lit(-int(c["cid"])).alias("ncid"))
+            )
+        return -F.array_max(F.array(*entries))["ncid"]
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("cell", cell_expr("qvec"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cell", cell_expr("cvec"))
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity_col("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id",
+                stable_round6("cosine").alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

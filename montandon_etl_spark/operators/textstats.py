@@ -133,3 +133,35 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> Da
         F.col(id_col),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, window: int = 8
+) -> DataFrame:
+    """Winnowing (MOSS-style) fingerprint selection: hash every word
+    n-gram, slide a ``window`` over the hash sequence, keep each
+    window's minimum — guaranteeing a shared fingerprint for any match
+    at least ``window + n - 1`` words long, with ~2/(window+1) of the
+    hashes retained. The standard plagiarism / substring-near-dup
+    scheme where whole-doc MinHash is too coarse.
+
+    Plan: all array expressions inside the scan (transform / slice /
+    array_min / array_distinct) + one explode — no shuffle until the
+    caller groups by fingerprint. Integer hashing via the portable
+    md5-prefix hash60, so the DuckDB oracle computes identical values.
+    Returns (id, fingerprint) — distinct fingerprints per doc.
+    """
+    from montandon_etl_spark.operators.dedup import hash60, word_shingles
+
+    sh = word_shingles(text_col, n)
+    hashes = F.transform(sh, lambda s: hash60(s))
+    win_mins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.lit(1), F.size(hashes) - (window - 1))
+        ),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(win_mins)).alias("fingerprint"),
+    )
