@@ -495,6 +495,41 @@ def q_split_sentences(spark, sf):
     return split_sentences(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_url_normalize(spark, sf):
+    """CDC key canonicalization (RFC 3986 §6 safe normalizations):
+    deterministic messy URLs built from event fields, normalized so
+    case/port/fragment variants collapse to ONE LWW key."""
+    from montandon_etl_spark.functions.urls import normalize_url
+
+    ev = _t(spark, sf, "events")
+    variant = F.col("event_id") % 4
+    url = (
+        F.when(variant == 0, F.concat(F.lit("HTTPS://Example.COM:443/p/"),
+                                      F.col("event_id").cast("string")))
+        .when(variant == 1, F.concat(F.lit("http://example.com:80/p/"),
+                                     F.col("event_id").cast("string"), F.lit("#frag")))
+        .when(variant == 2, F.concat(F.lit("https://Sub.Example.org")))
+        .otherwise(F.concat(F.lit("http://example.com/p/"),
+                            F.col("event_id").cast("string"), F.lit("?q=1#x")))
+    )
+    out = ev.withColumn("raw_url", url)
+    return out.select("event_id", "raw_url", normalize_url("raw_url").alias("url"))
+
+
+def q_value_percentiles(spark, sf):
+    """Exact per-type value percentiles (CDC ops metrics: the latency/
+    size distribution probe). F.percentile is the exact (sort-based)
+    aggregate — at 100 TB you would swap in percentile_approx's
+    t-digest; the oracle contract needs the exact form."""
+    ev = _t(spark, sf, "events")
+    from montandon_etl_spark.operators.util import stable_round6
+
+    return ev.groupBy("event_type").agg(
+        *[stable_round6(F.percentile("value", p)).alias(f"p{int(p*100)}")
+          for p in (0.5, 0.9, 0.99)]
+    )
+
+
 def q_multimodal_binary_meta(spark, sf):
     from montandon_etl_spark.operators.multimodal import binary_metadata
 
@@ -715,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_norms": q_embedding_norms,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "url_normalize": q_url_normalize,
+        "value_percentiles": q_value_percentiles,
         "kv_pivot_roundtrip": q_kv_pivot_roundtrip,
         "split_sentences": q_split_sentences,
         "explode_tokens": q_explode_tokens,
@@ -1009,6 +1046,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents""",
+        "url_normalize": """
+            WITH r AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 4 = 0
+                            THEN 'HTTPS://Example.COM:443/p/' || CAST(event_id AS VARCHAR)
+                          WHEN event_id % 4 = 1
+                            THEN 'http://example.com:80/p/' || CAST(event_id AS VARCHAR) || '#frag'
+                          WHEN event_id % 4 = 2
+                            THEN 'https://Sub.Example.org'
+                          ELSE 'http://example.com/p/' || CAST(event_id AS VARCHAR) || '?q=1#x'
+                     END AS raw_url
+              FROM events),
+            p AS (
+              SELECT event_id, raw_url,
+                     lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                     regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+              FROM r)
+            SELECT event_id, raw_url,
+                   CASE WHEN scheme = '' THEN raw_url
+                        ELSE scheme || '://' ||
+                             CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                                    THEN regexp_replace(hostport, ':80$', '')
+                                  WHEN scheme = 'https' AND hostport LIKE '%:443'
+                                    THEN regexp_replace(hostport, ':443$', '')
+                                  ELSE hostport END ||
+                             CASE WHEN rest = '' THEN '/' ELSE rest END
+                   END AS url
+            FROM p""",
+        "value_percentiles": """
+            SELECT event_type,
+                   floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+                   floor(quantile_cont(value, 0.9) * 1000000 + 0.5) / 1000000 AS p90,
+                   floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+            FROM events GROUP BY 1""",
         "kv_pivot_roundtrip": """
             SELECT user_id, CAST(event_id AS VARCHAR) AS k, value AS v
             FROM events""",
