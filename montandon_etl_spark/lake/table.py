@@ -349,6 +349,15 @@ class SnapshotTable:
         props = snap["properties"]
         key = props["key_col"]
         order_cols = props["order_cols"]
+        # fail loudly on a malformed producer: a batch missing the key
+        # or order columns would otherwise _conform to NULL keys —
+        # NULL-bucketed rows silently corrupting the table
+        missing = [c for c in [key, *order_cols, "op"] if c not in batch_df.columns]
+        if missing:
+            raise ValueError(
+                f"batch is missing required column(s) {missing}; "
+                f"changelog contract: ({key}, {', '.join(order_cols)}, op, payload...)"
+            )
         seqk = order_cols[-1]  # unique event id → exact row match
         next_sid = snap["snapshot_id"] + 1
 

@@ -47,6 +47,25 @@ def windowed_event_counts(
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: drop redelivered
+    events (same (url, seq) — an at-least-once source's duplicates)
+    whose first copy arrived within the watermark. Unlike a plain
+    dropDuplicates, expired keys leave the state store, so state is
+    O(events per watermark window), not O(all events ever) — the only
+    form that survives a 10^10-event stream. Duplicates older than the
+    watermark are already handled downstream: the MERGE's LWW election
+    is idempotent to redelivery.
+    """
+    keys = keys if keys is not None else ["url", "seq"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 _LWW_STATE_SCHEMA = "warc_ts_us long, seq long"
 _LWW_OUT_SCHEMA = "url string, warc_ts timestamp, seq long, op string"
 

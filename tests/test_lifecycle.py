@@ -382,6 +382,18 @@ def test_streaming_sink_retention(spark, tmp_path, small_changelog):
                                replay_oracle(small_changelog))
 
 
+def test_merge_rejects_malformed_batch(spark, tmp_path):
+    """A producer batch missing the key/order/op columns must fail
+    loudly — _conform would otherwise write NULL-keyed rows."""
+    t = SnapshotTable.create(str(tmp_path / "schema_guard"), n_buckets=2)
+    bad = spark.createDataFrame(
+        [(1, pd.Timestamp("2024-06-01").to_pydatetime(), "upsert")],
+        "seq bigint, warc_ts timestamp, op string")  # url missing
+    with pytest.raises(ValueError, match="missing required column"):
+        t.merge(spark, bad, batch_id=0)
+    assert t.io.head_snapshot_id() == 0  # nothing committed
+
+
 # ------------------------------------------------------------- JSON validity --
 def test_validate_json_payload_flags_malformed(spark):
     from montandon_etl_spark.sources.payload import validate_json_payload

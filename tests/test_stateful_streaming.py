@@ -7,9 +7,31 @@ import pandas as pd
 from montandon_etl_spark.sources.changelog import write_changelog
 from montandon_etl_spark.streaming.pipeline import CHANGELOG_SPARK_SCHEMA
 from montandon_etl_spark.streaming.stateful import (
+    dedup_within_watermark,
     streaming_lww_state,
     windowed_event_counts,
 )
+
+
+def test_dedup_within_watermark_drops_redelivered(spark, tmp_path, small_changelog):
+    """An at-least-once feed with every event delivered twice dedups to
+    exactly the distinct (url, seq) set, with watermark-bounded state."""
+    doubled = pd.concat([small_changelog, small_changelog]).reset_index(drop=True)
+    log_dir = str(tmp_path / "dups")
+    write_changelog(doubled.sample(frac=1.0, random_state=7), log_dir, n_chunks=2)
+    stream = spark.readStream.schema(CHANGELOG_SPARK_SCHEMA).parquet(log_dir)
+    q = (
+        dedup_within_watermark(stream, keys=["url", "seq"], watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT url, seq FROM deduped").toPandas()
+    assert len(got) == len(small_changelog)
+    assert not got.duplicated(["url", "seq"]).any()
 
 
 def test_windowed_counts_match_batch(spark, tmp_path, small_changelog):
