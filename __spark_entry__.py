@@ -564,17 +564,32 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
 """
 
 
-def _min_h60(i: int) -> str:
-    return "min(" + _H60.format(x="sh || '#%d'" % i) + ") AS mh%d" % i
+def _minhash_mins(k: int) -> str:
+    """min((a_i*hp + b_i) mod P) aggregates with the SAME seeded
+    coefficients the Spark side compiles into its plan — one md5 per
+    shingle on both engines, exact BIGINT arithmetic."""
+    from montandon_etl_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    return ",\n       ".join(
+        f"min(({a} * hp + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    )
+
+
+def _hp_cte() -> str:
+    from montandon_etl_spark.operators.dedup import MINHASH_P
+
+    return (f"hp_t AS (SELECT id, ({_H60.format(x='sh')}) % {MINHASH_P} AS hp"
+            f" FROM toks)")
 
 
 def _oracle_minhash_sig(n: int = 2, k: int = 8) -> str:
-    mins = ",\n       ".join(_min_h60(i) for i in range(k))
     return f"""
-WITH {_oracle_shingle_cte(n)}
+WITH {_oracle_shingle_cte(n)},
+{_hp_cte()}
 SELECT id AS doc_id,
-       {mins}
-FROM toks GROUP BY id
+       {_minhash_mins(k)}
+FROM hp_t GROUP BY id
 """
 
 
@@ -589,10 +604,11 @@ def _oracle_minhash_lsh(n: int = 2, k: int = 8, bands: int = 4,
     # ok-bucket CTE mirrors the Spark-side pathological-bucket cap
     return f"""
 WITH {_oracle_shingle_cte(n)},
+{_hp_cte()},
 sig AS (
   SELECT id AS doc_id,
-         {", ".join(_min_h60(i) for i in range(k))}
-  FROM toks GROUP BY id),
+         {_minhash_mins(k)}
+  FROM hp_t GROUP BY id),
 banded AS ({banded}),
 ok AS (SELECT band, bucket FROM banded GROUP BY 1, 2
        HAVING count(*) BETWEEN 2 AND {max_bucket})
@@ -616,10 +632,11 @@ def _oracle_dedup_clusters(n: int = 2, k: int = 8, bands: int = 4,
     banded = " UNION ALL ".join(band_selects)
     return f"""
 WITH RECURSIVE {_oracle_shingle_cte(n)},
+{_hp_cte()},
 sig AS (
   SELECT id AS doc_id,
-         {", ".join(_min_h60(i) for i in range(k))}
-  FROM toks GROUP BY id),
+         {_minhash_mins(k)}
+  FROM hp_t GROUP BY id),
 banded AS ({banded}),
 ok AS (SELECT band, bucket FROM banded GROUP BY 1, 2
        HAVING count(*) BETWEEN 2 AND {max_bucket}),

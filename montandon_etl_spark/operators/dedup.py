@@ -169,21 +169,47 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------- minhash lsh
+# Universal-hash permutation family for MinHash: one md5 per shingle
+# (the expensive part), then k cheap affine permutations
+# ((a_i*h + b_i) mod P) over the Mersenne prime P = 2^31-1. All values
+# stay below 2^62 so the arithmetic is exact in BIGINT on both engines
+# (and safe under Spark's ANSI overflow checking). Hashing the shingle
+# k times with md5 — the previous scheme — made md5 ~k times the cost
+# of the whole signature stage.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) permutation coefficients (seeded LCG —
+    the SAME literals are inlined into the SQL oracle)."""
+    s = seed
+    out = []
+    for _ in range(k):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = 1 + (s >> 33) % (MINHASH_P - 1)
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (s >> 33) % MINHASH_P
+        out.append((int(a), int(b)))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    min over shingles of hash(shingle ‖ seed_i) approximates Jaccard:
+    min over shingles of perm_i(hash(shingle)) approximates Jaccard:
     P[min_i(A)=min_i(B)] = J(A,B). One explode + one groupBy with k
-    min-aggregates (all map-side combinable) — a single shuffle
-    regardless of k.
+    min-aggregates (all map-side combinable) — a single shuffle and a
+    single md5 per shingle regardless of k.
     """
     sh = word_shingles(text_col, n)
-    toks = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("sh"))
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("sh")
+    ).withColumn("hp", hash60(F.col("sh")) % F.lit(MINHASH_P))
     aggs = [
-        F.min(hash60(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(k)
+        F.min((F.lit(a) * F.col("hp") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))
     ]
     return toks.groupBy("id").agg(*aggs)
 
