@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--write-mode", choices=["mor", "cow"], default="mor")
     ap.add_argument("--salted", action="store_true")
     ap.add_argument("--batches", type=int, default=1, help="batch mode: merge count")
+    ap.add_argument("--ordered-source", action="store_true",
+                    help="source is globally seq-ordered (WAL tail): "
+                         "enables tombstone GC at compactions")
+    ap.add_argument("--retention", type=int, default=None,
+                    help="expire snapshots beyond the newest N after commits")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +63,8 @@ def main() -> None:
         n_buckets=args.buckets,
         write_mode=args.write_mode,
         use_salted=args.salted,
+        ordered_source=args.ordered_source,
+        retention_snapshots=args.retention,
     )
     if args.mode == "stream":
         q = plan.run_streaming(spark, available_now=True)
