@@ -740,20 +740,44 @@ class SnapshotTable:
             for rel in rs.get("manifest_files", {}).values():
                 keep_manifests.add(os.path.normpath(rel))
 
+        # dead files come from a MANIFEST DIFF (expired ∖ retained), not
+        # a walk of the whole data directory — expiry IO is proportional
+        # to what is being expired, not to table size. Only the commit
+        # dirs that actually lose files get a local sweep (which also
+        # catches stranded zero-row part files the manifests never
+        # referenced); untouched commit dirs are never opened.
+        dead: set[str] = set()
+        for sp in glob.glob(os.path.join(self.io.meta_dir, "snapshot-*.json")):
+            m = re.fullmatch(r"snapshot-(\d+)\.json", os.path.basename(sp))
+            if m is None or int(m.group(1)) in set(retained):
+                continue
+            es = self.io.read_snapshot(int(m.group(1)))
+            for e in self.io.load_manifest(es):
+                p = os.path.normpath(e["path"])
+                if p not in live:
+                    dead.add(p)
+
         removed_files = 0
-        for sdir in sorted(glob.glob(os.path.join(self.io.data_dir, "s*"))):
-            m = re.fullmatch(r"s(\d+)", os.path.basename(sdir))
-            if not m or int(m.group(1)) > head:
-                continue  # crashed-commit dirs are vacuum_orphans' job
-            for p in glob.glob(os.path.join(sdir, "**", "*.parquet"), recursive=True):
-                if os.path.normpath(os.path.relpath(p, self.path)) in live:
-                    continue
+        affected_dirs = set()
+        for rel in dead:
+            p = os.path.join(self.path, rel)
+            if os.path.exists(p):
                 os.remove(p)
                 removed_files += 1
-                crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
-                if os.path.exists(crc):
-                    os.remove(crc)
-            # prune directories that no longer hold any data file
+            crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            # data/sNNNNNNNN is the commit dir two levels up
+            affected_dirs.add(os.path.dirname(os.path.dirname(p)))
+        for sdir in sorted(affected_dirs):
+            base = re.fullmatch(r"s(\d+)", os.path.basename(sdir))
+            if base is None or int(base.group(1)) > head:
+                continue  # never touch an in-flight commit dir
+            for p in glob.glob(os.path.join(sdir, "**", "*.parquet"), recursive=True):
+                rel = os.path.normpath(os.path.relpath(p, self.path))
+                if rel not in live:
+                    os.remove(p)
+                    removed_files += 1
             if not glob.glob(os.path.join(sdir, "**", "*.parquet"), recursive=True):
                 shutil.rmtree(sdir, ignore_errors=True)
             else:
