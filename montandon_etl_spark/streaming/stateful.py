@@ -47,6 +47,32 @@ def windowed_event_counts(
     )
 
 
+def session_window_stats(
+    stream: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via the native ``session_window``
+    aggregate: per-key sessions close after ``gap`` of event-time
+    silence; the watermark bounds open-session state. The streaming
+    twin of ``relational.sessionize`` (same gap semantics, windows
+    instead of running ids — ids need total order, which a stream
+    doesn't have until sessions close)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: list[str] | None = None,

@@ -8,6 +8,7 @@ from montandon_etl_spark.sources.changelog import write_changelog
 from montandon_etl_spark.streaming.pipeline import CHANGELOG_SPARK_SCHEMA
 from montandon_etl_spark.streaming.stateful import (
     dedup_within_watermark,
+    session_window_stats,
     streaming_lww_state,
     windowed_event_counts,
 )
@@ -51,6 +52,40 @@ def test_windowed_counts_match_batch(spark, tmp_path, small_changelog):
     want = small_changelog.groupby("op").size()
     for r in got.itertuples():
         assert r.n == want[r.op], f"{r.op}: {r.n} != {want[r.op]}"
+
+
+def test_session_window_matches_batch_sessionize(spark, tmp_path, small_changelog):
+    """Streaming session_window sessions must agree with the batch
+    sessionize operator: same session count and same per-session event
+    counts per key (ids vs windows differ by representation only)."""
+    from montandon_etl_spark.operators.relational import sessionize
+
+    log_dir = str(tmp_path / "sess_log")
+    write_changelog(small_changelog, log_dir, n_chunks=2)
+    stream = spark.readStream.schema(CHANGELOG_SPARK_SCHEMA).parquet(log_dir)
+    q = (
+        session_window_stats(stream, key="url", ts_col="warc_ts",
+                             gap="30 minutes", watermark="100000 days")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT url, n_events FROM sessions").toPandas()
+
+    batch = spark.read.schema(CHANGELOG_SPARK_SCHEMA).parquet(log_dir)
+    want = (
+        sessionize(batch, "url", "warc_ts", gap_minutes=30, tiebreak="seq")
+        .groupBy("url", "session_id")
+        .count()
+        .toPandas()
+    )
+    assert len(got) == len(want)  # same number of sessions overall
+    g = got.groupby("url").n_events.apply(lambda s: sorted(s)).to_dict()
+    w = want.groupby("url")["count"].apply(lambda s: sorted(s)).to_dict()
+    assert g == w
 
 
 def test_streaming_lww_state_matches_oracle(spark, tmp_path, small_changelog):
