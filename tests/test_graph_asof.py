@@ -42,6 +42,76 @@ def test_dedup_clusters_empty_pairs(spark):
     assert (out.id == out.cluster_id).all() and out.is_canonical.all()
 
 
+def test_dedup_clusters_edge_order_and_direction_invariant(spark):
+    """Cluster assignment must not depend on edge order or on which
+    endpoint was id_a (seeded random graph, three presentations)."""
+    import random
+
+    rng = random.Random(11)
+    n = 60
+    base = [(min(a, b), max(a, b)) for a, b in
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(45)}
+            if a != b]
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    results = []
+    for variant in range(3):
+        edges = list(base)
+        rng.shuffle(edges)
+        if variant == 2:  # swap endpoints (id_a > id_b allowed? keep a<b contract)
+            edges = [(a, b) for (a, b) in reversed(edges)]
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        out = dedup_clusters(nodes, pairs, id_col="doc_id").toPandas()
+        results.append(dict(zip(out.id, out.cluster_id)))
+    assert results[0] == results[1] == results[2]
+    # cross-check against a python union-find oracle
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in base:
+        parent[find(a)] = find(b)
+    want = {}
+    for comp in range(n):
+        r = find(comp)
+        want.setdefault(r, []).append(comp)
+    expected = {m: min(ms) for r, ms in want.items() for m in ms}
+    assert results[0] == expected
+
+
+def test_asof_join_matches_python_oracle(spark):
+    """Seeded random streams vs a per-row python as-of oracle."""
+    import random
+
+    rng = random.Random(23)
+    keys = ["a", "b", "c"]
+    left = [(rng.choice(keys), rng.randrange(100), i) for i in range(120)]
+    right_raw = [(rng.choice(keys), rng.randrange(100), 1000 + i) for i in range(40)]
+    # enforce the documented right-side contract: unique per (key, ts)
+    right = {}
+    for k, ts, rv in right_raw:
+        right[(k, ts)] = max(right.get((k, ts), -1), rv)
+    right = [(k, ts, rv) for (k, ts), rv in right.items()]
+
+    ldf = spark.createDataFrame(left, "k string, ts bigint, ev bigint")
+    rdf = spark.createDataFrame(right, "k string, ts bigint, rv bigint")
+    out = asof_join(ldf, rdf, keys=["k"], ts_col="ts",
+                    right_cols=["rv"], tiebreak="ev").toPandas()
+    got = {int(r.ev): (None if pd_isna(r.rv) else int(r.rv))
+           for r in out.itertuples()}
+    for k, ts, ev in left:
+        cands = [(rts, rv) for (rk, rts, rv) in right if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[ev] == want, (k, ts, ev, got[ev], want)
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    return pd.isna(v)
+
+
 def test_asof_join_semantics(spark):
     """<= semantics (same-instant right row is visible), no-match NULL,
     atomic struct carry (no cross-row column mixing), per-key reset."""
