@@ -698,6 +698,82 @@ class SnapshotTable:
         with ThreadPoolExecutor(max_workers=16) as ex:
             return [e for e in ex.map(entry, paths) if e is not None]
 
+    # ------------------------------------------------------------- change feed
+    def changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Change data feed between two snapshots (Delta-CDF / Iceberg
+        changelog-scan shape): one row per key whose VISIBLE state
+        differs, classified insert | update | delete, carrying the old
+        and new (warc_ts, seq) plus the new payload columns — the
+        contract a downstream incremental consumer reads instead of
+        re-scanning the table.
+
+        Scale story: the manifest list makes this cheap — a bucket
+        untouched between the snapshots carries the IDENTICAL manifest
+        file by reference, so only buckets whose manifest ref changed
+        are read at all. Both sides then resolve LWW and full-outer
+        join on the key within those buckets only.
+        """
+        s_from = self.snapshot(from_snapshot_id)
+        s_to = self.snapshot(to_snapshot_id)
+        props = s_to["properties"]
+        key = props["key_col"]
+        order_cols = props["order_cols"]
+        seqk = order_cols[-1]
+        tsk = order_cols[0]
+
+        mf_from = s_from.get("manifest_files", {})
+        mf_to = s_to.get("manifest_files", {})
+        if "manifest" in s_from or "manifest" in s_to:  # legacy inline form
+            changed = None  # no ref identity to compare — read everything
+        else:
+            changed = sorted(
+                int(b)
+                for b in set(mf_from) | set(mf_to)
+                if mf_from.get(b) != mf_to.get(b)
+            )
+            # changed == [] reads zero files on both sides and falls
+            # through to an empty, full-schema change feed
+
+        def side(sid: int, tag: str) -> DataFrame:
+            df = self.read(
+                spark, snapshot_id=sid, include_tombstones=True,
+                buckets=changed, resolve=True,
+            )
+            return df.select(
+                F.col(key),
+                F.col(tsk).alias(f"{tag}_{tsk}"),
+                F.col(seqk).alias(f"{tag}_seq"),
+                (F.col("op") == F.lit("upsert")).alias(f"{tag}_live"),
+                *(
+                    [F.col(f.name).alias(f"new_{f.name}")
+                     for f in self.user_fields(s_to)
+                     if f.name not in (key, tsk)]
+                    if tag == "new" else []
+                ),
+            )
+
+        old = side(s_from["snapshot_id"], "old")
+        new = side(s_to["snapshot_id"], "new")
+        j = old.join(new, key, "full_outer")
+        old_live = F.coalesce("old_live", F.lit(False))
+        new_live = F.coalesce("new_live", F.lit(False))
+        change = (
+            F.when(~old_live & new_live, F.lit("insert"))
+            .when(old_live & ~new_live, F.lit("delete"))
+            .when(old_live & new_live & (F.col("old_seq") != F.col("new_seq")),
+                  F.lit("update"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .drop("old_live", "new_live")
+        )
+
     # --------------------------------------------------------------- lifecycle
     def expire_snapshots(self, keep_n: int = 2) -> dict:
         """Expire snapshots older than the newest ``keep_n``: delete

@@ -382,6 +382,54 @@ def test_streaming_sink_retention(spark, tmp_path, small_changelog):
                                replay_oracle(small_changelog))
 
 
+# -------------------------------------------------------------- change feed --
+def test_change_feed_between_snapshots(spark, tmp_path, small_changelog):
+    """table.changes(A, B) classifies exactly the keys whose visible
+    state differs — verified against the replay oracle at both
+    snapshots."""
+    t = SnapshotTable.create(str(tmp_path / "cdf_pages"), n_buckets=4)
+    n = len(small_changelog)
+    s1 = _merge_pdf(spark, t, small_changelog.iloc[: 2 * n // 3], batch_id=0)
+    s2 = _merge_pdf(spark, t, small_changelog.iloc[2 * n // 3 :], batch_id=1)
+    feed = t.changes(spark, s1["snapshot_id"], s2["snapshot_id"]).toPandas()
+
+    a = replay_oracle(small_changelog.iloc[: 2 * n // 3]).set_index("url")
+    b = replay_oracle(small_changelog).set_index("url")
+    want_ins = set(b.index) - set(a.index)
+    want_del = set(a.index) - set(b.index)
+    common = set(a.index) & set(b.index)
+    want_upd = {u for u in common if a.loc[u, "seq"] != b.loc[u, "seq"]}
+
+    got = feed.groupby("change_type").url.apply(set).to_dict()
+    assert got.get("insert", set()) == want_ins
+    assert got.get("delete", set()) == want_del
+    assert got.get("update", set()) == want_upd
+    # unchanged keys never appear
+    assert len(feed) == len(want_ins) + len(want_del) + len(want_upd)
+    # new-side payload rides along for inserts/updates
+    upd = feed[feed.change_type == "update"]
+    if len(upd):
+        assert upd.new_text.notna().all()
+        u = upd.iloc[0]
+        assert b.loc[u.url, "seq"] == u.new_seq and a.loc[u.url, "seq"] == u.old_seq
+
+
+def test_change_feed_empty_and_pruned(spark, tmp_path, small_changelog):
+    t = SnapshotTable.create(str(tmp_path / "cdf2"), n_buckets=8, write_mode="cow")
+    s1 = _merge_pdf(spark, t, small_changelog.iloc[:300], batch_id=0)
+    # schema-only snapshot: zero data change → empty feed
+    s2 = t.apply_ddl("add_column", "note", dtype="string")
+    assert t.changes(spark, s1["snapshot_id"], s2["snapshot_id"]).count() == 0
+    # one-url merge on a COW table touches one bucket → feed is that url
+    one = small_changelog.iloc[[5]].copy()
+    one["seq"] = one["seq"] + 50_000
+    one["warc_ts"] = one["warc_ts"] + pd.Timedelta(days=2)
+    s3 = _merge_pdf(spark, t, one, batch_id=1)
+    feed = t.changes(spark, s2["snapshot_id"], s3["snapshot_id"]).toPandas()
+    assert list(feed.url) == [one["url"].iloc[0]]
+    assert feed.change_type.iloc[0] == "update"
+
+
 def test_merge_rejects_malformed_batch(spark, tmp_path):
     """A producer batch missing the key/order/op columns must fail
     loudly — _conform would otherwise write NULL-keyed rows."""
