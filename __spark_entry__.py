@@ -474,6 +474,25 @@ def q_xml_roundtrip(spark, sf):
     )
 
 
+def q_hash_sample(spark, sf):
+    """Deterministic ~10% sample keyed on a content-stable id hash —
+    reproducible on any partitioning (df.sample() is not)."""
+    from montandon_etl_spark.operators.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf, "documents"), "doc_id", 10).select("doc_id", "source")
+
+
+def q_stratified_cap(spark, sf):
+    """Per-class cap (<=40 events per type) chosen by hash order —
+    the class-balancing step of corpus curation."""
+    from montandon_etl_spark.operators.sampling import stratified_cap
+
+    ev = _t(spark, sf, "events")
+    return stratified_cap(ev, "event_type", "event_id", cap=40).select(
+        "event_type", "event_id"
+    )
+
+
 def q_kv_pivot_roundtrip(spark, sf):
     """2-column → map pivot (SURVEY §2.7 A1, reference dict(zip(...))
     over an HTML table): build the per-user map with kv_pivot, then
@@ -769,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "url_normalize": q_url_normalize,
         "value_percentiles": q_value_percentiles,
+        "hash_sample": q_hash_sample,
+        "stratified_cap": q_stratified_cap,
         "kv_pivot_roundtrip": q_kv_pivot_roundtrip,
         "split_sentences": q_split_sentences,
         "explode_tokens": q_explode_tokens,
@@ -1098,6 +1119,17 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(value, 0.9) * 1000000 + 0.5) / 1000000 AS p90,
                    floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
             FROM events GROUP BY 1""",
+        "hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 < 10""",
+        "stratified_cap": """
+            SELECT event_type, event_id FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+                                event_id) AS rn
+              FROM events) WHERE rn <= 40""",
         "kv_pivot_roundtrip": """
             SELECT user_id, CAST(event_id AS VARCHAR) AS k, value AS v
             FROM events""",
