@@ -362,37 +362,40 @@ def dedup_clusters(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
-    for _ in range(max_iters):
+    def step(lbls: DataFrame) -> DataFrame:
         # step 1 — neighbor-min: each node takes the min label across
-        # its edges (covers one hop of graph distance per round)
+        # its edges (covers one hop of graph distance per step)
         neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
+            edges.join(lbls, edges.src == lbls.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        stepped = labels.join(neighbor_min, "id", "left").select(
+        stepped = lbls.join(neighbor_min, "id", "left").select(
             "id",
             F.least(
                 F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
             ).alias("cluster_id"),
         )
         # step 2 — pointer jump (path halving): follow the label to ITS
-        # label; chains collapse in O(log diameter) rounds instead of
-        # O(diameter), so a 10^4-long revision chain converges in ~14
-        # rounds. The label is always a node id, so the self-join hits.
+        # label; chains collapse in O(log diameter) steps instead of
+        # O(diameter), so a 10^4-long revision chain converges in ~14.
+        # The label is always a node id, so the self-join hits.
         jump = stepped.select(
             F.col("id").alias("cluster_id"), F.col("cluster_id").alias("_jump")
         )
-        new_labels = (
-            stepped.join(jump, "cluster_id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("_jump", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+        return stepped.join(jump, "cluster_id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("_jump", F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+
+    for _ in range(max_iters):
+        # two propagation steps per checkpointed round: the checkpoint
+        # materialization + convergence-count job dominate round cost at
+        # small data, and an extra step past the fixpoint is idempotent —
+        # so pay them half as often
+        new_labels = step(step(labels)).localCheckpoint()
         changed = (
             new_labels.withColumnRenamed("cluster_id", "new_cid")
             .join(labels, "id")
