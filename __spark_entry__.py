@@ -373,6 +373,14 @@ def q_ann_topk_ivf_computed(spark, sf):
     return S.cosine_topk_ivf_computed(emb, queries, k=5, n_centroids=8)
 
 
+def q_ann_topk_ivf_multiprobe(spark, sf):
+    """Multi-probe IVF (nprobe=2): the recall/cost dial — boundary
+    queries recover neighbors from the adjacent cell."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.cosine_topk_ivf_multiprobe(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-dup pairs, label-blocked (training-data
     dedup family, scale path = LSH blocking)."""
@@ -782,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_computed": q_ann_topk_ivf_computed,
+        "ann_topk_ivf_multiprobe": q_ann_topk_ivf_multiprobe,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_norms": q_embedding_norms,
@@ -1064,6 +1073,40 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored)
             SELECT query_id, cell, neighbor_id,
+                   floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
+            FROM ranked WHERE rank <= 5""",
+        "ann_topk_ivf_multiprobe": f"""
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding AS cvec
+              FROM embeddings WHERE vec_id < 8),
+            sc AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                       (a, v) -> a + v)
+                     / (sqrt(list_reduce(list_transform(c.cvec,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
+                        * sqrt(list_reduce(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))) AS cos
+              FROM embeddings e CROSS JOIN cents c),
+            assign AS (
+              SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid ASC) AS rn
+              FROM sc),
+            cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+            qcells AS (SELECT vec_id, embedding, cid AS cell FROM assign
+                       WHERE rn <= 2 AND vec_id < 3),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_COS} AS cosine
+              FROM cells c JOIN qcells q
+                ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id,
                    floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
             FROM ranked WHERE rank <= 5""",
         "embedding_near_dup": f"""

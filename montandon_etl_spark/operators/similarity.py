@@ -181,6 +181,79 @@ def cosine_topk_ivf_computed(
     )
 
 
+def cosine_topk_ivf_multiprobe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF: each query probes its ``nprobe`` nearest cells
+    instead of one — the recall/cost dial of IVF search (recall lost to
+    a query sitting near a cell boundary is recovered by probing the
+    neighbor cell; scan cost grows by nprobe/C, not |corpus|).
+
+    Corpus vectors keep exactly one cell (their nearest centroid, same
+    assignment as ``cosine_topk_ivf_computed``); only the query side
+    fans out, so the join stays a small-side broadcast against the
+    cell-partitioned corpus.
+    """
+    import math
+
+    cents = (
+        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+
+    def cell_entries(vc: str) -> list[F.Column]:
+        entries = []
+        for c in cents:
+            vec = [float(x) for x in c["cvec"]]
+            nrm = math.sqrt(sum(x * x for x in vec))
+            lit = F.array(*[F.lit(x) for x in vec])
+            dot = F.aggregate(
+                F.zip_with(F.col(vc), lit, lambda a, b: a.cast("double") * b),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            cos = dot / (F.lit(nrm) * _norm(vc))
+            entries.append(
+                F.struct(cos.alias("cos"), F.lit(-int(c["cid"])).alias("ncid"))
+            )
+        return entries
+
+    def top_cells(vc: str, n: int) -> F.Column:
+        # n nearest cells: sort the (cos, -cid) structs descending and
+        # take the first n cids — all inside the scan, no shuffle
+        arr = F.sort_array(F.array(*cell_entries(vc)), asc=False)
+        return F.transform(F.slice(arr, 1, n), lambda s: -s["ncid"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).select(
+        "query_id", "qvec", F.explode(top_cells("qvec", nprobe)).alias("cell")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cell", top_cells("cvec", 1)[0])
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity_col("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                stable_round6("cosine").alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
