@@ -913,12 +913,13 @@ class SnapshotTable:
         return removed
 
     # -------------------------------------------------------------------- ddl
-    # widenings where every value of the narrow type maps losslessly —
-    # the only type changes applicable without rewriting data files
+    # widenings where EVERY value of the narrow type maps losslessly —
+    # the only type changes applicable without rewriting data files.
+    # bigint→double is deliberately absent: ids above 2^53 do not
+    # round-trip through a double.
     _WIDENINGS = {
         ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
-        ("float", "double"), ("int", "double"), ("bigint", "double"),
-        ("string", "string"),
+        ("float", "double"), ("int", "double"),
     }
 
     def apply_ddl(self, op: str, field: str, new_name: str | None = None,
@@ -957,13 +958,19 @@ class SnapshotTable:
             hits = [f for f in fields if f.name == field]
             if not hits:
                 raise ValueError(f"no such column {field}")
-            if hits[0].id >= 1000 or field == snap["properties"]["key_col"]:
-                raise ValueError(f"cannot drop system/key column {field}")
+            protected = {snap["properties"]["key_col"], *snap["properties"]["order_cols"]}
+            if hits[0].id >= 1000 or field in protected:
+                raise ValueError(f"cannot drop system/key/order column {field}")
             fields = [f for f in fields if f.name != field]
         elif op == "widen_column":
             hits = [f for f in fields if f.name == field]
             if not hits:
                 raise ValueError(f"no such column {field}")
+            protected = {snap["properties"]["key_col"], *snap["properties"]["order_cols"]}
+            if hits[0].id >= 1000 or field in protected:
+                # the LWW/exactly-once contract types (key, warc_ts, seq)
+                # are load-bearing — no type surgery on them
+                raise ValueError(f"cannot widen system/key/order column {field}")
             if (hits[0].type, dtype) not in self._WIDENINGS:
                 raise ValueError(
                     f"not a lossless widening: {hits[0].type} -> {dtype}"

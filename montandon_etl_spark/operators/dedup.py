@@ -214,6 +214,26 @@ def minhash_signatures(
     return toks.groupBy("id").agg(*aggs)
 
 
+def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """Explode a k-wide signature into (id, band, bucket) rows — the ONE
+    definition of the band/bucket encoding, shared by pair generation
+    and the audit sidecar so they can never disagree about which
+    buckets exist."""
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -241,25 +261,13 @@ def minhash_lsh_pairs(
     cap drops at a given corpus. ``max_bucket=None`` disables the cap.
     """
     assert k % bands == 0
-    r = k // bands
     sig = minhash_signatures(df, id_col, text_col, n=n, k=k)
     # One pass: explode the signature into its bands (a union of band
     # projections would recompute the whole shingle+minhash pipeline
     # per band — 4x the aggregation work and 4x the scans; a self-join
     # would double it again). Pairs are generated inside each bucket
     # from the collected id list: Σ|bucket|² work, the true LSH cost.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{i}").cast("string") for i in range(b * r, (b + 1) * r)]
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded(sig, k, bands)
     pairs_in_bucket = F.expr(
         "filter(flatten(transform(ids, x -> transform(ids,"
         " y -> struct(x AS id_a, y AS id_b)))), p -> p.id_a < p.id_b)"
@@ -287,34 +295,34 @@ def minhash_lsh_bucket_stats(
     max_bucket: int | None = 500,
 ) -> DataFrame:
     """Audit sidecar for ``minhash_lsh_pairs``: one row of bucket-size
-    accounting (n_buckets, n_candidate_buckets, n_dropped_buckets,
-    n_dropped_docs, max_bucket_size) so a pipeline can log what the
-    pathological-bucket cap discarded instead of silently truncating.
-    Count-only aggregation — the id lists are never collected."""
+    accounting — n_buckets, n_candidate_buckets, n_dropped_buckets,
+    n_dropped_slots ((band, doc) incidences inside dropped buckets),
+    n_dropped_docs (DISTINCT documents that lost at least one bucket —
+    the number an operator sizes the dedup_exact fallback from), and
+    max_bucket_size. Shares the band/bucket encoding with the pair
+    generator via ``_banded``. Count-only aggregation — the id lists
+    are never collected."""
     assert k % bands == 0
-    r = k // bands
     sig = minhash_signatures(df, id_col, text_col, n=n, k=k)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{i}").cast("string") for i in range(b * r, (b + 1) * r)]
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = _banded(sig, k, bands)
     cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
-    return sizes.agg(
+    totals = sizes.agg(
         F.count("*").alias("n_buckets"),
         F.sum((F.col("sz") > 1).cast("long")).alias("n_candidate_buckets"),
         F.sum((F.col("sz") > cap).cast("long")).alias("n_dropped_buckets"),
-        F.sum(F.when(F.col("sz") > cap, F.col("sz")).otherwise(0)).alias("n_dropped_docs"),
+        F.sum(F.when(F.col("sz") > cap, F.col("sz")).otherwise(0)).alias("n_dropped_slots"),
         F.max("sz").alias("max_bucket_size"),
     )
+    dropped_docs = (
+        banded.join(
+            sizes.filter(F.col("sz") > cap).select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        .agg(F.countDistinct("id").alias("n_dropped_docs"))
+    )
+    return totals.join(F.broadcast(dropped_docs))
 
 
 # -------------------------------------------------------------- dedup clusters

@@ -112,6 +112,49 @@ def cosine_topk_ivf(
     )
 
 
+def _collect_centroids(embeddings, n_centroids, id_col, vec_col):
+    """Deterministic centroid sample (the n smallest-id vectors) —
+    C rows of quantizer METADATA collected once; a seeded k-means
+    sample would slot into the same plan."""
+    return (
+        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+
+
+def _cell_score_entries(cents, vc: str) -> list:
+    """Per-centroid (cosine, -cid) structs as scan-local expressions:
+    fold-ordered dot products (bit-identical to a strict-fold SQL
+    oracle), centroid vector + norm compiled in as literals. Struct
+    comparison orders by cosine first, then -cid — ties go to the
+    SMALLEST centroid id. Shared by every IVF variant so tie-break and
+    fold-order fixes propagate everywhere at once."""
+    import math
+
+    entries = []
+    for c in cents:
+        vec = [float(x) for x in c["cvec"]]
+        nrm = math.sqrt(sum(x * x for x in vec))
+        lit = F.array(*[F.lit(x) for x in vec])
+        dot = F.aggregate(
+            F.zip_with(F.col(vc), lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        cos = dot / (F.lit(nrm) * _norm(vc))
+        entries.append(F.struct(cos.alias("cos"), F.lit(-int(c["cid"])).alias("ncid")))
+    return entries
+
+
+def _top_cells(cents, vc: str, n: int) -> F.Column:
+    """The n nearest cell ids, best first — sort the (cos, -cid)
+    structs descending inside the scan, no shuffle."""
+    arr = F.sort_array(F.array(*_cell_score_entries(cents, vc)), asc=False)
+    return F.transform(F.slice(arr, 1, n), lambda s: -s["ncid"])
+
+
 def cosine_topk_ivf_computed(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -121,52 +164,19 @@ def cosine_topk_ivf_computed(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF where the coarse cells are COMPUTED from the data: cell =
-    nearest centroid by cosine over a deterministic centroid set (the
-    ``n_centroids`` smallest-id vectors — a seeded k-means sample would
-    slot into the same plan). Unlike ``cosine_topk_ivf`` this needs no
-    pre-assigned label column, which is the realistic 100-TB setting.
-
-    The centroids are collected once (C rows of quantizer METADATA, not
-    a data collect) and compiled into the plan as literals, so cell
-    assignment is a scan-local argmax over C fold-ordered dot products —
-    zero extra shuffle; the probe is the same co-partitioned cell
-    equi-join as the label-based variant. Deterministic tie-break:
-    highest cosine, then smallest centroid id.
-    """
-    import math
-
-    cents = (
-        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
-
-    def cell_expr(vc: str) -> F.Column:
-        entries = []
-        for c in cents:
-            vec = [float(x) for x in c["cvec"]]
-            nrm = math.sqrt(sum(x * x for x in vec))
-            lit = F.array(*[F.lit(x) for x in vec])
-            dot = F.aggregate(
-                F.zip_with(F.col(vc), lit, lambda a, b: a.cast("double") * b),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            )
-            cos = dot / (F.lit(nrm) * _norm(vc))
-            # array_max on structs compares fields in order: cos first,
-            # then negated cid — ties go to the SMALLEST centroid id
-            entries.append(
-                F.struct(cos.alias("cos"), F.lit(-int(c["cid"])).alias("ncid"))
-            )
-        return -F.array_max(F.array(*entries))["ncid"]
-
+    nearest centroid by cosine (the single-probe case of
+    ``cosine_topk_ivf_multiprobe``, kept as its own entry point because
+    it also REPORTS the cell column). No pre-assigned label column —
+    the realistic 100-TB setting. Cell assignment is a scan-local
+    argmax over C centroid literals (zero extra shuffle); the probe is
+    a co-partitioned cell equi-join."""
+    cents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("cell", cell_expr("qvec"))
+    ).withColumn("cell", _top_cells(cents, "qvec", 1)[0])
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("cell", cell_expr("cvec"))
+    ).withColumn("cell", _top_cells(cents, "cvec", 1)[0])
     scored = (
         c.join(F.broadcast(q), ["cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -196,50 +206,19 @@ def cosine_topk_ivf_multiprobe(
     neighbor cell; scan cost grows by nprobe/C, not |corpus|).
 
     Corpus vectors keep exactly one cell (their nearest centroid, same
-    assignment as ``cosine_topk_ivf_computed``); only the query side
-    fans out, so the join stays a small-side broadcast against the
-    cell-partitioned corpus.
+    assignment as ``cosine_topk_ivf_computed`` — both share the same
+    centroid/score helpers); only the query side fans out, so the join
+    stays a small-side broadcast against the cell-partitioned corpus.
     """
-    import math
-
-    cents = (
-        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
-
-    def cell_entries(vc: str) -> list[F.Column]:
-        entries = []
-        for c in cents:
-            vec = [float(x) for x in c["cvec"]]
-            nrm = math.sqrt(sum(x * x for x in vec))
-            lit = F.array(*[F.lit(x) for x in vec])
-            dot = F.aggregate(
-                F.zip_with(F.col(vc), lit, lambda a, b: a.cast("double") * b),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            )
-            cos = dot / (F.lit(nrm) * _norm(vc))
-            entries.append(
-                F.struct(cos.alias("cos"), F.lit(-int(c["cid"])).alias("ncid"))
-            )
-        return entries
-
-    def top_cells(vc: str, n: int) -> F.Column:
-        # n nearest cells: sort the (cos, -cid) structs descending and
-        # take the first n cids — all inside the scan, no shuffle
-        arr = F.sort_array(F.array(*cell_entries(vc)), asc=False)
-        return F.transform(F.slice(arr, 1, n), lambda s: -s["ncid"])
-
+    cents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).select(
-        "query_id", "qvec", F.explode(top_cells("qvec", nprobe)).alias("cell")
+        "query_id", "qvec", F.explode(_top_cells(cents, "qvec", nprobe)).alias("cell")
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("cell", top_cells("cvec", 1)[0])
+    ).withColumn("cell", _top_cells(cents, "cvec", 1)[0])
     scored = (
         c.join(F.broadcast(q), ["cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

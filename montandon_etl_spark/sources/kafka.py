@@ -56,10 +56,22 @@ def _parse(value_col: str, schema: str) -> F.Column:
 
 
 def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Flat-JSON frames → changelog rows (+ ``decode_ok``)."""
+    """Flat-JSON frames → changelog rows (+ ``decode_ok``).
+
+    ``decode_ok`` requires more than parseable JSON: the changelog
+    contract's key fields (url, seq, warc_ts) must be present and the
+    op must be a known verb — a well-formed-but-empty frame must land
+    in quarantine, never as a NULL-keyed row in the MERGE."""
     v = _parse(value_col, JSON_VALUE_SCHEMA)
     out = kafka_df.withColumn("_v", v)
-    ok = F.col(f"{value_col}").isNotNull() & F.col("_v._corrupt").isNull()
+    ok = (
+        F.col(f"{value_col}").isNotNull()
+        & F.col("_v._corrupt").isNull()
+        & F.col("_v.url").isNotNull()
+        & F.col("_v.seq").isNotNull()
+        & F.col("_v.warc_ts_us").isNotNull()
+        & F.col("_v.op").isin("upsert", "delete")
+    )
     return out.select(
         F.col("_v.seq").alias("seq"),
         F.col("_v.url").alias("url"),
@@ -85,6 +97,11 @@ def decode_debezium(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
         F.col(f"{value_col}").isNotNull()
         & F.col("_v._corrupt").isNull()
         & F.col("_v.op").isin("c", "u", "r", "d")
+        & F.col("_v.source.seq").isNotNull()
+        & F.when(is_del, F.col("_v.before.url").isNotNull()
+                 & F.col("_v.source.ts_us").isNotNull())
+        .otherwise(F.col("_v.after.url").isNotNull()
+                   & F.col("_v.after.warc_ts_us").isNotNull())
     )
     return out.select(
         F.col("_v.source.seq").alias("seq"),

@@ -65,6 +65,9 @@ def test_decode_json_changelog_roundtrip_and_quarantine(spark):
         _frame("https://k/1", _native_value(3, "https://k/1", TS, "delete", None), 2),
         _frame("https://k/x", b"not json at all", 3),
         _frame("https://k/y", None, 4),  # Kafka tombstone frame
+        _frame("https://k/z", b"{}", 5),  # valid JSON, missing key fields
+        _frame("https://k/w", b'{"op": "upsert"}', 6),  # no url/seq/ts
+        _frame("https://k/v", _native_value(9, "https://k/v", TS, "weird_op", b"x"), 7),
     ]
     good, bad = split_quarantine(decode_json_changelog(_kafka_df(spark, frames)))
     g = good.orderBy("seq").collect()
@@ -72,7 +75,9 @@ def test_decode_json_changelog_roundtrip_and_quarantine(spark):
     assert g[0]["html"] == b"<p>a</p>" and g[0]["op"] == "upsert"
     assert g[2]["op"] == "delete" and g[2]["html"] is None
     assert g[0]["warc_ts"] == TS.tz_localize(None)
-    assert bad.count() == 2
+    # malformed, null, field-less, and unknown-op frames ALL quarantined —
+    # a well-formed-but-empty frame must never become a NULL-keyed row
+    assert bad.count() == 5
 
 
 def test_decode_debezium_envelope(spark):
