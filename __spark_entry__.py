@@ -460,6 +460,30 @@ def q_geojson_bbox(spark, sf):
     )
 
 
+def q_simplify_polygons(spark, sf):
+    """Douglas-Peucker polygon simplification (SURVEY §2.3 P8): unit
+    squares with one collinear edge midpoint — the midpoint must be
+    dropped (6 → 5 vertices), which the oracle knows analytically."""
+    from montandon_etl_spark.functions.geo import simplify_geometries
+
+    ev = _t(spark, sf, "events")
+    k = (F.col("event_id") % 100).cast("string")
+    kh = ((F.col("event_id") % 100) + 0.5).cast("string")
+    k1 = (F.col("event_id") % 100 + 1).cast("string")
+    gj = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['), k, F.lit(","), k,
+        F.lit("],["), kh, F.lit(","), k,          # collinear midpoint
+        F.lit("],["), k1, F.lit(","), k,
+        F.lit("],["), k1, F.lit(","), k1,
+        F.lit("],["), k, F.lit(","), k1,
+        F.lit("],["), k, F.lit(","), k, F.lit("]]]}"),
+    )
+    out = simplify_geometries(
+        ev.withColumn("gj", gj), "gj", "event_id", tolerance=0.01
+    )
+    return out.select("event_id", "n_before", "n_after")
+
+
 def q_xml_roundtrip(spark, sf):
     """XML row-iterator source (SURVEY §2.1 S9 + P3 rename projection):
     events serialized to XML, re-parsed via the ElementTree mapInPandas
@@ -804,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": q_explode_tokens,
         "validate_json_payload": q_validate_json_payload,
         "geojson_bbox": q_geojson_bbox,
+        "simplify_polygons": q_simplify_polygons,
         "xml_roundtrip": q_xml_roundtrip,
     }
 
@@ -1203,6 +1228,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 100 + 1 AS DOUBLE) AS xmax,
                    CAST(event_id % 100 + 1 AS DOUBLE) AS ymax
             FROM events""",
+        "simplify_polygons": """
+            SELECT event_id, 6 AS n_before, 5 AS n_after FROM events""",
         "xml_roundtrip": """
             SELECT event_id, event_id AS xml_id, event_type AS xml_type
             FROM events""",

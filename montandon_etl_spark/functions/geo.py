@@ -10,10 +10,10 @@ to admin shapefiles (desinventar.py:30-49). Spark-first equivalents:
   validity columns (no Python);
 - bbox/centroid: pure nested-array expressions over the parsed
   coordinates (aggregate/transform/flatten — JVM-side, codegen'd);
-- simplification (Douglas-Peucker): needs shapely, which is NOT in
-  this container — stubbed behind an import-try; the vectorized
-  pandas-UDF plumbing is real and the no-op fallback keeps the
-  pipeline runnable.
+- simplification: Douglas-Peucker implemented directly (pure
+  arithmetic, no geometry dependency) inside Arrow-batched
+  ``mapInPandas`` — the same semantics the reference delegates to
+  shapely's ``simplify(tolerance)``.
 """
 
 from __future__ import annotations
@@ -65,43 +65,83 @@ def polygon_vertex_count(geom_col: str = "geom") -> F.Column:
     return F.size(F.flatten(F.col(f"{geom_col}.coordinates")))
 
 
+def _perp_dist(p, a, b) -> float:
+    """Perpendicular distance from point p to the line through a-b
+    (distance to a when the segment is degenerate)."""
+    import math
+
+    ax, ay = a
+    bx, by = b
+    px, py = p
+    dx, dy = bx - ax, by - ay
+    if dx == 0 and dy == 0:
+        return math.hypot(px - ax, py - ay)
+    return abs(dy * px - dx * py + bx * ay - by * ax) / math.hypot(dx, dy)
+
+
+def douglas_peucker(pts: list, tolerance: float) -> list:
+    """Iterative Douglas-Peucker polyline simplification: drop every
+    vertex whose perpendicular distance to the kept-neighbor chord is
+    within ``tolerance``. Deterministic, dependency-free."""
+    if len(pts) <= 2:
+        return list(pts)
+    keep = [False] * len(pts)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dmax, idx = -1.0, -1
+        for m in range(i + 1, j):
+            d = _perp_dist(pts[m], pts[i], pts[j])
+            if d > dmax:
+                dmax, idx = d, m
+        if dmax > tolerance:
+            keep[idx] = True
+            stack.append((i, idx))
+            stack.append((idx, j))
+    return [p for p, k in zip(pts, keep) if k]
+
+
 def simplify_geometries(
     df: DataFrame, geojson_col: str, id_col: str, tolerance: float = 0.01
 ) -> DataFrame:
-    """Geometry simplification via mapInPandas (reference:
+    """Polygon simplification via mapInPandas (reference:
     geom.simplify(tolerance=0.01, preserve_topology=True),
-    transform/sources/desinventar.py:118-122).
+    transform/sources/desinventar.py:118-122) — Douglas-Peucker
+    implemented directly, so no geometry library is needed.
 
-    Requires shapely (NOT present in this container): raises
-    NotImplementedError at call time when missing. The Arrow-batched
-    plumbing (schema, batch iterator, 1:1 row contract) is real and
-    tested with the error path.
+    Each ring (closed: first == last) is simplified as a polyline
+    anchored at its endpoints; a ring that would collapse below 4
+    points (degenerate polygon) keeps its original vertices. Output per
+    row: the simplified GeoJSON plus before/after vertex counts (the
+    observability a pipeline filters/monitors on). Arrow-batched, 1:1
+    row contract.
     """
-    try:
-        import shapely  # noqa: F401
-        have_shapely = True
-    except ImportError:
-        have_shapely = False
+    import json
 
-    schema = f"{id_col} long, simplified string"
+    schema = f"{id_col} long, simplified string, n_before int, n_after int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not have_shapely:
-            raise NotImplementedError(
-                "geometry simplification requires shapely, which is not "
-                "installed in this container; plumbing verified via this "
-                "error path"
-            )
-        import json
-
-        from shapely.geometry import shape
-
         for pdf in it:
             out = []
             for rid, gj in zip(pdf[id_col], pdf[geojson_col]):
-                geom = shape(json.loads(gj))
-                simp = geom.simplify(tolerance, preserve_topology=True)
-                out.append((rid, json.dumps(simp.__geo_interface__)))
-            yield pd.DataFrame(out, columns=[id_col, "simplified"])
+                geom = json.loads(gj)
+                n_before = n_after = 0
+                rings = []
+                for ring in geom.get("coordinates", []):
+                    pts = [tuple(p) for p in ring]
+                    simp = douglas_peucker(pts, tolerance)
+                    if len(simp) < 4:  # keep polygons non-degenerate
+                        simp = pts
+                    n_before += len(pts)
+                    n_after += len(simp)
+                    rings.append([list(p) for p in simp])
+                simplified = {"type": geom.get("type"), "coordinates": rings}
+                out.append((rid, json.dumps(simplified), n_before, n_after))
+            yield pd.DataFrame(
+                out, columns=[id_col, "simplified", "n_before", "n_after"]
+            )
 
     return df.select(id_col, geojson_col).mapInPandas(batches, schema=schema)

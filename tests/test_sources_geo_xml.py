@@ -38,13 +38,39 @@ def test_parse_polygon_invalid_rows_kept(spark):
     assert len(out) == 3
 
 
-def test_simplify_geometries_stub_raises(spark):
+def test_simplify_geometries_douglas_peucker(spark):
+    """Collinear vertices within tolerance are dropped; a spike beyond
+    tolerance survives; near-degenerate rings keep their vertices."""
+    import json
+
+    sq_collinear = ('{"type":"Polygon","coordinates":'
+                    '[[[0,0],[0.5,0.000001],[1,0],[1,1],[0,1],[0,0]]]}')
+    sq_spike = ('{"type":"Polygon","coordinates":'
+                '[[[0,0],[0.5,0.3],[1,0],[1,1],[0,1],[0,0]]]}')
+    triangle = '{"type":"Polygon","coordinates":[[[0,0],[1,0],[0,1],[0,0]]]}'
     df = spark.createDataFrame(
-        [(1, '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}')],
-        "id long, gj string",
+        [(1, sq_collinear), (2, sq_spike), (3, triangle)], "id long, gj string"
     )
-    with pytest.raises(Exception, match="shapely"):
-        simplify_geometries(df, "gj", "id").collect()
+    out = {r["id"]: r for r in
+           simplify_geometries(df, "gj", "id", tolerance=0.01).collect()}
+    assert (out[1]["n_before"], out[1]["n_after"]) == (6, 5)  # midpoint dropped
+    ring1 = json.loads(out[1]["simplified"])["coordinates"][0]
+    assert [0.5, 0.000001] not in ring1 and len(ring1) == 5
+    assert (out[2]["n_before"], out[2]["n_after"]) == (6, 6)  # spike kept
+    assert (out[3]["n_before"], out[3]["n_after"]) == (4, 4)  # can't go below 4
+
+
+def test_simplify_geometries_pure_python_matches_udf():
+    """The same douglas_peucker function drives both the UDF and any
+    oracle use — spot-check the pure form on a known polyline."""
+    from montandon_etl_spark.functions.geo import douglas_peucker
+
+    line = [(0.0, 0.0), (1.0, 0.05), (2.0, 0.0), (3.0, 2.0), (4.0, 0.0)]
+    # (2,0) and (3,2) deviate from their chords beyond 0.1; (1,0.05) not
+    assert douglas_peucker(line, 0.1) == [
+        (0.0, 0.0), (2.0, 0.0), (3.0, 2.0), (4.0, 0.0)
+    ]
+    assert douglas_peucker(line, 0.01) == line  # everything significant
 
 
 def test_xml_malformed_yields_zero_rows(spark):
