@@ -553,13 +553,15 @@ def q_url_normalize(spark, sf):
     from montandon_etl_spark.functions.urls import normalize_url
 
     ev = _t(spark, sf, "events")
-    variant = F.col("event_id") % 4
+    variant = F.col("event_id") % 5
     url = (
         F.when(variant == 0, F.concat(F.lit("HTTPS://Example.COM:443/p/"),
                                       F.col("event_id").cast("string")))
         .when(variant == 1, F.concat(F.lit("http://example.com:80/p/"),
                                      F.col("event_id").cast("string"), F.lit("#frag")))
         .when(variant == 2, F.concat(F.lit("https://Sub.Example.org")))
+        .when(variant == 3, F.concat(F.lit("http://example.com?q="),
+                                     F.col("event_id").cast("string")))
         .otherwise(F.concat(F.lit("http://example.com/p/"),
                             F.col("event_id").cast("string"), F.lit("?q=1#x")))
     )
@@ -1155,12 +1157,14 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": """
             WITH r AS (
               SELECT event_id,
-                     CASE WHEN event_id % 4 = 0
+                     CASE WHEN event_id % 5 = 0
                             THEN 'HTTPS://Example.COM:443/p/' || CAST(event_id AS VARCHAR)
-                          WHEN event_id % 4 = 1
+                          WHEN event_id % 5 = 1
                             THEN 'http://example.com:80/p/' || CAST(event_id AS VARCHAR) || '#frag'
-                          WHEN event_id % 4 = 2
+                          WHEN event_id % 5 = 2
                             THEN 'https://Sub.Example.org'
+                          WHEN event_id % 5 = 3
+                            THEN 'http://example.com?q=' || CAST(event_id AS VARCHAR)
                           ELSE 'http://example.com/p/' || CAST(event_id AS VARCHAR) || '?q=1#x'
                      END AS raw_url
               FROM events),
@@ -1178,7 +1182,9 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN scheme = 'https' AND hostport LIKE '%:443'
                                     THEN regexp_replace(hostport, ':443$', '')
                                   ELSE hostport END ||
-                             CASE WHEN rest = '' THEN '/' ELSE rest END
+                             CASE WHEN rest = '' THEN '/'
+                                  WHEN rest LIKE '?%' THEN '/' || rest
+                                  ELSE rest END
                    END AS url
             FROM p""",
         "value_percentiles": """

@@ -12,7 +12,9 @@ resource):
   1. scheme and host lowercased;
   2. fragment stripped (never sent to the server);
   3. default ports stripped (:80 for http, :443 for https);
-  4. empty path becomes "/".
+  4. empty path becomes "/" — including before a query string, so
+     `http://example.com?q=1` and `http://example.com/?q=1` collapse
+     to one LWW key.
 
 Pure built-in regexp expressions (simple RE2-compatible patterns, no
 lookaround) so the SAME patterns run under Java regex in Spark and RE2
@@ -43,7 +45,9 @@ def normalize_url(col) -> F.Column:
         F.regexp_replace(hostport, r":443$", ""),
     ).otherwise(hostport)
     rest = F.regexp_extract(c, REST_RE, 1)  # path?query, fragment gone
-    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    path = F.when(rest == "", F.lit("/")).when(
+        rest.startswith("?"), F.concat(F.lit("/"), rest)  # empty path + query
+    ).otherwise(rest)
     return F.when(
         scheme == "", c  # not an absolute URL: pass through
     ).otherwise(F.concat(scheme, F.lit("://"), host, path))

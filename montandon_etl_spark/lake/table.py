@@ -674,7 +674,19 @@ class SnapshotTable:
                 return None
             key_min = key_max = None
             try:
-                idx = md.schema.to_arrow_schema().get_field_index(key_col)
+                # Resolve the LEAF column index by path_in_schema:
+                # row_group(rg).column(i) indexes flattened leaf columns,
+                # which diverges from the top-level field index as soon
+                # as any struct/list column precedes the key column —
+                # matching by name avoids harvesting another column's
+                # min/max and wrongly pruning files.
+                idx = -1
+                if md.num_row_groups > 0:
+                    rg0 = md.row_group(0)
+                    for i in range(rg0.num_columns):
+                        if rg0.column(i).path_in_schema == key_col:
+                            idx = i
+                            break
                 if idx >= 0:
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx).statistics

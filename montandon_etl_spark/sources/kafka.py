@@ -64,6 +64,12 @@ def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value") -> Data
     in quarantine, never as a NULL-keyed row in the MERGE."""
     v = _parse(value_col, JSON_VALUE_SCHEMA)
     out = kafka_df.withColumn("_v", v)
+    # try_to_binary, not unbase64: under ANSI mode (Spark 4 default) a
+    # malformed-base64 payload would throw and abort the whole
+    # micro-batch job — the one-bad-frame-wedges-the-tail failure the
+    # quarantine contract exists to prevent. NULL-on-malformed lets the
+    # frame route to quarantine as a row instead.
+    html = F.try_to_binary(F.col("_v.html_b64"), F.lit("base64"))
     ok = (
         F.col(f"{value_col}").isNotNull()
         & F.col("_v._corrupt").isNull()
@@ -71,13 +77,16 @@ def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value") -> Data
         & F.col("_v.seq").isNotNull()
         & F.col("_v.warc_ts_us").isNotNull()
         & F.col("_v.op").isin("upsert", "delete")
+        # html_b64 present but undecodable → quarantine (absent is fine:
+        # deletes carry no payload)
+        & (F.col("_v.html_b64").isNull() | html.isNotNull())
     )
     return out.select(
         F.col("_v.seq").alias("seq"),
         F.col("_v.url").alias("url"),
         F.timestamp_micros(F.col("_v.warc_ts_us")).alias("warc_ts"),
         F.col("_v.op").alias("op"),
-        F.unbase64(F.col("_v.html_b64")).alias("html"),
+        html.alias("html"),
         ok.alias("decode_ok"),
     )
 
@@ -93,6 +102,9 @@ def decode_debezium(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
     v = _parse(value_col, DEBEZIUM_VALUE_SCHEMA)
     out = kafka_df.withColumn("_v", v)
     is_del = F.col("_v.op") == F.lit("d")
+    # NULL-on-malformed (see decode_json_changelog): ANSI unbase64 would
+    # abort the micro-batch on one bad frame.
+    html = F.try_to_binary(F.col("_v.after.html_b64"), F.lit("base64"))
     ok = (
         F.col(f"{value_col}").isNotNull()
         & F.col("_v._corrupt").isNull()
@@ -101,7 +113,8 @@ def decode_debezium(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
         & F.when(is_del, F.col("_v.before.url").isNotNull()
                  & F.col("_v.source.ts_us").isNotNull())
         .otherwise(F.col("_v.after.url").isNotNull()
-                   & F.col("_v.after.warc_ts_us").isNotNull())
+                   & F.col("_v.after.warc_ts_us").isNotNull()
+                   & (F.col("_v.after.html_b64").isNull() | html.isNotNull()))
     )
     return out.select(
         F.col("_v.source.seq").alias("seq"),
@@ -113,7 +126,7 @@ def decode_debezium(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
         .alias("warc_ts"),
         F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
         F.when(is_del, F.lit(None).cast("binary"))
-        .otherwise(F.unbase64(F.col("_v.after.html_b64")))
+        .otherwise(html)
         .alias("html"),
         ok.alias("decode_ok"),
     )

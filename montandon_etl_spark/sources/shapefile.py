@@ -28,9 +28,63 @@ from pyspark.sql import DataFrame, SparkSession
 SHAPE_NULL, SHAPE_POINT, SHAPE_POLYGON = 0, 1, 5
 
 
+def _ring_area2(ring: list[list[float]]) -> float:
+    """Twice the signed shoelace area; > 0 counter-clockwise, < 0
+    clockwise. Per the ESRI spec, outer rings are clockwise and holes
+    counter-clockwise."""
+    s = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _point_in_ring(pt: list[float], ring: list[list[float]]) -> bool:
+    """Ray-casting point-in-polygon (boundary cases unimportant here:
+    used only to assign a hole to its containing outer ring)."""
+    x, y = pt
+    inside = False
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > y) != (y2 > y):
+            xin = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if xin > x:
+                inside = not inside
+    return inside
+
+
+def _rings_to_geojson(rings: list[list[list[float]]]) -> dict:
+    """ESRI type-5 rings → GeoJSON Polygon or MultiPolygon. ESRI stores
+    multipart polygons as a flat ring list with outer rings clockwise
+    and holes counter-clockwise; GeoJSON nests holes under their outer
+    ring, so a record with >1 outer ring must become a MultiPolygon —
+    emitting it as one Polygon would make the other outers read as
+    holes of the first (wrong areas/containment for multipart admin
+    boundaries)."""
+    outers = [r for r in rings if _ring_area2(r) < 0]
+    holes = [r for r in rings if _ring_area2(r) >= 0]
+    if not outers:  # degenerate writer: all rings CCW — first is outer
+        outers, holes = rings[:1], rings[1:]
+    if len(outers) == 1:
+        return {"type": "Polygon", "coordinates": [outers[0]] + holes}
+    polys = [[o] for o in outers]
+    for h in holes:
+        for j, o in enumerate(outers):
+            if h and _point_in_ring(h[0], o):
+                polys[j].append(h)
+                break
+        else:
+            polys[0].append(h)  # unmatched hole: keep, don't drop data
+    return {"type": "MultiPolygon", "coordinates": polys}
+
+
 def parse_shp(data: bytes) -> list[dict | None]:
     """Parse a .shp main file → list of GeoJSON-able dicts (None for
-    null shapes). Supports Point (1) and Polygon (5)."""
+    null shapes). Supports Point (1) and Polygon (5), including
+    multipart polygons (multiple clockwise outer rings →
+    MultiPolygon)."""
     (file_code,) = struct.unpack(">i", data[0:4])
     if file_code != 9994:
         raise ValueError(f"not a shapefile: file code {file_code}")
@@ -59,7 +113,7 @@ def parse_shp(data: bytes) -> list[dict | None]:
             pts = [[flat[2 * i], flat[2 * i + 1]] for i in range(num_points)]
             bounds = parts + [num_points]
             rings = [pts[bounds[i] : bounds[i + 1]] for i in range(num_parts)]
-            shapes.append({"type": "Polygon", "coordinates": rings})
+            shapes.append(_rings_to_geojson(rings))
         else:
             raise ValueError(f"unsupported shape type {stype}")
     return shapes

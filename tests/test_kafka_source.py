@@ -68,6 +68,11 @@ def test_decode_json_changelog_roundtrip_and_quarantine(spark):
         _frame("https://k/z", b"{}", 5),  # valid JSON, missing key fields
         _frame("https://k/w", b'{"op": "upsert"}', 6),  # no url/seq/ts
         _frame("https://k/v", _native_value(9, "https://k/v", TS, "weird_op", b"x"), 7),
+        # valid JSON, malformed base64 payload — must QUARANTINE the
+        # frame, not abort the micro-batch (ANSI unbase64 would throw)
+        _frame("https://k/u", json.dumps({
+            "seq": 10, "url": "https://k/u", "warc_ts_us": _us(TS),
+            "op": "upsert", "html_b64": "!!!not base64!!!"}).encode(), 8),
     ]
     good, bad = split_quarantine(decode_json_changelog(_kafka_df(spark, frames)))
     g = good.orderBy("seq").collect()
@@ -75,9 +80,10 @@ def test_decode_json_changelog_roundtrip_and_quarantine(spark):
     assert g[0]["html"] == b"<p>a</p>" and g[0]["op"] == "upsert"
     assert g[2]["op"] == "delete" and g[2]["html"] is None
     assert g[0]["warc_ts"] == TS.tz_localize(None)
-    # malformed, null, field-less, and unknown-op frames ALL quarantined —
-    # a well-formed-but-empty frame must never become a NULL-keyed row
-    assert bad.count() == 5
+    # malformed, null, field-less, unknown-op, and bad-base64 frames ALL
+    # quarantined — a well-formed-but-empty frame must never become a
+    # NULL-keyed row, and one bad payload must never wedge the stream
+    assert bad.count() == 6
 
 
 def test_decode_debezium_envelope(spark):
@@ -87,6 +93,11 @@ def test_decode_debezium_envelope(spark):
         _frame("https://d/2", _dbz_value(3, "https://d/2", TS, "r", b"<p>snap</p>"), 2),
         _frame("https://d/2", _dbz_value(4, "https://d/2", TS + pd.Timedelta(hours=2), "d", None), 3),
         _frame("https://d/z", json.dumps({"op": "weird"}).encode(), 4),
+        _frame("https://d/b", json.dumps({
+            "op": "c", "ts_ms": _us(TS) // 1000,
+            "source": {"seq": 9, "ts_us": _us(TS)},
+            "after": {"url": "https://d/b", "warc_ts_us": _us(TS),
+                      "html_b64": "%%bad b64%%"}}).encode(), 5),
     ]
     good, bad = split_quarantine(decode_debezium(_kafka_df(spark, frames)))
     g = {r["seq"]: r for r in good.collect()}
@@ -94,7 +105,7 @@ def test_decode_debezium_envelope(spark):
     assert g[2]["op"] == "upsert" and g[2]["html"] == b"<p>v2</p>"
     assert g[4]["op"] == "delete" and g[4]["url"] == "https://d/2"
     assert g[4]["html"] is None
-    assert bad.count() == 1  # unknown op code quarantined, not dropped
+    assert bad.count() == 2  # unknown op + bad base64 quarantined, not dropped
 
 
 @pytest.mark.parametrize("dialect", ["native", "debezium"])

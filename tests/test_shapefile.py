@@ -86,6 +86,35 @@ def test_parse_shp_and_dbf_roundtrip():
     assert json.loads(pdf.geometry[2])["coordinates"] == [1.5, 2.5]
 
 
+CW_SQUARE = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]
+CCW_HOLE = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+CW_SQUARE2 = [(10.0, 10.0), (10.0, 14.0), (14.0, 14.0), (14.0, 10.0), (10.0, 10.0)]
+
+
+def test_parse_shp_polygon_with_hole_any_ring_order():
+    """ESRI rings are a flat list; the hole (CCW) must nest under the
+    outer (CW) regardless of stored order."""
+    shp = _shp_bytes([_polygon_record([CCW_HOLE, CW_SQUARE])])
+    g = parse_shp(shp)[0]
+    assert g["type"] == "Polygon"
+    assert g["coordinates"][0] == [list(p) for p in CW_SQUARE]
+    assert g["coordinates"][1] == [list(p) for p in CCW_HOLE]
+
+
+def test_parse_shp_multipart_polygon():
+    """Two clockwise outer rings in ONE type-5 record → MultiPolygon
+    (a single Polygon would read ring 2 as a hole of ring 1 — wrong
+    area/containment for multipart admin boundaries)."""
+    shp = _shp_bytes([_polygon_record([CW_SQUARE, CW_SQUARE2, CCW_HOLE])])
+    g = parse_shp(shp)[0]
+    assert g["type"] == "MultiPolygon"
+    assert len(g["coordinates"]) == 2
+    # the hole lands under the outer ring that contains it
+    assert g["coordinates"][0][0] == [list(p) for p in CW_SQUARE]
+    assert g["coordinates"][0][1] == [list(p) for p in CCW_HOLE]
+    assert g["coordinates"][1] == [[list(p) for p in CW_SQUARE2]]
+
+
 def test_shapefile_as_broadcast_dim(spark, tmp_path):
     """The reference pattern end-to-end: shapefile → dim table →
     priority-fallback join against a fact frame, plus the geometry
