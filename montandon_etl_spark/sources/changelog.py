@@ -44,6 +44,15 @@ CHANGELOG_SCHEMA = pa.schema(
     ]
 )
 
+# SURVEY §1.4's full change stream: DML rows plus in-band schema-
+# evolution events (op = add_column|rename_column|drop_column|
+# widen_column, args JSON in ``ddl``, NULL on DML rows) — the shape a
+# real WAL/binlog tail delivers, where ALTERs are positioned in the
+# same total order as the row changes around them.
+CHANGELOG_DDL_SCHEMA = CHANGELOG_SCHEMA.append(
+    pa.field("ddl", pa.string(), nullable=True)
+)
+
 _WORDS = {
     "en": "the quick brown fox jumps over lazy dog and runs to town with great speed for it is late".split(),
     "es": "el rápido zorro marrón salta sobre el perro y corre a la ciudad con una gran prisa por que es tarde".split(),
@@ -153,18 +162,40 @@ def gen_ddl_events(start_seq: int) -> pd.DataFrame:
     )
 
 
+def embed_ddl_events(log: pd.DataFrame, ddl_events: pd.DataFrame) -> pd.DataFrame:
+    """Interleave side-channel DDL events into the changelog as in-band
+    rows (SURVEY §1.4 literally): each DDL becomes a row at its seq with
+    op = the DDL verb and the args as JSON in a ``ddl`` column; DML rows
+    get ddl = NULL. Output is seq-sorted and carries CHANGELOG_DDL_SCHEMA.
+    """
+    import json
+
+    dml = log.copy()
+    dml["ddl"] = None
+    rows = []
+    for r in ddl_events.itertuples():
+        spec = {"field": r.field, "new_name": r.new_name, "dtype": r.dtype}
+        rows.append((int(r.seq), f"ddl:{r.field}",
+                     pd.Timestamp(_BASE_TS_US, unit="us"), r.op, None,
+                     json.dumps({k: v for k, v in spec.items() if v is not None})))
+    ddl_df = pd.DataFrame(rows, columns=["seq", "url", "warc_ts", "op", "html", "ddl"])
+    out = pd.concat([dml, ddl_df], ignore_index=True)
+    return out.sort_values("seq", kind="stable").reset_index(drop=True)
+
+
 def write_changelog(df: pd.DataFrame, out_dir: str, n_chunks: int = 8) -> list[str]:
     """Write the changelog as ``n_chunks`` parquet files in seq order —
     chunk boundaries are the micro-batch boundaries streaming tests
     replay file-by-file."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
+    schema = CHANGELOG_DDL_SCHEMA if "ddl" in df.columns else CHANGELOG_SCHEMA
     bounds = np.linspace(0, len(df), n_chunks + 1, dtype=int)
     for k in range(n_chunks):
         part = df.iloc[bounds[k] : bounds[k + 1]]
         if len(part) == 0:
             continue
-        table = pa.Table.from_pandas(part, schema=CHANGELOG_SCHEMA, preserve_index=False)
+        table = pa.Table.from_pandas(part, schema=schema, preserve_index=False)
         path = os.path.join(out_dir, f"chunk-{k:05d}.parquet")
         # small row groups so Spark can split one chunk file across
         # many tasks (a single-row-group file caps scan parallelism at 1)

@@ -55,13 +55,18 @@ def _parse(value_col: str, schema: str) -> F.Column:
     )
 
 
-def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
+def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value",
+                          keep_raw: bool = False) -> DataFrame:
     """Flat-JSON frames → changelog rows (+ ``decode_ok``).
 
     ``decode_ok`` requires more than parseable JSON: the changelog
     contract's key fields (url, seq, warc_ts) must be present and the
     op must be a known verb — a well-formed-but-empty frame must land
-    in quarantine, never as a NULL-keyed row in the MERGE."""
+    in quarantine, never as a NULL-keyed row in the MERGE.
+
+    ``keep_raw`` appends the undecoded frame bytes as ``_raw`` for
+    quarantine forensics (run_stream strips ``_``-prefixed columns
+    before the merge)."""
     v = _parse(value_col, JSON_VALUE_SCHEMA)
     out = kafka_df.withColumn("_v", v)
     # try_to_binary, not unbase64: under ANSI mode (Spark 4 default) a
@@ -81,17 +86,21 @@ def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value") -> Data
         # deletes carry no payload)
         & (F.col("_v.html_b64").isNull() | html.isNotNull())
     )
-    return out.select(
+    cols = [
         F.col("_v.seq").alias("seq"),
         F.col("_v.url").alias("url"),
         F.timestamp_micros(F.col("_v.warc_ts_us")).alias("warc_ts"),
         F.col("_v.op").alias("op"),
         html.alias("html"),
         ok.alias("decode_ok"),
-    )
+    ]
+    if keep_raw:
+        cols.append(F.col(value_col).alias("_raw"))
+    return out.select(*cols)
 
 
-def decode_debezium(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
+def decode_debezium(kafka_df: DataFrame, value_col: str = "value",
+                    keep_raw: bool = False) -> DataFrame:
     """Debezium envelope → changelog rows (+ ``decode_ok``).
 
     op mapping: c(reate)/u(pdate)/r(ead, snapshot backfill) → upsert;
@@ -116,7 +125,7 @@ def decode_debezium(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
                    & F.col("_v.after.warc_ts_us").isNotNull()
                    & (F.col("_v.after.html_b64").isNull() | html.isNotNull()))
     )
-    return out.select(
+    cols = [
         F.col("_v.source.seq").alias("seq"),
         F.when(is_del, F.col("_v.before.url"))
         .otherwise(F.col("_v.after.url"))
@@ -129,7 +138,10 @@ def decode_debezium(kafka_df: DataFrame, value_col: str = "value") -> DataFrame:
         .otherwise(html)
         .alias("html"),
         ok.alias("decode_ok"),
-    )
+    ]
+    if keep_raw:
+        cols.append(F.col(value_col).alias("_raw"))
+    return out.select(*cols)
 
 
 def split_quarantine(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -138,3 +150,58 @@ def split_quarantine(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = decoded.filter(F.col("decode_ok")).select(*CHANGELOG_COLS)
     bad = decoded.filter(~F.coalesce(F.col("decode_ok"), F.lit(False)))
     return good, bad
+
+
+# ------------------------------------------------------- source factories --
+# ``run_stream(source=...)`` takes a factory ``spark -> streaming
+# DataFrame`` (reference analogue: pluggable per-source extraction,
+# apps/etl/extraction/sources/base/extract.py:10-86). Both factories
+# below produce the SAME decoded shape (changelog cols + decode_ok) —
+# production tails a broker, tests/sandbox tail a directory of
+# kafka-frame-shaped parquet; the decode expression tree is shared.
+
+KAFKA_FRAME_SCHEMA = (
+    "key binary, value binary, topic string, partition int,"
+    " offset bigint, timestamp timestamp"
+)
+
+_DIALECTS = {"json": decode_json_changelog, "debezium": decode_debezium}
+
+
+def kafka_source(bootstrap_servers: str, topic: str, dialect: str = "debezium",
+                 starting_offsets: str = "earliest",
+                 options: dict[str, str] | None = None,
+                 keep_raw: bool = True):
+    """Factory for a real Kafka tail (requires the spark-sql-kafka
+    package on the cluster — not present in the sandbox, where
+    ``kafka_frames_dir_source`` exercises the identical decode)."""
+    decode = _DIALECTS[dialect]
+
+    def factory(spark) -> DataFrame:
+        r = (spark.readStream.format("kafka")
+             .option("kafka.bootstrap.servers", bootstrap_servers)
+             .option("subscribe", topic)
+             .option("startingOffsets", starting_offsets))
+        for k, v in (options or {}).items():
+            r = r.option(k, v)
+        return decode(r.load(), keep_raw=keep_raw)
+
+    return factory
+
+
+def kafka_frames_dir_source(frames_dir: str, dialect: str = "debezium",
+                            max_files_per_trigger: int | None = 1,
+                            keep_raw: bool = True):
+    """Factory tailing a directory of parquet files in Kafka's fixed
+    frame shape (KAFKA_FRAME_SCHEMA) — the sandbox/e2e-test stand-in
+    for ``kafka_source``: micro-batches arrive wire-shaped and flow
+    through the same decode → quarantine → MERGE path."""
+    decode = _DIALECTS[dialect]
+
+    def factory(spark) -> DataFrame:
+        r = spark.readStream.schema(KAFKA_FRAME_SCHEMA)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return decode(r.parquet(frames_dir), keep_raw=keep_raw)
+
+    return factory

@@ -25,6 +25,10 @@ idempotent and an already-applied DDL is detected and skipped.
 
 from __future__ import annotations
 
+import json
+import os
+from typing import Callable
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +37,9 @@ from montandon_etl_spark.functions.extract import extract_text_udf
 from montandon_etl_spark.lake.table import SnapshotTable
 
 CHANGELOG_SPARK_SCHEMA = "seq bigint, url string, warc_ts timestamp, op string, html binary"
+# in-band DDL variant (SURVEY §1.4): schema-evolution events as rows
+CHANGELOG_DDL_SPARK_SCHEMA = CHANGELOG_SPARK_SCHEMA + ", ddl string"
+DDL_OPS = ("add_column", "rename_column", "drop_column", "widen_column")
 
 
 def enrich_batch(batch_df: DataFrame) -> DataFrame:
@@ -99,6 +106,32 @@ def apply_trailing_ddl(table: SnapshotTable,
     return len(ddls)
 
 
+def _extract_inband_ddl(batch_df: DataFrame) -> tuple[DataFrame, pd.DataFrame | None]:
+    """Split a changelog batch that carries a ``ddl`` column into
+    (DML-only frame, in-band DDL events as the side-channel pandas
+    shape). The collect is bounded metadata — DDL events are rare
+    schema changes, never data volume. Streams WITHOUT the ddl column
+    skip this entirely (zero extra jobs on the common path)."""
+    if "ddl" not in batch_df.columns:
+        return batch_df, None
+    ddl_rows = (
+        batch_df.filter(F.col("op").isin(*DDL_OPS))
+        .select("seq", "op", "ddl")
+        .collect()
+    )
+    dml = batch_df.filter(~F.col("op").isin(*DDL_OPS)).drop("ddl")
+    if not ddl_rows:
+        return dml, None
+    recs = []
+    for r in ddl_rows:
+        spec = json.loads(r["ddl"] or "{}")
+        recs.append((int(r["seq"]), r["op"], spec.get("field"),
+                     spec.get("new_name"), spec.get("dtype")))
+    events = pd.DataFrame(
+        recs, columns=["seq", "op", "field", "new_name", "dtype"])
+    return dml, events
+
+
 def merge_microbatch(
     spark: SparkSession,
     table: SnapshotTable,
@@ -111,10 +144,22 @@ def merge_microbatch(
     """One exactly-once micro-batch commit, with DDL interleaving.
     ``gc_tombstones``: the caller asserts the changelog is globally
     seq-ordered (a WAL/binlog tail), enabling tombstone GC at the
-    amortized compactions (see SnapshotTable.compact)."""
+    amortized compactions (see SnapshotTable.compact).
+
+    DDL can arrive two ways: in-band as rows of ``batch_df`` (a ``ddl``
+    column present — the WAL-tail shape, SURVEY §1.4 literally) or as
+    the ``ddl_events`` side-channel (kept for operator-pushed
+    migrations). Both funnel into the same seq-ordered idempotent
+    application loop; an in-band DDL needs no trailing sweep because
+    its own row advances the batch's max seq past it."""
     head = table.snapshot()
     if batch_id is not None and batch_id <= head["committed_max_batch_id"]:
         return  # duplicate epoch delivery → full no-op
+
+    batch_df, inband = _extract_inband_ddl(batch_df)
+    if inband is not None:
+        ddl_events = (inband if ddl_events is None or len(ddl_events) == 0
+                      else pd.concat([ddl_events, inband], ignore_index=True))
 
     # the seq-range probe is only needed to place DDL events — skip the
     # extra job entirely on the (overwhelmingly common) no-DDL path
@@ -124,13 +169,25 @@ def merge_microbatch(
         return
 
     bounds = batch_df.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
-    if bounds["lo"] is None:
+    lo, hi = bounds["lo"], bounds["hi"]
+    if inband is not None:
+        # an in-band DDL row extends the batch's seq high-water even
+        # when it trails every DML row — this is why in-band needs no
+        # apply_trailing_ddl sweep
+        ih = int(inband["seq"].max())
+        hi = ih if hi is None else max(int(hi), ih)
+    if hi is None:
+        return  # empty batch (side-channel DDL waits for a carrying batch)
+    ddls = _pending_ddl(table, ddl_events, hi)
+    if lo is None:
+        # DDL-only batch: no DML to segment, apply and return (re-delivery
+        # is safe — _pending_ddl infers "already applied" from live schema)
+        for d in ddls:
+            table.apply_ddl(d["op"], d["field"], d["new_name"], d["dtype"])
         return
-    ddls = _pending_ddl(table, ddl_events, bounds["hi"])
 
     # enrichment is handed to merge() so the extractor UDF runs only on
     # rows that actually win the merge (losers never pay for it)
-    lo = bounds["lo"]
     for d in ddls:
         # a DDL whose seq precedes this batch (gap between micro-batches)
         # yields an empty pre-segment: merge() no-ops, the DDL still applies
@@ -148,7 +205,7 @@ def merge_microbatch(
 def run_stream(
     spark: SparkSession,
     table: SnapshotTable,
-    changelog_dir: str,
+    changelog_dir: str | None,
     checkpoint_dir: str,
     ddl_events: pd.DataFrame | None = None,
     max_files_per_trigger: int | None = 1,
@@ -156,25 +213,55 @@ def run_stream(
     use_salted: bool = False,
     gc_tombstones: bool = False,
     retention_snapshots: int | None = None,
+    source: Callable[[SparkSession], DataFrame] | None = None,
+    quarantine_dir: str | None = None,
+    in_band_ddl: bool = False,
 ):
-    """Tail a changelog directory into the table.
+    """Tail a change stream into the table.
 
-    File-based source here (the sandbox has no Kafka); the source
-    contract — offsets tracked in the checkpoint, epochs delivered to
-    foreachBatch — is identical for a Kafka/binlog source, so only
-    ``readStream.format(...)`` changes on a real deployment (see
-    ``sources/kafka.py`` for the wire-format decode).
+    The source is pluggable (the reference makes its extraction source
+    pluggable per source module, apps/etl/extraction/sources/base/
+    extract.py:10-86): by default a parquet changelog directory is
+    tailed; pass ``source`` — a factory ``spark -> streaming DataFrame``
+    — to feed anything else (a Kafka/Debezium tail via
+    ``sources.kafka.kafka_source`` / ``kafka_frames_dir_source``) into
+    the SAME foreachBatch/merge path. The offsets-in-checkpoint /
+    epochs-to-foreachBatch contract is identical either way.
+
+    A source whose frames need decoding emits a ``decode_ok`` column
+    (see sources/kafka.py): good rows merge, bad frames are written to
+    ``quarantine_dir`` (per-epoch overwrite → idempotent on re-delivery)
+    — record-not-drop, and one poisoned frame never wedges the tail.
+
+    ``in_band_ddl``: the file source reads the extended changelog schema
+    whose rows carry schema-evolution events (SURVEY §1.4); DDL is
+    applied seq-ordered by ``merge_microbatch`` with no side-channel.
 
     ``retention_snapshots``: expire snapshots beyond the newest N after
     each commit — bounds on-disk growth for a forever-running tail
     (driver-side file ops between batches, off the hot path).
     """
-    reader = spark.readStream.schema(CHANGELOG_SPARK_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(changelog_dir)
+    if source is not None:
+        stream = source(spark)
+    else:
+        if changelog_dir is None:
+            raise ValueError("changelog_dir is required without a source factory")
+        schema = CHANGELOG_DDL_SPARK_SCHEMA if in_band_ddl else CHANGELOG_SPARK_SCHEMA
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.parquet(changelog_dir)
 
     def sink(df: DataFrame, epoch_id: int) -> None:
+        if "decode_ok" in df.columns:
+            bad = df.filter(~F.coalesce(F.col("decode_ok"), F.lit(False)))
+            if quarantine_dir is not None:
+                (bad.write.mode("overwrite")
+                 .parquet(os.path.join(quarantine_dir, f"epoch={epoch_id}")))
+            # "_"-prefixed columns are decode forensics (raw frame bytes)
+            # for the quarantine only — they must never ride the merge
+            drop = ["decode_ok"] + [c for c in df.columns if c.startswith("_")]
+            df = df.filter(F.col("decode_ok")).drop(*drop)
         merge_microbatch(spark, table, df, epoch_id, ddl_events, use_salted,
                          gc_tombstones=gc_tombstones)
         if retention_snapshots is not None:

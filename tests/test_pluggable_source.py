@@ -1,0 +1,207 @@
+"""Pluggable streaming source + in-band DDL (SURVEY §1.4, §2.1 S1).
+
+The reference makes its extraction source pluggable per source module
+(apps/etl/extraction/sources/base/extract.py:10-86); here the seam is
+``run_stream(source=...)`` — a factory producing a streaming DataFrame.
+These tests drive the REAL streaming path with micro-batches arriving
+in Kafka frame shape (Debezium envelope), decoded by the same
+expression tree a broker tail would use, with malformed frames
+quarantined, and verify the final table equals the batch-replay oracle.
+In-band DDL: schema-evolution events travel as changelog ROWS, no
+pandas side-channel."""
+
+from __future__ import annotations
+
+import base64
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from montandon_etl_spark.lake.table import SnapshotTable
+from montandon_etl_spark.oracle import replay_oracle
+from montandon_etl_spark.sources.changelog import (
+    embed_ddl_events,
+    gen_changelog,
+    gen_ddl_events,
+    write_changelog,
+)
+from montandon_etl_spark.sources.kafka import kafka_frames_dir_source
+from montandon_etl_spark.streaming.pipeline import merge_microbatch, run_stream
+from tests.conftest import assert_state_equals_oracle
+
+KAFKA_PA_SCHEMA = pa.schema([
+    pa.field("key", pa.binary()),
+    pa.field("value", pa.binary()),
+    pa.field("topic", pa.string()),
+    pa.field("partition", pa.int32()),
+    pa.field("offset", pa.int64()),
+    pa.field("timestamp", pa.timestamp("us")),
+])
+
+
+def _dbz_frame(row, offset: int) -> tuple:
+    ts_us = int(pd.Timestamp(row.warc_ts).value // 1000)
+    if row.op == "delete":
+        body = {"op": "d", "ts_ms": ts_us // 1000,
+                "source": {"seq": int(row.seq), "ts_us": ts_us},
+                "before": {"url": row.url}}
+    else:
+        body = {"op": "u", "ts_ms": ts_us // 1000,
+                "source": {"seq": int(row.seq), "ts_us": ts_us},
+                "after": {"url": row.url, "warc_ts_us": ts_us,
+                          "html_b64": base64.b64encode(row.html).decode()}}
+    return (row.url.encode(), json.dumps(body).encode(), "pages", 0, offset,
+            pd.Timestamp(row.warc_ts))
+
+
+def write_kafka_frames(log: pd.DataFrame, out_dir: str, n_chunks: int,
+                       poison_every: int | None = None) -> int:
+    """Changelog → Debezium-envelope Kafka frames as parquet chunks
+    (one chunk = one micro-batch with maxFilesPerTrigger=1). Optionally
+    inject a malformed frame every ``poison_every`` rows; returns the
+    number injected."""
+    os.makedirs(out_dir, exist_ok=True)
+    frames, poisoned = [], 0
+    for i, row in enumerate(log.itertuples()):
+        frames.append(_dbz_frame(row, i))
+        if poison_every and i % poison_every == poison_every - 1:
+            kind = poisoned % 3
+            bad = (b"not json at all" if kind == 0
+                   else json.dumps({"op": "weird"}).encode() if kind == 1
+                   else json.dumps({
+                       "op": "u", "ts_ms": 0,
+                       "source": {"seq": 10_000_000 + i, "ts_us": 0},
+                       "after": {"url": f"https://poison/{i}", "warc_ts_us": 0,
+                                 "html_b64": "%%not base64%%"}}).encode())
+            frames.append((b"poison", bad, "pages", 0, 100_000 + i,
+                           pd.Timestamp(row.warc_ts)))
+            poisoned += 1
+    bounds = [len(frames) * k // n_chunks for k in range(n_chunks + 1)]
+    for k in range(n_chunks):
+        part = frames[bounds[k]:bounds[k + 1]]
+        if not part:
+            continue
+        cols = list(zip(*part))
+        t = pa.Table.from_arrays([pa.array(c, type=f.type)
+                                  for c, f in zip(cols, KAFKA_PA_SCHEMA)],
+                                 schema=KAFKA_PA_SCHEMA)
+        pq.write_table(t, os.path.join(out_dir, f"frames-{k:05d}.parquet"),
+                       row_group_size=4096)
+    return poisoned
+
+
+def test_kafka_shaped_stream_end_to_end(spark, tmp_path):
+    """Debezium frames → pluggable source → quarantine split → MERGE:
+    final table ≡ batch replay oracle; every poisoned frame lands in
+    the quarantine, none aborts a micro-batch."""
+    log = gen_changelog(400, 150, seed=7, n_domains=12)
+    frames_dir = str(tmp_path / "frames")
+    qdir = str(tmp_path / "quarantine")
+    n_poison = write_kafka_frames(log, frames_dir, n_chunks=4, poison_every=50)
+    assert n_poison > 0
+
+    table = SnapshotTable.create(str(tmp_path / "pages"), n_buckets=8)
+    q = run_stream(spark, table, None, str(tmp_path / "ckpt"),
+                   source=kafka_frames_dir_source(frames_dir),
+                   quarantine_dir=qdir)
+    q.awaitTermination(300)
+
+    assert_state_equals_oracle(table.read(spark).toPandas(), replay_oracle(log))
+    bad = spark.read.parquet(*glob.glob(os.path.join(qdir, "epoch=*")))
+    assert bad.count() == n_poison
+    # forensics: the raw frame bytes ride along into the quarantine
+    assert "_raw" in bad.columns
+    assert b"not json at all" in [r["_raw"] for r in bad.collect()]
+
+
+def test_kafka_shaped_stream_resume_no_advance(spark, tmp_path):
+    """Re-running the kafka-shaped stream on the same checkpoint must
+    not advance the table head (exactly-once across restarts)."""
+    log = gen_changelog(120, 60, seed=9, n_domains=6)
+    frames_dir = str(tmp_path / "frames")
+    write_kafka_frames(log, frames_dir, n_chunks=3)
+    table = SnapshotTable.create(str(tmp_path / "pages"), n_buckets=4)
+    src = kafka_frames_dir_source(frames_dir)
+    ckpt = str(tmp_path / "ckpt")
+    run_stream(spark, table, None, ckpt, source=src).awaitTermination(300)
+    head = table.io.head_snapshot_id()
+    run_stream(spark, table, None, ckpt, source=src).awaitTermination(300)
+    assert table.io.head_snapshot_id() == head
+    assert_state_equals_oracle(table.read(spark).toPandas(), replay_oracle(log))
+
+
+def test_in_band_ddl_stream(spark, tmp_path):
+    """DDL events as changelog ROWS (SURVEY §1.4 literally): streamed
+    through run_stream(in_band_ddl=True) with no side-channel, the
+    final state matches the side-channel replay oracle — including a
+    TRAILING DDL beyond the last DML event (no apply_trailing_ddl
+    sweep needed in-band)."""
+    log = gen_changelog(300, 120, seed=5, n_domains=8)
+    mid = int(log["seq"].iloc[len(log) // 2])
+    last = int(log["seq"].max())
+    ddl = gen_ddl_events(start_seq=mid)  # add title, rename lang→language
+    ddl["seq"] = [mid, mid + 1]
+    # trailing widen beyond every DML row
+    ddl = pd.concat([ddl, pd.DataFrame(
+        [(last + 1, "add_column", "score", None, "double")],
+        columns=["seq", "op", "field", "new_name", "dtype"])],
+        ignore_index=True)
+    dml = log[~log.seq.isin(ddl.seq)].reset_index(drop=True)
+
+    inband = embed_ddl_events(dml, ddl)
+    assert "ddl" in inband.columns and len(inband) == len(dml) + 3
+    log_dir = str(tmp_path / "changelog")
+    write_changelog(inband, log_dir, n_chunks=5)
+
+    table = SnapshotTable.create(str(tmp_path / "pages"), n_buckets=8)
+    q = run_stream(spark, table, log_dir, str(tmp_path / "ckpt"),
+                   in_band_ddl=True)
+    q.awaitTermination(300)
+
+    got = table.read(spark).toPandas()
+    assert {"title", "language", "score"} <= set(got.columns)
+    assert_state_equals_oracle(
+        got, replay_oracle(dml, ddl),
+        value_cols=["warc_ts", "seq", "html", "text", "language"])
+    assert got["language"].notna().all()
+
+
+def test_in_band_ddl_batch_path(spark, tmp_path):
+    """merge_microbatch derives DDL from the batch rows themselves —
+    including a DDL-only batch and a trailing DDL — with idempotent
+    re-delivery."""
+    log = gen_changelog(200, 80, seed=3, n_domains=6)
+    mid = int(log["seq"].iloc[len(log) // 2])
+    ddl = gen_ddl_events(start_seq=mid)
+    ddl["seq"] = [mid, mid + 1]
+    dml = log[~log.seq.isin(ddl.seq)].reset_index(drop=True)
+    inband = embed_ddl_events(dml, ddl)
+
+    table = SnapshotTable.create(str(tmp_path / "pages"), n_buckets=4)
+    n = len(inband)
+    cols = ["seq", "url", "warc_ts", "op", "html", "ddl"]
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        sdf = spark.createDataFrame(inband.iloc[lo:hi][cols])
+        merge_microbatch(spark, table, sdf, batch_id=i)
+
+    got = table.read(spark).toPandas()
+    assert "language" in got.columns and "title" in got.columns
+    assert_state_equals_oracle(
+        got, replay_oracle(dml, ddl),
+        value_cols=["warc_ts", "seq", "html", "text", "language"])
+
+    # DDL-only batch: applies without a carrying DML row
+    only = pd.DataFrame(
+        [(int(inband.seq.max()) + 5, "ddl:rank", inband.warc_ts.iloc[0],
+          "add_column", None, json.dumps({"field": "rank", "dtype": "bigint"}))],
+        columns=cols)
+    merge_microbatch(spark, table, spark.createDataFrame(only[cols]), batch_id=3)
+    assert "rank" in [f.name for f in table.user_fields()]
+    # re-delivery of the DDL-only batch: no-op
+    head = table.io.head_snapshot_id()
+    merge_microbatch(spark, table, spark.createDataFrame(only[cols]), batch_id=3)
+    assert table.io.head_snapshot_id() == head
