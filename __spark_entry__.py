@@ -366,8 +366,9 @@ def q_ann_topk_ivf(spark, sf):
 
 
 def q_ann_topk_ivf_computed(spark, sf):
-    """IVF with data-computed cells (nearest of 8 deterministic
-    centroids) — the no-label-column scale path."""
+    """IVF with data-computed cells (nearest of 8 centroids from a
+    seeded sampled k-means) — the no-label-column scale path; the
+    oracle recomputes the same Lloyd iterations bit-for-bit."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return S.cosine_topk_ivf_computed(emb, queries, k=5, n_centroids=8)
@@ -746,6 +747,56 @@ _COS = (
 )
 
 
+def _oracle_kmeans_cents(n_centroids: int = 8, sample_size: int = 64,
+                         n_iters: int = 2) -> str:
+    """DuckDB CTE chain recomputing the seeded sampled k-means
+    quantizer (operators/similarity.kmeans_centroids) BIT-FOR-BIT:
+    hash-ordered sample, first-C init, T Lloyd rounds. Every float op
+    mirrors the Python side in order (list_reduce strict folds =
+    seed-first folds; means fold in (hash60, vec_id) sample order;
+    assignment ties go to the smaller cid; empty cells keep their
+    previous centroid via the LEFT JOIN + COALESCE)."""
+    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
+    parts = [f"""
+s0 AS (
+  SELECT {h} AS h, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings ORDER BY h, vec_id LIMIT {sample_size}),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
+  FROM (SELECT h, vec_id, v FROM s0 ORDER BY h, vec_id LIMIT {n_centroids}) t)"""]
+    for k in range(n_iters):
+        parts.append(f""",
+x{k} AS (
+  SELECT s.h, s.vec_id, s.v, c.cid,
+         list_reduce(list_transform(list_zip(s.v, c.v), p -> p[1] * p[2]),
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(c.v, e -> e * e), (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(s.v, e -> e * e), (a, b) -> a + b))) AS cos
+  FROM s0 s CROSS JOIN c{k} c),
+a{k} AS (
+  SELECT h, vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+  FROM x{k}),
+e{k} AS (
+  SELECT cid, h, vec_id,
+         unnest(list_transform(range(1, 1 + len(v)),
+                i -> {{'d': i, 'val': v[i]}})) AS u
+  FROM a{k} WHERE rn = 1),
+m{k} AS (
+  SELECT cid, u['d'] AS d,
+         list_reduce(list(u['val'] ORDER BY h, vec_id), (a, b) -> a + b)
+         / count(*) AS mu
+  FROM e{k} GROUP BY cid, d),
+n{k} AS (SELECT cid, list(mu ORDER BY d) AS v FROM m{k} GROUP BY cid),
+c{k + 1} AS (
+  SELECT c.cid, COALESCE(n.v, c.v) AS v
+  FROM c{k} c LEFT JOIN n{k} n ON n.cid = c.cid)""")
+    parts.append(f""",
+cents AS (SELECT cid, v AS cvec FROM c{n_iters})""")
+    return "".join(parts)
+
+
 def _oracle_lsh_bucket_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
     """DuckDB expression recomputing the hyperplane-LSH bucket with the
     SAME seeded-LCG planes the Spark side compiles into its plan
@@ -1071,9 +1122,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, cell, neighbor_id, floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
             FROM ranked WHERE rank <= 5""",
         "ann_topk_ivf_computed": f"""
-            WITH cents AS (
-              SELECT vec_id AS cid, embedding AS cvec
-              FROM embeddings WHERE vec_id < 8),
+            WITH {_oracle_kmeans_cents()},
             sc AS (
               SELECT e.vec_id, e.embedding, c.cid,
                      list_reduce(list_transform(list_zip(e.embedding, c.cvec),
@@ -1103,9 +1152,7 @@ def oracle_sql() -> dict[str, str]:
                    floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
             FROM ranked WHERE rank <= 5""",
         "ann_topk_ivf_multiprobe": f"""
-            WITH cents AS (
-              SELECT vec_id AS cid, embedding AS cvec
-              FROM embeddings WHERE vec_id < 8),
+            WITH {_oracle_kmeans_cents()},
             sc AS (
               SELECT e.vec_id, e.embedding, c.cid,
                      list_reduce(list_transform(list_zip(e.embedding, c.cvec),

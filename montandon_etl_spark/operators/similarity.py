@@ -113,15 +113,107 @@ def cosine_topk_ivf(
 
 
 def _collect_centroids(embeddings, n_centroids, id_col, vec_col):
-    """Deterministic centroid sample (the n smallest-id vectors) —
-    C rows of quantizer METADATA collected once; a seeded k-means
-    sample would slot into the same plan."""
+    """Head centroids (the n smallest-id vectors) — the degenerate
+    quantizer, kept as the ``quantizer="head"`` baseline the k-means
+    recall test measures against."""
     return (
         embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .orderBy("cid")
         .limit(n_centroids)
         .collect()
     )
+
+
+def _fold(vals):
+    """Strict left fold WITHOUT an initial accumulator (seed = first
+    element) — DuckDB ``list_reduce`` semantics; with IEEE doubles this
+    matches Spark's ``aggregate(.., 0.0, ..)`` bit-for-bit (0.0 + x == x)."""
+    it = iter(vals)
+    acc = next(it)
+    for x in it:
+        acc = acc + x
+    return acc
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    sample_size: int = 64,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict]:
+    """Seeded sampled k-means coarse quantizer (Lloyd's algorithm):
+    the realistic IVF training path — train on a deterministic sample,
+    assign the corpus scan-locally against the C learned centroids.
+
+    Scale story: ONE small job collects the ``sample_size``
+    hash-smallest vectors (data-layout independent — the order key is
+    a content hash of the id, not partition order), Lloyd runs on the
+    driver over S rows of quantizer METADATA (S×dim doubles, a few KB),
+    and the corpus-side assignment stays a scan-local argmax over C
+    compiled-in literals — identical plan shape to the head quantizer,
+    zero extra distributed work at any corpus size.
+
+    Determinism contract (cross-engine checkable): sample = smallest
+    ``hash60(id)``; init = first C sample vectors; assignment argmax
+    breaks ties toward the smaller centroid id; means are strict folds
+    in sample order divided by member count; empty cells keep their
+    previous centroid. Every float op is IEEE double in a pinned order,
+    so a SQL oracle (DuckDB list_reduce folds) reproduces the centroids
+    bit-for-bit — the same trick the hyperplane-LSH oracle uses.
+    """
+    import math
+
+    from montandon_etl_spark.operators.dedup import hash60
+
+    rows = (
+        embeddings.select(
+            hash60(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).alias("i"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("h", "i")
+        .limit(sample_size)
+        .collect()
+    )
+    sample = [[float(x) for x in r["v"]] for r in rows]
+    if not sample:
+        return []
+
+    def cos(v: list[float], c: list[float]) -> float:
+        dot = _fold(a * b for a, b in zip(v, c))
+        return dot / (
+            math.sqrt(_fold(x * x for x in c)) * math.sqrt(_fold(x * x for x in v))
+        )
+
+    cents = [list(v) for v in sample[:n_centroids]]
+    for _ in range(n_iters):
+        groups: list[list[list[float]]] = [[] for _ in cents]
+        for v in sample:  # sample order = (hash60, id) — the fold order
+            best, best_s = 0, None
+            for ci, c in enumerate(cents):
+                s = cos(v, c)
+                if best_s is None or s > best_s:  # tie keeps smaller cid
+                    best, best_s = ci, s
+            groups[best].append(v)
+        cents = [
+            [_fold(m[d] for m in g) / len(g) for d in range(len(g[0]))]
+            if g
+            else cents[ci]
+            for ci, g in enumerate(groups)
+        ]
+    return [{"cid": i, "cvec": c} for i, c in enumerate(cents)]
+
+
+def _quantizer_centroids(embeddings, quantizer, n_centroids, id_col, vec_col):
+    if quantizer == "kmeans":
+        return kmeans_centroids(
+            embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    if quantizer == "head":
+        return _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    raise ValueError(f"unknown quantizer {quantizer!r} (use 'kmeans' or 'head')")
 
 
 def _cell_score_entries(cents, vc: str) -> list:
@@ -162,15 +254,18 @@ def cosine_topk_ivf_computed(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """IVF where the coarse cells are COMPUTED from the data: cell =
     nearest centroid by cosine (the single-probe case of
     ``cosine_topk_ivf_multiprobe``, kept as its own entry point because
     it also REPORTS the cell column). No pre-assigned label column —
-    the realistic 100-TB setting. Cell assignment is a scan-local
-    argmax over C centroid literals (zero extra shuffle); the probe is
-    a co-partitioned cell equi-join."""
-    cents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    the realistic 100-TB setting. Centroids come from a seeded sampled
+    k-means by default (``quantizer="head"`` keeps the old first-C
+    baseline); cell assignment is a scan-local argmax over C centroid
+    literals (zero extra shuffle); the probe is a co-partitioned cell
+    equi-join."""
+    cents = _quantizer_centroids(embeddings, quantizer, n_centroids, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).withColumn("cell", _top_cells(cents, "qvec", 1)[0])
@@ -199,6 +294,7 @@ def cosine_topk_ivf_multiprobe(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """Multi-probe IVF: each query probes its ``nprobe`` nearest cells
     instead of one — the recall/cost dial of IVF search (recall lost to
@@ -210,7 +306,7 @@ def cosine_topk_ivf_multiprobe(
     centroid/score helpers); only the query side fans out, so the join
     stays a small-side broadcast against the cell-partitioned corpus.
     """
-    cents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    cents = _quantizer_centroids(embeddings, quantizer, n_centroids, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).select(

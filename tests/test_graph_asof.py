@@ -146,6 +146,60 @@ def test_ivf_multiprobe_recall_ladder(spark):
     assert r2 >= 0.5, (r1, r2)  # and recovers a meaningful fraction
 
 
+def test_kmeans_quantizer_beats_head_on_clustered_data(spark):
+    """Seeded sampled k-means coarse quantizer: on a clustered corpus
+    whose ids are sorted by cluster (the layout that starves the
+    first-C 'head' quantizer of diversity), k-means recall@5 at equal
+    nprobe must be >= head recall and must recover most of the truth.
+    Also: training is deterministic — same input, same centroids."""
+    import numpy as np
+
+    from montandon_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_computed,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(123)
+    dim, per, n_clusters = 16, 40, 6
+    centers = rng.normal(0, 10.0, size=(n_clusters, dim))
+    rows = []
+    vid = 0
+    for g in range(n_clusters):  # ids sorted by cluster
+        for _ in range(per):
+            v = centers[g] + rng.normal(0, 0.5, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # queries drawn from distinct clusters
+    qids = [3, 45, 85, 125, 165, 205]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk_sets(cosine_topk_bruteforce(emb, queries, k=5))
+    head = topk_sets(cosine_topk_ivf_computed(
+        emb, queries, k=5, n_centroids=n_clusters, quantizer="head"))
+    km = topk_sets(cosine_topk_ivf_computed(
+        emb, queries, k=5, n_centroids=n_clusters, quantizer="kmeans"))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r_head, r_km = recall(head), recall(km)
+    assert r_km >= r_head, (r_head, r_km)
+    assert r_km >= 0.8, (r_head, r_km)
+
+    c1 = kmeans_centroids(emb, n_centroids=n_clusters)
+    c2 = kmeans_centroids(emb, n_centroids=n_clusters)
+    assert c1 == c2  # deterministic training (bit-identical)
+
+
 def test_asof_join_semantics(spark):
     """<= semantics (same-instant right row is visible), no-match NULL,
     atomic struct carry (no cross-row column mixing), per-key reset."""
