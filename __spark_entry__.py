@@ -591,6 +591,43 @@ def q_multimodal_binary_meta(spark, sf):
     return binary_metadata(docs, "doc_id", "bin")
 
 
+def q_image_features_png(spark, sf):
+    """REAL PNG decode in the query path: a deterministic x-gradient
+    PNG is built per event (scanline filter type = event_id % 5, so
+    ALL FIVE PNG filters are exercised and must invert exactly), then
+    decoded by the dependency-free PNG parser
+    (operators/multimodal._parse_png: stdlib zlib + unfiltering). The
+    oracle computes the expected dimensions and channel means
+    analytically — every value is a known answer, so any unfiltering
+    bug flips the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from montandon_etl_spark.operators.multimodal import _encode_png, image_features
+
+    ev = _t(spark, sf, "events").select("event_id")
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                w, h = 4 + e % 5, 3 + e % 3
+                base = [e % 200, (e * 7) % 200, (e * 13) % 200]
+                arr = np.zeros((h, w, 3), dtype=np.uint8)
+                for c in range(3):  # x-gradient per channel, no wrap
+                    arr[:, :, c] = (np.arange(w) + base[c])[None, :]
+                rows.append((e, _encode_png(arr, filter_type=e % 5)))
+            yield pd.DataFrame(rows, columns=["event_id", "png"])
+
+    imgs = ev.mapInPandas(gen, schema="event_id bigint, png binary")
+    feats = image_features(imgs, "event_id", "png")
+    return feats.select(
+        F.col("asset_id").alias("event_id"),
+        "width", "height", "mode", "mean_r", "mean_g", "mean_b",
+    )
+
+
 # ================================================================ oracles ====
 def _oracle_shingle_cte(n: int, block: bool = False) -> str:
     blk = ", source AS blk" if block else ""
@@ -872,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_norms": q_embedding_norms,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "image_features_png": q_image_features_png,
         "url_normalize": q_url_normalize,
         "value_percentiles": q_value_percentiles,
         "hash_sample": q_hash_sample,
@@ -1197,6 +1235,15 @@ def oracle_sql() -> dict[str, str]:
                    floor(sqrt(list_sum(list_transform(embedding,
                          x -> CAST(x AS DOUBLE) * x))) * 100000 + 0.5) / 100000 AS l2_norm
             FROM embeddings""",
+        "image_features_png": """
+            SELECT event_id,
+                   CAST(4 + event_id % 5 AS INT) AS width,
+                   CAST(3 + event_id % 3 AS INT) AS height,
+                   'RGB' AS mode,
+                   (event_id % 200) + (3 + event_id % 5) / 2.0 AS mean_r,
+                   ((event_id * 7) % 200) + (3 + event_id % 5) / 2.0 AS mean_g,
+                   ((event_id * 13) % 200) + (3 + event_id % 5) / 2.0 AS mean_b
+            FROM events""",
         "multimodal_binary_meta": """
             SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_sha

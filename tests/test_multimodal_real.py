@@ -70,3 +70,76 @@ def test_audio_features_wav(spark):
     assert out[2]["rms"] == 0.0 and out[2]["peak"] == 0
     assert out[2]["duration_sec"] == 100 / 16000
     assert out[3]["sample_rate"] is None  # undecodable → NULLs, row kept
+
+
+# ------------------------------------------------------------------ PNG --
+def test_png_roundtrip_all_filters():
+    """Every PNG scanline filter type (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth) must round-trip encode->decode to the exact pixel array,
+    for gray, RGB and RGBA."""
+    from montandon_etl_spark.operators.multimodal import _encode_png, _parse_png
+
+    rng = np.random.default_rng(42)
+    for ch, mode in [(1, "L"), (3, "RGB"), (4, "RGBA")]:
+        arr = rng.integers(0, 256, size=(6, 8, ch), dtype=np.uint8)
+        for f in range(5):
+            b = _encode_png(arr, filter_type=f)
+            w, h, got_mode, px = _parse_png(b)
+            assert (w, h, got_mode) == (8, 6, mode), (ch, f)
+            assert (px == arr).all(), f"filter {f} mode {mode} mismatch"
+
+
+def test_png_palette_and_rejects():
+    from montandon_etl_spark.operators.multimodal import _encode_png, _parse_png
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    # hand-built palette PNG: 2x2, palette [red, green], indices [[0,1],[1,0]]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    raw = bytes([0, 0, 1]) + bytes([0, 1, 0])  # filter0 + indices per row
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    w, h, mode, px = _parse_png(png)
+    assert (w, h, mode) == (2, 2, "RGB")
+    assert (px[0, 0] == [255, 0, 0]).all() and (px[0, 1] == [0, 255, 0]).all()
+    assert (px[1, 0] == [0, 255, 0]).all() and (px[1, 1] == [255, 0, 0]).all()
+
+    # 16-bit depth → explicit rejection (record-not-drop at the UDF layer)
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+             + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0]))) + chunk(b"IEND", b""))
+    try:
+        _parse_png(png16)
+        raise AssertionError("16-bit PNG must be rejected")
+    except ValueError:
+        pass
+
+
+def test_image_features_mixed_codecs(spark):
+    """image_features dispatches on magic bytes: PPM, PNG (with real
+    unfiltering), and garbage in ONE column; exact means on both
+    codecs, NULL row for the garbage."""
+    from montandon_etl_spark.operators.multimodal import _encode_png, _parse_pnm, image_features
+
+    ppm = _ppm(8, 4, (10, 20, 30))
+    arr = np.zeros((4, 8, 3), dtype=np.uint8)
+    arr[:, :, 0] = np.arange(8)[None, :] + 100  # row gradient in R
+    arr[:, :, 1] = 7
+    arr[:, :, 2] = 9
+    png = _encode_png(arr, filter_type=1)  # Sub filter exercises unfiltering
+    df = spark.createDataFrame(
+        [(1, ppm), (2, png), (3, b"\x89PNG\r\n\x1a\njunk"), (4, b"nope")],
+        "id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in
+           image_features(df, "id", "payload", thumb_size=(2, 2)).collect()}
+    assert (out[1]["width"], out[1]["mode"], out[1]["mean_r"]) == (8, "RGB", 10.0)
+    assert (out[2]["width"], out[2]["height"], out[2]["mode"]) == (8, 4, "RGB")
+    assert out[2]["mean_r"] == 100 + 3.5 and out[2]["mean_g"] == 7.0
+    tw, th_, mode, px = _parse_pnm(bytes(out[2]["thumb"]))
+    assert (tw, th_, mode) == (2, 2, "RGB")
+    assert out[3]["width"] is None and out[4]["width"] is None
