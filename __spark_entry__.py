@@ -462,16 +462,26 @@ def q_geojson_bbox(spark, sf):
 
 
 def q_simplify_polygons(spark, sf):
-    """Douglas-Peucker polygon simplification (SURVEY §2.3 P8): unit
-    squares with one collinear edge midpoint — the midpoint must be
-    dropped (6 → 5 vertices), which the oracle knows analytically."""
+    """Douglas-Peucker polygon simplification (SURVEY §2.3 P8) at
+    tolerance 0.01 on two analytically-solved fixtures:
+
+    - even event_id: unit square with a COLLINEAR bottom-edge midpoint
+      → dropped, 6 → 5 vertices;
+    - odd event_id: unit square whose bottom-edge midpoint is lifted
+      0.02 (ABOVE tolerance → must be KEPT) and whose top-edge midpoint
+      is lifted 0.005 (below tolerance → must be DROPPED), 7 → 6.
+
+    The second fixture is the discriminating one: an implementation
+    that drops everything (or keeps everything) fails the hash."""
     from montandon_etl_spark.functions.geo import simplify_geometries
 
     ev = _t(spark, sf, "events")
     k = (F.col("event_id") % 100).cast("string")
     kh = ((F.col("event_id") % 100) + 0.5).cast("string")
     k1 = (F.col("event_id") % 100 + 1).cast("string")
-    gj = F.concat(
+    k_keep = ((F.col("event_id") % 100) + 0.02).cast("string")   # > tol
+    k1_drop = ((F.col("event_id") % 100) + 1.005).cast("string")  # < tol
+    gj_even = F.concat(
         F.lit('{"type":"Polygon","coordinates":[[['), k, F.lit(","), k,
         F.lit("],["), kh, F.lit(","), k,          # collinear midpoint
         F.lit("],["), k1, F.lit(","), k,
@@ -479,6 +489,16 @@ def q_simplify_polygons(spark, sf):
         F.lit("],["), k, F.lit(","), k1,
         F.lit("],["), k, F.lit(","), k, F.lit("]]]}"),
     )
+    gj_odd = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['), k, F.lit(","), k,
+        F.lit("],["), kh, F.lit(","), k_keep,     # 0.02 off the chord: kept
+        F.lit("],["), k1, F.lit(","), k,
+        F.lit("],["), k1, F.lit(","), k1,
+        F.lit("],["), kh, F.lit(","), k1_drop,    # 0.005 off: dropped
+        F.lit("],["), k, F.lit(","), k1,
+        F.lit("],["), k, F.lit(","), k, F.lit("]]]}"),
+    )
+    gj = F.when(F.col("event_id") % 2 == 0, gj_even).otherwise(gj_odd)
     out = simplify_geometries(
         ev.withColumn("gj", gj), "gj", "event_id", tolerance=0.01
     )
@@ -1329,7 +1349,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 100 + 1 AS DOUBLE) AS ymax
             FROM events""",
         "simplify_polygons": """
-            SELECT event_id, 6 AS n_before, 5 AS n_after FROM events""",
+            SELECT event_id,
+                   CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 7 END AS INT) AS n_before,
+                   CAST(CASE WHEN event_id % 2 = 0 THEN 5 ELSE 6 END AS INT) AS n_after
+            FROM events""",
         "xml_roundtrip": """
             SELECT event_id, event_id AS xml_id, event_type AS xml_type
             FROM events""",

@@ -331,6 +331,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "id",
     max_iters: int = 20,
+    algorithm: str = "labelprop",
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs → cluster
     assignment: every doc gets ``cluster_id`` = min doc id reachable
@@ -352,7 +353,18 @@ def dedup_clusters(
     ``pairs``: (id_a, id_b) with id_a < id_b, e.g. from
     ``minhash_lsh_pairs`` (optionally Jaccard-verified first).
     Returns (id, cluster_id, is_canonical).
+
+    ``algorithm="star"`` switches to alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the edge set itself contracts toward per-component stars, giving
+    bounded rounds on adversarial diameters where even pointer-jumped
+    label propagation pays per-round latency; identical output
+    (property-tested on chains and random graphs).
     """
+    if algorithm == "star":
+        return _cc_star(nodes, pairs, id_col, max_iters)
+    if algorithm != "labelprop":
+        raise ValueError(f"unknown algorithm {algorithm!r} (labelprop|star)")
     # localCheckpoint per round: an iterative DataFrame program's
     # lineage otherwise deepens every round and Catalyst re-optimizes
     # the whole nested plan at each action — O(rounds²) planning that
@@ -367,9 +379,15 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint()
+    # iterate ONLY over nodes that appear in an edge: a singleton's
+    # label never changes, so it never needs to ride the loop — after
+    # LSH blocking the paired fraction of a corpus is small, which
+    # shrinks every per-round join/shuffle to |edge endpoints|
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint()
+    )
     def step(lbls: DataFrame) -> DataFrame:
         # step 1 — neighbor-min: each node takes the min label across
         # its edges (covers one hop of graph distance per step)
@@ -398,23 +416,105 @@ def dedup_clusters(
             ).alias("cluster_id"),
         )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iters):
-        # two propagation steps per checkpointed round: the checkpoint
-        # materialization + convergence-count job dominate round cost at
-        # small data, and an extra step past the fixpoint is idempotent —
-        # so pay them half as often
-        new_labels = step(step(labels)).localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("cluster_id", "new_cid")
-            .join(labels, "id")
-            .filter(F.col("new_cid") != F.col("cluster_id"))
-            .limit(1)
-            .count()
+        # two propagation steps per checkpointed round: checkpoint
+        # materialization dominates round cost at small data, and an
+        # extra step past the fixpoint is idempotent — pay it half as
+        # often. The convergence count rides the SAME job via observe()
+        # (the old separate count-job per round is gone — one Spark job
+        # per round total).
+        obs = Observation()
+        stepped = (
+            step(step(labels))
+            .withColumnRenamed("cluster_id", "new_cid")
+            .join(labels.withColumnRenamed("cluster_id", "old_cid"), "id")
+            .select(
+                "id",
+                F.col("new_cid").alias("cluster_id"),
+                (F.col("new_cid") != F.col("old_cid")).cast("int").alias("_chg"),
+            )
+            .observe(obs, F.sum("_chg").alias("changed"))
         )
-        labels = new_labels
-        if changed == 0:
+        new_labels = stepped.localCheckpoint()  # eager: fires the observation
+        labels = new_labels.select("id", "cluster_id")
+        if not obs.get["changed"]:
             break
-    return labels.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+    # singletons (no edges) re-enter as their own cluster
+    out = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )
+    return out.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+
+
+def _cc_star(
+    nodes: DataFrame, pairs: DataFrame, id_col: str, max_iters: int
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al. 2014): instead of propagating labels over a fixed
+    edge set, each round REWRITES the edge set so every node hangs off
+    the smallest node it can currently see — components contract to
+    stars in O(log² n) rounds regardless of diameter.
+
+    large-star(u): attach every strictly-larger neighbor of u to
+    m = min({u} ∪ Γ(u)); small-star(u): attach u and its strictly-
+    smaller neighbors to the smallest of them. Both are one groupBy +
+    one join over the (symmetrized) edge list — the same distributed
+    primitives as label propagation, so the 100-TB story is unchanged;
+    what improves is the ROUND BOUND on adversarial chains.
+    """
+    sym = lambda e: (  # noqa: E731
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = sym(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).localCheckpoint()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        return (
+            e.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        sm = e.filter(F.col("v") < F.col("u"))
+        mins = sm.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            sm.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+        )
+
+    prev_n = edges.count()
+    for _ in range(max_iters):
+        new_edges = sym(small_star(large_star(edges))).localCheckpoint()
+        n = new_edges.count()
+        if n == prev_n and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
+            break
+        edges, prev_n = new_edges, n
+
+    # at the fixpoint every component is a star around its min; any
+    # remaining round trips are harmless (idempotent), so labels are
+    # simply min(self, min neighbor)
+    mins = edges.groupBy("u").agg(F.min("v").alias("mv"))
+    out = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(mins.withColumnRenamed("u", "id"), "id", "left")
+        .select(
+            "id",
+            F.least("id", F.coalesce("mv", F.col("id"))).alias("cluster_id"),
+        )
+    )
+    return out.withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
 
 
 # ------------------------------------------------------------------- simhash

@@ -112,6 +112,39 @@ def pd_isna(v):
     return pd.isna(v)
 
 
+def test_dedup_clusters_star_matches_labelprop(spark):
+    """algorithm='star' (large-star/small-star edge contraction) must
+    produce identical clusters to label propagation — checked on an
+    adversarial 10^4-diameter chain (bounded rounds) and on seeded
+    random graphs (including singletons)."""
+    import random
+
+    # (a) 10^4-node path graph: diameter ~10^4, star must converge
+    # within a small round budget and collapse to one cluster
+    n = 10_000
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    out = dedup_clusters(nodes, pairs, id_col="doc_id", max_iters=16,
+                         algorithm="star").toPandas()
+    assert len(out) == n and set(out.cluster_id) == {0}
+    assert out[out.is_canonical].id.tolist() == [0]
+
+    # (b) random graphs: star == labelprop node-for-node
+    rng = random.Random(7)
+    for _ in range(2):
+        m = 80
+        edges = sorted({(min(a, b), max(a, b)) for a, b in
+                        ((rng.randrange(m), rng.randrange(m)) for _ in range(60))
+                        if a != b})
+        nds = spark.range(m).select(F.col("id").alias("doc_id"))
+        prs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        lp = dedup_clusters(nds, prs, id_col="doc_id").toPandas()
+        st = dedup_clusters(nds, prs, id_col="doc_id", algorithm="star").toPandas()
+        assert dict(zip(lp.id, lp.cluster_id)) == dict(zip(st.id, st.cluster_id))
+
+
 def test_ivf_multiprobe_recall_ladder(spark):
     """Recall@5 vs brute force must climb the ladder: multiprobe(2) >=
     single-probe, and multiprobe recovers a meaningful fraction — the
