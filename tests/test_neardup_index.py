@@ -1,0 +1,103 @@
+"""Incremental near-dup index: after ANY sequence of upsert/delete
+batches (including stale/out-of-order events), the materialized pair
+set must equal a full-corpus minhash_lsh_pairs recompute over the
+surviving LWW state — plus exactly-once re-delivery semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from montandon_etl_spark.operators.dedup import minhash_lsh_pairs
+from montandon_etl_spark.operators.neardup_index import NearDupIndex
+
+TS = pd.Timestamp("2024-03-01")
+PARAMS = dict(n=2, k=8, bands=4)
+
+# a tiny vocabulary so near-dup shingle collisions actually happen
+DOCS = {
+    "a": "the quick brown fox jumps over the lazy dog",
+    "a2": "the quick brown fox jumps over the lazy cat",
+    "b": "pack my box with five dozen liquor jugs",
+    "b2": "pack my box with five dozen liquor mugs",
+    "c": "completely unrelated text about spark engines",
+}
+
+
+def _batch(spark, rows):
+    """rows: (seq, url, hours_offset, op, text)"""
+    data = [(s, u, (TS + pd.Timedelta(hours=h)).to_pydatetime(), op, t)
+            for (s, u, h, op, t) in rows]
+    return spark.createDataFrame(
+        data, "seq bigint, url string, warc_ts timestamp, op string, text string"
+    )
+
+
+def _expected_pairs(spark, state: dict[str, str]):
+    if not state:
+        return set()
+    df = spark.createDataFrame(list(state.items()), "url string, text string")
+    out = minhash_lsh_pairs(df, "url", "text", max_bucket=None, **PARAMS)
+    return {(r["id_a"], r["id_b"]) for r in out.collect()}
+
+
+def _got_pairs(idx, spark):
+    return {(r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()}
+
+
+def test_incremental_index_equals_full_recompute(spark, tmp_path):
+    idx = NearDupIndex.create(str(tmp_path / "ndi"), **PARAMS)
+
+    # batch 0: initial inserts
+    b0 = [(1, "u/a", 0, "upsert", DOCS["a"]),
+          (2, "u/b", 0, "upsert", DOCS["b"]),
+          (3, "u/c", 0, "upsert", DOCS["c"]),
+          (4, "u/d", 0, "upsert", DOCS["a2"])]
+    idx.update(spark, _batch(spark, b0), batch_id=0)
+    state = {"u/a": DOCS["a"], "u/b": DOCS["b"], "u/c": DOCS["c"], "u/d": DOCS["a2"]}
+    assert _got_pairs(idx, spark) == _expected_pairs(spark, state)
+    assert _got_pairs(idx, spark)  # sanity: the fixture produces pairs
+
+    # batch 1: update u/b to a near-dup of itself, insert u/e, delete u/c
+    b1 = [(5, "u/b", 1, "upsert", DOCS["b2"]),
+          (6, "u/e", 1, "upsert", DOCS["b"]),
+          (7, "u/c", 1, "delete", None)]
+    idx.update(spark, _batch(spark, b1), batch_id=1)
+    state.update({"u/b": DOCS["b2"], "u/e": DOCS["b"]})
+    del state["u/c"]
+    assert _got_pairs(idx, spark) == _expected_pairs(spark, state)
+
+    # batch 2: STALE events — an older upsert and an older delete for
+    # u/b must lose the LWW election and leave pairs derived from the
+    # surviving (newer) signature; also change u/a away from u/d
+    b2 = [(8, "u/b", 0, "upsert", DOCS["c"]),     # stale: hour 0 < hour 1
+          (9, "u/b", 0, "delete", None),          # stale delete
+          (10, "u/a", 2, "upsert", DOCS["c"])]    # real change
+    idx.update(spark, _batch(spark, b2), batch_id=2)
+    state["u/a"] = DOCS["c"]
+    assert _got_pairs(idx, spark) == _expected_pairs(spark, state)
+
+    # batch 3: delete everything that still pairs
+    b3 = [(11, "u/b", 3, "delete", None),
+          (12, "u/e", 3, "delete", None),
+          (13, "u/d", 3, "delete", None)]
+    idx.update(spark, _batch(spark, b3), batch_id=3)
+    for u in ("u/b", "u/e", "u/d"):
+        del state[u]
+    assert _got_pairs(idx, spark) == _expected_pairs(spark, state)
+
+    # signature table state mirrors the surviving corpus
+    live = {r["url"] for r in idx.signatures(spark).collect()}
+    assert live == set(state)
+
+
+def test_incremental_index_redelivery_noop(spark, tmp_path):
+    idx = NearDupIndex.create(str(tmp_path / "ndi"), **PARAMS)
+    b0 = [(1, "u/a", 0, "upsert", DOCS["a"]),
+          (2, "u/d", 0, "upsert", DOCS["a2"])]
+    idx.update(spark, _batch(spark, b0), batch_id=0)
+    head = idx.table.io.head_snapshot_id()
+    before = _got_pairs(idx, spark)
+    idx.update(spark, _batch(spark, b0), batch_id=0)  # re-delivery
+    assert idx.table.io.head_snapshot_id() == head
+    assert _got_pairs(idx, spark) == before == {("u/a", "u/d")}
