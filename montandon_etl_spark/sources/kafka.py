@@ -32,10 +32,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# native producer value: html shipped base64 (Kafka JSON is text)
+# native producer value: html shipped base64 (Kafka JSON is text);
+# schema-evolution frames carry op = add/rename/drop/widen_column and
+# their args as a JSON string under ``ddl`` (the Debezium analogue is
+# the schema-change topic interleaved with the data topic)
 JSON_VALUE_SCHEMA = (
-    "seq bigint, url string, warc_ts_us bigint, op string, html_b64 string"
+    "seq bigint, url string, warc_ts_us bigint, op string, html_b64 string,"
+    " ddl string"
 )
+
+DDL_OPS = ("add_column", "rename_column", "drop_column", "widen_column")
 
 DEBEZIUM_VALUE_SCHEMA = (
     "op string, ts_ms bigint,"
@@ -75,23 +81,32 @@ def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value",
     # quarantine contract exists to prevent. NULL-on-malformed lets the
     # frame route to quarantine as a row instead.
     html = F.try_to_binary(F.col("_v.html_b64"), F.lit("base64"))
+    is_ddl = F.col("_v.op").isin(*DDL_OPS)
     ok = (
         F.col(f"{value_col}").isNotNull()
         & F.col("_v._corrupt").isNull()
-        & F.col("_v.url").isNotNull()
         & F.col("_v.seq").isNotNull()
-        & F.col("_v.warc_ts_us").isNotNull()
-        & F.col("_v.op").isin("upsert", "delete")
-        # html_b64 present but undecodable → quarantine (absent is fine:
-        # deletes carry no payload)
-        & (F.col("_v.html_b64").isNull() | html.isNotNull())
+        & F.when(
+            is_ddl,
+            # DDL frame: needs its spec; url is synthetic, payload absent
+            F.col("_v.ddl").isNotNull(),
+        ).otherwise(
+            F.col("_v.url").isNotNull()
+            & F.col("_v.warc_ts_us").isNotNull()
+            & F.col("_v.op").isin("upsert", "delete")
+            # html_b64 present but undecodable → quarantine (absent is
+            # fine: deletes carry no payload)
+            & (F.col("_v.html_b64").isNull() | html.isNotNull())
+        )
     )
     cols = [
         F.col("_v.seq").alias("seq"),
-        F.col("_v.url").alias("url"),
-        F.timestamp_micros(F.col("_v.warc_ts_us")).alias("warc_ts"),
+        F.coalesce(F.col("_v.url"), F.concat(F.lit("ddl:"), F.col("_v.seq").cast("string"))).alias("url"),
+        F.coalesce(F.timestamp_micros(F.col("_v.warc_ts_us")),
+                   F.timestamp_micros(F.lit(0))).alias("warc_ts"),
         F.col("_v.op").alias("op"),
         html.alias("html"),
+        F.when(is_ddl, F.col("_v.ddl")).alias("ddl"),
         ok.alias("decode_ok"),
     ]
     if keep_raw:
@@ -146,8 +161,10 @@ def decode_debezium(kafka_df: DataFrame, value_col: str = "value",
 
 def split_quarantine(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good changelog rows, quarantined frames). Good rows carry
-    exactly the changelog schema the MERGE expects."""
-    good = decoded.filter(F.col("decode_ok")).select(*CHANGELOG_COLS)
+    exactly the changelog schema the MERGE expects (plus the in-band
+    ``ddl`` column when the dialect carries schema-change frames)."""
+    cols = [c for c in CHANGELOG_COLS + ["ddl"] if c in decoded.columns]
+    good = decoded.filter(F.col("decode_ok")).select(*cols)
     bad = decoded.filter(~F.coalesce(F.col("decode_ok"), F.lit(False)))
     return good, bad
 

@@ -170,6 +170,62 @@ def test_in_band_ddl_stream(spark, tmp_path):
     assert got["language"].notna().all()
 
 
+def test_kafka_stream_with_ddl_frames(spark, tmp_path):
+    """The WHOLE wire story at once: JSON-dialect Kafka frames carrying
+    DML + in-band schema-change frames (the Debezium schema-change-
+    topic analogue), streamed through the pluggable source — the final
+    table must match the side-channel replay oracle INCLUDING the
+    evolved columns."""
+    from montandon_etl_spark.sources.kafka import kafka_frames_dir_source
+
+    log = gen_changelog(200, 80, seed=13, n_domains=6)
+    mid = int(log["seq"].iloc[len(log) // 2])
+    ddl = gen_ddl_events(start_seq=mid)  # add title, rename lang→language
+    ddl["seq"] = [mid, mid + 1]
+    dml = log[~log.seq.isin(ddl.seq)].reset_index(drop=True)
+
+    frames = []
+    for i, row in enumerate(dml.itertuples()):
+        ts_us = int(pd.Timestamp(row.warc_ts).value // 1000)
+        body = {"seq": int(row.seq), "url": row.url, "warc_ts_us": ts_us,
+                "op": row.op}
+        if row.op == "upsert":
+            body["html_b64"] = base64.b64encode(row.html).decode()
+        frames.append((row.url.encode(), json.dumps(body).encode(), "pages",
+                       0, i, pd.Timestamp(row.warc_ts)))
+    for j, r in enumerate(ddl.itertuples()):
+        spec = {k: v for k, v in
+                {"field": r.field, "new_name": r.new_name, "dtype": r.dtype}.items()
+                if v is not None}
+        body = {"seq": int(r.seq), "op": r.op, "ddl": json.dumps(spec)}
+        frames.append((b"ddl", json.dumps(body).encode(), "pages", 0,
+                       10_000 + j, pd.Timestamp("2024-01-01")))
+    frames.sort(key=lambda f: json.loads(f[1])["seq"])
+    frames_dir = str(tmp_path / "frames")
+    os.makedirs(frames_dir)
+    n_chunks = 4
+    bounds = [len(frames) * k // n_chunks for k in range(n_chunks + 1)]
+    for k in range(n_chunks):
+        part = frames[bounds[k]:bounds[k + 1]]
+        cols = list(zip(*part))
+        t = pa.Table.from_arrays([pa.array(c, type=f.type)
+                                  for c, f in zip(cols, KAFKA_PA_SCHEMA)],
+                                 schema=KAFKA_PA_SCHEMA)
+        pq.write_table(t, os.path.join(frames_dir, f"frames-{k:05d}.parquet"))
+
+    table = SnapshotTable.create(str(tmp_path / "pages"), n_buckets=4)
+    q = run_stream(spark, table, None, str(tmp_path / "ckpt"),
+                   source=kafka_frames_dir_source(frames_dir, dialect="json"))
+    q.awaitTermination(300)
+
+    got = table.read(spark).toPandas()
+    assert "language" in got.columns and "title" in got.columns
+    assert_state_equals_oracle(
+        got, replay_oracle(dml, ddl),
+        value_cols=["warc_ts", "seq", "html", "text", "language"])
+    assert got["language"].notna().all()
+
+
 def test_in_band_ddl_batch_path(spark, tmp_path):
     """merge_microbatch derives DDL from the batch rows themselves —
     including a DDL-only batch and a trailing DDL — with idempotent
