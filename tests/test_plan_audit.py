@@ -79,3 +79,52 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = _physical_plan(df)
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan \
         or "EqualTo(event_type,purchase)" in plan, plan[:2000]
+
+
+def test_neardup_index_update_plan(spark, tmp_path):
+    """The incremental index's per-batch pair join must be a hash join
+    on (band, bucket) — never a cartesian — and the signature-table
+    read that feeds it must scan only the key + signature columns."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from montandon_etl_spark.operators.neardup_index import NearDupIndex
+    from montandon_etl_spark.operators.dedup import _banded
+
+    idx = NearDupIndex.create(str(tmp_path / "ndi"), n=2, k=8, bands=4)
+    ts = pd.Timestamp("2024-01-01").to_pydatetime()
+    batch = spark.createDataFrame(
+        [(1, "u/a", ts, "upsert", "alpha beta gamma"),
+         (2, "u/b", ts, "upsert", "alpha beta delta")],
+        "seq bigint, url string, warc_ts timestamp, op string, text string",
+    )
+    idx.update(spark, batch, batch_id=0)
+
+    # rebuild the pair-join plan exactly as update() shapes it
+    index_sigs = idx.signatures(spark).withColumnRenamed("url", "id")
+    touched = batch.select(F.col("url").alias("id")).distinct()
+    bb = _banded(index_sigs.join(touched, "id", "left_semi"), 8, 4) \
+        .withColumnRenamed("id", "bid")
+    ib = _banded(index_sigs, 8, 4)
+    joined = bb.join(ib, ["band", "bucket"]).filter(F.col("bid") != F.col("id"))
+    plan = _physical_plan(joined)
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # equi-join on the bucket key
+
+
+def test_star_cc_rounds_are_joins_not_cartesians(spark):
+    """One large-star + small-star round over an edge list must plan as
+    aggregations + equi-joins (groupBy u, join on u) — the primitives
+    that scale; no cartesian, no driver-side loop inside a round."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "u bigint, v bigint"
+    )
+    mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    out = (e.filter(F.col("v") > F.col("u")).join(mins, "u")
+           .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    plan = _physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
