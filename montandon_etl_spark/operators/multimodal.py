@@ -13,14 +13,16 @@ partition). Codec status:
 - **real decoders, zero dependencies**: PPM/PGM images
   (``image_features_ppm``), PNG (``_parse_png`` — stdlib ``zlib``
   inflate + all five scanline filters, color types 0/2/3/4/6 at
-  8-bit; ``_encode_png`` round-trips), WAV audio
-  (``audio_features_wav`` — stdlib ``wave`` + numpy RMS/peak);
-  ``image_features`` dispatches on magic bytes (PNM or PNG);
-- remaining compressed codecs (JPEG/MP4) need PIL/ffmpeg, which are
-  NOT in this container: ``extract_features(decode_mode="fake")``
-  keeps that plumbing tested with a deterministic stand-in, and
-  ``decode_mode="real"`` raises ``NotImplementedError`` behind an
-  import-try.
+  8-bit), baseline JPEG (``operators/jpeg`` — Huffman + dequant +
+  IDCT + 4:2:0/4:2:2/4:4:4 chroma, restart markers; encoder included
+  for round-trip tests), WAV audio (``audio_features_wav`` — stdlib
+  ``wave`` + numpy RMS/peak); ``image_features`` dispatches on magic
+  bytes (PNM, PNG, or JPEG);
+- video (MP4) and exotic image codecs still need ffmpeg/PIL, which
+  are NOT in this container: ``extract_features(decode_mode="fake")``
+  keeps that plumbing tested with a deterministic stand-in, while
+  ``decode_mode="real"`` uses the real decoders above and yields
+  NULL dims for codecs it can't parse (record-not-drop).
 """
 
 from __future__ import annotations
@@ -265,9 +267,13 @@ def _pixel_features(aid, w, h, mode, px, tw, th):
 
 
 def _decode_any_image(b: bytes):
-    """Magic-byte dispatch: PNM (P5/P6) or PNG."""
+    """Magic-byte dispatch: PNM (P5/P6), PNG, or baseline JPEG."""
     if b[:8] == _PNG_MAGIC:
         return _parse_png(b)
+    if b[:2] == b"\xff\xd8":
+        from montandon_etl_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     return _parse_pnm(b)
 
 
@@ -376,15 +382,15 @@ def extract_features(
     Arrow-batched: each pandas chunk holds many payloads; per-batch
     overhead is constant. Partitioning is preserved (narrow op), so
     this pipelines with the scan — no shuffle.
+
+    ``decode_mode="real"`` decodes with the dependency-free codecs
+    (PNM/PNG/baseline JPEG); payloads those can't parse (video, exotic
+    codecs) keep NULL dims. ``"fake"`` is the clearly-quarantined
+    deterministic stand-in for plumbing tests — its output must never
+    be labeled as real features.
     """
-    if decode_mode == "real":
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real decode requires an image codec (PIL) not present in "
-                "this container; use decode_mode='fake' for plumbing tests"
-            ) from e
+    if decode_mode not in ("real", "fake"):
+        raise ValueError(f"decode_mode must be real|fake, got {decode_mode!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -396,8 +402,12 @@ def extract_features(
                     continue
                 b = bytes(p)
                 if decode_mode == "real":
-                    raise NotImplementedError("real image decode not available here")
-                w, h, mode = _fake_decode(b)
+                    try:
+                        w, h, mode, _px = _decode_any_image(b)
+                    except Exception:
+                        w = h = mode = None  # undecodable: keep the row
+                else:
+                    w, h, mode = _fake_decode(b)
                 rows.append(
                     (aid, len(b), hashlib.sha256(b).hexdigest(), w, h, mode)
                 )

@@ -143,3 +143,60 @@ def test_image_features_mixed_codecs(spark):
     tw, th_, mode, px = _parse_pnm(bytes(out[2]["thumb"]))
     assert (tw, th_, mode) == (2, 2, "RGB")
     assert out[3]["width"] is None and out[4]["width"] is None
+
+
+# ----------------------------------------------------------------- JPEG --
+def test_jpeg_roundtrip_paths():
+    """Baseline JPEG codec: flat images round-trip exactly; random RGB
+    is within quantization error at quant=1; restart markers, 4:2:0
+    subsampling, grayscale, and lossier quant all decode."""
+    from montandon_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.zeros((16, 24, 3), dtype=np.uint8)
+    flat[:, :] = (200, 30, 90)
+    w, h, mode, px = decode_jpeg(encode_jpeg(flat))
+    assert (w, h, mode) == (24, 16, "RGB") and (px == flat).all()
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, size=(21, 13, 3), dtype=np.uint8)
+    for kwargs, bound in [(dict(), 3), (dict(restart_interval=2), 3),
+                          (dict(quant=8), 40)]:
+        w, h, mode, px = decode_jpeg(encode_jpeg(a, **kwargs))
+        assert (w, h, mode) == (13, 21, "RGB")
+        err = np.abs(px.astype(int) - a.astype(int)).max()
+        assert err <= bound, (kwargs, err)
+
+    gray = (np.arange(32)[None, :] * 8).astype(np.uint8).repeat(16, 0)[:, :, None]
+    w, h, mode, px = decode_jpeg(encode_jpeg(gray))
+    assert mode == "L" and (px == gray).all()
+
+    # 4:2:0: chroma is 2x2-mean downsampled then nearest-upsampled —
+    # exact on flat color, bounded on smooth gradients
+    w, h, mode, px = decode_jpeg(encode_jpeg(flat, subsample=True))
+    assert np.abs(px.astype(int) - flat.astype(int)).max() <= 1
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(16)[None, :] * 4 + 50
+    grad[:, :, 1] = np.arange(16)[:, None] * 4 + 50
+    grad[:, :, 2] = 99
+    w, h, mode, px = decode_jpeg(encode_jpeg(grad, subsample=True, restart_interval=1))
+    assert np.abs(px.astype(int) - grad.astype(int)).max() <= 4
+
+    # progressive SOF2 is honestly rejected
+    prog = encode_jpeg(flat).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    try:
+        decode_jpeg(prog)
+        raise AssertionError("progressive JPEG must be rejected")
+    except ValueError:
+        pass
+
+
+def test_image_features_jpeg_dispatch(spark):
+    from montandon_etl_spark.operators.jpeg import encode_jpeg
+    from montandon_etl_spark.operators.multimodal import image_features
+
+    flat = np.zeros((8, 8, 3), dtype=np.uint8)
+    flat[:, :] = (120, 64, 33)
+    df = spark.createDataFrame([(1, encode_jpeg(flat))], "id long, payload binary")
+    r = image_features(df, "id", "payload", thumb_size=(2, 2)).collect()[0]
+    assert (r["width"], r["height"], r["mode"]) == (8, 8, "RGB")
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (120.0, 64.0, 33.0)

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-import pytest
 
 from montandon_etl_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 from montandon_etl_spark.operators.lww import lww_latest, lww_latest_salted
@@ -29,12 +28,29 @@ def test_multimodal_plumbing_fake_decode(spark):
     assert (merged["content_sha_f"] == merged["content_sha_m"]).all()
 
 
-def test_multimodal_real_decode_raises(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumn(
-        "bin", F.encode(F.col("text"), "UTF-8")
-    )
-    with pytest.raises(NotImplementedError):
-        extract_features(docs, "doc_id", "bin", decode_mode="real")
+def test_multimodal_real_decode_mixed_codecs(spark):
+    """decode_mode='real' decodes PNG/JPEG/PNM payloads with the
+    dependency-free codecs; anything else keeps NULL dims (record-not-
+    drop), never the fake-decode stand-in."""
+    import numpy as np
+
+    from montandon_etl_spark.operators.jpeg import encode_jpeg
+    from montandon_etl_spark.operators.multimodal import _encode_png
+
+    arr = np.zeros((6, 9, 3), dtype=np.uint8)
+    arr[:, :] = (10, 200, 55)
+    rows = [
+        (1, _encode_png(arr, filter_type=2)),
+        (2, encode_jpeg(arr)),
+        (3, b"P6\n9 6\n255\n" + arr.tobytes()),
+        (4, b"\x00\x00\x00\x18ftypmp42 not a decodable codec"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, bin binary")
+    got = {r["asset_id"]: r for r in
+           extract_features(docs, "doc_id", "bin", decode_mode="real").collect()}
+    for aid in (1, 2, 3):
+        assert (got[aid]["width"], got[aid]["height"], got[aid]["mode"]) == (9, 6, "RGB")
+    assert got[4]["width"] is None and got[4]["n_bytes"] > 0
 
 
 def test_lsh_hyperplane_buckets_deterministic(spark):
