@@ -625,7 +625,12 @@ def q_image_features_png(spark, sf):
 
     from montandon_etl_spark.operators.multimodal import _encode_png, image_features
 
-    ev = _t(spark, sf, "events").select("event_id")
+    # the pruned scan (one bigint column) collapses to a single input
+    # split — repartition so the CPU-bound encode/decode UDFs use every
+    # core (the shuffle moves 8 bytes/row; the UDF costs ~0.4ms/row)
+    ev = _t(spark, sf, "events").select("event_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def gen(it):
         for pdf in it:

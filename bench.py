@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_ivf_computed",  # seeded sampled k-means quantizer path
     "asof_join",
     "heavy_hitters",
     "q1_pricing_summary",
