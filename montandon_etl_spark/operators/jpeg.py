@@ -118,9 +118,18 @@ class _BitReader:
         return v
 
     def align_and_skip_rst(self) -> None:
-        """Byte-align and consume one RSTn marker (restart interval)."""
+        """Byte-align and consume one RSTn marker (restart interval).
+        A stuffed FF 00 before the marker (e.g. all-ones flush padding
+        that produced a literal 0xFF data byte) is entropy data — skip
+        it, don't mistake it for the marker."""
         self.bit = 0
-        while self.data[self.pos] != 0xFF:
+        while True:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.data[self.pos + 1] == 0x00:
+                    self.pos += 2
+                    continue
+                break
             self.pos += 1
         assert 0xD0 <= self.data[self.pos + 1] <= 0xD7, "expected RSTn"
         self.pos += 2
@@ -436,13 +445,22 @@ def encode_jpeg(
                 sh, sv = samps[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        blk = np.full((8, 8), 128.0)
                         ys = (my * sv + by) * 8
                         xs = (mx * sh + bx) * 8
                         sub = plane[ys : min(ys + 8, plane.shape[0]),
                                     xs : min(xs + 8, plane.shape[1])]
                         if sub.size:
-                            blk[: sub.shape[0], : sub.shape[1]] = sub
+                            # edge-replicate partial blocks (not a 128
+                            # fill): keeps flat images flat per block,
+                            # so they round-trip exactly at quant=1 and
+                            # edges don't ring at higher quants
+                            blk = np.pad(
+                                sub,
+                                ((0, 8 - sub.shape[0]), (0, 8 - sub.shape[1])),
+                                mode="edge",
+                            ).astype(np.float64)
+                        else:
+                            blk = np.full((8, 8), 128.0)
                         put_block(ci, blk)
             mcu_count += 1
     bw.flush()

@@ -200,3 +200,51 @@ def test_image_features_jpeg_dispatch(spark):
     r = image_features(df, "id", "payload", thumb_size=(2, 2)).collect()[0]
     assert (r["width"], r["height"], r["mode"]) == (8, 8, "RGB")
     assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (120.0, 64.0, 33.0)
+
+
+# ----------------------------------------------------- codec properties --
+def test_png_roundtrip_property():
+    """Property: ANY 8-bit image shape/content round-trips exactly
+    through the PNG codec for every filter type (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from montandon_etl_spark.operators.multimodal import _encode_png, _parse_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 17), h=st.integers(1, 11),
+           ch=st.sampled_from([1, 3, 4]), f=st.integers(0, 4),
+           seed=st.integers(0, 2**31 - 1))
+    def check(w, h, ch, f, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, ch), dtype=np.uint8)
+        gw, gh, _mode, px = _parse_png(_encode_png(arr, filter_type=f))
+        assert (gw, gh) == (w, h) and (px == arr).all()
+
+    check()
+
+
+def test_jpeg_roundtrip_property():
+    """Property: flat images round-trip exactly; arbitrary content stays
+    within the quant=1 error bound, any shape, gray or RGB, with or
+    without restarts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from montandon_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 20), h=st.integers(1, 18),
+           ch=st.sampled_from([1, 3]), rst=st.sampled_from([0, 1, 3]),
+           seed=st.integers(0, 2**31 - 1))
+    def check(w, h, ch, rst, seed):
+        rng = np.random.default_rng(seed)
+        flat = np.zeros((h, w, ch), dtype=np.uint8)
+        flat[:, :] = rng.integers(0, 256, size=ch, dtype=np.uint8)
+        gw, gh, _m, px = decode_jpeg(encode_jpeg(flat, restart_interval=rst))
+        assert (gw, gh) == (w, h) and (px == flat).all()
+        noisy = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        _, _, _m2, px2 = decode_jpeg(encode_jpeg(noisy, restart_interval=rst))
+        assert np.abs(px2.astype(int) - noisy.astype(int)).max() <= 4
+
+    check()
