@@ -274,6 +274,40 @@ def q_minhash_lsh_candidates(spark, sf):
     return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4, max_bucket=500)
 
 
+def q_incremental_neardup_pairs(spark, sf):
+    """Incremental near-dup index (operators/neardup_index.py): the
+    documents table arrives as THREE CDC upsert batches (split by
+    hash60(key) % 3); the per-batch-maintained candidate-pair set must
+    equal the full-corpus uncapped LSH recompute — which is exactly
+    what the DuckDB oracle computes in one shot. Keys are zero-padded
+    so string least/greatest ordering matches the oracle's numeric
+    id_a < id_b, then cast back to bigint."""
+    import tempfile
+
+    from montandon_etl_spark.operators.dedup import hash60
+    from montandon_etl_spark.operators.neardup_index import NearDupIndex
+
+    docs = _t(spark, sf, "documents").select(
+        F.format_string("%020d", F.col("doc_id")).alias("did"),
+        F.col("doc_id").alias("seq"),
+        "text",
+    )
+    idx = NearDupIndex.create(tempfile.mkdtemp(prefix="mndi_"),
+                              n=2, k=8, bands=4, key_col="did", n_pfx=16)
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    for i in range(3):
+        batch = (
+            docs.filter(F.pmod(hash60(F.col("did")), F.lit(3)) == i)
+            .select("seq", "did", ts.alias("warc_ts"),
+                    F.lit("upsert").alias("op"), "text")
+        )
+        idx.update(spark, batch, batch_id=i)
+    return idx.pairs(spark).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup clustering: LSH candidate pairs → connected components
     → per-doc canonical cluster id (the keep-one-copy decision stage of
@@ -710,13 +744,15 @@ FROM hp_t GROUP BY id
 
 
 def _oracle_minhash_lsh(n: int = 2, k: int = 8, bands: int = 4,
-                        max_bucket: int = 500) -> str:
+                        max_bucket: int | None = 500) -> str:
     r = k // bands
     band_selects = []
     for b in range(bands):
         cols = " || '|' || ".join(f"mh{i}::VARCHAR" for i in range(b * r, (b + 1) * r))
         band_selects.append(f"SELECT doc_id AS id, {b} AS band, {cols} AS bucket FROM sig")
     banded = " UNION ALL ".join(band_selects)
+    having = (f"count(*) BETWEEN 2 AND {max_bucket}" if max_bucket is not None
+              else "count(*) >= 2")
     # ok-bucket CTE mirrors the Spark-side pathological-bucket cap
     return f"""
 WITH {_oracle_shingle_cte(n)},
@@ -727,7 +763,7 @@ sig AS (
   FROM hp_t GROUP BY id),
 banded AS ({banded}),
 ok AS (SELECT band, bucket FROM banded GROUP BY 1, 2
-       HAVING count(*) BETWEEN 2 AND {max_bucket})
+       HAVING {having})
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM banded a
 JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
@@ -916,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "incremental_neardup_pairs": q_incremental_neardup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "asof_join": q_asof_join,
         "heavy_hitters": q_heavy_hitters,
@@ -1070,6 +1107,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _oracle_jaccard(n=2, threshold=0.2),
         "minhash_signatures": _oracle_minhash_sig(n=2, k=8),
         "minhash_lsh_candidates": _oracle_minhash_lsh(n=2, k=8, bands=4, max_bucket=500),
+        "incremental_neardup_pairs": _oracle_minhash_lsh(n=2, k=8, bands=4,
+                                                         max_bucket=None),
         "dedup_clusters": _oracle_dedup_clusters(n=2, k=8, bands=4, max_bucket=500),
         "asof_join": """
             WITH purch AS (
