@@ -687,6 +687,47 @@ def q_image_features_png(spark, sf):
     )
 
 
+def q_video_frame_index(spark, sf):
+    """REAL MP4 container demux in the query path: a deterministic MP4
+    is muxed per document (1 + doc_id % 6 frames; frame i is
+    10 + (doc_id*7 + i*3) % 20 bytes; fps 4; keyframes every 5th), then
+    the dependency-free ISO BMFF demuxer (operators/mp4.parse_mp4 —
+    stts/stsc/stsz/stco/stss sample-table reconstruction) recovers one
+    row per frame. The oracle derives every value analytically: sizes
+    from the formula, pts from frame_idx/fps, offsets as the prefix sum
+    of sizes (reported relative to the asset's first frame so the
+    header length cancels). Any sample-table bug flips the hash."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from montandon_etl_spark.operators.mp4 import build_mp4, video_frame_index
+
+    docs = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 1 + d % 6
+                frames = [bytes([90]) * (10 + (d * 7 + i * 3) % 20)
+                          for i in range(n)]
+                keys = [i for i in range(n) if i % 5 == 0]
+                rows.append((d, build_mp4(frames, fps=4, keyframes=keys)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, schema="asset_id bigint, payload binary")
+    idx = video_frame_index(assets, "asset_id", "payload")
+    w = Window.partitionBy("asset_id")
+    return idx.select(
+        F.col("asset_id").alias("doc_id"),
+        "frame_idx", "n_bytes", "pts_sec", "is_keyframe",
+        (F.col("byte_offset") - F.min("byte_offset").over(w)).alias("rel_offset"),
+    )
+
+
 # ================================================================ oracles ====
 def _oracle_shingle_cte(n: int, block: bool = False) -> str:
     blk = ", source AS blk" if block else ""
@@ -972,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "image_features_png": q_image_features_png,
+        "video_frame_index": q_video_frame_index,
         "url_normalize": q_url_normalize,
         "value_percentiles": q_value_percentiles,
         "hash_sample": q_hash_sample,
@@ -1308,6 +1350,24 @@ def oracle_sql() -> dict[str, str]:
                    ((event_id * 7) % 200) + (3 + event_id % 5) / 2.0 AS mean_g,
                    ((event_id * 13) % 200) + (3 + event_id % 5) / 2.0 AS mean_b
             FROM events""",
+        "video_frame_index": """
+            WITH f AS (
+              SELECT doc_id,
+                     unnest(range(0, 1 + doc_id % 6)) AS fi
+              FROM documents),
+            sized AS (
+              SELECT doc_id, fi, 10 + (doc_id * 7 + fi * 3) % 20 AS sz
+              FROM f)
+            SELECT doc_id,
+                   CAST(fi AS INT) AS frame_idx,
+                   CAST(sz AS INT) AS n_bytes,
+                   CAST(fi AS DOUBLE) / 4 AS pts_sec,
+                   fi % 5 = 0 AS is_keyframe,
+                   CAST(COALESCE(sum(sz) OVER (
+                          PARTITION BY doc_id ORDER BY fi
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS rel_offset
+            FROM sized""",
         "multimodal_binary_meta": """
             SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_sha

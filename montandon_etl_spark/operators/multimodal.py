@@ -18,11 +18,15 @@ partition). Codec status:
   for round-trip tests), WAV audio (``audio_features_wav`` — stdlib
   ``wave`` + numpy RMS/peak); ``image_features`` dispatches on magic
   bytes (PNM, PNG, or JPEG);
-- video (MP4) and exotic image codecs still need ffmpeg/PIL, which
-  are NOT in this container: ``extract_features(decode_mode="fake")``
-  keeps that plumbing tested with a deterministic stand-in, while
-  ``decode_mode="real"`` uses the real decoders above and yields
-  NULL dims for codecs it can't parse (record-not-drop).
+- **MP4 video at the container level** (``operators/mp4`` — full ISO
+  BMFF sample-table demux: per-frame byte ranges, pts, keyframes, plus
+  a muxer for round-trips); only the H.264/H.265 PIXEL decode of a
+  frame payload still needs ffmpeg, which is NOT in this container
+  (``mp4.decode_frame_rgb`` is the honest gate).
+  ``extract_features(decode_mode="fake")`` keeps exotic-codec plumbing
+  tested with a deterministic stand-in, while ``decode_mode="real"``
+  uses the real decoders above and yields NULL dims for codecs it
+  can't parse (record-not-drop).
 """
 
 from __future__ import annotations
