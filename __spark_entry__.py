@@ -274,14 +274,11 @@ def q_minhash_lsh_candidates(spark, sf):
     return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4, max_bucket=500)
 
 
-def q_incremental_neardup_pairs(spark, sf):
-    """Incremental near-dup index (operators/neardup_index.py): the
-    documents table arrives as THREE CDC upsert batches (split by
-    hash60(key) % 3); the per-batch-maintained candidate-pair set must
-    equal the full-corpus uncapped LSH recompute — which is exactly
-    what the DuckDB oracle computes in one shot. Keys are zero-padded
-    so string least/greatest ordering matches the oracle's numeric
-    id_a < id_b, then cast back to bigint."""
+def _run_incremental_neardup(spark, sf, max_bucket):
+    """Feed documents through the NearDupIndex as three CDC upsert
+    batches (split by hash60(key) % 3) and return the maintained pair
+    set. Keys are zero-padded so string least/greatest ordering matches
+    the oracle's numeric id_a < id_b, then cast back to bigint."""
     import tempfile
 
     from montandon_etl_spark.operators.dedup import hash60
@@ -293,7 +290,8 @@ def q_incremental_neardup_pairs(spark, sf):
         "text",
     )
     idx = NearDupIndex.create(tempfile.mkdtemp(prefix="mndi_"),
-                              n=2, k=8, bands=4, key_col="did", n_pfx=16)
+                              n=2, k=8, bands=4, key_col="did", n_pfx=16,
+                              max_bucket=max_bucket)
     ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
     for i in range(3):
         batch = (
@@ -306,6 +304,24 @@ def q_incremental_neardup_pairs(spark, sf):
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
     )
+
+
+def q_incremental_neardup_pairs(spark, sf):
+    """Incremental near-dup index (operators/neardup_index.py): the
+    per-batch-maintained candidate-pair set must equal the full-corpus
+    uncapped LSH recompute — which is exactly what the DuckDB oracle
+    computes in one shot."""
+    return _run_incremental_neardup(spark, sf, max_bucket=None)
+
+
+def q_incremental_neardup_pairs_capped(spark, sf):
+    """Cap-aware incremental near-dup index: max_bucket=4 is pinned at
+    create time and maintained via the provenance pair store (a bucket
+    crossing the cap has its contribution rebuilt). The sf0.01 corpus
+    has buckets of size 5..21, so the cap genuinely excludes pairs the
+    uncapped variant keeps — the oracle applies the same
+    2 <= size <= 4 gate in SQL."""
+    return _run_incremental_neardup(spark, sf, max_bucket=4)
 
 
 def q_dedup_clusters(spark, sf):
@@ -994,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "incremental_neardup_pairs": q_incremental_neardup_pairs,
+        "incremental_neardup_pairs_capped": q_incremental_neardup_pairs_capped,
         "dedup_clusters": q_dedup_clusters,
         "asof_join": q_asof_join,
         "heavy_hitters": q_heavy_hitters,
@@ -1151,6 +1168,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _oracle_minhash_lsh(n=2, k=8, bands=4, max_bucket=500),
         "incremental_neardup_pairs": _oracle_minhash_lsh(n=2, k=8, bands=4,
                                                          max_bucket=None),
+        "incremental_neardup_pairs_capped": _oracle_minhash_lsh(n=2, k=8, bands=4,
+                                                                max_bucket=4),
         "dedup_clusters": _oracle_dedup_clusters(n=2, k=8, bands=4, max_bucket=500),
         "asof_join": """
             WITH purch AS (

@@ -18,24 +18,31 @@ hash columns, not per corpus). This module maintains three artifacts:
   ONLY those prefixes (the lake's bucket-pruning trick applied to the
   LSH keyspace). Per-batch I/O is O(touched prefixes), never
   O(corpus);
-- a **materialized candidate-pair set**: per batch, pairs involving a
-  touched key are retracted and the batch keys' surviving signatures
-  are band-bucket joined against the touched-prefix slice of the
-  banded store — new-pair WORK is O(batch x bucket).
+- a **pair store**: candidate pairs WITH their (band, bucket)
+  provenance, partitioned by the same pfx scheme. Provenance is what
+  makes both the cap and the deletes incrementally correct: a pair is
+  live iff SOME qualifying bucket (size in [2, max_bucket]) still
+  produces it, and bucket contents only change when a touched key
+  enters or leaves — so each batch retracts exactly the touched
+  buckets' rows and re-derives them from the post-merge slice. A
+  bucket crossing ``max_bucket`` in either direction is just another
+  touched bucket whose contribution is rebuilt. ``pairs()`` is the
+  DISTINCT (id_a, id_b) projection.
 
 Scale notes (100 TB): the signature table is ~16 bigints/key (~1.3 TB
 at 10^10 docs); the banded store is bands x that, spread over n_pfx
-partitions so a batch touching B buckets reads ~B/n_pfx of it. The
-pair store is rewritten filtered per batch (pairs are orders of
-magnitude smaller than the corpus); at extreme pair counts you would
-partition it the same way and rewrite only touched partitions.
+partitions so a batch touching B buckets reads ~B/n_pfx of it. Pair
+rows are at most bands x the deduped pair count (provenance fan-out)
+and bounded per bucket by max_bucket²; the per-batch pair rewrite
+touches the same prefixes as the banded rewrite — O(touched), never
+O(all pairs). Driver-side state is prefix IDs only (≤ n_pfx ints);
+bucket/pair data never leaves the executors.
 
 Equivalence contract (tested): after any sequence of upsert/delete
 batches, ``pairs()`` equals a full-corpus ``minhash_lsh_pairs``
-recompute over the surviving LWW state — for the uncapped setting.
-A ``max_bucket`` cap is size-dependent global state (a bucket crossing
-the cap must RETRACT pairs), so the incremental index pins
-``max_bucket=None`` and leaves capping to the downstream verifier.
+recompute over the surviving LWW state — for the index's pinned
+``max_bucket`` (None = uncapped), including buckets that cross the
+cap in either direction mid-stream.
 """
 
 from __future__ import annotations
@@ -53,6 +60,7 @@ from montandon_etl_spark.lake.table import SnapshotTable
 from montandon_etl_spark.operators.dedup import _banded, hash60, minhash_signatures
 
 BANDED_SCHEMA = "id string, band int, bucket string, pfx int"
+PAIR_SCHEMA = "id_a string, id_b string, band int, bucket string, pfx int"
 
 
 class NearDupIndex:
@@ -60,22 +68,24 @@ class NearDupIndex:
     CDC change stream. See module docstring."""
 
     def __init__(self, path: str, n: int = 3, k: int = 16, bands: int = 4,
-                 n_pfx: int = 64):
+                 n_pfx: int = 64, max_bucket: int | None = None):
         self.path = path
         cfg_path = os.path.join(path, "index.json")
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 cfg = json.load(f)
             n, k, bands, n_pfx = cfg["n"], cfg["k"], cfg["bands"], cfg["n_pfx"]
+            max_bucket = cfg.get("max_bucket")
         assert k % bands == 0
         self.n, self.k, self.bands, self.n_pfx = n, k, bands, n_pfx
+        self.max_bucket = max_bucket
         self.table = SnapshotTable(os.path.join(path, "sig"))
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
     def create(cls, path: str, n: int = 3, k: int = 16, bands: int = 4,
                key_col: str = "url", n_buckets: int = 16,
-               n_pfx: int = 64) -> "NearDupIndex":
+               n_pfx: int = 64, max_bucket: int | None = None) -> "NearDupIndex":
         fields = [
             Field(1, key_col, "string", False),
             Field(2, "warc_ts", "timestamp", False),
@@ -88,7 +98,8 @@ class NearDupIndex:
         os.makedirs(os.path.join(path, "pairs"), exist_ok=True)
         os.makedirs(os.path.join(path, "banded"), exist_ok=True)
         with open(os.path.join(path, "index.json"), "w") as f:
-            json.dump({"n": n, "k": k, "bands": bands, "n_pfx": n_pfx}, f)
+            json.dump({"n": n, "k": k, "bands": bands, "n_pfx": n_pfx,
+                       "max_bucket": max_bucket}, f)
         return cls(path)
 
     @property
@@ -118,13 +129,15 @@ class NearDupIndex:
                 vs.append(int(base[1:]))
         return sorted(vs)
 
-    def _banded_dirs(self, pfx_filter: set[int] | None = None) -> list[str]:
-        """Current data dirs of the banded store: for each prefix, the
-        newest version that rewrote it (per-prefix versioning — exactly
-        the manifest-carry-over trick the lake uses for buckets)."""
+    def _store_dirs(self, store: str,
+                    pfx_filter: set[int] | None = None) -> list[str]:
+        """Current data dirs of a pfx-partitioned store: for each
+        prefix, the newest version that rewrote it (per-prefix
+        versioning — exactly the manifest-carry-over trick the lake
+        uses for buckets)."""
         latest: dict[int, str] = {}
-        for v in self._versions("banded"):
-            vd = os.path.join(self.path, "banded", f"v{v}")
+        for v in self._versions(store):
+            vd = os.path.join(self.path, store, f"v{v}")
             for pd in glob.glob(os.path.join(vd, "pfx=*")):
                 p = int(os.path.basename(pd).split("=")[1])
                 latest[p] = pd  # versions ascend → last wins
@@ -132,26 +145,50 @@ class NearDupIndex:
             latest = {p: d for p, d in latest.items() if p in pfx_filter}
         return [latest[p] for p in sorted(latest)]
 
-    def _read_banded(self, spark: SparkSession,
-                     pfx_filter: set[int] | None = None) -> DataFrame:
+    def _read_store(self, spark: SparkSession, store: str, schema: str,
+                    pfx_filter: set[int] | None = None) -> DataFrame:
         # an empty `pfx=N` dir is a tombstone: the newest rewrite of
         # that prefix produced zero rows (every entry retracted) — it
-        # supersedes older versions in _banded_dirs but reads as nothing
-        dirs = [d for d in self._banded_dirs(pfx_filter)
+        # supersedes older versions in _store_dirs but reads as nothing
+        dirs = [d for d in self._store_dirs(store, pfx_filter)
                 if glob.glob(os.path.join(d, "*.parquet"))]
+        cols = [c.split()[0] for c in schema.split(",") if "pfx" not in c]
         if not dirs:
-            return spark.createDataFrame([], BANDED_SCHEMA).drop("pfx")
+            return spark.createDataFrame([], schema).select(*cols)
         # leaf `pfx=N` dirs are read as plain files (the partition
         # column is re-derived by _with_pfx when needed)
-        return spark.read.parquet(*dirs).select("id", "band", "bucket")
+        return spark.read.parquet(*dirs).select(*cols)
+
+    def _write_store(self, spark: SparkSession, df: DataFrame, ver_dir: str,
+                     touched_pfx: set[int], schema: str) -> None:
+        """One versioned, pfx-partitioned rewrite of the touched
+        prefixes; tombstone-dirs any touched prefix whose new content
+        is empty (so it still supersedes older versions — otherwise
+        retracted entries would resurrect through a stale older
+        partition)."""
+        if touched_pfx:
+            df.write.mode("overwrite").partitionBy("pfx").parquet(ver_dir)
+        else:  # nothing touched: stamp an empty version for idempotency
+            spark.createDataFrame([], schema).write.mode(
+                "overwrite").partitionBy("pfx").parquet(ver_dir)
+        for p in touched_pfx:
+            os.makedirs(os.path.join(ver_dir, f"pfx={p}"), exist_ok=True)
+
+    def _gc_store(self, store: str) -> None:
+        """A version dir is deletable once every prefix it carries has
+        been rewritten by a newer version."""
+        live = set(self._store_dirs(store))
+        for v in self._versions(store)[:-1]:
+            vd = os.path.join(self.path, store, f"v{v}")
+            if not any(d.startswith(vd + os.sep) or d == vd for d in live):
+                shutil.rmtree(vd, ignore_errors=True)
 
     def pairs(self, spark: SparkSession) -> DataFrame:
         """Current candidate pairs (id_a < id_b) — the materialized
-        equivalent of a full-corpus minhash_lsh_pairs recompute."""
-        vs = self._versions("pairs")
-        if not vs:
-            return spark.createDataFrame([], "id_a string, id_b string")
-        return spark.read.parquet(os.path.join(self.path, "pairs", f"v{vs[-1]}"))
+        equivalent of a full-corpus minhash_lsh_pairs recompute at the
+        index's pinned max_bucket."""
+        return self._read_store(spark, "pairs", PAIR_SCHEMA).select(
+            "id_a", "id_b").distinct()
 
     # ---------------------------------------------------------------- update
     def update(self, spark: SparkSession, batch_df: DataFrame,
@@ -160,16 +197,18 @@ class NearDupIndex:
         text) to the index: signatures for the batch's upserts merge
         into the signature table (deletes tombstone); the banded store
         rewrites only the prefixes hit by the touched keys' OLD and NEW
-        buckets; the pair set retracts pairs touching batch keys and
-        adds pairs from the surviving signatures' buckets joined
-        against those same touched prefixes.
+        buckets; the pair store retracts the touched BUCKETS' rows and
+        re-derives them — with the cap applied to post-merge bucket
+        sizes — from the same touched-prefix slice.
 
         Exactly-once: the signature merge dedups on ``batch_id``; the
         banded and pair stores are versioned by the resulting snapshot
         id, so a re-delivered batch that already produced all artifacts
         is a full no-op, and a crash between them is repaired on
         re-delivery (the derived writes re-run against the same
-        snapshot).
+        snapshot — the pre-batch state is head's PARENT in the commit
+        log, never the pre-call head, which on a re-delivery would
+        equal head and lose the retraction prefixes).
         """
         key = self.key_col
         ups = batch_df.filter(F.col("op") == "upsert")
@@ -185,11 +224,6 @@ class NearDupIndex:
         merged = sigs.unionByName(dels, allowMissingColumns=True)
         res = self.table.merge(spark, merged, batch_id=batch_id)
         head = self.table.io.head_snapshot_id()
-        # the pre-batch snapshot is head's PARENT in the commit log —
-        # never the pre-call head: on a re-delivered batch the merge
-        # no-ops and pre-call head == head, which would make "old
-        # buckets" read post-merge state and lose the retraction
-        # prefixes (stale banded entries would resurrect)
         prev_sid = self.table.io.read_snapshot(head).get("parent_id")
         pair_dir = os.path.join(self.path, "pairs", f"v{head}")
         banded_dir = os.path.join(self.path, "banded", f"v{head}")
@@ -209,9 +243,9 @@ class NearDupIndex:
             .join(touched_keys, "id", "left_semi")
         )
         new_banded = self._with_pfx(_banded(new_sigs, self.k, self.bands))
-        # old buckets (pre-merge signatures) determine which prefixes
-        # hold entries that must be RETRACTED
-        old_banded = None
+        # old buckets (pre-merge signatures of touched keys) hold the
+        # entries and pairs that must be RETRACTED
+        tb = new_banded.select("band", "bucket", "pfx")
         if prev_sid is not None:
             old_sigs = (
                 self.signatures(spark, snapshot_id=prev_sid)
@@ -219,67 +253,53 @@ class NearDupIndex:
                 .join(touched_keys, "id", "left_semi")
             )
             old_banded = self._with_pfx(_banded(old_sigs, self.k, self.bands))
+            tb = tb.unionByName(old_banded.select("band", "bucket", "pfx"))
+        # touched buckets: stays distributed (can be batch-sized); only
+        # the prefix set (≤ n_pfx ints) is driver-side metadata
+        tb = tb.distinct().localCheckpoint()
+        touched_pfx = {r["pfx"] for r in tb.select("pfx").distinct().collect()}
 
-        # touched prefixes: bounded metadata (≤ bands × |touched keys|)
-        pfx_df = new_banded.select("pfx")
-        if old_banded is not None:
-            pfx_df = pfx_df.unionByName(old_banded.select("pfx"))
-        touched_pfx = {r["pfx"] for r in pfx_df.distinct().collect()}
-
-        # rewrite ONLY the touched prefixes: previous content of those
-        # prefixes minus touched ids, plus the new entries
-        prev_slice = self._read_banded(spark, pfx_filter=touched_pfx)
+        # banded rewrite: previous content of the touched prefixes
+        # minus touched ids, plus the surviving new entries
+        prev_slice = self._read_store(spark, "banded", BANDED_SCHEMA,
+                                      pfx_filter=touched_pfx)
         idx_slice = (
             self._with_pfx(prev_slice.join(touched_keys, "id", "left_anti"))
             .unionByName(new_banded)
             .persist()
         )
-        if touched_pfx:
-            (idx_slice.write.mode("overwrite").partitionBy("pfx")
-             .parquet(banded_dir))
-        else:  # nothing touched: stamp an empty version for idempotency
-            spark.createDataFrame([], BANDED_SCHEMA).write.mode(
-                "overwrite").partitionBy("pfx").parquet(banded_dir)
-        # a touched prefix whose new content is EMPTY gets no partition
-        # dir from the write — stamp an empty tombstone dir so it still
-        # supersedes older versions (otherwise retracted entries would
-        # resurrect through the stale older partition)
-        for p in touched_pfx:
-            os.makedirs(os.path.join(banded_dir, f"pfx={p}"), exist_ok=True)
+        self._write_store(spark, idx_slice, banded_dir, touched_pfx,
+                          BANDED_SCHEMA)
 
-        # candidate pairs: batch-side buckets vs the SAME touched-prefix
-        # slice — O(batch x bucket) work, O(touched prefixes) read
-        bb = new_banded.select(
-            F.col("id").alias("bid"), "band", "bucket"
-        )
-        new_pairs = (
-            bb.join(idx_slice, ["band", "bucket"])
-            .filter(F.col("bid") != F.col("id"))
-            .select(
-                F.least("bid", "id").alias("id_a"),
-                F.greatest("bid", "id").alias("id_b"),
+        # pair rewrite: a bucket's contribution changes only when a
+        # touched key entered or left it, so retract exactly the
+        # touched buckets' rows and re-derive them from the post-merge
+        # slice (full bucket membership lives in the touched prefixes),
+        # applying the cap to the NEW bucket sizes
+        ents = idx_slice.join(tb.select("band", "bucket").distinct(),
+                              ["band", "bucket"], "left_semi")
+        if self.max_bucket is not None:
+            ok = (
+                ents.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= self.max_bucket)
+                .select("band", "bucket")
             )
-            .distinct()
-        )
-        touched_a = touched_keys.withColumnRenamed("id", "id_a")
+            ents = ents.join(ok, ["band", "bucket"], "left_semi")
+        a = ents.select(F.col("id").alias("id_a"), "band", "bucket", "pfx")
+        b = ents.select(F.col("id").alias("id_b"), "band", "bucket")
+        new_pairs = a.join(b, ["band", "bucket"]).filter(
+            F.col("id_a") < F.col("id_b")
+        ).select("id_a", "id_b", "band", "bucket", "pfx")
         kept = (
-            self.pairs(spark)
-            .join(touched_a, "id_a", "left_anti")
-            .join(touched_a.withColumnRenamed("id_a", "id_b"), "id_b", "left_anti")
-            .select("id_a", "id_b")
+            self._read_store(spark, "pairs", PAIR_SCHEMA,
+                             pfx_filter=touched_pfx)
+            .join(tb.select("band", "bucket").distinct(),
+                  ["band", "bucket"], "left_anti")
         )
-        out = kept.unionByName(new_pairs).distinct()
-        out.write.mode("overwrite").parquet(pair_dir)
+        out = self._with_pfx(kept).unionByName(new_pairs)
+        self._write_store(spark, out, pair_dir, touched_pfx, PAIR_SCHEMA)
         idx_slice.unpersist()
 
-        # retain only the previous version for crash recovery; a banded
-        # version dir is deletable once every prefix it carries has been
-        # rewritten by a newer version
-        for v in self._versions("pairs")[:-2]:
-            shutil.rmtree(os.path.join(self.path, "pairs", f"v{v}"),
-                          ignore_errors=True)
-        live = set(self._banded_dirs())
-        for v in self._versions("banded")[:-1]:
-            vd = os.path.join(self.path, "banded", f"v{v}")
-            if not any(d.startswith(vd + os.sep) or d == vd for d in live):
-                shutil.rmtree(vd, ignore_errors=True)
+        self._gc_store("pairs")
+        self._gc_store("banded")

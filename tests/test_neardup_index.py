@@ -33,11 +33,11 @@ def _batch(spark, rows):
     )
 
 
-def _expected_pairs(spark, state: dict[str, str]):
+def _expected_pairs(spark, state: dict[str, str], max_bucket=None):
     if not state:
         return set()
     df = spark.createDataFrame(list(state.items()), "url string, text string")
-    out = minhash_lsh_pairs(df, "url", "text", max_bucket=None, **PARAMS)
+    out = minhash_lsh_pairs(df, "url", "text", max_bucket=max_bucket, **PARAMS)
     return {(r["id_a"], r["id_b"]) for r in out.collect()}
 
 
@@ -89,6 +89,43 @@ def test_incremental_index_equals_full_recompute(spark, tmp_path):
     # signature table state mirrors the surviving corpus
     live = {r["url"] for r in idx.signatures(spark).collect()}
     assert live == set(state)
+
+
+def test_capped_index_cap_crossing(spark, tmp_path):
+    """max_bucket is pinned at create time and maintained incrementally:
+    a bucket crossing the cap retracts its pairs; dropping back under
+    (via delete) restores them — each step ≡ a capped full recompute.
+    An unrelated pair must survive every rewrite untouched."""
+    cap = 2
+    idx = NearDupIndex.create(str(tmp_path / "ndi"), max_bucket=cap, **PARAMS)
+    T = DOCS["a"]
+    b0 = [(1, "u/1", 0, "upsert", T), (2, "u/2", 0, "upsert", T),
+          (3, "u/p", 0, "upsert", DOCS["b"]), (4, "u/q", 0, "upsert", DOCS["b2"])]
+    idx.update(spark, _batch(spark, b0), batch_id=0)
+    state = {"u/1": T, "u/2": T, "u/p": DOCS["b"], "u/q": DOCS["b2"]}
+    got = _got_pairs(idx, spark)
+    assert got == _expected_pairs(spark, state, max_bucket=cap)
+    assert ("u/1", "u/2") in got  # bucket size 2 == cap: qualifies
+
+    # grow the identical-text bucket past the cap → its pairs retract
+    idx.update(spark, _batch(spark, [(5, "u/3", 1, "upsert", T)]), batch_id=1)
+    state["u/3"] = T
+    got = _got_pairs(idx, spark)
+    assert got == _expected_pairs(spark, state, max_bucket=cap)
+    assert ("u/1", "u/2") not in got
+    assert ("u/p", "u/q") in got  # unrelated pair untouched
+
+    # shrink back under the cap → the pair returns
+    idx.update(spark, _batch(spark, [(6, "u/3", 2, "delete", None)]), batch_id=2)
+    del state["u/3"]
+    got = _got_pairs(idx, spark)
+    assert got == _expected_pairs(spark, state, max_bucket=cap)
+    assert {("u/1", "u/2"), ("u/p", "u/q")} <= got
+
+    # below pair threshold → gone
+    idx.update(spark, _batch(spark, [(7, "u/2", 3, "delete", None)]), batch_id=3)
+    del state["u/2"]
+    assert _got_pairs(idx, spark) == _expected_pairs(spark, state, max_bucket=cap)
 
 
 def _crash_recovery_scenario(spark, tmp_path, drop_banded: bool):
