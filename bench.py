@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "cdc_lww_latest_state",
     "dedup_exact_content",
     "minhash_lsh_candidates",
+    "incremental_neardup_pairs_capped",  # 3-batch CDC-maintained LSH index
+    "video_frame_index",  # MP4 sample-table demux, per-frame rows
     "simhash",
     "token_stats",
     "quality_score",

@@ -165,9 +165,17 @@ class NearDupIndex:
         prefixes; tombstone-dirs any touched prefix whose new content
         is empty (so it still supersedes older versions — otherwise
         retracted entries would resurrect through a stale older
-        partition)."""
+        partition).
+
+        Repartition BY pfx first: without it every upstream task writes
+        a sliver into every touched prefix dir — O(tasks × prefixes)
+        tiny files whose open-cost makes later reads explode into
+        1000+ scheduling-bound tasks (measured 3-4× the whole update's
+        wall). One shuffle of the touched slice buys one file per
+        prefix per version."""
         if touched_pfx:
-            df.write.mode("overwrite").partitionBy("pfx").parquet(ver_dir)
+            (df.repartition(self.n_pfx, "pfx")
+             .write.mode("overwrite").partitionBy("pfx").parquet(ver_dir))
         else:  # nothing touched: stamp an empty version for idempotency
             spark.createDataFrame([], schema).write.mode(
                 "overwrite").partitionBy("pfx").parquet(ver_dir)
