@@ -380,6 +380,14 @@ def q_token_stats(spark, sf):
     return X.token_stats(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_ngram_lm_score(spark, sf):
+    """Self-trained char-trigram LM fluency score (CCNet-style): both
+    engines train the same counts over the same corpus and score each
+    doc as the mean conditional probability of its trigrams, snapped
+    to integer micro-units before the order-independent sum."""
+    return X.ngram_lm_score(_t(spark, sf, "documents"), "doc_id", "text", n=3)
+
+
 def q_quality_score(spark, sf):
     return X.quality_score(_t(spark, sf, "documents"), "doc_id", "text")
 
@@ -1017,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
+        "ngram_lm_score": q_ngram_lm_score,
         "quality_score": q_quality_score,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "repetition_stats": q_repetition_stats,
@@ -1204,6 +1213,24 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
             FROM documents""",
+        "ngram_lm_score": """
+            WITH pos AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, length(text) - 1),
+                            i -> substr(text, i::INT, 3))) AS ng
+              FROM documents WHERE length(text) >= 3),
+            ngc AS (SELECT ng, count(*) AS ngc FROM pos GROUP BY 1),
+            pfc AS (SELECT substr(ng, 1, 2) AS pf, sum(ngc) AS pfc
+                    FROM ngc GROUP BY 1),
+            sc AS (
+              SELECT p.doc_id,
+                     CAST(floor(n.ngc / f.pfc * 1000000 + 0.5) AS BIGINT) AS micro
+              FROM pos p
+              JOIN ngc n USING (ng)
+              JOIN pfc f ON substr(p.ng, 1, 2) = f.pf)
+            SELECT doc_id, count(*) AS n_ngrams,
+                   floor(sum(micro) / count(*) + 0.5) / 1000000 AS lm_score
+            FROM sc GROUP BY 1""",
         "quality_score": f"""
             WITH b AS (
               SELECT doc_id, length(text) AS n_chars,

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "simhash",
     "token_stats",
     "quality_score",
+    "ngram_lm_score",  # self-trained char-trigram LM fluency scoring
     "doc_fingerprint",
     "dedup_clusters",
     "repetition_stats",

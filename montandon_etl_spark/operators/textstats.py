@@ -123,6 +123,53 @@ def repetition_stats(
     )
 
 
+def ngram_lm_score(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3) -> DataFrame:
+    """Self-trained character n-gram LM quality score (the CCNet-style
+    fluency signal of a webtext pipeline): train n-gram counts over the
+    corpus itself, then score each document as the mean conditional
+    probability of its n-grams, P(c_i | c_{i-n+1..i-1}) =
+    count(ngram) / count(prefix). Self-training means every document
+    n-gram exists in the model, so no smoothing is needed; documents
+    full of corpus-typical sequences score high, line noise scores low.
+
+    100 TB shape: one explode→groupBy pass builds the n-gram counts
+    (map-side combined; the model is bounded by |charset|^n, NOT corpus
+    size), prefix counts roll up from the n-gram counts without a
+    second corpus pass, and BOTH model tables broadcast — the scoring
+    pass is a scan + two broadcast joins + one groupBy(doc), no
+    shuffle of the exploded n-grams.
+
+    Cross-engine determinism: each ratio is ONE correctly-rounded IEEE
+    division (bit-identical in any engine), snapped to integer
+    micro-units before summing — integer sums are order-independent,
+    so the score never depends on partitioning. Oracle twin in
+    ``__spark_entry__.oracle_sql()['ngram_lm_score']``."""
+    t, p = F.col(text_col), n - 1
+    pos = df.filter(F.length(t) >= n).select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(1, length({text_col}) - {p}),"
+            f" i -> substring({text_col}, i, {n}))"
+        )).alias("ng"),
+    )
+    ngc = pos.groupBy("ng").agg(F.count(F.lit(1)).alias("ngc"))
+    pfc = ngc.groupBy(F.substring("ng", 1, p).alias("pf")).agg(
+        F.sum("ngc").alias("pfc")
+    )
+    micro = F.floor(F.col("ngc") / F.col("pfc") * 1_000_000 + F.lit(0.5))
+    scored = (
+        pos.join(F.broadcast(ngc), "ng")
+        .join(F.broadcast(pfc), F.substring(F.col("ng"), 1, p) == F.col("pf"))
+        .select(F.col(id_col), micro.alias("micro"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        (F.floor(F.sum("micro") / F.count(F.lit(1)) + F.lit(0.5))
+         / 1_000_000).alias("lm_score"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
     """Rolling-shingle fingerprint: min md5 over word 4-grams — one
     stable 32-hex token per document (winnowing with window = whole

@@ -110,3 +110,20 @@ def test_salted_equals_unsalted_on_skewed_keys(spark):
     a = a.sort_values("k").reset_index(drop=True)
     b = b.sort_values("k").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_ngram_lm_score_analytic(spark):
+    """Hand-computable trigram LM: corpus {"abab", "abax"} trains
+    counts aba:2, bab:1, bax:1 → prefixes ab:2, ba:2. Both docs score
+    (1.0 + 0.5) / 2 = 0.75 over exactly 2 trigrams; a short doc (<3
+    chars) is excluded."""
+    from montandon_etl_spark.operators.textstats import ngram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "abax"), (3, "ab")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_lm_score(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_ngrams"] == 2
+        assert out[d]["lm_score"] == 0.75
