@@ -306,6 +306,50 @@ def _run_incremental_neardup(spark, sf, max_bucket):
     )
 
 
+def q_mv_source_stats(spark, sf):
+    """Incremental view maintenance (lake/matview.py): documents
+    arrive as three CDC batches; a per-source COUNT+SUM materialized
+    aggregate bootstraps after the first and advances from the change
+    data feed for the rest. The maintained state must equal the
+    one-shot GROUP BY the oracle runs — exact decimal sums make the
+    incremental path bit-identical to the recompute."""
+    import tempfile
+
+    from montandon_etl_spark.lake.format import Field
+    from montandon_etl_spark.lake.matview import MaterializedAggregate
+    from montandon_etl_spark.lake.table import SnapshotTable
+    from montandon_etl_spark.operators.dedup import hash60
+
+    base = tempfile.mkdtemp(prefix="mv_")
+    fields = [
+        Field(1, "did", "string", False),
+        Field(2, "warc_ts", "timestamp", False),
+        Field(10, "source", "string", True),
+        Field(11, "n_chars", "bigint", True),
+    ]
+    table = SnapshotTable.create(os.path.join(base, "t"), fields=fields,
+                                 key_col="did", n_buckets=4)
+    src = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("did"),
+        F.col("doc_id").alias("seq"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit("upsert").alias("op"),
+        "source", "n_chars",
+    )
+    part = F.pmod(hash60(F.col("did")), F.lit(3))
+    table.merge(spark, src.filter(part == 0), batch_id=0)
+    mv = MaterializedAggregate.create(os.path.join(base, "mv"), spark, table,
+                                      group_cols=["source"],
+                                      sum_cols=["n_chars"])
+    for i in (1, 2):
+        table.merge(spark, src.filter(part == i), batch_id=i)
+        mv.refresh(spark)
+    return mv.state(spark).select(
+        "source", "n_rows",
+        F.col("sum_n_chars").cast("double").alias("sum_n_chars"),
+    )
+
+
 def q_incremental_neardup_pairs(spark, sf):
     """Incremental near-dup index (operators/neardup_index.py): the
     per-batch-maintained candidate-pair set must equal the full-corpus
@@ -1019,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "incremental_neardup_pairs": q_incremental_neardup_pairs,
         "incremental_neardup_pairs_capped": q_incremental_neardup_pairs_capped,
+        "mv_source_stats": q_mv_source_stats,
         "dedup_clusters": q_dedup_clusters,
         "asof_join": q_asof_join,
         "heavy_hitters": q_heavy_hitters,
@@ -1179,6 +1224,11 @@ def oracle_sql() -> dict[str, str]:
                                                          max_bucket=None),
         "incremental_neardup_pairs_capped": _oracle_minhash_lsh(n=2, k=8, bands=4,
                                                                 max_bucket=4),
+        "mv_source_stats": """
+            SELECT source, count(*) AS n_rows,
+                   CAST(COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))), 0)
+                        AS DOUBLE) AS sum_n_chars
+            FROM documents GROUP BY 1""",
         "dedup_clusters": _oracle_dedup_clusters(n=2, k=8, bands=4, max_bucket=500),
         "asof_join": """
             WITH purch AS (

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "dedup_exact_content",
     "minhash_lsh_candidates",
     "incremental_neardup_pairs_capped",  # 3-batch CDC-maintained LSH index
+    "mv_source_stats",  # CDF-maintained materialized aggregate
     "video_frame_index",  # MP4 sample-table demux, per-frame rows
     "simhash",
     "token_stats",

@@ -27,4 +27,5 @@ in where the jar exists.
 """
 
 from montandon_etl_spark.lake.format import Field, TableMetadataIO  # noqa: F401
+from montandon_etl_spark.lake.matview import MaterializedAggregate  # noqa: F401
 from montandon_etl_spark.lake.table import PAGES_FIELDS, SnapshotTable  # noqa: F401

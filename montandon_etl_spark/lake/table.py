@@ -716,6 +716,7 @@ class SnapshotTable:
         spark: SparkSession,
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
+        include_old_values: bool = False,
     ) -> DataFrame:
         """Change data feed between two snapshots (Delta-CDF / Iceberg
         changelog-scan shape): one row per key whose VISIBLE state
@@ -723,6 +724,13 @@ class SnapshotTable:
         and new (warc_ts, seq) plus the new payload columns — the
         contract a downstream incremental consumer reads instead of
         re-scanning the table.
+
+        ``include_old_values=True`` adds ``old_<col>`` preimage columns
+        (the Delta-CDF update_preimage shape) so an incremental
+        aggregate can SUBTRACT a deleted/updated row's old contribution
+        without re-reading the table. Preimages resolve by FIELD ID
+        against the from-snapshot's schema, so renames map correctly
+        and columns added after from_snapshot read as NULL.
 
         Scale story: the manifest list makes this cheap — a bucket
         untouched between the snapshots carries the IDENTICAL manifest
@@ -751,22 +759,32 @@ class SnapshotTable:
             # changed == [] reads zero files on both sides and falls
             # through to an empty, full-schema change feed
 
+        from_names = {f.id: f.name for f in self.user_fields(s_from)}
+
         def side(sid: int, tag: str) -> DataFrame:
             df = self.read(
                 spark, snapshot_id=sid, include_tombstones=True,
                 buckets=changed, resolve=True,
             )
+            payloads = []
+            if tag == "new":
+                payloads = [F.col(f.name).alias(f"new_{f.name}")
+                            for f in self.user_fields(s_to)
+                            if f.name not in (key, tsk)]
+            elif include_old_values:
+                for f in self.user_fields(s_to):
+                    if f.name in (key, tsk):
+                        continue
+                    src = from_names.get(f.id)
+                    col = (F.col(src) if src is not None
+                           else F.lit(None)).cast(f.type)
+                    payloads.append(col.alias(f"old_{f.name}"))
             return df.select(
                 F.col(key),
                 F.col(tsk).alias(f"{tag}_{tsk}"),
                 F.col(seqk).alias(f"{tag}_seq"),
                 (F.col("op") == F.lit("upsert")).alias(f"{tag}_live"),
-                *(
-                    [F.col(f.name).alias(f"new_{f.name}")
-                     for f in self.user_fields(s_to)
-                     if f.name not in (key, tsk)]
-                    if tag == "new" else []
-                ),
+                *payloads,
             )
 
         old = side(s_from["snapshot_id"], "old")

@@ -1,0 +1,127 @@
+"""CDF-maintained materialized aggregate: after ANY batch sequence
+(inserts, group-migrating updates, deletes, stale events, NULL groups
+and NULL measures), refresh() must make the state EXACTLY equal a
+full groupBy recompute over the live table — plus exactly-once
+refresh semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from montandon_etl_spark.lake.format import Field
+from montandon_etl_spark.lake.matview import MaterializedAggregate
+from montandon_etl_spark.lake.table import SnapshotTable
+
+TS = pd.Timestamp("2024-03-01")
+
+FIELDS = [
+    Field(1, "url", "string", False),
+    Field(2, "warc_ts", "timestamp", False),
+    Field(10, "source", "string", True),
+    Field(11, "n_chars", "bigint", True),
+]
+
+
+def _batch(spark, rows):
+    """rows: (seq, url, hours_offset, op, source, n_chars)"""
+    data = [(s, u, (TS + pd.Timedelta(hours=h)).to_pydatetime(), op, src, nc)
+            for (s, u, h, op, src, nc) in rows]
+    return spark.createDataFrame(
+        data,
+        "seq bigint, url string, warc_ts timestamp, op string,"
+        " source string, n_chars bigint",
+    )
+
+
+def _recompute(mv, spark, table):
+    live = table.read(spark)
+    return {
+        (r["source"],): (r["n"], float(r["s"]))
+        for r in live.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("n_chars").cast("decimal(28,6)"),
+                             F.lit(0).cast("decimal(28,6)"))).alias("s"),
+        ).collect()
+    }
+
+
+def _state(mv, spark):
+    return {
+        (r["source"],): (r["n_rows"], float(r["sum_n_chars"]))
+        for r in mv.state(spark).collect()
+    }
+
+
+def test_matview_tracks_live_table(spark, tmp_path):
+    table = SnapshotTable.create(str(tmp_path / "t"), fields=FIELDS,
+                                 key_col="url", n_buckets=4)
+    # bootstrap over a non-empty table
+    table.merge(spark, _batch(spark, [
+        (1, "u/a", 0, "upsert", "web", 100),
+        (2, "u/b", 0, "upsert", "web", 50),
+        (3, "u/c", 0, "upsert", "pdf", 30),
+    ]), batch_id=0)
+    mv = MaterializedAggregate.create(str(tmp_path / "mv"), spark, table,
+                                      group_cols=["source"],
+                                      sum_cols=["n_chars"])
+    assert _state(mv, spark) == _recompute(mv, spark, table)
+
+    # update migrating groups (web→pdf), insert with NULL measure,
+    # insert with NULL group, delete
+    table.merge(spark, _batch(spark, [
+        (4, "u/a", 1, "upsert", "pdf", 110),   # group migration
+        (5, "u/d", 1, "upsert", "web", None),  # NULL measure → +0
+        (6, "u/e", 1, "upsert", None, 7),      # NULL group is a group
+        (7, "u/b", 1, "delete", None, None),
+    ]), batch_id=1)
+    mv.refresh(spark)
+    assert _state(mv, spark) == _recompute(mv, spark, table)
+
+    # stale events lose LWW and must not perturb the view
+    table.merge(spark, _batch(spark, [
+        (8, "u/a", 0, "upsert", "web", 999),   # stale: hour 0 < hour 1
+        (9, "u/c", 2, "delete", None, None),
+    ]), batch_id=2)
+    mv.refresh(spark)
+    got = _state(mv, spark)
+    assert got == _recompute(mv, spark, table)
+    assert ("pdf",) in got  # u/a migrated and survived the stale echo
+
+    # delete a whole group → its row disappears from the state
+    table.merge(spark, _batch(spark, [
+        (10, "u/a", 3, "delete", None, None),
+    ]), batch_id=3)
+    mv.refresh(spark)
+    got = _state(mv, spark)
+    assert got == _recompute(mv, spark, table)
+    assert ("pdf",) not in got
+
+
+def test_matview_multi_commit_catchup_and_idempotency(spark, tmp_path):
+    table = SnapshotTable.create(str(tmp_path / "t"), fields=FIELDS,
+                                 key_col="url", n_buckets=4)
+    mv = MaterializedAggregate.create(str(tmp_path / "mv"), spark, table,
+                                      group_cols=["source"],
+                                      sum_cols=["n_chars"])
+    # three commits, ONE refresh catches up across all of them
+    for i, rows in enumerate([
+        [(1, "u/a", 0, "upsert", "web", 10)],
+        [(2, "u/b", 1, "upsert", "web", 20), (3, "u/a", 1, "upsert", "pdf", 11)],
+        [(4, "u/b", 2, "delete", None, None)],
+    ]):
+        table.merge(spark, _batch(spark, rows), batch_id=i)
+    head = mv.refresh(spark)
+    assert head == table.io.head_snapshot_id()
+    assert _state(mv, spark) == _recompute(mv, spark, table)
+
+    # refresh with no new commits: no-op, same applied id
+    assert mv.refresh(spark) == head
+    assert mv.applied_snapshot_id() == head
+
+    # crash-retry: lose the freshest state version, refresh repairs it
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "mv" / "state" / f"v{head}"))
+    assert mv.refresh(spark) == head
+    assert _state(mv, spark) == _recompute(mv, spark, table)
