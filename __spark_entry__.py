@@ -306,6 +306,17 @@ def _run_incremental_neardup(spark, sf, max_bucket):
     )
 
 
+def q_kmv_distinct_users(spark, sf):
+    """KMV distinct-count sketch (operators/sketches.py): distinct
+    users per event type, k=64. Deterministic by construction — the
+    md5-prefix hashes, the bottom-k set, and the single-division
+    estimator are identical in both engines, so a SKETCH is
+    value-hash oracle-checkable (HyperLogLog never is)."""
+    from montandon_etl_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf, "events"), "event_type", "user_id", k=64)
+
+
 def q_mv_source_stats(spark, sf):
     """Incremental view maintenance (lake/matview.py): documents
     arrive as three CDC batches; a per-source COUNT+SUM materialized
@@ -1064,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup_pairs": q_incremental_neardup_pairs,
         "incremental_neardup_pairs_capped": q_incremental_neardup_pairs_capped,
         "mv_source_stats": q_mv_source_stats,
+        "kmv_distinct_users": q_kmv_distinct_users,
         "dedup_clusters": q_dedup_clusters,
         "asof_join": q_asof_join,
         "heavy_hitters": q_heavy_hitters,
@@ -1229,6 +1241,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))), 0)
                         AS DOUBLE) AS sum_n_chars
             FROM documents GROUP BY 1""",
+        "kmv_distinct_users": f"""
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     {_H60.format(x="user_id::VARCHAR")} AS hv
+              FROM events),
+            r AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn
+              FROM h)
+            SELECT event_type, count(*) AS n_seen,
+                   CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                        ELSE CAST(63 AS DOUBLE) * 1152921504606846976
+                             / max(hv)
+                   END AS est_distinct
+            FROM r WHERE rn <= 64 GROUP BY 1""",
         "dedup_clusters": _oracle_dedup_clusters(n=2, k=8, bands=4, max_bucket=500),
         "asof_join": """
             WITH purch AS (

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf_computed",  # seeded sampled k-means quantizer path
     "asof_join",
     "heavy_hitters",
+    "kmv_distinct_users",
     "q1_pricing_summary",
     "order_revenue",
     "region_revenue",

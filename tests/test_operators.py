@@ -127,3 +127,27 @@ def test_ngram_lm_score_analytic(spark):
     for d in (1, 2):
         assert out[d]["n_ngrams"] == 2
         assert out[d]["lm_score"] == 0.75
+
+
+def test_kmv_distinct_accuracy_and_exact_path(spark):
+    """Below k the sketch IS the exact distinct count; above k the
+    (k-1)/R_k estimate lands within ~3 standard errors (1/sqrt(k-2))
+    of the truth on hash-uniform ids."""
+    from montandon_etl_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", f"v{i % 10}") for i in range(200)]
+    rows += [("big", f"u{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out["small"]["n_seen"] == 10
+    assert out["small"]["est_distinct"] == 10.0  # exact below k
+    est = out["big"]["est_distinct"]
+    assert out["big"]["n_seen"] == 64
+    assert abs(est - 5000) / 5000 < 3 / (62 ** 0.5)
+
+    # mergeability: bottom-k of a union == sketch of the union
+    half1 = df.filter("v < 'u2500'")
+    half2 = df.filter("v >= 'u2500'")
+    u = kmv_distinct(half1.unionByName(half2), "g", "v", k=64)
+    direct = kmv_distinct(df, "g", "v", k=64)
+    assert sorted(u.collect()) == sorted(direct.collect())
