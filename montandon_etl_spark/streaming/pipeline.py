@@ -216,6 +216,8 @@ def run_stream(
     source: Callable[[SparkSession], DataFrame] | None = None,
     quarantine_dir: str | None = None,
     in_band_ddl: bool = False,
+    derived_updaters: list[Callable[[SparkSession, DataFrame, int], None]]
+    | None = None,
 ):
     """Tail a change stream into the table.
 
@@ -240,6 +242,14 @@ def run_stream(
     ``retention_snapshots``: expire snapshots beyond the newest N after
     each commit — bounds on-disk growth for a forever-running tail
     (driver-side file ops between batches, off the hot path).
+
+    ``derived_updaters``: callables ``(spark, batch_df, epoch_id)`` run
+    AFTER the merge commits, inside the same foreachBatch — the seam
+    that keeps derived artifacts (a ``NearDupIndex``, a
+    ``MaterializedAggregate``) current per micro-batch. Each updater
+    must be idempotent on its epoch/snapshot id, exactly like the merge
+    itself, so a re-delivered epoch is a no-op end-to-end (both
+    shipped consumers are; tested in ``test_derived_stream``).
     """
     if source is not None:
         stream = source(spark)
@@ -264,6 +274,8 @@ def run_stream(
             df = df.filter(F.col("decode_ok")).drop(*drop)
         merge_microbatch(spark, table, df, epoch_id, ddl_events, use_salted,
                          gc_tombstones=gc_tombstones)
+        for upd in derived_updaters or []:
+            upd(spark, df, epoch_id)
         if retention_snapshots is not None:
             table.expire_snapshots(keep_n=retention_snapshots)
 
