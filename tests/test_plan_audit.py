@@ -128,3 +128,22 @@ def test_star_cc_rounds_are_joins_not_cartesians(spark):
     plan = _physical_plan(out)
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_ngram_lm_model_broadcasts_no_ngram_shuffle(spark):
+    """The trigram model must reach the scoring pass as two broadcast
+    joins — a sort-merge join here would shuffle the exploded n-grams
+    (corpus x len rows) instead of the charset^3-bounded model."""
+    df = entry_mod.queries()["ngram_lm_score"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # both model joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_bottom_k_is_window_group_limit(spark):
+    """The per-group bottom-k must plan as WindowGroupLimit (top-k
+    pushed into the shuffle) — a full per-group sort materializes
+    every distinct hash instead of k of them."""
+    df = entry_mod.queries()["kmv_distinct_users"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
