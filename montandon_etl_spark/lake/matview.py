@@ -66,8 +66,22 @@ class MaterializedAggregate:
         self.table = table
         with open(os.path.join(path, "mv.json")) as f:
             cfg = json.load(f)
-        self.group_cols: list[str] = cfg["group_cols"]
-        self.sum_cols: list[str] = cfg["sum_cols"]
+        # columns are pinned by FIELD ID (the lake's rename-proof
+        # handle); names resolve against the CURRENT schema on access
+        self.group_ids: list[int] = cfg["group_ids"]
+        self.sum_ids: list[int] = cfg["sum_ids"]
+
+    def _names(self, ids: list[int]) -> list[str]:
+        by_id = {f.id: f.name for f in self.table.user_fields()}
+        return [by_id[i] for i in ids]
+
+    @property
+    def group_cols(self) -> list[str]:
+        return self._names(self.group_ids)
+
+    @property
+    def sum_cols(self) -> list[str]:
+        return self._names(self.sum_ids)
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -77,8 +91,10 @@ class MaterializedAggregate:
         snapshot, stored as version v{head}; everything after is
         incremental."""
         os.makedirs(os.path.join(path, "state"), exist_ok=True)
+        by_name = {f.name: f.id for f in table.user_fields()}
         with open(os.path.join(path, "mv.json"), "w") as f:
-            json.dump({"group_cols": group_cols, "sum_cols": sum_cols}, f)
+            json.dump({"group_ids": [by_name[c] for c in group_cols],
+                       "sum_ids": [by_name[c] for c in sum_cols]}, f)
         mv = cls(path, table)
         head = table.io.head_snapshot_id()
         full = mv._aggregate(table.read(spark))
@@ -115,9 +131,21 @@ class MaterializedAggregate:
                           ignore_errors=True)
 
     def state(self, spark: SparkSession) -> DataFrame:
-        """The maintained aggregate as of ``applied_snapshot_id()``."""
-        return spark.read.parquet(
+        """The maintained aggregate as of ``applied_snapshot_id()``,
+        with group/sum columns renamed POSITIONALLY to their current
+        schema names — state files written before a DDL rename stay
+        readable without rewriting (same trick as the lake's field-id
+        column resolution)."""
+        raw = spark.read.parquet(
             os.path.join(self.path, "state", f"v{self.applied_snapshot_id()}")
+        )
+        gs, ss = self.group_cols, self.sum_cols
+        cols = raw.columns  # written as [g1..gn, n_rows, sum_1..sum_m]
+        return raw.select(
+            *[F.col(cols[i]).alias(g) for i, g in enumerate(gs)],
+            F.col("n_rows"),
+            *[F.col(cols[len(gs) + 1 + i]).alias(f"sum_{c}")
+              for i, c in enumerate(ss)],
         )
 
     # --------------------------------------------------------------- refresh

@@ -125,3 +125,49 @@ def test_matview_multi_commit_catchup_and_idempotency(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "mv" / "state" / f"v{head}"))
     assert mv.refresh(spark) == head
     assert _state(mv, spark) == _recompute(mv, spark, table)
+
+
+def test_matview_survives_group_column_rename(spark, tmp_path):
+    """The view pins its columns by FIELD ID: a DDL rename of the
+    group column between refreshes must neither break the CDF preimage
+    mapping nor orphan state files written under the old name."""
+    table = SnapshotTable.create(str(tmp_path / "t"), fields=FIELDS,
+                                 key_col="url", n_buckets=4)
+    table.merge(spark, _batch(spark, [
+        (1, "u/a", 0, "upsert", "web", 100),
+        (2, "u/b", 0, "upsert", "pdf", 30),
+    ]), batch_id=0)
+    mv = MaterializedAggregate.create(str(tmp_path / "mv"), spark, table,
+                                      group_cols=["source"],
+                                      sum_cols=["n_chars"])
+
+    table.apply_ddl("rename_column", "source", new_name="origin")
+    assert mv.group_cols == ["origin"]  # resolved live from the schema
+
+    # post-rename batch arrives under the NEW column name; one refresh
+    # catches up across the DDL snapshot and the merge
+    rows = [(3, "u/c", 1, "upsert", "web", 7),
+            (4, "u/a", 1, "upsert", "pdf", 110)]
+    data = [(s, u, (TS + pd.Timedelta(hours=h)).to_pydatetime(), op, src, nc)
+            for (s, u, h, op, src, nc) in rows]
+    table.merge(spark, spark.createDataFrame(
+        data,
+        "seq bigint, url string, warc_ts timestamp, op string,"
+        " origin string, n_chars bigint",
+    ), batch_id=1)
+    mv.refresh(spark)
+
+    live = table.read(spark)
+    want = {
+        (r["origin"],): (r["n"], float(r["s"]))
+        for r in live.groupBy("origin").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("n_chars").cast("decimal(28,6)"),
+                             F.lit(0).cast("decimal(28,6)"))).alias("s"),
+        ).collect()
+    }
+    got = {
+        (r["origin"],): (r["n_rows"], float(r["sum_n_chars"]))
+        for r in mv.state(spark).collect()
+    }
+    assert got == want
