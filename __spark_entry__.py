@@ -766,6 +766,28 @@ def q_image_features_png(spark, sf):
     )
 
 
+def q_warc_roundtrip(spark, sf):
+    """WARC container round-trip (sources/warc.py): documents are
+    muxed into deterministic WARC shards (url-sorted, sha-derived
+    record ids), demuxed by the record parser, and each payload must
+    come back byte-identical — the oracle recomputes length and sha256
+    straight from the source text."""
+    from montandon_etl_spark.sources.warc import to_warc_shards, warc_records
+
+    src = _t(spark, sf, "documents").select(
+        F.concat(F.lit("http://docs.example/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    shards = to_warc_shards(src, "url", "warc_ts", "html", n_shards=8)
+    recs = warc_records(shards, "shard", "warc")
+    return recs.select(
+        F.regexp_extract("uri", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("content_length"),
+        F.sha2("payload", 256).alias("content_sha"),
+    )
+
+
 def q_video_frame_index(spark, sf):
     """REAL MP4 container demux in the query path: a deterministic MP4
     is muxed per document (1 + doc_id % 6 frames; frame i is
@@ -1097,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "image_features_png": q_image_features_png,
         "video_frame_index": q_video_frame_index,
+        "warc_roundtrip": q_warc_roundtrip,
         "url_normalize": q_url_normalize,
         "value_percentiles": q_value_percentiles,
         "hash_sample": q_hash_sample,
@@ -1494,6 +1517,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sized""",
         "multimodal_binary_meta": """
             SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS content_sha
+            FROM documents""",
+        "warc_roundtrip": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS content_length,
                    sha256(text) AS content_sha
             FROM documents""",
         "url_normalize": """
