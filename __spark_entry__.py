@@ -435,6 +435,37 @@ def q_token_stats(spark, sf):
     return X.token_stats(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_redact_pii(spark, sf):
+    """PII scrubbing with a deterministic needle per doc (the raw
+    corpus has no guaranteed PII): each text gets a synthetic email
+    and IPv4 appended, the redactor must find exactly those plus any
+    organic matches, and the oracle runs the LITERAL same regex
+    programs (Java/RE2-shared syntax) in the same order."""
+    from montandon_etl_spark.operators.textstats import redact_pii
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id"), F.lit("@ex.org"),
+            F.lit(" via 10.1.2."), F.pmod(F.col("doc_id"), F.lit(250)),
+        ).alias("text"),
+    )
+    return redact_pii(docs, "doc_id", "text")
+
+
+def q_ngram_contamination(spark, sf):
+    """Benchmark decontamination: docs with doc_id % 17 == 0 act as
+    the held-out benchmark; every other doc is flagged when it shares
+    >= 1 distinct word 5-gram with that set. Near-dup fixture families
+    make real hits, so both branches of the flag are exercised."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return D.ngram_contamination(corpus, "doc_id", "text", bench,
+                                 n=5, threshold=1)
+
+
 def q_ngram_lm_score(spark, sf):
     """Self-trained char-trigram LM fluency score (CCNet-style): both
     engines train the same counts over the same corpus and score each
@@ -1105,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "ngram_lm_score": q_ngram_lm_score,
+        "redact_pii": q_redact_pii,
+        "ngram_contamination": q_ngram_contamination,
         "quality_score": q_quality_score,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "repetition_stats": q_repetition_stats,
@@ -1314,6 +1347,41 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
             FROM documents""",
+        "redact_pii": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id || '@ex.org'
+                          || ' via 10.1.2.' || (doc_id % 250) AS text
+              FROM documents),
+            e AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                     regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS no_email
+              FROM t)
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(no_email,
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+                   regexp_replace(no_email,
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g')
+                     AS clean_text
+            FROM e""",
+        "ngram_contamination": f"""
+            WITH bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+            corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+            bg AS (SELECT DISTINCT unnest({_sql_word_shingles(5)}) AS g
+                   FROM bench),
+            dg AS (SELECT doc_id, unnest({_sql_word_shingles(5)}) AS g
+                   FROM corpus),
+            hits AS (SELECT doc_id, count(*) AS n FROM dg
+                     JOIN bg USING (g) GROUP BY 1)
+            SELECT c.doc_id,
+                   CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
+                   COALESCE(n, 0) >= 1 AS contaminated
+            FROM corpus c LEFT JOIN hits USING (doc_id)""",
         "ngram_lm_score": """
             WITH pos AS (
               SELECT doc_id,

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "token_stats",
     "quality_score",
     "ngram_lm_score",  # self-trained char-trigram LM fluency scoring
+    "redact_pii",
+    "ngram_contamination",
     "doc_fingerprint",
     "dedup_clusters",
     "repetition_stats",

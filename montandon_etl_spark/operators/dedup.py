@@ -52,6 +52,52 @@ def word_shingles(col: str, n: int) -> F.Column:
 
 
 # ---------------------------------------------------------------- exact dedup
+def ngram_contamination(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str | None = None,
+    n: int = 5,
+    threshold: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least ``threshold`` distinct word n-grams with a benchmark/eval
+    set — the leakage gate every serious training-data pipeline runs
+    before a corpus ships.
+
+    100 TB shape: the benchmark side is tiny relative to the corpus,
+    so its distinct n-grams BROADCAST; the corpus n-grams then never
+    shuffle — the plan is scan → explode → broadcast-semi-ish join →
+    per-doc count (map-side combinable). Returns one row per corpus
+    doc: (id, n_hits, contaminated)."""
+    bt = bench_text_col or text_col
+    bg = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(bt, n))).alias("g")
+        ).distinct()
+    )
+    dg = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g"),
+    )
+    hits = (
+        dg.join(F.broadcast(bg), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    zero = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            zero.alias("n_hits"),
+            (zero >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep the first (min id) row per sha-256 of content.
 

@@ -123,6 +123,29 @@ def repetition_stats(
     )
 
 
+# PII patterns restricted to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB) so the oracle runs the literal same programs
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing (the redaction stage of a training-data pipeline):
+    emails → ``<EMAIL>`` then IPv4 literals → ``<IP>``, in that fixed
+    order (emails with host-like domains must not half-redact), plus
+    per-kind match counts. Pure regexp_replace/regexp_count scan
+    expressions — zero Python, zero shuffle, pushes to 100 TB as a
+    single scan."""
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_replace(no_email, PII_IPV4, "<IP>").alias("clean_text"),
+    )
+
+
 def ngram_lm_score(df: DataFrame, id_col: str, text_col: str,
                    n: int = 3) -> DataFrame:
     """Self-trained character n-gram LM quality score (the CCNet-style
