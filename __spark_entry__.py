@@ -361,6 +361,37 @@ def q_mv_source_stats(spark, sf):
     )
 
 
+def q_incremental_ann_topk(spark, sf):
+    """Incremental ANN index (operators/ann_index.py): embeddings
+    arrive as THREE CDC batches into cell-partitioned IVF postings
+    (centroids frozen from the same seeded sampled k-means the oracle
+    recomputes); queries probe their 2 nearest cells reading ONLY
+    those cells' newest files. Because assignment is per-row against
+    fixed centroids, the incrementally-built index answers exactly the
+    one-shot multiprobe SQL."""
+    import tempfile
+
+    from montandon_etl_spark.operators.ann_index import AnnIndex
+    from montandon_etl_spark.operators.similarity import kmeans_centroids
+
+    emb = _t(spark, sf, "embeddings")
+    cents = [c["cvec"] for c in sorted(
+        kmeans_centroids(emb, n_centroids=8), key=lambda c: c["cid"])]
+    idx = AnnIndex.create(tempfile.mkdtemp(prefix="manni_"), centroids=cents)
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    for i in range(3):
+        batch = (
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+            .select(F.col("vec_id").alias("seq"), "vec_id",
+                    ts.alias("warc_ts"), F.lit("upsert").alias("op"),
+                    F.col("embedding").alias("vec"))
+        )
+        idx.update(spark, batch, batch_id=i)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    return idx.query(spark, queries, k=5, nprobe=2)
+
+
 def q_incremental_neardup_pairs(spark, sf):
     """Incremental near-dup index (operators/neardup_index.py): the
     per-batch-maintained candidate-pair set must equal the full-corpus
@@ -1125,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "incremental_ann_topk": q_incremental_ann_topk,
         "incremental_neardup_pairs": q_incremental_neardup_pairs,
         "incremental_neardup_pairs_capped": q_incremental_neardup_pairs_capped,
         "mv_source_stats": q_mv_source_stats,
@@ -1177,7 +1209,7 @@ def oracle_sql() -> dict[str, str]:
       WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 'unknown_type'
       WHEN NOT starts_with(props, '{') THEN 'bad_props'
       ELSE NULL END"""
-    return {
+    oracles = {
         "cdc_lww_latest_state": _SQL_LWW,
         "cdc_lww_salted_state": _SQL_LWW,
         "dedup_exact_content": """
@@ -1681,6 +1713,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_id AS xml_id, event_type AS xml_type
             FROM events""",
     }
+    # the incremental ANN index freezes the SAME seeded k-means
+    # centroids and assigns per-row, so its query answer is literally
+    # the one-shot multiprobe answer — one oracle, two engines paths
+    oracles["incremental_ann_topk"] = oracles["ann_topk_ivf_multiprobe"]
+    return oracles
 
 
 def entry(spark: SparkSession) -> DataFrame:

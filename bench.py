@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_ivf_computed",  # seeded sampled k-means quantizer path
+    "incremental_ann_topk",  # CDC-maintained IVF postings
     "asof_join",
     "heavy_hitters",
     "kmv_distinct_users",

@@ -47,15 +47,14 @@ cap in either direction mid-stream.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from montandon_etl_spark.lake.format import Field
+from montandon_etl_spark.lake.pstore import VersionedPartitionStore
 from montandon_etl_spark.lake.table import SnapshotTable
 from montandon_etl_spark.operators.dedup import _banded, hash60, minhash_signatures
 
@@ -80,6 +79,10 @@ class NearDupIndex:
         self.n, self.k, self.bands, self.n_pfx = n, k, bands, n_pfx
         self.max_bucket = max_bucket
         self.table = SnapshotTable(os.path.join(path, "sig"))
+        self.banded_store = VersionedPartitionStore(
+            os.path.join(path, "banded"), "pfx", n_pfx)
+        self.pair_store = VersionedPartitionStore(
+            os.path.join(path, "pairs"), "pfx", n_pfx)
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -121,81 +124,11 @@ class NearDupIndex:
         ).cast("int")
         return banded.withColumn("pfx", pfx)
 
-    def _versions(self, store: str) -> list[int]:
-        vs = []
-        for d in glob.glob(os.path.join(self.path, store, "v*")):
-            base = os.path.basename(d)
-            if base[1:].isdigit() and glob.glob(os.path.join(d, "_SUCCESS")):
-                vs.append(int(base[1:]))
-        return sorted(vs)
-
-    def _store_dirs(self, store: str,
-                    pfx_filter: set[int] | None = None) -> list[str]:
-        """Current data dirs of a pfx-partitioned store: for each
-        prefix, the newest version that rewrote it (per-prefix
-        versioning — exactly the manifest-carry-over trick the lake
-        uses for buckets)."""
-        latest: dict[int, str] = {}
-        for v in self._versions(store):
-            vd = os.path.join(self.path, store, f"v{v}")
-            for pd in glob.glob(os.path.join(vd, "pfx=*")):
-                p = int(os.path.basename(pd).split("=")[1])
-                latest[p] = pd  # versions ascend → last wins
-        if pfx_filter is not None:
-            latest = {p: d for p, d in latest.items() if p in pfx_filter}
-        return [latest[p] for p in sorted(latest)]
-
-    def _read_store(self, spark: SparkSession, store: str, schema: str,
-                    pfx_filter: set[int] | None = None) -> DataFrame:
-        # an empty `pfx=N` dir is a tombstone: the newest rewrite of
-        # that prefix produced zero rows (every entry retracted) — it
-        # supersedes older versions in _store_dirs but reads as nothing
-        dirs = [d for d in self._store_dirs(store, pfx_filter)
-                if glob.glob(os.path.join(d, "*.parquet"))]
-        cols = [c.split()[0] for c in schema.split(",") if "pfx" not in c]
-        if not dirs:
-            return spark.createDataFrame([], schema).select(*cols)
-        # leaf `pfx=N` dirs are read as plain files (the partition
-        # column is re-derived by _with_pfx when needed)
-        return spark.read.parquet(*dirs).select(*cols)
-
-    def _write_store(self, spark: SparkSession, df: DataFrame, ver_dir: str,
-                     touched_pfx: set[int], schema: str) -> None:
-        """One versioned, pfx-partitioned rewrite of the touched
-        prefixes; tombstone-dirs any touched prefix whose new content
-        is empty (so it still supersedes older versions — otherwise
-        retracted entries would resurrect through a stale older
-        partition).
-
-        Repartition BY pfx first: without it every upstream task writes
-        a sliver into every touched prefix dir — O(tasks × prefixes)
-        tiny files whose open-cost makes later reads explode into
-        1000+ scheduling-bound tasks (measured 3-4× the whole update's
-        wall). One shuffle of the touched slice buys one file per
-        prefix per version."""
-        if touched_pfx:
-            (df.repartition(self.n_pfx, "pfx")
-             .write.mode("overwrite").partitionBy("pfx").parquet(ver_dir))
-        else:  # nothing touched: stamp an empty version for idempotency
-            spark.createDataFrame([], schema).write.mode(
-                "overwrite").partitionBy("pfx").parquet(ver_dir)
-        for p in touched_pfx:
-            os.makedirs(os.path.join(ver_dir, f"pfx={p}"), exist_ok=True)
-
-    def _gc_store(self, store: str) -> None:
-        """A version dir is deletable once every prefix it carries has
-        been rewritten by a newer version."""
-        live = set(self._store_dirs(store))
-        for v in self._versions(store)[:-1]:
-            vd = os.path.join(self.path, store, f"v{v}")
-            if not any(d.startswith(vd + os.sep) or d == vd for d in live):
-                shutil.rmtree(vd, ignore_errors=True)
-
     def pairs(self, spark: SparkSession) -> DataFrame:
         """Current candidate pairs (id_a < id_b) — the materialized
         equivalent of a full-corpus minhash_lsh_pairs recompute at the
         index's pinned max_bucket."""
-        return self._read_store(spark, "pairs", PAIR_SCHEMA).select(
+        return self.pair_store.read(spark, PAIR_SCHEMA).select(
             "id_a", "id_b").distinct()
 
     # ---------------------------------------------------------------- update
@@ -233,10 +166,8 @@ class NearDupIndex:
         res = self.table.merge(spark, merged, batch_id=batch_id)
         head = self.table.io.head_snapshot_id()
         prev_sid = self.table.io.read_snapshot(head).get("parent_id")
-        pair_dir = os.path.join(self.path, "pairs", f"v{head}")
-        banded_dir = os.path.join(self.path, "banded", f"v{head}")
-        if (res is None and head in self._versions("pairs")
-                and head in self._versions("banded")):
+        if (res is None and head in self.pair_store.versions()
+                and head in self.banded_store.versions()):
             return  # duplicate delivery, all artifacts exist → no-op
 
         # keys whose index entries must be rebuilt = the batch's touched
@@ -269,15 +200,15 @@ class NearDupIndex:
 
         # banded rewrite: previous content of the touched prefixes
         # minus touched ids, plus the surviving new entries
-        prev_slice = self._read_store(spark, "banded", BANDED_SCHEMA,
-                                      pfx_filter=touched_pfx)
+        prev_slice = self.banded_store.read(spark, BANDED_SCHEMA,
+                                            part_filter=touched_pfx)
         idx_slice = (
             self._with_pfx(prev_slice.join(touched_keys, "id", "left_anti"))
             .unionByName(new_banded)
             .persist()
         )
-        self._write_store(spark, idx_slice, banded_dir, touched_pfx,
-                          BANDED_SCHEMA)
+        self.banded_store.write(spark, idx_slice, head, touched_pfx,
+                                BANDED_SCHEMA)
 
         # pair rewrite: a bucket's contribution changes only when a
         # touched key entered or left it, so retract exactly the
@@ -300,14 +231,13 @@ class NearDupIndex:
             F.col("id_a") < F.col("id_b")
         ).select("id_a", "id_b", "band", "bucket", "pfx")
         kept = (
-            self._read_store(spark, "pairs", PAIR_SCHEMA,
-                             pfx_filter=touched_pfx)
+            self.pair_store.read(spark, PAIR_SCHEMA, part_filter=touched_pfx)
             .join(tb.select("band", "bucket").distinct(),
                   ["band", "bucket"], "left_anti")
         )
         out = self._with_pfx(kept).unionByName(new_pairs)
-        self._write_store(spark, out, pair_dir, touched_pfx, PAIR_SCHEMA)
+        self.pair_store.write(spark, out, head, touched_pfx, PAIR_SCHEMA)
         idx_slice.unpersist()
 
-        self._gc_store("pairs")
-        self._gc_store("banded")
+        self.pair_store.gc()
+        self.banded_store.gc()
