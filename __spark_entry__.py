@@ -274,13 +274,16 @@ def q_minhash_lsh_candidates(spark, sf):
     return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4, max_bucket=500)
 
 
-def _run_incremental_neardup(spark, sf, max_bucket):
+def _run_incremental_neardup(spark, sf, max_bucket, with_clusters=False):
     """Feed documents through the NearDupIndex as three CDC upsert
-    batches (split by hash60(key) % 3) and return the maintained pair
-    set. Keys are zero-padded so string least/greatest ordering matches
-    the oracle's numeric id_a < id_b, then cast back to bigint."""
+    batches (split by hash60(key) % 3); optionally attach a
+    ClusterIndex so incremental connected components ride the same
+    batches. Keys are zero-padded so string least/greatest ordering
+    (and min-label cluster ids) match the oracle's numeric ordering,
+    then cast back to bigint. Returns (idx, cidx)."""
     import tempfile
 
+    from montandon_etl_spark.operators.cluster_index import ClusterIndex
     from montandon_etl_spark.operators.dedup import hash60
     from montandon_etl_spark.operators.neardup_index import NearDupIndex
 
@@ -289,9 +292,12 @@ def _run_incremental_neardup(spark, sf, max_bucket):
         F.col("doc_id").alias("seq"),
         "text",
     )
-    idx = NearDupIndex.create(tempfile.mkdtemp(prefix="mndi_"),
+    base = tempfile.mkdtemp(prefix="mndi_")
+    idx = NearDupIndex.create(os.path.join(base, "ndi"),
                               n=2, k=8, bands=4, key_col="did", n_pfx=16,
                               max_bucket=max_bucket)
+    cidx = ClusterIndex(os.path.join(base, "ci"), n_parts=16) \
+        if with_clusters else None
     ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
     for i in range(3):
         batch = (
@@ -299,11 +305,8 @@ def _run_incremental_neardup(spark, sf, max_bucket):
             .select("seq", "did", ts.alias("warc_ts"),
                     F.lit("upsert").alias("op"), "text")
         )
-        idx.update(spark, batch, batch_id=i)
-    return idx.pairs(spark).select(
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
-    )
+        idx.update(spark, batch, batch_id=i, cluster_index=cidx)
+    return idx, cidx
 
 
 def q_kmv_distinct_users(spark, sf):
@@ -392,12 +395,20 @@ def q_incremental_ann_topk(spark, sf):
     return idx.query(spark, queries, k=5, nprobe=2)
 
 
+def _pairs_bigint(idx, spark):
+    return idx.pairs(spark).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
 def q_incremental_neardup_pairs(spark, sf):
     """Incremental near-dup index (operators/neardup_index.py): the
     per-batch-maintained candidate-pair set must equal the full-corpus
     uncapped LSH recompute — which is exactly what the DuckDB oracle
     computes in one shot."""
-    return _run_incremental_neardup(spark, sf, max_bucket=None)
+    idx, _ = _run_incremental_neardup(spark, sf, max_bucket=None)
+    return _pairs_bigint(idx, spark)
 
 
 def q_incremental_neardup_pairs_capped(spark, sf):
@@ -407,7 +418,24 @@ def q_incremental_neardup_pairs_capped(spark, sf):
     has buckets of size 5..21, so the cap genuinely excludes pairs the
     uncapped variant keeps — the oracle applies the same
     2 <= size <= 4 gate in SQL."""
-    return _run_incremental_neardup(spark, sf, max_bucket=4)
+    idx, _ = _run_incremental_neardup(spark, sf, max_bucket=4)
+    return _pairs_bigint(idx, spark)
+
+
+def q_incremental_dedup_clusters(spark, sf):
+    """Incremental connected components (operators/cluster_index.py):
+    the ClusterIndex consumes each batch's provenance-row edge delta
+    inside the same NearDupIndex update, rebuilding only affected
+    components — and must equal the one-shot recursive-CTE clustering
+    the oracle runs over the full corpus (restricted to
+    pair-participating docs, the index's scope)."""
+    _, cidx = _run_incremental_neardup(spark, sf, max_bucket=None,
+                                       with_clusters=True)
+    return cidx.clusters(spark).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "is_canonical",
+    )
 
 
 def q_dedup_clusters(spark, sf):
@@ -976,7 +1004,8 @@ JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 
 
 def _oracle_dedup_clusters(n: int = 2, k: int = 8, bands: int = 4,
-                           max_bucket: int = 500) -> str:
+                           max_bucket: int | None = 500,
+                           participants_only: bool = False) -> str:
     """Connected components via recursive min-label propagation: cc
     holds (node, seed-root) for every seed whose component contains the
     node; min(root) per node = component min = cluster id."""
@@ -986,6 +1015,11 @@ def _oracle_dedup_clusters(n: int = 2, k: int = 8, bands: int = 4,
         cols = " || '|' || ".join(f"mh{i}::VARCHAR" for i in range(b * r, (b + 1) * r))
         band_selects.append(f"SELECT doc_id AS id, {b} AS band, {cols} AS bucket FROM sig")
     banded = " UNION ALL ".join(band_selects)
+    having = (f"count(*) BETWEEN 2 AND {max_bucket}" if max_bucket is not None
+              else "count(*) >= 2")
+    part_filter = ("WHERE id IN (SELECT id_a FROM pairs"
+                   " UNION SELECT id_b FROM pairs)\n"
+                   if participants_only else "")
     return f"""
 WITH RECURSIVE {_oracle_shingle_cte(n)},
 {_hp_cte()},
@@ -995,7 +1029,7 @@ sig AS (
   FROM hp_t GROUP BY id),
 banded AS ({banded}),
 ok AS (SELECT band, bucket FROM banded GROUP BY 1, 2
-       HAVING count(*) BETWEEN 2 AND {max_bucket}),
+       HAVING {having}),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a
@@ -1016,7 +1050,7 @@ cc(id, root) AS (
   WHERE c.root < e.dst)
 SELECT id AS doc_id, min(root) AS cluster_id,
        min(root) = id AS is_canonical
-FROM cc GROUP BY id
+FROM cc {part_filter}GROUP BY id
 """
 
 
@@ -1159,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_ann_topk": q_incremental_ann_topk,
         "incremental_neardup_pairs": q_incremental_neardup_pairs,
         "incremental_neardup_pairs_capped": q_incremental_neardup_pairs_capped,
+        "incremental_dedup_clusters": q_incremental_dedup_clusters,
         "mv_source_stats": q_mv_source_stats,
         "kmv_distinct_users": q_kmv_distinct_users,
         "dedup_clusters": q_dedup_clusters,
@@ -1324,6 +1359,8 @@ def oracle_sql() -> dict[str, str]:
                                                          max_bucket=None),
         "incremental_neardup_pairs_capped": _oracle_minhash_lsh(n=2, k=8, bands=4,
                                                                 max_bucket=4),
+        "incremental_dedup_clusters": _oracle_dedup_clusters(
+            n=2, k=8, bands=4, max_bucket=None, participants_only=True),
         "mv_source_stats": """
             SELECT source, count(*) AS n_rows,
                    CAST(COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))), 0)

@@ -48,11 +48,18 @@ class VersionedPartitionStore:
                 vs.append(int(base[1:]))
         return sorted(vs)
 
-    def _dirs(self, part_filter: set[int] | None = None) -> list[str]:
+    def _dirs(self, part_filter: set[int] | None = None,
+              below_version: int | None = None) -> list[str]:
         """Current data dirs: for each partition, the newest version
-        that rewrote it."""
+        that rewrote it. ``below_version`` resolves against versions
+        STRICTLY BELOW the given id — the pre-state view a crash-retry
+        needs (safe because gc always retains the previous
+        generation)."""
         latest: dict[int, str] = {}
-        for v in self.versions():
+        vs = self.versions()
+        if below_version is not None:
+            vs = [v for v in vs if v < below_version]
+        for v in vs:
             vd = os.path.join(self.root, f"v{v}")
             for pd in glob.glob(os.path.join(vd, f"{self.part_col}=*")):
                 p = int(os.path.basename(pd).split("=")[1])
@@ -63,13 +70,14 @@ class VersionedPartitionStore:
 
     def read(self, spark: SparkSession, schema: str,
              part_filter: set[int] | None = None,
-             attach_part: bool = False) -> DataFrame:
+             attach_part: bool = False,
+             below_version: int | None = None) -> DataFrame:
         """Current content. ``schema`` is the full schema INCLUDING the
         partition column. Leaf dirs are read as plain files, so the
         partition column is absent by default; ``attach_part=True``
         tags each dir's rows with its partition value (one lit per
         dir — the dir count is bounded by n_parts)."""
-        dirs = [d for d in self._dirs(part_filter)
+        dirs = [d for d in self._dirs(part_filter, below_version)
                 if glob.glob(os.path.join(d, "*.parquet"))]
         cols = [c.split()[0] for c in schema.split(",")
                 if c.split()[0] != self.part_col]

@@ -1,0 +1,207 @@
+"""Incremental near-dup clustering: CDC-maintained connected
+components over the LSH pair graph.
+
+``dedup_clusters`` recomputes components over the whole pair set —
+O(pairs) per call, with an iterative driver loop. A CDC engine should
+pay O(affected components) per batch. The key design move: the
+cluster graph is maintained at the PROVENANCE-ROW level — the same
+(id_a, id_b, band, bucket) rows the ``NearDupIndex`` pair store keeps
+— so edge add/remove deltas are bucket-local facts the index already
+computes per batch. A pair supported by several buckets is simply a
+parallel edge; connected components are indifferent to multiplicity,
+and a component splits exactly when the LAST parallel edge goes —
+with no global "is this pair still alive elsewhere?" check ever
+needed.
+
+Two ``lake/pstore`` stores:
+
+- **labels**: (id, cluster_id), partitioned by ``hash(id) % n`` —
+  the pruned lookup direction for "what components do this batch's
+  endpoints belong to";
+- **edges**: provenance rows + their component label, partitioned by
+  ``hash(cluster_id) % n`` — the pruned lookup direction for "give me
+  every edge of the affected components" (component membership also
+  falls out of these rows: every non-singleton member is an
+  endpoint).
+
+Per batch: look up the delta endpoints' labels → affected components;
+pull ONLY those components' edges; apply the row deltas; rerun
+connected components on that (small) subgraph; rewrite only the
+touched label/edge partitions. Merges, splits, and disappearing
+components are all the same rebuild. Scope: pair-PARTICIPATING nodes
+(singleton docs never enter the pair graph; derive them by anti-join
+when needed).
+
+Equivalence contract (tested): after any batch sequence,
+``clusters()`` equals ``dedup_clusters`` recomputed from scratch over
+the current ``pairs()``.
+
+Exactly-once mirrors the other indexes: both stores version by the
+upstream snapshot id; the removed-edge delta reads the pair store
+STRICTLY BELOW that version so a crash-retry sees the pre-batch
+state (gc always retains the previous generation).
+
+Reference lineage: the reference's duplicate handling picks one
+surviving row per content-hash group per ingest (apps/etl/models.py);
+at 10^10 docs the grouping becomes an incrementally-maintained
+component structure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from montandon_etl_spark.lake.pstore import VersionedPartitionStore
+from montandon_etl_spark.operators.dedup import dedup_clusters, hash60
+
+EDGE_SCHEMA = ("id_a string, id_b string, band int, bucket string,"
+               " clab string, lp int")
+LABEL_SCHEMA = "id string, cluster_id string, np int"
+
+
+def _endpoints(rows: DataFrame) -> DataFrame:
+    return (rows.select(F.col("id_a").alias("id"))
+            .unionByName(rows.select(F.col("id_b").alias("id")))
+            .distinct())
+
+
+class ClusterIndex:
+    """Incrementally-maintained connected components over a
+    ``NearDupIndex``'s pair-row stream. Attach via
+    ``NearDupIndex.update(..., cluster_index=...)``."""
+
+    def __init__(self, path: str, n_parts: int = 64):
+        self.path = path
+        cfg_path = os.path.join(path, "cluster.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                n_parts = json.load(f)["n_parts"]
+        else:
+            os.makedirs(path, exist_ok=True)
+            with open(cfg_path, "w") as f:
+                json.dump({"n_parts": n_parts}, f)
+        self.n_parts = n_parts
+        self.labels = VersionedPartitionStore(
+            os.path.join(path, "labels"), "np", n_parts)
+        self.edges = VersionedPartitionStore(
+            os.path.join(path, "edges"), "lp", n_parts)
+
+    def _np(self, col) -> F.Column:
+        return F.pmod(hash60(col), F.lit(self.n_parts)).cast("int")
+
+    # ----------------------------------------------------------------- state
+    def clusters(self, spark: SparkSession) -> DataFrame:
+        """(id, cluster_id, is_canonical) for every pair-participating
+        node — the incremental equivalent of
+        ``dedup_clusters(endpoints(pairs), pairs)``."""
+        lab = self.labels.read(spark, LABEL_SCHEMA)
+        return lab.select(
+            "id", "cluster_id",
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+
+    def _parts_of(self, df: DataFrame, col: str) -> set[int]:
+        """Driver-side partition ids touched by a column's values —
+        bounded metadata (≤ n_parts ints), the values stay out."""
+        return {
+            r["p"]
+            for r in df.select(self._np(F.col(col)).alias("p")).distinct().collect()
+        }
+
+    # ---------------------------------------------------------------- update
+    def apply(self, spark: SparkSession, version: int,
+              added: DataFrame, removed: DataFrame) -> None:
+        """Apply one batch's provenance-row edge delta. ``added`` /
+        ``removed`` carry (id_a, id_b, band, bucket). Idempotent on
+        ``version``."""
+        if (version in self.labels.versions()
+                and version in self.edges.versions()):
+            return  # duplicate delivery
+        ekey = ["id_a", "id_b", "band", "bucket"]
+        added = added.select(*ekey).localCheckpoint()
+        removed = removed.select(*ekey).localCheckpoint()
+        delta_nodes = _endpoints(added.unionByName(removed)).localCheckpoint()
+
+        # Every read below resolves STRICTLY BELOW `version`: a crash
+        # between the two store writes must not let a half-written
+        # v{version} leak into the retry's pre-state view.
+        blw = dict(below_version=version)
+        # labels of the delta endpoints → affected components
+        known = (
+            self.labels.read(spark, LABEL_SCHEMA,
+                             part_filter=self._parts_of(delta_nodes, "id"),
+                             **blw)
+            .join(delta_nodes, "id", "left_semi")
+        )
+        affected = (known.select(F.col("cluster_id").alias("clab"))
+                    .distinct().localCheckpoint())
+
+        # every edge of the affected components (pruned by label hash)
+        comp_rows = (
+            self.edges.read(spark, EDGE_SCHEMA,
+                            part_filter=self._parts_of(affected, "clab"),
+                            **blw)
+            .join(affected, "clab", "left_semi")
+            .localCheckpoint()
+        )
+
+        # the post-delta subgraph, re-clustered from scratch (affected
+        # components + delta only — NOT the whole graph)
+        # a row in BOTH removed and added is an unchanged edge whose
+        # bucket was rebuilt: minus-then-union keeps it, and distinct
+        # collapses the overlap with surviving comp rows
+        sub = (
+            comp_rows.select(*ekey)
+            .join(removed, ekey, "left_anti")
+            .unionByName(added)
+            .distinct()
+            .localCheckpoint()
+        )
+        sub_nodes = _endpoints(sub)
+        relabeled = dedup_clusters(
+            sub_nodes, sub.select("id_a", "id_b").distinct(), id_col="id"
+        ).select("id", "cluster_id").localCheckpoint()
+
+        # label store: every previously-affected member and every delta
+        # endpoint is touched; survivors get their new label, nodes
+        # that lost their last edge drop out
+        touched_ids = (
+            _endpoints(comp_rows).unionByName(delta_nodes).distinct()
+            .localCheckpoint()
+        )
+        np_parts = self._parts_of(touched_ids, "id")
+        lab_keep = (
+            self.labels.read(spark, LABEL_SCHEMA, part_filter=np_parts,
+                             **blw)
+            .join(touched_ids, "id", "left_anti")
+        )
+        lab_out = (
+            lab_keep.unionByName(relabeled)
+            .withColumn("np", self._np(F.col("id")))
+        )
+        self.labels.write(spark, lab_out, version, np_parts, LABEL_SCHEMA)
+
+        # edge store: retract the affected components' rows, insert the
+        # re-clustered subgraph rows under their new labels
+        new_rows = (
+            sub.join(relabeled.withColumnRenamed("id", "id_a"), "id_a")
+            .withColumnRenamed("cluster_id", "clab")
+        )
+        lp_parts = self._parts_of(
+            affected.unionByName(new_rows.select("clab")), "clab")
+        edge_keep = (
+            self.edges.read(spark, EDGE_SCHEMA, part_filter=lp_parts,
+                             **blw)
+            .join(affected, "clab", "left_anti")
+        )
+        edge_out = (
+            edge_keep.unionByName(new_rows.select(*ekey, "clab"))
+            .withColumn("lp", self._np(F.col("clab")))
+        )
+        self.edges.write(spark, edge_out, version, lp_parts, EDGE_SCHEMA)
+        self.labels.gc()
+        self.edges.gc()

@@ -133,7 +133,8 @@ class NearDupIndex:
 
     # ---------------------------------------------------------------- update
     def update(self, spark: SparkSession, batch_df: DataFrame,
-               text_col: str = "text", batch_id: int | None = None) -> None:
+               text_col: str = "text", batch_id: int | None = None,
+               cluster_index=None) -> None:
         """Apply one changelog micro-batch (key, warc_ts, seq, op,
         text) to the index: signatures for the batch's upserts merge
         into the signature table (deletes tombstone); the banded store
@@ -149,7 +150,14 @@ class NearDupIndex:
         re-delivery (the derived writes re-run against the same
         snapshot — the pre-batch state is head's PARENT in the commit
         log, never the pre-call head, which on a re-delivery would
-        equal head and lose the retraction prefixes).
+        equal head and lose the retraction prefixes; derived-store
+        reads resolve STRICTLY BELOW head for the same reason).
+
+        ``cluster_index``: an attached ``ClusterIndex`` receives this
+        batch's provenance-row edge delta (added = the re-derived
+        touched-bucket rows, removed = their pre-batch content) under
+        the same version id — incremental connected components ride
+        the same exactly-once contract.
         """
         key = self.key_col
         ups = batch_df.filter(F.col("op") == "upsert")
@@ -167,7 +175,10 @@ class NearDupIndex:
         head = self.table.io.head_snapshot_id()
         prev_sid = self.table.io.read_snapshot(head).get("parent_id")
         if (res is None and head in self.pair_store.versions()
-                and head in self.banded_store.versions()):
+                and head in self.banded_store.versions()
+                and (cluster_index is None
+                     or (head in cluster_index.labels.versions()
+                         and head in cluster_index.edges.versions()))):
             return  # duplicate delivery, all artifacts exist → no-op
 
         # keys whose index entries must be rebuilt = the batch's touched
@@ -201,7 +212,8 @@ class NearDupIndex:
         # banded rewrite: previous content of the touched prefixes
         # minus touched ids, plus the surviving new entries
         prev_slice = self.banded_store.read(spark, BANDED_SCHEMA,
-                                            part_filter=touched_pfx)
+                                            part_filter=touched_pfx,
+                                            below_version=head)
         idx_slice = (
             self._with_pfx(prev_slice.join(touched_keys, "id", "left_anti"))
             .unionByName(new_banded)
@@ -230,14 +242,21 @@ class NearDupIndex:
         new_pairs = a.join(b, ["band", "bucket"]).filter(
             F.col("id_a") < F.col("id_b")
         ).select("id_a", "id_b", "band", "bucket", "pfx")
-        kept = (
-            self.pair_store.read(spark, PAIR_SCHEMA, part_filter=touched_pfx)
-            .join(tb.select("band", "bucket").distinct(),
-                  ["band", "bucket"], "left_anti")
-        )
+        prev_pairs = self.pair_store.read(spark, PAIR_SCHEMA,
+                                          part_filter=touched_pfx,
+                                          below_version=head)
+        tbb = tb.select("band", "bucket").distinct()
+        kept = prev_pairs.join(tbb, ["band", "bucket"], "left_anti")
         out = self._with_pfx(kept).unionByName(new_pairs)
         self.pair_store.write(spark, out, head, touched_pfx, PAIR_SCHEMA)
         idx_slice.unpersist()
+
+        if cluster_index is not None:
+            ekey = ["id_a", "id_b", "band", "bucket"]
+            removed = prev_pairs.join(tbb, ["band", "bucket"], "left_semi")
+            cluster_index.apply(spark, head,
+                                added=new_pairs.select(*ekey),
+                                removed=removed.select(*ekey))
 
         self.pair_store.gc()
         self.banded_store.gc()
