@@ -494,6 +494,22 @@ def q_token_stats(spark, sf):
     return X.token_stats(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_dedup_paragraphs(spark, sf):
+    """Intra-doc paragraph dedup with guaranteed duplicates: each text
+    becomes three paragraphs (text, its 20-char prefix, text again) so
+    the repeated full text must collapse to its first occurrence while
+    order is preserved — both engines build the same input and the
+    oracle reassembles with ORDER BY first-position."""
+    from montandon_etl_spark.operators.textstats import dedup_paragraphs
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws("\n\n", F.col("text"),
+                    F.substring("text", 1, 20), F.col("text")).alias("text"),
+    )
+    return dedup_paragraphs(docs, "doc_id", "text")
+
+
 def q_redact_pii(spark, sf):
     """PII scrubbing with a deterministic needle per doc (the raw
     corpus has no guaranteed PII): each text gets a synthetic email
@@ -1204,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "ngram_lm_score": q_ngram_lm_score,
         "redact_pii": q_redact_pii,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "ngram_contamination": q_ngram_contamination,
         "quality_score": q_quality_score,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -1416,6 +1433,27 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
             FROM documents""",
+        "dedup_paragraphs": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || e'\\n\\n' || substr(text, 1, 20)
+                          || e'\\n\\n' || text AS text
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, 1 + len(ps)),
+                            i -> {'pos': i, 'para': ps[i]})) AS s
+              FROM (SELECT doc_id, string_split(text, e'\\n\\n') AS ps
+                    FROM t)),
+            f AS (
+              SELECT doc_id, s.para AS para,
+                     min(s.pos) AS pos, count(*) AS n
+              FROM p GROUP BY 1, 2)
+            SELECT doc_id,
+                   string_agg(para, e'\\n\\n' ORDER BY pos) AS clean_text,
+                   CAST(sum(n) AS BIGINT) AS n_paras,
+                   CAST(sum(n) - count(*) AS BIGINT) AS n_removed
+            FROM f GROUP BY 1""",
         "redact_pii": """
             WITH t AS (
               SELECT doc_id,

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "quality_score",
     "ngram_lm_score",  # self-trained char-trigram LM fluency scoring
     "redact_pii",
+    "dedup_paragraphs",
     "ngram_contamination",
     "doc_fingerprint",
     "dedup_clusters",

@@ -123,6 +123,38 @@ def repetition_stats(
     )
 
 
+def dedup_paragraphs(df: DataFrame, id_col: str, text_col: str,
+                     sep: str = "\n\n") -> DataFrame:
+    """Intra-document exact paragraph dedup (the C4/Gopher-style
+    cleanup stage: boilerplate repeated within one page — nav blocks,
+    cookie banners — gets collapsed to its first occurrence, original
+    order preserved). Returns (id, clean_text, n_paras, n_removed).
+
+    Shape: posexplode → per-(doc, para) min position → ordered
+    reassembly via array_sort(collect_list(struct(pos, para))). The
+    per-doc grouping is map-side combinable and the whole operator
+    shuffles only (doc, para) rows — no corpus-wide state, so it
+    scales as a single pass."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    firsts = paras.groupBy(id_col, "para").agg(
+        F.min("pos").alias("pos"), F.count(F.lit(1)).alias("_n")
+    )
+    return firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum("_n").alias("n_paras"),
+        (F.sum("_n") - F.count(F.lit(1))).alias("n_removed"),
+    )
+
+
 # PII patterns restricted to syntax shared by Java regex (Spark) and
 # RE2 (DuckDB) so the oracle runs the literal same programs
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -151,3 +151,19 @@ def test_kmv_distinct_accuracy_and_exact_path(spark):
     u = kmv_distinct(half1.unionByName(half2), "g", "v", k=64)
     direct = kmv_distinct(df, "g", "v", k=64)
     assert sorted(u.collect()) == sorted(direct.collect())
+
+
+def test_dedup_paragraphs_analytic(spark):
+    """Repeated paragraphs collapse to the first occurrence with
+    original order preserved."""
+    from montandon_etl_spark.operators.textstats import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "A\n\nB\n\nA\n\nC\n\nB"), (2, "solo")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "A\n\nB\n\nC"
+    assert out[1]["n_paras"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "solo"
+    assert out[2]["n_paras"] == 1 and out[2]["n_removed"] == 0
