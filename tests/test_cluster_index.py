@@ -158,3 +158,32 @@ def test_through_neardup_index(spark, tmp_path):
     # full no-op on redelivery once all artifacts exist
     idx.update(spark, _batch(spark, b2), batch_id=2, cluster_index=cidx)
     check()
+
+
+def test_random_delta_sequences_property(spark, tmp_path):
+    """Seeded random add/remove delta sequences over a small edge pool
+    (parallel edges included): every step must equal the from-scratch
+    recompute — the unstructured counterpart of the scenario tests."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    pool = []
+    for i in range(30):
+        a, b = rng.sample(nodes, 2)
+        if a > b:
+            a, b = b, a
+        pool.append((a, b, i % 3, f"k{i % 7}"))  # some parallel pairs
+    pool = sorted(set(pool))
+
+    cidx = ClusterIndex(str(tmp_path / "ci"), n_parts=8)
+    state: set = set()
+    for v in range(1, 9):
+        absent = [e for e in pool if e not in state]
+        add = rng.sample(absent, min(len(absent), rng.randint(1, 5)))
+        rem = rng.sample(sorted(state), min(len(state), rng.randint(0, 3)))
+        cidx.apply(spark, v, _edges_df(spark, add), _edges_df(spark, rem))
+        state.difference_update(rem)
+        state.update(add)
+        assert _got_clusters(cidx, spark) == _want_clusters(spark, state), \
+            f"diverged at version {v}"
