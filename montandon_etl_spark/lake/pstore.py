@@ -105,6 +105,13 @@ class VersionedPartitionStore:
         empty. ``df`` must carry the partition column."""
         ver_dir = os.path.join(self.root, f"v{version}")
         if touched:
+            # guard: a row outside the touched set would silently write
+            # a partition holding ONLY that row, truncating the
+            # partition's other content on the next read — correct
+            # callers never produce such rows, so this filter is a
+            # no-op that turns a drift bug into missing data the
+            # equivalence tests catch immediately
+            df = df.filter(F.col(self.part_col).isin(*touched))
             (df.repartition(self.n_parts, self.part_col)
              .write.mode("overwrite").partitionBy(self.part_col)
              .parquet(ver_dir))
