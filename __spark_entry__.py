@@ -1183,6 +1183,13 @@ def _oracle_embedding_near_dup_lsh(threshold: float = 0.3) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # never-yet-driver-sampled queries lead: the driver samples a
+        # prefix-biased subset of this dict, and enumeration order is
+        # the only builder-controlled signal (VERDICT r3 Next #4)
+        "simplify_polygons": q_simplify_polygons,
+        "warc_roundtrip": q_warc_roundtrip,
+        "image_features_png": q_image_features_png,
+        "video_frame_index": q_video_frame_index,
         "cdc_lww_latest_state": q_cdc_lww_latest_state,
         "cdc_lww_salted_state": q_cdc_lww_salted_state,
         "dedup_exact_content": q_dedup_exact_content,
@@ -1234,9 +1241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_norms": q_embedding_norms,
         "multimodal_binary_meta": q_multimodal_binary_meta,
-        "image_features_png": q_image_features_png,
-        "video_frame_index": q_video_frame_index,
-        "warc_roundtrip": q_warc_roundtrip,
         "url_normalize": q_url_normalize,
         "value_percentiles": q_value_percentiles,
         "hash_sample": q_hash_sample,
@@ -1246,7 +1250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": q_explode_tokens,
         "validate_json_payload": q_validate_json_payload,
         "geojson_bbox": q_geojson_bbox,
-        "simplify_polygons": q_simplify_polygons,
         "xml_roundtrip": q_xml_roundtrip,
     }
 
