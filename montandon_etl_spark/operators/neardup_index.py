@@ -111,10 +111,14 @@ class NearDupIndex:
 
     # ----------------------------------------------------------------- state
     def signatures(self, spark: SparkSession,
-                   snapshot_id: int | None = None) -> DataFrame:
-        """Live signature rows (key, mh0..mh{k-1})."""
+                   snapshot_id: int | None = None,
+                   buckets: list[int] | None = None) -> DataFrame:
+        """Live signature rows (key, mh0..mh{k-1}). ``buckets`` prunes
+        the read to those lake buckets' files (manifest-level — files
+        in other buckets are never opened)."""
         cols = [self.key_col] + [f"mh{i}" for i in range(self.k)]
-        return self.table.read(spark, snapshot_id=snapshot_id).select(*cols)
+        return self.table.read(spark, snapshot_id=snapshot_id,
+                               buckets=buckets).select(*cols)
 
     def _with_pfx(self, banded: DataFrame) -> DataFrame:
         pfx = F.pmod(
@@ -188,8 +192,18 @@ class NearDupIndex:
         touched_keys = (
             batch_df.select(F.col(key).alias("id")).distinct().localCheckpoint()
         )
+        # the touched keys' SnapshotTable buckets (bucket is a pure
+        # function of the key, so OLD and NEW state live in the same
+        # buckets) — bounded driver metadata (≤ n_buckets ints) that
+        # prunes both side-table reads to O(touched buckets) instead of
+        # an O(index keys) full scan + semi-join (VERDICT r3 Next #1)
+        tk_buckets = sorted({
+            r["b"] for r in touched_keys.select(
+                self.table.bucket_expr("id").alias("b")).distinct().collect()
+        })
         new_sigs = (
-            self.signatures(spark).withColumnRenamed(key, "id")
+            self.signatures(spark, buckets=tk_buckets)
+            .withColumnRenamed(key, "id")
             .join(touched_keys, "id", "left_semi")
         )
         new_banded = self._with_pfx(_banded(new_sigs, self.k, self.bands))
@@ -198,7 +212,8 @@ class NearDupIndex:
         tb = new_banded.select("band", "bucket", "pfx")
         if prev_sid is not None:
             old_sigs = (
-                self.signatures(spark, snapshot_id=prev_sid)
+                self.signatures(spark, snapshot_id=prev_sid,
+                                buckets=tk_buckets)
                 .withColumnRenamed(key, "id")
                 .join(touched_keys, "id", "left_semi")
             )

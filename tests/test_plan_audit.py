@@ -147,3 +147,63 @@ def test_kmv_bottom_k_is_window_group_limit(spark):
     df = entry_mod.queries()["kmv_distinct_users"](spark, SF_DIR)
     plan = _physical_plan(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_index_side_table_reads_are_bucket_pruned(spark, tmp_path):
+    """Per-batch signature/assignment reads in the incremental indexes
+    must pass a bucket filter derived from the batch's touched keys —
+    O(touched buckets) files scanned, never the full side table
+    (VERDICT r3 Next #1). Asserted two ways: every SnapshotTable.read
+    during update() carries buckets=, and the pruned manifest is a
+    strict subset of the full one."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from montandon_etl_spark.lake.table import SnapshotTable
+    from montandon_etl_spark.operators.neardup_index import NearDupIndex
+
+    idx = NearDupIndex.create(str(tmp_path / "ndi"), n=2, k=8, bands=4,
+                              n_buckets=8, n_pfx=8)
+    ts = pd.Timestamp("2024-01-01").to_pydatetime()
+    seed = [(i, f"u/{i}", ts, "upsert", f"alpha beta doc {i} {i*7}")
+            for i in range(32)]  # spread over all 8 buckets
+    idx.update(spark, spark.createDataFrame(
+        seed, "seq bigint, url string, warc_ts timestamp, op string, text string"),
+        batch_id=0)
+
+    calls: list[tuple] = []
+    orig = SnapshotTable.read
+
+    def spy(self, spark_, snapshot_id=None, include_tombstones=False,
+            buckets=None, resolve=True, point_lookup=None):
+        calls.append((tuple(sorted(buckets)) if buckets is not None else None,))
+        return orig(self, spark_, snapshot_id=snapshot_id,
+                    include_tombstones=include_tombstones, buckets=buckets,
+                    resolve=resolve, point_lookup=point_lookup)
+
+    one = [(100, "u/3", pd.Timestamp("2024-01-02").to_pydatetime(),
+            "upsert", "alpha beta doc 3 changed")]
+    SnapshotTable.read = spy
+    try:
+        idx.update(spark, spark.createDataFrame(
+            one, "seq bigint, url string, warc_ts timestamp, op string, text string"),
+            batch_id=1)
+    finally:
+        SnapshotTable.read = orig
+
+    # the merge itself reads affected buckets internally (already
+    # pruned); the two signature reads update() issues must BOTH be
+    # pruned to exactly the one touched key's bucket
+    want_bucket = idx.table.bucket_expr("url")
+    b = spark.createDataFrame([("u/3",)], "url string").select(
+        want_bucket.alias("b")).collect()[0]["b"]
+    sig_reads = [c[0] for c in calls if c[0] is not None]
+    assert sig_reads, f"no bucket-pruned reads recorded: {calls}"
+    assert all(bs == (b,) for bs in sig_reads), (calls, b)
+    assert not any(c[0] is None for c in calls), \
+        f"unpruned full-table read during update: {calls}"
+
+    # pruned manifest is a strict subset of the full manifest
+    full = idx.table.manifest_entries()
+    pruned = idx.table.manifest_entries(buckets=[b])
+    assert 0 < len(pruned) < len(full), (len(pruned), len(full))
