@@ -73,6 +73,14 @@ class MaterializedAggregate:
 
     def _names(self, ids: list[int]) -> list[str]:
         by_id = {f.id: f.name for f in self.table.user_fields()}
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise ValueError(
+                f"materialized view at {self.path} pins field id(s) "
+                f"{missing} that no longer resolve against the table's "
+                f"current schema (a drop_column DDL removed them) — "
+                f"drop and re-create() the view over the surviving "
+                f"columns")
         return [by_id[i] for i in ids]
 
     @property

@@ -952,6 +952,35 @@ class SnapshotTable:
         ("float", "double"), ("int", "double"),
     }
 
+    def commit_batch_id(self, batch_id: int) -> dict | None:
+        """Record an epoch that changed neither data nor schema (e.g. a
+        DDL-only micro-batch whose DDLs were all already applied) as an
+        empty commit carrying the batch high-water mark — so the
+        standard duplicate-epoch check covers it like any other epoch.
+        No-op (returns None) when the mark is already at or past it."""
+        snap = self.snapshot()
+        if batch_id <= snap["committed_max_batch_id"]:
+            return None
+        new_snap = {
+            "snapshot_id": snap["snapshot_id"] + 1,
+            "parent_id": snap["snapshot_id"],
+            "type": "noop",
+            "batch_id": batch_id,
+            "schema_version": snap["schema_version"],
+            "schemas": snap["schemas"],
+            **(
+                {"manifest": snap["manifest"]}
+                if "manifest" in snap
+                else {"manifest_files": snap.get("manifest_files", {})}
+            ),
+            "properties": snap["properties"],
+            "offsets": snap["offsets"],
+            "metrics": {"rows_written": 0, "buckets_rewritten": 0},
+            "committed_max_batch_id": batch_id,
+        }
+        self.io.write_snapshot_and_swap_head(new_snap)
+        return new_snap
+
     def apply_ddl(self, op: str, field: str, new_name: str | None = None,
                   dtype: str | None = None, batch_id: int | None = None) -> dict:
         """Apply a schema-evolution event as a schema-only snapshot —
@@ -1030,7 +1059,17 @@ class SnapshotTable:
             "properties": snap["properties"],
             "offsets": snap["offsets"],
             "metrics": {"rows_written": 0, "buckets_rewritten": 0},
-            "committed_max_batch_id": snap["committed_max_batch_id"],
+            # a DDL-ONLY micro-batch has no data commit to carry its
+            # epoch id, so the schema snapshot itself advances the
+            # high-water mark — duplicate-delivery safety then rests on
+            # the same committed-batch-id check as every data epoch,
+            # not on inferring applied-ness from the live schema (which
+            # breaks for rename A->B later followed by rename B->A)
+            "committed_max_batch_id": (
+                max(snap["committed_max_batch_id"], batch_id)
+                if batch_id is not None
+                else snap["committed_max_batch_id"]
+            ),
         }
         self.io.write_snapshot_and_swap_head(new_snap)
         return new_snap

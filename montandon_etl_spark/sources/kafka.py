@@ -61,6 +61,31 @@ def _parse(value_col: str, schema: str) -> F.Column:
     )
 
 
+DDL_SPEC_SCHEMA = "field string, new_name string, dtype string"
+
+
+def _ddl_spec_ok(ddl: F.Column, op: F.Column) -> F.Column:
+    """Column predicate: the DDL frame's JSON spec parses AND carries
+    its op's required non-empty fields (mirrors what apply_ddl needs),
+    so a poison DDL frame fails decode_ok and routes to quarantine
+    instead of raising driver-side on every retry."""
+    spec = F.from_json(ddl, DDL_SPEC_SCHEMA + ", _corrupt string",
+                       {"columnNameOfCorruptRecord": "_corrupt"})
+
+    def nz(c: F.Column) -> F.Column:
+        return c.isNotNull() & (c != "")
+
+    return (
+        ddl.isNotNull()
+        & spec.isNotNull()
+        & spec["_corrupt"].isNull()
+        & nz(spec["field"])
+        & F.when(op.isin("add_column", "widen_column"), nz(spec["dtype"]))
+        .when(op == "rename_column", nz(spec["new_name"]))
+        .otherwise(F.lit(True))
+    )
+
+
 def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value",
                           keep_raw: bool = False) -> DataFrame:
     """Flat-JSON frames → changelog rows (+ ``decode_ok``).
@@ -88,8 +113,13 @@ def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value",
         & F.col("_v.seq").isNotNull()
         & F.when(
             is_ddl,
-            # DDL frame: needs its spec; url is synthetic, payload absent
-            F.col("_v.ddl").isNotNull(),
+            # DDL frame: the spec must be valid at DECODE time — a
+            # frame that parses but lacks its op's required fields
+            # would otherwise pass decode_ok and then raise inside the
+            # driver's apply loop on every retry, permanently wedging
+            # the stream (ADVICE r3 #1). url is synthetic, payload
+            # absent.
+            _ddl_spec_ok(F.col("_v.ddl"), F.col("_v.op")),
         ).otherwise(
             F.col("_v.url").isNotNull()
             & F.col("_v.warc_ts_us").isNotNull()

@@ -106,14 +106,32 @@ def apply_trailing_ddl(table: SnapshotTable,
     return len(ddls)
 
 
-def _extract_inband_ddl(batch_df: DataFrame) -> tuple[DataFrame, pd.DataFrame | None]:
+# op → spec fields that must be present non-empty strings for the DDL
+# to be applicable at all (mirrors SnapshotTable.apply_ddl's needs)
+_DDL_REQUIRED = {
+    "add_column": ("field", "dtype"),
+    "rename_column": ("field", "new_name"),
+    "drop_column": ("field",),
+    "widen_column": ("field", "dtype"),
+}
+
+
+def _extract_inband_ddl(
+    batch_df: DataFrame,
+) -> tuple[DataFrame, pd.DataFrame | None, list]:
     """Split a changelog batch that carries a ``ddl`` column into
     (DML-only frame, in-band DDL events as the side-channel pandas
-    shape). The collect is bounded metadata — DDL events are rare
-    schema changes, never data volume. Streams WITHOUT the ddl column
-    skip this entirely (zero extra jobs on the common path)."""
+    shape, malformed DDL rows). The collect is bounded metadata — DDL
+    events are rare schema changes, never data volume. Streams WITHOUT
+    the ddl column skip this entirely (zero extra jobs on the common
+    path).
+
+    A DDL row whose spec is unparseable JSON or lacks its op's
+    required fields lands in the THIRD slot instead of raising later
+    inside apply_ddl — one poison DDL frame must quarantine, not wedge
+    the stream on every retry (ADVICE r3 #1)."""
     if "ddl" not in batch_df.columns:
-        return batch_df, None
+        return batch_df, None, []
     ddl_rows = (
         batch_df.filter(F.col("op").isin(*DDL_OPS))
         .select("seq", "op", "ddl")
@@ -121,15 +139,25 @@ def _extract_inband_ddl(batch_df: DataFrame) -> tuple[DataFrame, pd.DataFrame | 
     )
     dml = batch_df.filter(~F.col("op").isin(*DDL_OPS)).drop("ddl")
     if not ddl_rows:
-        return dml, None
-    recs = []
+        return dml, None, []
+    recs, bad = [], []
     for r in ddl_rows:
-        spec = json.loads(r["ddl"] or "{}")
+        try:
+            spec = json.loads(r["ddl"]) if r["ddl"] else None
+        except (ValueError, TypeError):
+            spec = None
+        if not isinstance(spec, dict) or any(
+            not isinstance(spec.get(k), str) or not spec[k]
+            for k in _DDL_REQUIRED[r["op"]]
+        ):
+            bad.append(r)
+            continue
         recs.append((int(r["seq"]), r["op"], spec.get("field"),
                      spec.get("new_name"), spec.get("dtype")))
-    events = pd.DataFrame(
+    events = (pd.DataFrame(
         recs, columns=["seq", "op", "field", "new_name", "dtype"])
-    return dml, events
+        if recs else None)
+    return dml, events, bad
 
 
 def merge_microbatch(
@@ -140,6 +168,7 @@ def merge_microbatch(
     ddl_events: pd.DataFrame | None = None,
     use_salted: bool = False,
     gc_tombstones: bool = False,
+    on_bad_ddl: Callable[[list], None] | None = None,
 ) -> None:
     """One exactly-once micro-batch commit, with DDL interleaving.
     ``gc_tombstones``: the caller asserts the changelog is globally
@@ -156,7 +185,15 @@ def merge_microbatch(
     if batch_id is not None and batch_id <= head["committed_max_batch_id"]:
         return  # duplicate epoch delivery → full no-op
 
-    batch_df, inband = _extract_inband_ddl(batch_df)
+    batch_df, inband, bad_ddl = _extract_inband_ddl(batch_df)
+    if bad_ddl:
+        if on_bad_ddl is not None:
+            on_bad_ddl(bad_ddl)  # quarantine path (run_stream wires it)
+        else:
+            raise ValueError(
+                f"malformed in-band DDL frame(s) at seq "
+                f"{[r['seq'] for r in bad_ddl]} and no on_bad_ddl "
+                f"handler — refusing to silently drop schema changes")
     if inband is not None:
         ddl_events = (inband if ddl_events is None or len(ddl_events) == 0
                       else pd.concat([ddl_events, inband], ignore_index=True))
@@ -180,10 +217,18 @@ def merge_microbatch(
         return  # empty batch (side-channel DDL waits for a carrying batch)
     ddls = _pending_ddl(table, ddl_events, hi)
     if lo is None:
-        # DDL-only batch: no DML to segment, apply and return (re-delivery
-        # is safe — _pending_ddl infers "already applied" from live schema)
-        for d in ddls:
-            table.apply_ddl(d["op"], d["field"], d["new_name"], d["dtype"])
+        # DDL-only batch: no DML to segment. The LAST applied DDL's
+        # schema snapshot carries the epoch's batch_id (an all-applied
+        # replay gets an explicit empty commit), so the epoch advances
+        # committed_max_batch_id like every other — duplicate delivery
+        # is then caught by the standard check instead of resting on
+        # schema-inference, which misidentifies rename A->B followed
+        # later by rename B->A (ADVICE r3 #3)
+        for i, d in enumerate(ddls):
+            table.apply_ddl(d["op"], d["field"], d["new_name"], d["dtype"],
+                            batch_id=batch_id if i == len(ddls) - 1 else None)
+        if not ddls and batch_id is not None:
+            table.commit_batch_id(batch_id)
         return
 
     # enrichment is handed to merge() so the extractor UDF runs only on
@@ -272,8 +317,24 @@ def run_stream(
             # for the quarantine only — they must never ride the merge
             drop = ["decode_ok"] + [c for c in df.columns if c.startswith("_")]
             df = df.filter(F.col("decode_ok")).drop(*drop)
+
+        def bad_ddl_sink(rows: list) -> None:
+            # malformed in-band DDL frames: record-not-drop, same
+            # contract as decode quarantine (own epoch subdir so a
+            # decode-quarantine overwrite can't clobber them)
+            if quarantine_dir is None:
+                raise ValueError(
+                    f"malformed in-band DDL frame(s) at seq "
+                    f"{[r['seq'] for r in rows]} — configure "
+                    f"quarantine_dir to divert instead of failing")
+            (spark.createDataFrame(
+                [(r["seq"], r["op"], r["ddl"]) for r in rows],
+                "seq bigint, op string, ddl string")
+             .write.mode("overwrite")
+             .parquet(os.path.join(quarantine_dir, f"ddl_epoch={epoch_id}")))
+
         merge_microbatch(spark, table, df, epoch_id, ddl_events, use_salted,
-                         gc_tombstones=gc_tombstones)
+                         gc_tombstones=gc_tombstones, on_bad_ddl=bad_ddl_sink)
         for upd in derived_updaters or []:
             upd(spark, df, epoch_id)
         if retention_snapshots is not None:
