@@ -24,13 +24,24 @@ Two ``lake/pstore`` stores:
   falls out of these rows: every non-singleton member is an
   endpoint).
 
-Per batch: look up the delta endpoints' labels → affected components;
-pull ONLY those components' edges; apply the row deltas; rerun
-connected components on that (small) subgraph; rewrite only the
-touched label/edge partitions. Merges, splits, and disappearing
-components are all the same rebuild. Scope: pair-PARTICIPATING nodes
-(singleton docs never enter the pair graph; derive them by anti-join
-when needed).
+Per batch, two regimes:
+
+- **add-only** (no net retraction — the dominant CDC shape): labels
+  can only merge, and since a stored label is the MIN member id,
+  connected components over a META-graph (new edges with known
+  endpoints replaced by their labels) yields every final label
+  without pulling any component's edges. Only components whose label
+  CHANGED are pulled and rewritten — a batch attaching larger-id
+  nodes to the giant near-dup family touches nothing but its own
+  rows: O(new edges + relabeled components).
+- **with retractions**: look up the delta endpoints' labels →
+  affected components; pull ONLY those components' edges; apply the
+  row deltas; rerun connected components on that (small) subgraph;
+  rewrite only the touched label/edge partitions. Merges, splits, and
+  disappearing components are all the same rebuild.
+
+Scope: pair-PARTICIPATING nodes (singleton docs never enter the pair
+graph; derive them by anti-join when needed).
 
 Equivalence contract (tested): after any batch sequence,
 ``clusters()`` equals ``dedup_clusters`` recomputed from scratch over
@@ -124,6 +135,15 @@ class ClusterIndex:
         ekey = ["id_a", "id_b", "band", "bucket"]
         added = added.select(*ekey).localCheckpoint()
         removed = removed.select(*ekey).localCheckpoint()
+        # the dominant CDC batch shape retracts nothing (removed rows
+        # all reappear in added — unchanged edges of rebuilt buckets):
+        # components can only MERGE, never split, so labels resolve on
+        # a meta-graph of (old labels + fresh nodes) without pulling
+        # any component's edges (VERDICT r3 Next #2)
+        minus = removed.join(added, ekey, "left_anti").localCheckpoint()
+        if minus.isEmpty():
+            self._apply_add_only(spark, version, added, removed)
+            return
         delta_nodes = _endpoints(added.unionByName(removed)).localCheckpoint()
 
         # Every read below resolves STRICTLY BELOW `version`: a crash
@@ -200,6 +220,147 @@ class ClusterIndex:
         )
         edge_out = (
             edge_keep.unionByName(new_rows.select(*ekey, "clab"))
+            .withColumn("lp", self._np(F.col("clab")))
+        )
+        self.edges.write(spark, edge_out, version, lp_parts, EDGE_SCHEMA)
+        self.labels.gc()
+        self.edges.gc()
+
+    # ------------------------------------------------------ add-only fast path
+    def _apply_add_only(self, spark: SparkSession, version: int,
+                        added: DataFrame, removed: DataFrame) -> None:
+        """Merge-only label maintenance, O(new edges + relabeled
+        components) instead of O(every affected component).
+
+        With no retraction, connectivity only grows. Because a stored
+        ``cluster_id`` is the MIN member id of its component (the
+        ``dedup_clusters`` contract, held inductively), a component is
+        a single meta-node carrying its label, and connected components
+        over the tiny meta-graph — new edges with each known endpoint
+        substituted by its label — yield every final label exactly:
+        min(merged labels ∪ fresh ids) = min(all member ids).
+
+        Only components whose LABEL CHANGES (they merged into a
+        smaller label) have their edges pulled and members relabeled;
+        a batch attaching larger-id nodes to an existing component —
+        the overwhelmingly common web-crawl shape, including the giant
+        near-dup family — touches nothing but the new rows. A batch
+        with retractions takes the full affected-component rebuild
+        path instead."""
+        ekey = ["id_a", "id_b", "band", "bucket"]
+        blw = dict(below_version=version)
+        plus = added.join(removed, ekey, "left_anti").localCheckpoint()
+        if plus.isEmpty():
+            # bucket rebuilds only, no net edge change: stamp empty
+            # versions so duplicate delivery still short-circuits
+            self.labels.write(spark, spark.createDataFrame([], LABEL_SCHEMA),
+                              version, set(), LABEL_SCHEMA)
+            self.edges.write(spark, spark.createDataFrame([], EDGE_SCHEMA),
+                             version, set(), EDGE_SCHEMA)
+            self.labels.gc()
+            self.edges.gc()
+            return
+
+        delta_nodes = _endpoints(plus).localCheckpoint()
+        known = (
+            self.labels.read(spark, LABEL_SCHEMA,
+                             part_filter=self._parts_of(delta_nodes, "id"),
+                             **blw)
+            .join(delta_nodes, "id", "left_semi")
+            .select("id", "cluster_id")
+            .localCheckpoint()
+        )
+        la = known.select(F.col("id").alias("id_a"),
+                          F.col("cluster_id").alias("ca"))
+        lb = known.select(F.col("id").alias("id_b"),
+                          F.col("cluster_id").alias("cb"))
+        me = (
+            plus.select("id_a", "id_b").distinct()
+            .join(la, "id_a", "left").join(lb, "id_b", "left")
+            .select(F.coalesce("ca", F.col("id_a")).alias("ma"),
+                    F.coalesce("cb", F.col("id_b")).alias("mb"))
+            .localCheckpoint()
+        )
+        meta_nodes = (me.select(F.col("ma").alias("id"))
+                      .unionByName(me.select(F.col("mb").alias("id")))
+                      .distinct())
+        meta_edges = (
+            me.filter(F.col("ma") != F.col("mb"))
+            .select(F.least("ma", "mb").alias("id_a"),
+                    F.greatest("ma", "mb").alias("id_b"))
+            .distinct()
+        )
+        meta = (
+            dedup_clusters(meta_nodes, meta_edges, id_col="id")
+            .select("id", F.col("cluster_id").alias("final"))
+            .localCheckpoint()
+        )
+        # old components whose label changed = their label meta-node
+        # landed in a meta-component with a smaller min
+        relab = (
+            meta.join(known.select(F.col("cluster_id").alias("id")).distinct(),
+                      "id", "left_semi")
+            .filter(F.col("id") != F.col("final"))
+            .select(F.col("id").alias("clab"), "final")
+            .localCheckpoint()
+        )
+        # ONLY relabeled components' rows are pulled (empty part_filter
+        # → empty read in the dominant no-relabel case)
+        comp_rows = (
+            self.edges.read(spark, EDGE_SCHEMA,
+                            part_filter=self._parts_of(relab, "clab"), **blw)
+            .join(relab.select("clab"), "clab", "left_semi")
+            .localCheckpoint()
+        )
+
+        # label rows to (re)write: fresh nodes + members of relabeled
+        # components; everything else keeps its row untouched
+        fresh_lab = (
+            delta_nodes.join(known, "id", "left_anti")
+            .join(meta, "id")
+            .select("id", F.col("final").alias("cluster_id"))
+        )
+        mem_lab = (
+            comp_rows.select(F.col("id_a").alias("id"), "clab")
+            .unionByName(comp_rows.select(F.col("id_b").alias("id"), "clab"))
+            .distinct()
+            .join(relab, "clab")
+            .select("id", F.col("final").alias("cluster_id"))
+        )
+        new_labels = fresh_lab.unionByName(mem_lab).localCheckpoint()
+        touched_ids = new_labels.select("id")
+        np_parts = self._parts_of(touched_ids, "id")
+        lab_keep = (
+            self.labels.read(spark, LABEL_SCHEMA, part_filter=np_parts, **blw)
+            .join(touched_ids, "id", "left_anti")
+        )
+        lab_out = (
+            lab_keep.unionByName(new_labels)
+            .withColumn("np", self._np(F.col("id")))
+        )
+        self.labels.write(spark, lab_out, version, np_parts, LABEL_SCHEMA)
+
+        # edge rows: new edges under their final label + relabeled
+        # components' rows moved to their new label partition
+        plus_l = (
+            plus.join(la, "id_a", "left")
+            .withColumn("ma", F.coalesce("ca", F.col("id_a")))
+            .drop("ca")
+            .join(meta.withColumnRenamed("id", "ma"), "ma")
+            .select(*ekey, F.col("final").alias("clab"))
+        )
+        moved = comp_rows.join(relab, "clab").select(
+            *ekey, F.col("final").alias("clab"))
+        new_edge_rows = plus_l.unionByName(moved).localCheckpoint()
+        lp_parts = self._parts_of(
+            new_edge_rows.select("clab").unionByName(relab.select("clab")),
+            "clab")
+        edge_keep = (
+            self.edges.read(spark, EDGE_SCHEMA, part_filter=lp_parts, **blw)
+            .join(relab.select("clab"), "clab", "left_anti")
+        )
+        edge_out = (
+            edge_keep.unionByName(new_edge_rows)
             .withColumn("lp", self._np(F.col("clab")))
         )
         self.edges.write(spark, edge_out, version, lp_parts, EDGE_SCHEMA)
