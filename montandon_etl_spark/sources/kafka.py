@@ -144,15 +144,141 @@ def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value",
     return out.select(*cols)
 
 
+DEBEZIUM_SCHEMA_CHANGE_SCHEMA = (
+    "source struct<seq: bigint, ts_us: bigint>,"
+    " databaseName string, ddl string"
+)
+
+# SQL type → engine type for Debezium DDL statements (identity for
+# names that are already engine types)
+_SQL_TYPES = {
+    "varchar": "string", "text": "string", "char": "string",
+    "string": "string",
+    "int": "int", "integer": "int", "int4": "int",
+    "bigint": "bigint", "int8": "bigint", "long": "bigint",
+    "real": "float", "float4": "float", "float": "float",
+    "double": "double", "float8": "double",
+    "boolean": "boolean", "bool": "boolean",
+    "timestamp": "timestamp", "date": "date", "binary": "binary",
+}
+
+
+def _sql_type_to_engine(t: F.Column) -> F.Column:
+    """lower-cased base SQL type name (length args stripped) → engine
+    type; NULL for an unknown type (fails decode_ok → quarantine)."""
+    base = F.lower(F.regexp_extract(t, r"^\s*([A-Za-z0-9_]+)", 1))
+    expr = F.lit(None).cast("string")
+    for sql, eng in _SQL_TYPES.items():
+        expr = F.when(base == sql, F.lit(eng)).otherwise(expr)
+    return expr
+
+
+def decode_debezium_schema_change(kafka_df: DataFrame,
+                                  value_col: str = "value",
+                                  keep_raw: bool = False) -> DataFrame:
+    """Debezium SCHEMA-CHANGE-topic frames → in-band DDL changelog
+    rows, the analogue of the JSON dialect's ``ddl`` frames — so a
+    real binlog tail's schema history applies seq-ordered through the
+    SAME ``merge_microbatch`` loop as data (VERDICT r3 Next #3).
+
+    A schema-change value carries the raw ``ddl`` SQL statement plus
+    the source position (reference for the envelope: Debezium's
+    schema-change topic events, which pair ``ddl`` with
+    ``source``/``tableChanges``). The four schema evolutions the lake
+    supports are parsed column-side (one regexp program, zero Python
+    per row):
+
+    - ``ALTER TABLE t ADD COLUMN c <type>``      → add_column
+    - ``ALTER TABLE t RENAME COLUMN a TO b``     → rename_column
+    - ``ALTER TABLE t DROP COLUMN c``            → drop_column
+    - ``ALTER TABLE t ALTER COLUMN c [SET DATA] TYPE <type>``
+                                                 → widen_column
+
+    Anything else (CREATE INDEX, multi-action ALTERs, unknown types)
+    fails decode_ok and quarantines — record-not-drop, never a wedged
+    stream."""
+    v = _parse(value_col, DEBEZIUM_SCHEMA_CHANGE_SCHEMA)
+    out = kafka_df.withColumn("_v", v)
+    sql = F.regexp_replace(F.trim(F.col("_v.ddl")), r";\s*$", "")
+    ident = r"[`\"]?([A-Za-z_][A-Za-z0-9_]*)[`\"]?"
+    typ = r"([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*\))?)"
+    add_re = (r"(?i)^ALTER\s+TABLE\s+\S+\s+ADD\s+COLUMN\s+"
+              + ident + r"\s+" + typ + r"\s*$")
+    ren_re = (r"(?i)^ALTER\s+TABLE\s+\S+\s+RENAME\s+COLUMN\s+"
+              + ident + r"\s+TO\s+" + ident + r"\s*$")
+    drop_re = (r"(?i)^ALTER\s+TABLE\s+\S+\s+DROP\s+COLUMN\s+"
+               + ident + r"\s*$")
+    wide_re = (r"(?i)^ALTER\s+TABLE\s+\S+\s+ALTER\s+COLUMN\s+"
+               + ident + r"\s+(?:SET\s+DATA\s+)?TYPE\s+" + typ + r"\s*$")
+    is_add = sql.rlike(add_re)
+    is_ren = sql.rlike(ren_re)
+    is_drop = sql.rlike(drop_re)
+    is_wide = sql.rlike(wide_re)
+    op = (F.when(is_add, F.lit("add_column"))
+          .when(is_ren, F.lit("rename_column"))
+          .when(is_drop, F.lit("drop_column"))
+          .when(is_wide, F.lit("widen_column")))
+    field = (F.when(is_add, F.regexp_extract(sql, add_re, 1))
+             .when(is_ren, F.regexp_extract(sql, ren_re, 1))
+             .when(is_drop, F.regexp_extract(sql, drop_re, 1))
+             .when(is_wide, F.regexp_extract(sql, wide_re, 1)))
+    new_name = F.when(is_ren, F.regexp_extract(sql, ren_re, 2))
+    dtype = (F.when(is_add,
+                    _sql_type_to_engine(F.regexp_extract(sql, add_re, 2)))
+             .when(is_wide,
+                   _sql_type_to_engine(F.regexp_extract(sql, wide_re, 2))))
+    spec = F.to_json(F.struct(field.alias("field"),
+                              new_name.alias("new_name"),
+                              dtype.alias("dtype")))
+    ok = (
+        F.col(value_col).isNotNull()
+        & F.col("_v._corrupt").isNull()
+        & F.col("_v.source.seq").isNotNull()
+        & op.isNotNull()
+        & _ddl_spec_ok(spec, op)
+    )
+    cols = [
+        F.col("_v.source.seq").alias("seq"),
+        F.concat(F.lit("ddl:"), F.col("_v.source.seq").cast("string"))
+        .alias("url"),
+        F.coalesce(F.timestamp_micros(F.col("_v.source.ts_us")),
+                   F.timestamp_micros(F.lit(0))).alias("warc_ts"),
+        op.alias("op"),
+        F.lit(None).cast("binary").alias("html"),
+        F.when(op.isNotNull(), spec).alias("ddl"),
+        ok.alias("decode_ok"),
+    ]
+    if keep_raw:
+        cols.append(F.col(value_col).alias("_raw"))
+    return out.select(*cols)
+
+
 def decode_debezium(kafka_df: DataFrame, value_col: str = "value",
-                    keep_raw: bool = False) -> DataFrame:
+                    keep_raw: bool = False,
+                    schema_change_topic: str | None = None) -> DataFrame:
     """Debezium envelope → changelog rows (+ ``decode_ok``).
 
     op mapping: c(reate)/u(pdate)/r(ead, snapshot backfill) → upsert;
     d(elete) → delete with the key taken from ``before``. ``seq`` is
     the source's monotone position (LSN/GTID surrogate) — exactly the
     contract the MERGE's LWW tie-break expects.
+
+    ``schema_change_topic``: frames on this topic are Debezium
+    schema-change events (see ``decode_debezium_schema_change``) and
+    decode to in-band ``ddl`` rows; data frames get ddl=NULL. The two
+    decodes union into ONE stream so DDL applies seq-ordered against
+    DML exactly as the JSON dialect's in-band frames do.
     """
+    if schema_change_topic is not None:
+        data = decode_debezium(
+            kafka_df.filter(F.col("topic") != F.lit(schema_change_topic)),
+            value_col, keep_raw,
+        ).withColumn("ddl", F.lit(None).cast("string"))
+        ddlf = decode_debezium_schema_change(
+            kafka_df.filter(F.col("topic") == F.lit(schema_change_topic)),
+            value_col, keep_raw,
+        )
+        return data.unionByName(ddlf.select(*data.columns))
     v = _parse(value_col, DEBEZIUM_VALUE_SCHEMA)
     out = kafka_df.withColumn("_v", v)
     is_del = F.col("_v.op") == F.lit("d")
@@ -215,14 +341,29 @@ KAFKA_FRAME_SCHEMA = (
 _DIALECTS = {"json": decode_json_changelog, "debezium": decode_debezium}
 
 
+def _decode_kwargs(dialect: str, schema_change_topic: str | None) -> dict:
+    if schema_change_topic is None:
+        return {}
+    if dialect != "debezium":
+        raise ValueError("schema_change_topic is a Debezium-dialect "
+                         "concept (the JSON dialect carries DDL in-band)")
+    return {"schema_change_topic": schema_change_topic}
+
+
 def kafka_source(bootstrap_servers: str, topic: str, dialect: str = "debezium",
                  starting_offsets: str = "earliest",
                  options: dict[str, str] | None = None,
-                 keep_raw: bool = True):
+                 keep_raw: bool = True,
+                 schema_change_topic: str | None = None):
     """Factory for a real Kafka tail (requires the spark-sql-kafka
     package on the cluster — not present in the sandbox, where
-    ``kafka_frames_dir_source`` exercises the identical decode)."""
+    ``kafka_frames_dir_source`` exercises the identical decode).
+
+    ``schema_change_topic`` (Debezium dialect): subscribe ``topic`` to
+    both the data and schema topics (comma-separated) and pass the
+    schema topic's name here — its frames decode to in-band DDL."""
     decode = _DIALECTS[dialect]
+    kw = _decode_kwargs(dialect, schema_change_topic)
 
     def factory(spark) -> DataFrame:
         r = (spark.readStream.format("kafka")
@@ -231,24 +372,26 @@ def kafka_source(bootstrap_servers: str, topic: str, dialect: str = "debezium",
              .option("startingOffsets", starting_offsets))
         for k, v in (options or {}).items():
             r = r.option(k, v)
-        return decode(r.load(), keep_raw=keep_raw)
+        return decode(r.load(), keep_raw=keep_raw, **kw)
 
     return factory
 
 
 def kafka_frames_dir_source(frames_dir: str, dialect: str = "debezium",
                             max_files_per_trigger: int | None = 1,
-                            keep_raw: bool = True):
+                            keep_raw: bool = True,
+                            schema_change_topic: str | None = None):
     """Factory tailing a directory of parquet files in Kafka's fixed
     frame shape (KAFKA_FRAME_SCHEMA) — the sandbox/e2e-test stand-in
     for ``kafka_source``: micro-batches arrive wire-shaped and flow
     through the same decode → quarantine → MERGE path."""
     decode = _DIALECTS[dialect]
+    kw = _decode_kwargs(dialect, schema_change_topic)
 
     def factory(spark) -> DataFrame:
         r = spark.readStream.schema(KAFKA_FRAME_SCHEMA)
         if max_files_per_trigger:
             r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        return decode(r.parquet(frames_dir), keep_raw=keep_raw)
+        return decode(r.parquet(frames_dir), keep_raw=keep_raw, **kw)
 
     return factory

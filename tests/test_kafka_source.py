@@ -141,3 +141,51 @@ def test_kafka_decode_merge_matches_oracle(spark, tmp_path, dialect):
         columns=["seq", "url", "warc_ts", "op", "html"],
     )
     assert_state_equals_oracle(got, replay_oracle(pdf))
+
+
+def test_decode_debezium_schema_change_statements(spark):
+    """DDL SQL → engine DDL spec mapping: all four supported forms
+    (with quoting/case/; variants), unsupported statements and unknown
+    types fail decode_ok."""
+    import json as _json
+
+    from montandon_etl_spark.sources.kafka import decode_debezium_schema_change
+
+    def frame(seq, ddl):
+        return (b"k", _json.dumps(
+            {"source": {"seq": seq, "ts_us": 0}, "ddl": ddl}).encode(),
+            "sc", 0, seq, None)
+
+    cases = [
+        (1, "ALTER TABLE pages ADD COLUMN title varchar(255)", True,
+         ("add_column", "title", None, "string")),
+        (2, "alter table pages rename column lang to language;", True,
+         ("rename_column", "lang", "language", None)),
+        (3, 'ALTER TABLE pages DROP COLUMN `score`', True,
+         ("drop_column", "score", None, None)),
+        (4, "ALTER TABLE pages ALTER COLUMN rank SET DATA TYPE bigint", True,
+         ("widen_column", "rank", None, "bigint")),
+        (5, "ALTER TABLE pages ALTER COLUMN rank TYPE int8", True,
+         ("widen_column", "rank", None, "bigint")),
+        (6, "CREATE INDEX i ON pages(url)", False, None),
+        (7, "ALTER TABLE pages ADD COLUMN x hyperloglog", False, None),
+        (8, "ALTER TABLE pages ADD COLUMN a int, ADD COLUMN b int", False,
+         None),
+        (9, "DROP TABLE pages", False, None),
+    ]
+    rows = spark.createDataFrame(
+        [frame(s, d) for s, d, _, _ in cases],
+        "key binary, value binary, topic string, partition int,"
+        " offset bigint, timestamp timestamp")
+    got = {r["seq"]: r for r in
+           decode_debezium_schema_change(rows).collect()}
+    for seq, _, want_ok, want_spec in cases:
+        r = got[seq]
+        assert r["decode_ok"] == want_ok, (seq, r)
+        if want_ok:
+            op, field, new_name, dtype = want_spec
+            spec = _json.loads(r["ddl"])
+            assert r["op"] == op
+            assert spec.get("field") == field
+            assert spec.get("new_name") == new_name
+            assert spec.get("dtype") == dtype
