@@ -47,6 +47,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _schema_col_names(schema: str) -> list[str]:
+    """Column names of a DDL schema string, honoring nested commas in
+    parameterized/complex types (decimal(28,6), array<struct<...>>)."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(schema + ","):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = schema[start:i].strip()
+            if part:
+                names.append(part.split()[0])
+            start = i + 1
+    return names
+
+
 class VersionedPartitionStore:
     def __init__(self, root: str, part_col: str, n_parts: int):
         self.root, self.part_col, self.n_parts = root, part_col, n_parts
@@ -134,8 +151,8 @@ class VersionedPartitionStore:
         tags each dir's rows with its partition value (one lit per
         dir — the dir count is bounded by n_parts)."""
         dirs = self._dirs(part_filter, below_version)
-        cols = [c.split()[0] for c in schema.split(",")
-                if c.split()[0] != self.part_col]
+        cols = [c for c in _schema_col_names(schema)
+                if c != self.part_col]
         out_cols = cols + ([self.part_col] if attach_part else [])
         if not dirs:
             return spark.createDataFrame([], schema).select(*out_cols)
