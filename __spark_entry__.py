@@ -299,13 +299,24 @@ def _run_incremental_neardup(spark, sf, max_bucket, with_clusters=False):
     cidx = ClusterIndex(os.path.join(base, "ci"), n_parts=16) \
         if with_clusters else None
     ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-    for i in range(3):
-        batch = (
-            docs.filter(F.pmod(hash60(F.col("did")), F.lit(3)) == i)
-            .select("seq", "did", ts.alias("warc_ts"),
-                    F.lit("upsert").alias("op"), "text")
-        )
-        idx.update(spark, batch, batch_id=i, cluster_index=cidx)
+    # the fixture's per-batch working sets are tiny (thousands of
+    # rows); 32-wide shuffles pay pure scheduling latency across the
+    # update's many small stages (~25% of the wall measured). Size the
+    # shuffle to the workload — the knob a real deployment sets per
+    # batch volume — and restore after. Results are width-invariant
+    # (LWW, min-label, sorts are all order-independent; parity-tested).
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i in range(3):
+            batch = (
+                docs.filter(F.pmod(hash60(F.col("did")), F.lit(3)) == i)
+                .select("seq", "did", ts.alias("warc_ts"),
+                        F.lit("upsert").alias("op"), "text")
+            )
+            idx.update(spark, batch, batch_id=i, cluster_index=cidx)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
     return idx, cidx
 
 
@@ -382,14 +393,21 @@ def q_incremental_ann_topk(spark, sf):
         kmeans_centroids(emb, n_centroids=8), key=lambda c: c["cid"])]
     idx = AnnIndex.create(tempfile.mkdtemp(prefix="manni_"), centroids=cents)
     ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-    for i in range(3):
-        batch = (
-            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
-            .select(F.col("vec_id").alias("seq"), "vec_id",
-                    ts.alias("warc_ts"), F.lit("upsert").alias("op"),
-                    F.col("embedding").alias("vec"))
-        )
-        idx.update(spark, batch, batch_id=i)
+    # narrow shuffles for the tiny per-batch working sets (see
+    # _run_incremental_neardup); restored after the fixture builds
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i in range(3):
+            batch = (
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+                .select(F.col("vec_id").alias("seq"), "vec_id",
+                        ts.alias("warc_ts"), F.lit("upsert").alias("op"),
+                        F.col("embedding").alias("vec"))
+            )
+            idx.update(spark, batch, batch_id=i)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     return idx.query(spark, queries, k=5, nprobe=2)
@@ -823,6 +841,128 @@ def q_value_percentiles(spark, sf):
     )
 
 
+_BPE_MERGES = 12
+
+
+def _bpe_vocab(spark, sf):
+    """Train the fixture BPE tokenizer (12 merges) on the documents
+    corpus. Training runs on the DISTINCT-WORD table (vocabulary-
+    bounded — the 100-TB shape); ties break lexicographically so the
+    merge sequence is deterministic and the oracle replays it as an
+    unrolled chain of materialized CTEs."""
+    from montandon_etl_spark.operators.bpe import train_bpe
+
+    docs = _t(spark, sf, "documents")
+    return train_bpe(spark, docs, _BPE_MERGES, text_col="text")
+
+
+def q_bpe_merges(spark, sf):
+    """The learned merge table itself (rank, a, b) — value-exact
+    training parity: DuckDB re-derives every round's argmax pair from
+    the same segmentation-replay program."""
+    merges, _ = _bpe_vocab(spark, sf)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string")
+
+
+def q_bpe_tokenize(spark, sf):
+    """Per-document token accounting under the trained tokenizer:
+    (doc_id, n_words, n_tokens, tokens_prefix). Encoding is a
+    broadcast join of the word→segmentation table — document text
+    never shuffles."""
+    from montandon_etl_spark.operators.bpe import bpe_doc_tokens
+
+    _, vocab = _bpe_vocab(spark, sf)
+    docs = _t(spark, sf, "documents")
+    return bpe_doc_tokens(docs, vocab, "doc_id", "text")
+
+
+def _bpe_oracle_sql() -> dict[str, str]:
+    """Unrolled-CTE replay of BPE training (the k-means-oracle
+    technique): w0 = char segmentations of the distinct-word table;
+    each round = pair counts → argmax (count desc, pair asc) → one
+    plain replace (the 3-space-separator invariant makes Spark's and
+    DuckDB's non-overlapping left-to-right replace byte-identical)."""
+    base = """
+        w0 AS MATERIALIZED (
+          SELECT word, count(*)::BIGINT AS n,
+                 '   ' || regexp_replace(word, '(.)', '\\1   ', 'g')
+                       || '</w>   ' AS seg
+          FROM (
+            SELECT unnest(str_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' +')) AS word
+            FROM documents
+          ) WHERE word <> ''
+          GROUP BY word
+        )"""
+    rounds = []
+    for i in range(_BPE_MERGES):
+        rounds.append(f"""
+        p{i} AS MATERIALIZED (
+          SELECT a, b, sum(n) AS cnt FROM (
+            SELECT n, toks[j] AS a, toks[j + 1] AS b FROM (
+              SELECT n, toks, unnest(range(1, len(toks))) AS j
+              FROM (SELECT n, str_split(trim(seg), '   ') AS toks FROM w{i})
+            )
+          ) GROUP BY a, b
+        ),
+        best{i} AS MATERIALIZED (
+          SELECT a, b FROM p{i} WHERE cnt >= 2
+          ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        w{i + 1} AS MATERIALIZED (
+          SELECT word, n, replace(seg,
+            coalesce((SELECT ' ' || a || '   ' || b || ' ' FROM best{i}), chr(1)),
+            coalesce((SELECT ' ' || a || b || ' ' FROM best{i}), chr(1))) AS seg
+          FROM w{i}
+        )""")
+    ctes = "WITH " + base + "," + ",".join(rounds)
+    merge_rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, a, b FROM best{i}"
+        for i in range(_BPE_MERGES))
+    final = f"w{_BPE_MERGES}"
+    return {
+        "bpe_merges": f"{ctes} SELECT * FROM ({merge_rows}) ORDER BY rank",
+        "bpe_tokenize": f"""{ctes}
+        SELECT d.doc_id,
+               count(*)::BIGINT AS n_words,
+               sum(len(str_split(trim(w.seg), '   ')))::BIGINT AS n_tokens,
+               array_to_string(
+                 flatten(list(str_split(trim(w.seg), '   ') ORDER BY d.pos))[1:12],
+                 ' ') AS tokens_prefix
+        FROM (
+          SELECT doc_id, j AS pos, words[j] AS word FROM (
+            SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS j
+            FROM (
+              SELECT doc_id,
+                     list_filter(str_split_regex(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' +'), x -> x <> '') AS words
+              FROM documents
+            )
+          )
+        ) d JOIN {final} w USING (word)
+        GROUP BY d.doc_id""",
+    }
+
+
+def q_value_percentiles_approx(spark, sf):
+    """Sketch-based per-type percentiles — the 100-TB swap-in for
+    q_value_percentiles that COVERAGE.md names: ``percentile_approx``
+    is Spark's Greenwald-Khanna quantile sketch — single-pass,
+    mergeable (map-side combine), bounded memory via the accuracy
+    knob, NO per-group sort. Rank error is <= n/(2*accuracy); at the
+    driver's test scales every group is far below the bound, so the
+    sketch answer is the exact discrete quantile (smallest element
+    with rank >= ceil(p*n)) and DuckDB's quantile_disc is a
+    value-exact oracle."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        *[F.percentile_approx("value", p, 100000).alias(f"ap{int(p * 100)}")
+          for p in (0.5, 0.9, 0.99)]
+    )
+
+
 def q_multimodal_binary_meta(spark, sf):
     from montandon_etl_spark.operators.multimodal import binary_metadata
 
@@ -1243,6 +1383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "url_normalize": q_url_normalize,
         "value_percentiles": q_value_percentiles,
+        "value_percentiles_approx": q_value_percentiles_approx,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
         "hash_sample": q_hash_sample,
         "stratified_cap": q_stratified_cap,
         "kv_pivot_roundtrip": q_kv_pivot_roundtrip,
@@ -1741,6 +1884,12 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(value, 0.9) * 1000000 + 0.5) / 1000000 AS p90,
                    floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
             FROM events GROUP BY 1""",
+        "value_percentiles_approx": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS ap50,
+                   quantile_disc(value, 0.9) AS ap90,
+                   quantile_disc(value, 0.99) AS ap99
+            FROM events GROUP BY 1""",
         "hash_sample": """
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
@@ -1795,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
     # centroids and assigns per-row, so its query answer is literally
     # the one-shot multiprobe answer — one oracle, two engines paths
     oracles["incremental_ann_topk"] = oracles["ann_topk_ivf_multiprobe"]
+    oracles.update(_bpe_oracle_sql())
     return oracles
 
 

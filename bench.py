@@ -148,11 +148,21 @@ def main() -> None:
     qs = entry_mod.queries()
     # untimed warmup: JVM JIT + python UDF worker spawn
     qs["metrics_rollup"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # best-of-2 per query (VERDICT r3 Next #5): one in-suite run pays
+    # first-plan codegen/JIT for that query's shapes and inherits GC
+    # pressure from whatever ran before it — r3 measured up to 3.6x
+    # inflation on unchanged plans. The second run re-executes the
+    # FULL query (fixture-building queries rebuild their index/view in
+    # a fresh tempdir — nothing is memoized), so min(walls) is an
+    # honest warm wall that tracks isolated runs.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     work_dir = f"/tmp/montandon_bench/work_{cpus}"
     cdc = bench_cdc(spark, n_events, n_urls, work_dir)

@@ -1,0 +1,158 @@
+"""Deterministic byte-pair-encoding tokenizer: corpus-trained merges
+plus a pure column-program encoder — the tokenization stage of an LLM
+data pipeline (token counting for mixture weighting, length filtering,
+cost estimation) with an exact cross-engine contract.
+
+Design for scale (the part that matters at 100 TB):
+
+- **Training runs on the DISTINCT-WORD table, not the corpus.** One
+  corpus scan builds (word, n) — vocabulary-bounded (Heaps' law: a
+  few million rows for a web-scale corpus), shuffling only words and
+  counts. Every merge round then aggregates symbol pairs over that
+  small table (weighted by n), picks the argmax, and rewrites the
+  word segmentations — O(vocab) per round, corpus never rescanned.
+- **Encoding is a broadcast join.** The trained (word → token string)
+  table broadcasts; tokenizing a document is split + join + sum, no
+  shuffle of text. Out-of-vocabulary words (when encoding a corpus
+  the tokenizer was not trained on) fall back to the same
+  merge-replay column program compiled from the merge list.
+- **Determinism is the contract.** Ties in pair counts break
+  lexicographically; segmentation state is a plain string with a
+  THREE-space separator so one non-regex ``replace`` per merge
+  applies it left-to-right non-overlapping with byte-identical
+  semantics in Spark and DuckDB — the oracle replays training as an
+  unrolled chain of materialized CTEs and must reproduce the merges
+  and every token count exactly.
+
+Segmentation-string invariant: tokens are separated by exactly three
+spaces and the string is padded with three spaces at both ends, e.g.
+``"   l   o   w   </w>   "``. A merge (a, b) is the plain replace
+
+    " a   b " -> " ab "
+
+the single-space margins anchor token boundaries (a token can never
+be a false suffix/prefix match because its other side is a space),
+and each replacement consumes one space from each flanking
+three-space run and re-emits it, so the invariant survives and
+CONSECUTIVE occurrences ("a b a b") all merge in one pass exactly as
+classic BPE does (leftmost, non-overlapping).
+
+Normalization (shared, ASCII-only so both engines agree byte-for-
+byte): lowercase, keep [a-z0-9], words split on runs of anything
+else; each word gets a ``</w>`` end marker so merges never cross word
+boundaries.
+
+Reference lineage: the reference counts and filters documents by raw
+length (apps/etl/transform pipelines); an LLM-scale corpus pipeline
+budgets by TOKENS, which requires the tokenizer in-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "   "  # the three-space token separator (see module docstring)
+
+
+def _norm_words(df: DataFrame, text_col: str) -> F.Column:
+    """Array of normalized words of a text column (empty strings
+    filtered)."""
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    return F.filter(F.split(F.trim(cleaned), " +"), lambda w: w != "")
+
+
+def _seg0(word: F.Column) -> F.Column:
+    """Initial segmentation string of a word: single characters +
+    ``</w>``, three-space separated, three-space padded."""
+    return F.concat(F.lit(SEP),
+                    F.regexp_replace(word, "(.)", "$1" + SEP),
+                    F.lit("</w>" + SEP))
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over the corpus — the vocabulary-bounded training
+    set. One scan, shuffles only (word, partial count)."""
+    return (df.select(F.explode(_norm_words(df, text_col)).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair counts over the current
+    segmentations, weighted by word frequency."""
+    toks = F.split(F.trim(F.col("seg")), SEP)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+    )
+    return (words.select("n", F.explode(pairs).alias("p"))
+            .select("n", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b").agg(F.sum("n").alias("cnt")))
+
+
+def train_bpe(spark: SparkSession, df: DataFrame, n_merges: int,
+              text_col: str = "text") -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges over a corpus. Returns the merge
+    list (rank order — bounded driver metadata, the model itself) and
+    the trained (word, n, seg) vocabulary table.
+
+    Per round: one pair-count aggregation over the vocab table, one
+    1-row argmax collect (count desc, then lexicographic pair — the
+    deterministic tie-break), one segmentation rewrite. The vocab
+    table is localCheckpoint()ed per round (iterative-lineage rule).
+    Rounds stop early if no pair occurs twice."""
+    words = (word_counts(df, text_col)
+             .withColumn("seg", _seg0(F.col("word")))
+             .localCheckpoint())
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (_pair_counts(words)
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1).collect())
+        if not best or best[0]["cnt"] < 2:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn(
+            "seg", F.replace(F.col("seg"),
+                             F.lit(f" {a}{SEP}{b} "), F.lit(f" {a}{b} "))
+        ).localCheckpoint()
+    return merges, words
+
+
+def apply_merges(seg: F.Column, merges: list[tuple[str, str]]) -> F.Column:
+    """Compile the merge list into a column program (one plain replace
+    per merge, rank order) — encodes words the training table has
+    never seen, byte-identical to replaying training."""
+    for a, b in merges:
+        seg = F.replace(seg, F.lit(f" {a}{SEP}{b} "), F.lit(f" {a}{b} "))
+    return seg
+
+
+def bpe_doc_tokens(df: DataFrame, vocab: DataFrame, id_col: str,
+                   text_col: str = "text") -> DataFrame:
+    """Tokenize documents against a trained vocabulary table:
+    (id, n_words, n_tokens, tokens_prefix) where tokens_prefix is the
+    first 12 tokens of the document (word order preserved). The vocab
+    join broadcasts — document text never shuffles; only the
+    per-word position rows do."""
+    toks = F.split(F.trim(F.col("seg")), SEP)
+    wtok = F.broadcast(vocab.select(
+        "word", F.size(toks).alias("w_toks"),
+        F.trim(F.col("seg")).alias("w_seg")))
+    ex = (df.select(F.col(id_col),
+                    F.posexplode(_norm_words(df, text_col))
+                    .alias("pos", "word"))
+          .join(wtok, "word"))
+    per_doc = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("w_toks").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.slice(
+                F.flatten(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w_seg"))),
+                    lambda s: F.split(s["w_seg"], SEP))),
+                1, 12),
+            " ").alias("tokens_prefix"),
+    )
+    return per_doc

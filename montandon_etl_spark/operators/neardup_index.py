@@ -11,23 +11,25 @@ hash columns, not per corpus). This module maintains three artifacts:
   (url), whose payload columns are the k minhash values — so signature
   maintenance inherits the lake's LWW MERGE, exactly-once batch ids,
   tombstones, compaction and time travel for free;
-- a **banded store**: the (band, bucket, id) projection of every live
-  signature, physically partitioned by ``pfx = hash(band|bucket) %
-  n_pfx`` with per-prefix versioning — a batch rewrites ONLY the
-  prefixes its old+new buckets hash into, and the candidate join reads
-  ONLY those prefixes (the lake's bucket-pruning trick applied to the
-  LSH keyspace). Per-batch I/O is O(touched prefixes), never
-  O(corpus);
-- a **pair store**: candidate pairs WITH their (band, bucket)
-  provenance, partitioned by the same pfx scheme. Provenance is what
-  makes both the cap and the deletes incrementally correct: a pair is
-  live iff SOME qualifying bucket (size in [2, max_bucket]) still
-  produces it, and bucket contents only change when a touched key
-  enters or leaves — so each batch retracts exactly the touched
-  buckets' rows and re-derives them from the post-merge slice. A
-  bucket crossing ``max_bucket`` in either direction is just another
-  touched bucket whose contribution is rebuilt. ``pairs()`` is the
-  DISTINCT (id_a, id_b) projection.
+- an **LSH store** holding two row kinds under ONE ``pfx =
+  hash(band|bucket) % n_pfx`` partitioning with per-prefix versioning
+  (they are touched by exactly the same batches, so fusing them makes
+  each batch ONE versioned write + resolution instead of two):
+
+  - ``kind='b'`` **banded entries**: the (band, bucket, id) projection
+    of every live signature — a batch rewrites ONLY the prefixes its
+    old+new buckets hash into, and the candidate join reads ONLY those
+    prefixes (the lake's bucket-pruning trick applied to the LSH
+    keyspace). Per-batch I/O is O(touched prefixes), never O(corpus);
+  - ``kind='p'`` **candidate pairs** WITH their (band, bucket)
+    provenance. Provenance is what makes both the cap and the deletes
+    incrementally correct: a pair is live iff SOME qualifying bucket
+    (size in [2, max_bucket]) still produces it, and bucket contents
+    only change when a touched key enters or leaves — so each batch
+    retracts exactly the touched buckets' rows and re-derives them
+    from the post-merge slice. A bucket crossing ``max_bucket`` in
+    either direction is just another touched bucket whose contribution
+    is rebuilt. ``pairs()`` is the DISTINCT (id_a, id_b) projection.
 
 Scale notes (100 TB): the signature table is ~16 bigints/key (~1.3 TB
 at 10^10 docs); the banded store is bands x that, spread over n_pfx
@@ -60,6 +62,12 @@ from montandon_etl_spark.operators.dedup import _banded, hash60, minhash_signatu
 
 BANDED_SCHEMA = "id string, band int, bucket string, pfx int"
 PAIR_SCHEMA = "id_a string, id_b string, band int, bucket string, pfx int"
+# fused on-disk row (banded entries AND candidate pairs share the pfx
+# keyspace, are touched by exactly the same batches, and are both read
+# on every update — one store means ONE versioned write + resolution
+# per batch instead of two; ``kind``: 'b' = banded entry, 'p' = pair)
+ROWS_SCHEMA = ("kind string, id string, id_a string, id_b string,"
+               " band int, bucket string, pfx int")
 
 
 class NearDupIndex:
@@ -79,10 +87,8 @@ class NearDupIndex:
         self.n, self.k, self.bands, self.n_pfx = n, k, bands, n_pfx
         self.max_bucket = max_bucket
         self.table = SnapshotTable(os.path.join(path, "sig"))
-        self.banded_store = VersionedPartitionStore(
-            os.path.join(path, "banded"), "pfx", n_pfx)
-        self.pair_store = VersionedPartitionStore(
-            os.path.join(path, "pairs"), "pfx", n_pfx)
+        self.store = VersionedPartitionStore(
+            os.path.join(path, "lsh"), "pfx", n_pfx)
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -98,8 +104,7 @@ class NearDupIndex:
             os.path.join(path, "sig"), fields=fields, key_col=key_col,
             n_buckets=n_buckets,
         )
-        os.makedirs(os.path.join(path, "pairs"), exist_ok=True)
-        os.makedirs(os.path.join(path, "banded"), exist_ok=True)
+        os.makedirs(os.path.join(path, "lsh"), exist_ok=True)
         with open(os.path.join(path, "index.json"), "w") as f:
             json.dump({"n": n, "k": k, "bands": bands, "n_pfx": n_pfx,
                        "max_bucket": max_bucket}, f)
@@ -132,8 +137,9 @@ class NearDupIndex:
         """Current candidate pairs (id_a < id_b) — the materialized
         equivalent of a full-corpus minhash_lsh_pairs recompute at the
         index's pinned max_bucket."""
-        return self.pair_store.read(spark, PAIR_SCHEMA).select(
-            "id_a", "id_b").distinct()
+        return (self.store.read(spark, ROWS_SCHEMA)
+                .filter(F.col("kind") == "p")
+                .select("id_a", "id_b").distinct())
 
     # ---------------------------------------------------------------- update
     def update(self, spark: SparkSession, batch_df: DataFrame,
@@ -178,8 +184,7 @@ class NearDupIndex:
         res = self.table.merge(spark, merged, batch_id=batch_id)
         head = self.table.io.head_snapshot_id()
         prev_sid = self.table.io.read_snapshot(head).get("parent_id")
-        if (res is None and head in self.pair_store.versions()
-                and head in self.banded_store.versions()
+        if (res is None and head in self.store.versions()
                 and (cluster_index is None
                      or (head in cluster_index.labels.versions()
                          and head in cluster_index.edges.versions()))):
@@ -206,9 +211,17 @@ class NearDupIndex:
             .withColumnRenamed(key, "id")
             .join(touched_keys, "id", "left_semi")
         )
-        new_banded = self._with_pfx(_banded(new_sigs, self.k, self.bands))
+        # persisted: materialized by the touched-bucket job below, then
+        # reused by the store-write job (a second signature-table read
+        # + banding otherwise)
+        new_banded = self._with_pfx(
+            _banded(new_sigs, self.k, self.bands)).persist()
         # old buckets (pre-merge signatures of touched keys) hold the
-        # entries and pairs that must be RETRACTED
+        # entries and pairs that must be RETRACTED; an EMPTY parent
+        # (the bootstrap batch) has nothing to retract — skip the read
+        if prev_sid is not None and not self.table.manifest_entries(
+                snapshot_id=prev_sid, buckets=tk_buckets):
+            prev_sid = None
         tb = new_banded.select("band", "bucket", "pfx")
         if prev_sid is not None:
             old_sigs = (
@@ -224,24 +237,26 @@ class NearDupIndex:
         tb = tb.distinct().localCheckpoint()
         touched_pfx = {r["pfx"] for r in tb.select("pfx").distinct().collect()}
 
-        # banded rewrite: previous content of the touched prefixes
-        # minus touched ids, plus the surviving new entries
-        prev_slice = self.banded_store.read(spark, BANDED_SCHEMA,
-                                            part_filter=touched_pfx,
-                                            below_version=head)
+        # ONE versioned rewrite of the touched prefixes, both row
+        # kinds (the writes were separate stores before — same slice,
+        # same prefixes, two jobs; VERDICT r3 Next #9):
+        # - banded: previous entries minus touched ids, plus the
+        #   surviving new entries;
+        # - pairs: a bucket's contribution changes only when a touched
+        #   key entered or left it, so retract exactly the touched
+        #   buckets' rows and re-derive them from the post-merge slice
+        #   (full bucket membership lives in the touched prefixes),
+        #   applying the cap to the NEW bucket sizes.
+        prev = self.store.read(spark, ROWS_SCHEMA,
+                               part_filter=touched_pfx,
+                               below_version=head)
+        prev_banded = (prev.filter(F.col("kind") == "b")
+                       .select("id", "band", "bucket"))
         idx_slice = (
-            self._with_pfx(prev_slice.join(touched_keys, "id", "left_anti"))
+            self._with_pfx(prev_banded.join(touched_keys, "id", "left_anti"))
             .unionByName(new_banded)
             .persist()
         )
-        self.banded_store.write(spark, idx_slice, head, touched_pfx,
-                                BANDED_SCHEMA)
-
-        # pair rewrite: a bucket's contribution changes only when a
-        # touched key entered or left it, so retract exactly the
-        # touched buckets' rows and re-derive them from the post-merge
-        # slice (full bucket membership lives in the touched prefixes),
-        # applying the cap to the NEW bucket sizes
         ents = idx_slice.join(tb.select("band", "bucket").distinct(),
                               ["band", "bucket"], "left_semi")
         if self.max_bucket is not None:
@@ -257,14 +272,24 @@ class NearDupIndex:
         new_pairs = a.join(b, ["band", "bucket"]).filter(
             F.col("id_a") < F.col("id_b")
         ).select("id_a", "id_b", "band", "bucket", "pfx")
-        prev_pairs = self.pair_store.read(spark, PAIR_SCHEMA,
-                                          part_filter=touched_pfx,
-                                          below_version=head)
+        prev_pairs = prev.filter(F.col("kind") == "p").select(
+            "id_a", "id_b", "band", "bucket")
         tbb = tb.select("band", "bucket").distinct()
         kept = prev_pairs.join(tbb, ["band", "bucket"], "left_anti")
-        out = self._with_pfx(kept).unionByName(new_pairs)
-        self.pair_store.write(spark, out, head, touched_pfx, PAIR_SCHEMA)
+        pair_rows = self._with_pfx(kept).unionByName(new_pairs)
+        null_s = F.lit(None).cast("string")
+        out = (
+            idx_slice.select(F.lit("b").alias("kind"), "id",
+                             null_s.alias("id_a"), null_s.alias("id_b"),
+                             "band", "bucket", "pfx")
+            .unionByName(
+                pair_rows.select(F.lit("p").alias("kind"),
+                                 null_s.alias("id"), "id_a", "id_b",
+                                 "band", "bucket", "pfx"))
+        )
+        self.store.write(spark, out, head, touched_pfx, ROWS_SCHEMA)
         idx_slice.unpersist()
+        new_banded.unpersist()
 
         if cluster_index is not None:
             ekey = ["id_a", "id_b", "band", "bucket"]
@@ -273,5 +298,4 @@ class NearDupIndex:
                                 added=new_pairs.select(*ekey),
                                 removed=removed.select(*ekey))
 
-        self.pair_store.gc()
-        self.banded_store.gc()
+        self.store.gc()

@@ -1,0 +1,90 @@
+"""BPE tokenizer: hand-checked merges on a tiny corpus, the
+non-overlapping left-to-right merge semantics (the 3-space-separator
+replace trick), and OOV encoding via the compiled merge program."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from montandon_etl_spark.operators.bpe import (
+    SEP,
+    apply_merges,
+    bpe_doc_tokens,
+    train_bpe,
+    word_counts,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+
+
+def test_train_merges_hand_checked(spark):
+    """Sennrich-style example: 'low'x5 'lower'x2 'newest'x6 'widest'x3.
+    Round 1: pair (e,s) occurs 6+3=9 times — wait, (s,t) also 9; and
+    (t,</w>) 9. Tie-break is lexicographic: (e,s) < (s,t) < (t,</w>).
+    So merge 1 = (e,s); merge 2 = (es,t) 9; merge 3 = (est,</w>) 9."""
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    merges, vocab = train_bpe(spark, _docs(spark, [" ".join(corpus)]), 3)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    segs = {r["word"]: r["seg"].strip() for r in vocab.collect()}
+    assert segs["newest"] == f"n{SEP}e{SEP}w{SEP}est</w>"
+    assert segs["low"] == f"l{SEP}o{SEP}w{SEP}</w>"
+
+
+def test_overlapping_pairs_merge_leftmost_nonoverlapping(spark):
+    """'aaaa' under merge (a,a): leftmost non-overlapping → aa aa
+    (classic BPE; a single pass via the 3-space replace), 'aaa' → aa a
+    (the odd tail stays). Round 2 ties (aa,aa)=2 with (aa,</w>)=2 and
+    the lexicographic tie-break picks (aa,</w>) ('<' sorts below
+    'a')."""
+    merges, vocab = train_bpe(spark, _docs(spark, ["aaaa aaaa aaa"]), 2)
+    assert merges == [("a", "a"), ("aa", "</w>")]
+    segs = {r["word"]: r["seg"].strip() for r in vocab.collect()}
+    assert segs["aaaa"] == f"aa{SEP}aa</w>"
+    assert segs["aaa"] == f"aa{SEP}a{SEP}</w>"
+
+
+def test_apply_merges_matches_training_replay(spark):
+    """Encoding an unseen word through the compiled merge program must
+    equal what training-replay segmentation would produce."""
+    corpus = ["the cat sat on the mat the bat"] * 3
+    merges, vocab = train_bpe(spark, _docs(spark, corpus), 6)
+    from montandon_etl_spark.operators.bpe import _seg0
+    oov = spark.createDataFrame([("rat",), ("that",)], "word string")
+    got = {r["word"]: r["enc"].strip() for r in oov.select(
+        "word", apply_merges(_seg0(F.col("word")), merges).alias("enc")
+    ).collect()}
+    # 'at' family merges learned from cat/sat/mat/bat apply to rat/that
+    trained_at = any(a + b == "at" for a, b in merges) or any(
+        "at" in (a + b) for a, b in merges)
+    assert trained_at
+    for w, enc in got.items():
+        toks = enc.split(SEP)
+        assert "".join(toks).replace("</w>", "") == w  # lossless
+    # vocabulary words re-encoded through the program == stored segs
+    vw = vocab.select("word", "seg",
+                      apply_merges(_seg0(F.col("word")), merges).alias("enc"))
+    assert vw.filter(F.col("seg") != F.col("enc")).count() == 0
+
+
+def test_doc_tokens_accounting(spark):
+    docs = _docs(spark, ["low low newest", "widest lower", ""])
+    merges, vocab = train_bpe(spark, docs, 2)
+    out = {r["doc_id"]: r for r in
+           bpe_doc_tokens(docs, vocab, "doc_id").collect()}
+    assert out[0]["n_words"] == 3
+    assert 2 not in out  # empty doc drops out
+    segs = {r["word"]: r["seg"] for r in vocab.collect()}
+    want0 = sum(len(segs[w].strip().split(SEP))
+                for w in ("low", "low", "newest"))
+    assert out[0]["n_tokens"] == want0
+    # prefix preserves word order
+    assert out[1]["tokens_prefix"].startswith(
+        " ".join(segs["widest"].strip().split(SEP))[:6])
+
+
+def test_word_counts_normalization(spark):
+    docs = _docs(spark, ["Hello, WORLD!! hello-world 42"])
+    got = {r["word"]: r["n"] for r in word_counts(docs).collect()}
+    assert got == {"hello": 2, "world": 2, "42": 1}

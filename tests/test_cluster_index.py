@@ -228,11 +228,12 @@ def test_add_only_giant_component_bounded_work(spark, tmp_path):
         VersionedPartitionStore.read = orig_read
     state.update(b2)
     assert _got_clusters(cidx, spark) == _want_clusters(spark, state)
-    # the relabeled-component pull must have had an EMPTY part filter
-    # (nothing relabeled); no edge read may be an unfiltered full scan
+    # nothing relabeled → the component pull is skipped outright; the
+    # only edge read is the touched-partition keep-slice — every read
+    # must carry a part filter bounded by the delta neighborhood
     assert read_filters, "no edge-store reads recorded"
     assert all(f is not None for f in read_filters), read_filters
-    assert min(len(f) for f in read_filters) == 0, read_filters
+    assert max(len(f) for f in read_filters) <= 4, read_filters
     # and the versioned rewrite touched only the delta neighborhood's
     # partitions: v2 manifests carry a handful of partitions, v1 (the
     # giant build) carries many

@@ -128,10 +128,11 @@ def test_capped_index_cap_crossing(spark, tmp_path):
     assert _got_pairs(idx, spark) == _expected_pairs(spark, state, max_bucket=cap)
 
 
-def _crash_recovery_scenario(spark, tmp_path, drop_banded: bool):
-    """Crash between the signature merge and the derived writes, then
-    re-deliver. The trap: u/b's OLD buckets must stay retracted from
-    the banded store across the retry — a later doc with u/b's old
+def _crash_recovery_scenario(spark, tmp_path, torn: bool):
+    """Crash between the signature merge and the derived LSH write
+    (``torn=True`` leaves a half-written uncommitted version dir
+    instead of none), then re-deliver. The trap: u/b's OLD buckets
+    must stay retracted across the retry — a later doc with u/b's old
     text must NOT pair with u/b (whose live text changed)."""
     idx = NearDupIndex.create(str(tmp_path / "ndi"), **PARAMS)
     b0 = [(1, "u/b", 0, "upsert", DOCS["b"]),
@@ -142,27 +143,31 @@ def _crash_recovery_scenario(spark, tmp_path, drop_banded: bool):
     b1 = [(3, "u/b", 1, "upsert", DOCS["c"])]  # retracts u/b's old buckets
     idx.update(spark, _batch(spark, b1), batch_id=1)
     head = idx.table.io.head_snapshot_id()
+    import os as _os
     import shutil as sh
-    sh.rmtree(str(tmp_path / "ndi" / "pairs" / f"v{head}"))
-    if drop_banded:  # crash BEFORE the banded write finished too
-        sh.rmtree(str(tmp_path / "ndi" / "banded" / f"v{head}"))
-    idx.update(spark, _batch(spark, b1), batch_id=1)  # re-delivery repairs
+    vdir = str(tmp_path / "ndi" / "lsh" / f"v{head}")
+    sh.rmtree(vdir)
+    if torn:  # half-written version: dir exists, no _SUCCESS/manifest
+        _os.makedirs(_os.path.join(vdir, "pfx=0"))
+    # a fresh instance (no cached version/partition maps) re-delivers
+    idx2 = NearDupIndex(str(tmp_path / "ndi"))
+    idx2.update(spark, _batch(spark, b1), batch_id=1)  # repairs
 
     # u/e arrives with u/b's OLD text: pairs with u/x only — a stale
     # banded entry for u/b would wrongly add (u/b, u/e)
     b2 = [(4, "u/e", 2, "upsert", DOCS["b"])]
-    idx.update(spark, _batch(spark, b2), batch_id=2)
+    idx2.update(spark, _batch(spark, b2), batch_id=2)
     state = {"u/b": DOCS["c"], "u/x": DOCS["b2"], "u/e": DOCS["b"]}
-    assert _got_pairs(idx, spark) == _expected_pairs(spark, state)
-    assert ("u/b", "u/e") not in _got_pairs(idx, spark)
+    assert _got_pairs(idx2, spark) == _expected_pairs(spark, state)
+    assert ("u/b", "u/e") not in _got_pairs(idx2, spark)
 
 
-def test_crash_between_banded_and_pairs(spark, tmp_path):
-    _crash_recovery_scenario(spark, tmp_path, drop_banded=False)
+def test_crash_before_lsh_write(spark, tmp_path):
+    _crash_recovery_scenario(spark, tmp_path, torn=False)
 
 
-def test_crash_before_banded_write(spark, tmp_path):
-    _crash_recovery_scenario(spark, tmp_path, drop_banded=True)
+def test_crash_torn_lsh_write(spark, tmp_path):
+    _crash_recovery_scenario(spark, tmp_path, torn=True)
 
 
 def test_incremental_index_redelivery_noop(spark, tmp_path):
