@@ -559,6 +559,35 @@ def q_ngram_contamination(spark, sf):
                                  n=5, threshold=1)
 
 
+def q_pps_sample(spark, sf):
+    """Systematic PPS sampling (operators/sampling.py): 100 cuts over
+    the corpus laid out in hash order with weight = text length. Pure
+    int64 arithmetic end-to-end, so the selected multiset is
+    bit-identical across engines; Σ n_hits = 100 exactly."""
+    from montandon_etl_spark.operators.sampling import pps_systematic_sample
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "w", F.length("text").cast("bigint"))
+    return pps_systematic_sample(docs, "doc_id", "w", 100)
+
+
+def q_bloom_decontamination(spark, sf):
+    """ngram_contamination's 100-TB variant: the benchmark n-gram set
+    compressed to a 2^18-bit Bloom filter (4 md5-salted hashes, 60-bit
+    words) that compiles into the corpus scan as an ARRAY LITERAL —
+    membership is 4 element_at+mask tests inside codegen, no join, and
+    the only shuffle is the per-doc count. The bit math is portable,
+    so the (deterministic) false positives are part of the oracle
+    contract, not noise."""
+    from montandon_etl_spark.operators.sketches import bloom_contamination
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return bloom_contamination(corpus, "doc_id", "text", bench,
+                               n=5, m_bits=1 << 18, n_hashes=4)
+
+
 def q_ngram_lm_score(spark, sf):
     """Self-trained char-trigram LM fluency score (CCNet-style): both
     engines train the same counts over the same corpus and score each
@@ -1369,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ngram_contamination": q_ngram_contamination,
+        "bloom_decontamination": q_bloom_decontamination,
+        "pps_sample": q_pps_sample,
         "quality_score": q_quality_score,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "repetition_stats": q_repetition_stats,
@@ -1635,6 +1666,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
                    COALESCE(n, 0) >= 1 AS contaminated
             FROM corpus c LEFT JOIN hits USING (doc_id)""",
+        "pps_sample": """
+            WITH w AS MATERIALIZED (
+              SELECT doc_id, length(text)::BIGINT AS w,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM documents WHERE length(text) > 0
+            ),
+            c AS MATERIALIZED (
+              SELECT doc_id, w,
+                     sum(w) OVER (ORDER BY h, doc_id) AS cum
+              FROM w
+            ),
+            t AS (SELECT max(cum) AS tot FROM c)
+            SELECT doc_id,
+                   (((cum * 200) // tot + 1) // 2
+                    - (((cum - w) * 200) // tot + 1) // 2)::BIGINT AS n_hits
+            FROM c, t
+            WHERE ((cum * 200) // tot + 1) // 2
+                  - (((cum - w) * 200) // tot + 1) // 2 > 0""",
+        "bloom_decontamination": f"""
+            WITH bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+            corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+            bg AS MATERIALIZED (
+              SELECT DISTINCT unnest({_sql_word_shingles(5)}) AS g FROM bench),
+            bpos AS MATERIALIZED (
+              SELECT {_H60.format(x="g || '#' || i::VARCHAR")} % 262144 AS pos
+              FROM bg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+            words AS MATERIALIZED (
+              SELECT pos // 60 AS word_idx,
+                     bit_or(1::BIGINT << (pos % 60)::INT) AS bits
+              FROM bpos GROUP BY 1),
+            dg AS MATERIALIZED (
+              SELECT doc_id, unnest({_sql_word_shingles(5)}) AS g
+              FROM corpus),
+            pp AS (
+              SELECT doc_id, g,
+                     {_H60.format(x="g || '#' || i::VARCHAR")} % 262144 AS pos
+              FROM dg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+            ph AS (
+              SELECT doc_id, g,
+                     min(CASE WHEN coalesce(w.bits, 0)
+                                   & (1::BIGINT << (pp.pos % 60)::INT)
+                              = (1::BIGINT << (pp.pos % 60)::INT)
+                         THEN 1 ELSE 0 END) AS allhit
+              FROM pp LEFT JOIN words w ON w.word_idx = pp.pos // 60
+              GROUP BY 1, 2)
+            SELECT doc_id, sum(allhit)::BIGINT AS n_hits,
+                   sum(allhit) >= 1 AS contaminated
+            FROM ph GROUP BY 1""",
         "ngram_lm_score": """
             WITH pos AS (
               SELECT doc_id,

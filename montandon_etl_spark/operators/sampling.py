@@ -44,3 +44,50 @@ def stratified_cap(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def pps_systematic_sample(df: DataFrame, id_col: str, weight_col: str,
+                          n_samples: int) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling by the
+    systematic (cumulative-interval) method — the mixture-construction
+    step of a training-data pipeline ("sample N documents with
+    probability ∝ quality×length") made exactly reproducible.
+
+    Rows are laid on a line in hash-of-id order (content-stable, like
+    every sampler here), each occupying its INTEGER weight (scale
+    fractional scores to integer units upstream); the line is cut by
+    the centered systematic grid c_i = (2i+1)·W/(2n), i < n, and the
+    row under each cut is taken — expected multiplicity of a row is
+    exactly n·w/W, and a row with w ≥ W/n is always taken. Every
+    quantity stays in BIGINT (cut membership counts odd multiples of W
+    via integer division — no float, no decimal division), so the
+    selected set is bit-identical in any engine and partition layout.
+    Returns (id, n_hits ≥ 1); heavy rows can cover several cuts.
+    Bound: 2·n_samples·ΣW must fit in int64.
+
+    Plan shape: one window cumulative sum over the hash order (a
+    single global sort — the price of systematic sampling; at 10^10
+    rows switch the order column to pre-bucketed ranges so the sort is
+    per-bucket) and a scan-local cut-count expression; no other
+    shuffle."""
+    wcol = F.col(weight_col).cast("bigint")
+    ordw = Window.orderBy(hash60(F.col(id_col).cast("string")), F.col(id_col))
+    with_cum = (df.withColumn("_w", wcol).filter(F.col("_w") > 0)
+                .withColumn("_cum", F.sum("_w").over(ordw)))
+    row = with_cum.agg(F.max("_cum").alias("t")).collect()[0]
+    total = row["t"]
+    if total is None:
+        return df.select(F.col(id_col),
+                         F.lit(0).cast("bigint").alias("n_hits")).limit(0)
+    # cut i sits at (2i+1)·T/(2n); row covers (cum−w, cum] —
+    # #cuts = f(2n·cum) − f(2n·(cum−w)) with f(x) = #odd m: m·T ≤ x
+    #       = (x div T + 1) div 2  (pure int64 arithmetic)
+    n2 = 2 * n_samples
+    with_b = with_cum.withColumn("_R", F.col("_cum") * n2).withColumn(
+        "_L", (F.col("_cum") - F.col("_w")) * n2)
+    f_hi = F.expr(f"(_R div {total} + 1) div 2")
+    f_lo = F.expr(f"(_L div {total} + 1) div 2")
+    return (with_b
+            .withColumn("n_hits", (f_hi - f_lo).cast("bigint"))
+            .filter(F.col("n_hits") > 0)
+            .select(F.col(id_col), "n_hits"))

@@ -70,3 +70,137 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
             .alias("est_distinct"),
         )
     )
+
+
+# --------------------------------------------------------------- Bloom filter
+# 60-bit words so every shift stays in positive BIGINT territory in
+# BOTH engines (1 << 63 is sign-trouble on the JVM and out-of-range in
+# DuckDB's checked arithmetic)
+_BLOOM_WORD = 60
+# F.shiftleft takes a PYTHON int for the shift, so a column-valued bit
+# index goes through this power-of-two lookup table instead
+_POW2 = [1 << b for b in range(_BLOOM_WORD)]
+
+
+def _bit_mask(bit: F.Column) -> F.Column:
+    return F.element_at(F.lit(_POW2), bit + 1)
+
+
+def bloom_build(df: DataFrame, value_col: str, m_bits: int,
+                n_hashes: int) -> DataFrame:
+    """Build a Bloom filter over a column as (word_idx, bits) rows —
+    sparse 60-bit words, only words with at least one set bit appear.
+
+    Every bit position is a pure function of the value (the portable
+    md5-prefix hash, salted per hash function), so the SAME rows give
+    a bit-identical filter on Spark and DuckDB — a Bloom filter an
+    oracle can verify, unlike engine-internal ones.
+
+    100 TB shape: the filter of a benchmark/blocklist set is a few MB
+    of (word, bits) rows — BROADCAST it and probe the corpus scan-side
+    (see ``bloom_probe``) instead of broadcasting the exact member
+    set; build is explode → groupBy(word) bit_or, map-side
+    combinable. Mergeable: union = bit_or of word rows."""
+    pos_exprs = [
+        F.pmod(hash60(F.concat(F.col(value_col).cast("string"),
+                               F.lit(f"#{i}"))), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+    return (
+        df.select(F.explode(F.array(*pos_exprs)).alias("pos"))
+        .select(
+            (F.col("pos") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
+            F.pmod(F.col("pos"), F.lit(_BLOOM_WORD)).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or(_bit_mask(F.col("bit"))).alias("bits"))
+    )
+
+
+def bloom_probe(df: DataFrame, id_col: str, value_col: str,
+                bloom: DataFrame, m_bits: int, n_hashes: int) -> DataFrame:
+    """Membership probe: (id, value, maybe_member). ``maybe_member``
+    is true iff EVERY hash position's bit is set (false positives at
+    the filter's rate — deterministic ones, since the bit math is
+    portable; false negatives never). The filter side broadcasts; the
+    probe side never shuffles before the per-row verdict."""
+    pos_exprs = [
+        F.pmod(hash60(F.concat(F.col(value_col).cast("string"),
+                               F.lit(f"#{i}"))), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+    probes = df.select(
+        F.col(id_col), F.col(value_col),
+        F.explode(F.array(*pos_exprs)).alias("pos"),
+    ).select(
+        id_col, value_col,
+        (F.col("pos") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
+        _bit_mask(F.pmod(F.col("pos"), F.lit(_BLOOM_WORD)).cast("int"))
+        .alias("mask"),
+    )
+    joined = probes.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+           == F.col("mask"))
+    return (
+        joined.groupBy(id_col, value_col)
+        .agg(F.min(hit.cast("int")).alias("_all"))
+        .select(id_col, value_col, (F.col("_all") == 1).alias("maybe_member"))
+    )
+
+
+def bloom_dense(bloom: DataFrame, m_bits: int) -> list[int]:
+    """Collect a sparse (word_idx, bits) filter into the dense word
+    list. Driver-side size is the FILTER size (m_bits/60 bigints —
+    exactly what would broadcast anyway), bounded by configuration,
+    never by data."""
+    n_words = (m_bits + _BLOOM_WORD - 1) // _BLOOM_WORD
+    got = {r["word_idx"]: r["bits"] for r in bloom.collect()}
+    return [got.get(i, 0) for i in range(n_words)]
+
+
+def bloom_member_col(value_col: str, words: list[int], m_bits: int,
+                     n_hashes: int) -> F.Column:
+    """Scan-local membership predicate against a dense filter compiled
+    into the plan as an array literal: n_hashes element_at lookups +
+    mask tests per row, fully inside whole-stage codegen — no join, no
+    shuffle, the shape a 100-TB decontamination scan wants."""
+    arr = F.lit(words)
+    cond = None
+    for i in range(n_hashes):
+        pos = F.pmod(hash60(F.concat(F.col(value_col).cast("string"),
+                                     F.lit(f"#{i}"))), F.lit(m_bits))
+        word = F.element_at(arr, (pos / _BLOOM_WORD).cast("int") + 1)
+        mask = _bit_mask(F.pmod(pos, F.lit(_BLOOM_WORD)).cast("int"))
+        c = word.bitwiseAND(mask) == mask
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_contamination(corpus: DataFrame, id_col: str, text_col: str,
+                        benchmark: DataFrame, n: int = 5,
+                        m_bits: int = 1 << 18,
+                        n_hashes: int = 4) -> DataFrame:
+    """``dedup.ngram_contamination`` with the benchmark side compressed
+    to a Bloom filter — the 100-TB variant: the broadcast shrinks from
+    the full n-gram set to m_bits/8 bytes at a deterministic (and
+    oracle-checkable) false-positive rate. The filter compiles into
+    the corpus scan as a literal (``bloom_member_col``), so the plan
+    is scan → explode → scan-local bit tests → one per-doc count —
+    the only shuffle is the final doc aggregate. Returns per corpus
+    doc: (id, n_hits, contaminated≥1) counting DISTINCT n-grams whose
+    probe answers maybe-member."""
+    from montandon_etl_spark.operators.dedup import word_shingles
+
+    bg = (benchmark.select(
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g"))
+        .distinct())
+    words = bloom_dense(bloom_build(bg, "g", m_bits, n_hashes), m_bits)
+    dg = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g"))
+    hit = bloom_member_col("g", words, m_bits, n_hashes)
+    return (
+        dg.groupBy(id_col)
+        .agg(F.sum(hit.cast("int")).cast("bigint").alias("n_hits"))
+        .select(id_col, "n_hits", (F.col("n_hits") >= 1).alias("contaminated"))
+    )

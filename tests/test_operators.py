@@ -167,3 +167,70 @@ def test_dedup_paragraphs_analytic(spark):
     assert out[1]["n_paras"] == 5 and out[1]["n_removed"] == 2
     assert out[2]["clean_text"] == "solo"
     assert out[2]["n_paras"] == 1 and out[2]["n_removed"] == 0
+
+
+def test_bloom_filter_no_false_negatives_and_probe_consistency(spark):
+    """Bloom: every inserted value probes true (no false negatives);
+    the join-based probe and the compiled array-literal predicate
+    agree on every probe; filters merge by bit_or."""
+    from pyspark.sql import functions as F
+
+    from montandon_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_dense,
+        bloom_member_col,
+        bloom_probe,
+    )
+
+    m, h = 1 << 12, 4
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "v string")
+    bloom = bloom_build(members, "v", m, h)
+    probes = spark.createDataFrame(
+        [(i, f"member-{i}" if i < 200 else f"absent-{i}",)
+         for i in range(400)], "pid int, v string")
+    got = {r["pid"]: r["maybe_member"]
+           for r in bloom_probe(probes, "pid", "v", bloom, m, h).collect()}
+    assert all(got[i] for i in range(200)), "false negative"
+    fp = sum(got[i] for i in range(200, 400))
+    assert fp < 40  # ~(1-e^(-kn/m))^k ≈ 0.3% at these params; generous
+
+    dense = bloom_dense(bloom, m)
+    inline = {r["pid"]: r["hit"] for r in probes.select(
+        "pid", bloom_member_col("v", dense, m, h).alias("hit")).collect()}
+    assert inline == got
+
+    # mergeability: union filter == filter of union
+    extra = spark.createDataFrame([(f"x-{i}",) for i in range(50)], "v string")
+    b2 = bloom_build(extra, "v", m, h)
+    merged = (bloom.unionByName(b2).groupBy("word_idx")
+              .agg(F.bit_or("bits").alias("bits")))
+    want = bloom_build(members.unionByName(extra), "v", m, h)
+    assert ({tuple(r) for r in merged.collect()}
+            == {tuple(r) for r in want.collect()})
+
+
+def test_pps_systematic_sample_invariants(spark):
+    """Σ n_hits == n exactly (every cut lands on one row); a row with
+    w ≥ W/n is always selected; partition layout never changes the
+    selection."""
+    from pyspark.sql import functions as F
+
+    from montandon_etl_spark.operators.sampling import pps_systematic_sample
+
+    rows = [(i, (i * 37) % 50 + 1) for i in range(300)] + [(999, 5000)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    out = pps_systematic_sample(df, "id", "w", 40)
+    got = {r["id"]: r["n_hits"] for r in out.collect()}
+    assert sum(got.values()) == 40
+    assert 999 in got and got[999] >= 1  # heavy row: w=5000 >> W/40
+    # layout-independence
+    out2 = pps_systematic_sample(df.repartition(13), "id", "w", 40)
+    assert {(r["id"], r["n_hits"]) for r in out2.collect()} == set(got.items())
+    # zero/negative weights drop out, never sampled
+    df3 = df.union(spark.createDataFrame([(5000, 0), (5001, -3)],
+                                         "id bigint, w bigint"))
+    got3 = {r["id"]: r["n_hits"]
+            for r in pps_systematic_sample(df3, "id", "w", 40).collect()}
+    assert 5000 not in got3 and 5001 not in got3
+    assert got3 == got

@@ -207,3 +207,14 @@ def test_index_side_table_reads_are_bucket_pruned(spark, tmp_path):
     full = idx.table.manifest_entries()
     pruned = idx.table.manifest_entries(buckets=[b])
     assert 0 < len(pruned) < len(full), (len(pruned), len(full))
+
+
+def test_bloom_decontamination_is_join_free(spark):
+    """The Bloom filter must compile into the corpus scan as an array
+    literal: membership = element_at + mask tests inside codegen — the
+    plan may contain NO join of any kind and exactly one exchange (the
+    per-doc count)."""
+    df = entry_mod.queries()["bloom_decontamination"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("Exchange") <= 2, plan[:1500]  # agg partial+final
