@@ -648,6 +648,22 @@ def q_ann_topk_ivf_multiprobe(spark, sf):
     return S.cosine_topk_ivf_multiprobe(emb, queries, k=5, n_centroids=8, nprobe=2)
 
 
+def q_ann_topk_pq(spark, sf):
+    """Product quantization ANN: 64-dim vectors → 8 subspaces × 16
+    codewords (each codebook its own seeded sampled k-means), scored
+    by asymmetric PQ-approximated cosine against codeword literals —
+    the 64×-memory-compression path of vector search at 100 TB. The
+    approximated SCORES (not just ranks) are engine-exact: the oracle
+    retrains all four codebooks in unrolled SQL CTEs and matches to
+    the rounded digit."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    return S.cosine_topk_pq(emb, queries, dim=64, k=5,
+                            m_subspaces=8, n_codewords=16)
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-dup pairs, label-blocked (training-data
     dedup family, scale path = LSH blocking)."""
@@ -1269,53 +1285,139 @@ _COS = (
 
 
 def _oracle_kmeans_cents(n_centroids: int = 8, sample_size: int = 64,
-                         n_iters: int = 2) -> str:
+                         n_iters: int = 2, prefix: str = "",
+                         vec_expr: str = "embedding") -> str:
     """DuckDB CTE chain recomputing the seeded sampled k-means
     quantizer (operators/similarity.kmeans_centroids) BIT-FOR-BIT:
     hash-ordered sample, first-C init, T Lloyd rounds. Every float op
     mirrors the Python side in order (list_reduce strict folds =
     seed-first folds; means fold in (hash60, vec_id) sample order;
     assignment ties go to the smaller cid; empty cells keep their
-    previous centroid via the LEFT JOIN + COALESCE)."""
+    previous centroid via the LEFT JOIN + COALESCE).
+
+    ``prefix`` namespaces every CTE (so several quantizers — e.g. the
+    per-subspace PQ codebooks — coexist in one statement); ``vec_expr``
+    is the trained vector expression (a slice for PQ subspaces)."""
+    p = prefix
     h = _H60.format(x="CAST(vec_id AS VARCHAR)")
     parts = [f"""
-s0 AS (
+{p}s0 AS (
   SELECT {h} AS h, vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         list_transform({vec_expr}, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings ORDER BY h, vec_id LIMIT {sample_size}),
-c0 AS (
+{p}c0 AS (
   SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
-  FROM (SELECT h, vec_id, v FROM s0 ORDER BY h, vec_id LIMIT {n_centroids}) t)"""]
+  FROM (SELECT h, vec_id, v FROM {p}s0 ORDER BY h, vec_id LIMIT {n_centroids}) t)"""]
     for k in range(n_iters):
         parts.append(f""",
-x{k} AS (
+{p}x{k} AS (
   SELECT s.h, s.vec_id, s.v, c.cid,
          list_reduce(list_transform(list_zip(s.v, c.v), p -> p[1] * p[2]),
                      (a, b) -> a + b)
          / (sqrt(list_reduce(list_transform(c.v, e -> e * e), (a, b) -> a + b))
             * sqrt(list_reduce(list_transform(s.v, e -> e * e), (a, b) -> a + b))) AS cos
-  FROM s0 s CROSS JOIN c{k} c),
-a{k} AS (
+  FROM {p}s0 s CROSS JOIN {p}c{k} c),
+{p}a{k} AS (
   SELECT h, vec_id, v, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-  FROM x{k}),
-e{k} AS (
+  FROM {p}x{k}),
+{p}e{k} AS (
   SELECT cid, h, vec_id,
          unnest(list_transform(range(1, 1 + len(v)),
                 i -> {{'d': i, 'val': v[i]}})) AS u
-  FROM a{k} WHERE rn = 1),
-m{k} AS (
+  FROM {p}a{k} WHERE rn = 1),
+{p}m{k} AS (
   SELECT cid, u['d'] AS d,
          list_reduce(list(u['val'] ORDER BY h, vec_id), (a, b) -> a + b)
          / count(*) AS mu
-  FROM e{k} GROUP BY cid, d),
-n{k} AS (SELECT cid, list(mu ORDER BY d) AS v FROM m{k} GROUP BY cid),
-c{k + 1} AS (
+  FROM {p}e{k} GROUP BY cid, d),
+{p}n{k} AS (SELECT cid, list(mu ORDER BY d) AS v FROM {p}m{k} GROUP BY cid),
+{p}c{k + 1} AS (
   SELECT c.cid, COALESCE(n.v, c.v) AS v
-  FROM c{k} c LEFT JOIN n{k} n ON n.cid = c.cid)""")
+  FROM {p}c{k} c LEFT JOIN {p}n{k} n ON n.cid = c.cid)""")
     parts.append(f""",
-cents AS (SELECT cid, v AS cvec FROM c{n_iters})""")
+{p}cents AS (SELECT cid, v AS cvec FROM {p}c{n_iters})""")
     return "".join(parts)
+
+
+def _pq_oracle_sql(m_subspaces: int = 8, n_codewords: int = 16,
+                   dim: int = 64, k: int = 5) -> str:
+    """DuckDB replay of the whole PQ pipeline: per-subspace codebooks
+    via the parameterized k-means CTE chain, scan-side code
+    assignment (cosine argmax, ties to the smaller cid), asymmetric
+    scoring with per-subspace strict folds combined in fixed subspace
+    order — matches cosine_topk_pq's SCORES to the rounded digit."""
+    d = dim // m_subspaces
+    books = ",".join(
+        _oracle_kmeans_cents(n_centroids=n_codewords, prefix=f"pq{m}",
+                             vec_expr=f"embedding[{m * d + 1}:{(m + 1) * d}]")
+        for m in range(m_subspaces))
+    assigns = []
+    for m in range(m_subspaces):
+        lo, hi = m * d + 1, (m + 1) * d
+        assigns.append(f"""
+            pq{m}sc AS (
+              SELECT e.vec_id, c.cid,
+                     list_reduce(list_transform(list_zip(e.embedding[{lo}:{hi}], c.cvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                       (a, v) -> a + v)
+                     / (sqrt(list_reduce(list_transform(c.cvec,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
+                        * sqrt(list_reduce(list_transform(e.embedding[{lo}:{hi}],
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))) AS cos
+              FROM embeddings e CROSS JOIN pq{m}cents c),
+            pq{m}a AS (
+              SELECT vec_id, cid AS c{m} FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cid ASC) AS rn FROM pq{m}sc)
+              WHERE rn = 1)""")
+    enc_joins = "\n              ".join(
+        f"JOIN pq{m}a ON pq{m}a.vec_id = e.vec_id"
+        for m in range(m_subspaces))
+    enc_cols = ", ".join(f"pq{m}a.c{m}" for m in range(m_subspaces))
+    w_joins = "\n              ".join(
+        f"JOIN pq{m}cents w{m} ON w{m}.cid = e.c{m}"
+        for m in range(m_subspaces))
+    dots, norms = [], []
+    for m in range(m_subspaces):
+        lo, hi = m * d + 1, (m + 1) * d
+        dots.append(
+            f"list_reduce(list_transform(list_zip(q.embedding[{lo}:{hi}],"
+            f" w{m}.cvec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),"
+            f" (a, v) -> a + v)")
+        norms.append(
+            f"list_reduce(list_transform(w{m}.cvec,"
+            f" x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v)")
+    num = dots[0]
+    for t in dots[1:]:
+        num = f"({num} + {t})"
+    n2 = norms[0]
+    for t in norms[1:]:
+        n2 = f"({n2} + {t})"
+    return f"""
+            WITH {books},{"".join(a + "," for a in assigns)}
+            enc AS (
+              SELECT e.vec_id, {enc_cols}
+              FROM embeddings e
+              {enc_joins}),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     {num}
+                     / (sqrt(list_reduce(list_transform(q.embedding,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
+                        * sqrt({n2})) AS pq_cos
+              FROM enc e
+              {w_joins}
+              CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                          WHERE vec_id < 3) q
+              WHERE e.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY pq_cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id,
+                   floor(pq_cos * 1000000 + 0.5) / 1000000 AS pq_cosine, rank
+            FROM ranked WHERE rank <= {k}"""
 
 
 def _oracle_lsh_bucket_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
@@ -1408,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_computed": q_ann_topk_ivf_computed,
         "ann_topk_ivf_multiprobe": q_ann_topk_ivf_multiprobe,
+        "ann_topk_pq": q_ann_topk_pq,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_norms": q_embedding_norms,
@@ -1874,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id,
                    floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
             FROM ranked WHERE rank <= 5""",
+        "ann_topk_pq": _pq_oracle_sql(),
         "embedding_near_dup": f"""
             WITH p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -436,3 +436,98 @@ def embedding_near_dup_lsh(
         withb, threshold=threshold, id_col=id_col, vec_col=vec_col,
         block_col="_lsh_bucket",
     )
+
+
+# ------------------------------------------------------ product quantization
+def pq_codebooks(embeddings: DataFrame, dim: int, m_subspaces: int = 4,
+                 n_codewords: int = 8, sample_size: int = 64,
+                 n_iters: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[list[dict]]:
+    """Per-subspace codebooks for product quantization: the vector is
+    split into ``m_subspaces`` contiguous slices and each slice gets
+    its own seeded sampled (spherical) k-means — exactly the
+    ``kmeans_centroids`` determinism contract, M times, so a SQL
+    oracle reproduces every codebook bit-for-bit. Returns
+    books[m] = [{cid, cvec}, ...]."""
+    if dim % m_subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+    d = dim // m_subspaces
+    return [
+        kmeans_centroids(
+            embeddings.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), m * d + 1, d).alias(vec_col)),
+            n_centroids=n_codewords, sample_size=sample_size,
+            n_iters=n_iters, id_col=id_col, vec_col=vec_col)
+        for m in range(m_subspaces)
+    ]
+
+
+def cosine_topk_pq(embeddings: DataFrame, queries: DataFrame, dim: int,
+                   k: int = 5, m_subspaces: int = 4, n_codewords: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "query_id", qvec_col: str = "qvec",
+                   sample_size: int = 64, n_iters: int = 2) -> DataFrame:
+    """Top-k by PQ-approximated cosine — the memory story of ANN at
+    100 TB: each corpus vector compresses to M codeword ids (M bytes
+    at K ≤ 256 vs dim×4 raw — 64× here), and scoring reads ONLY the
+    codes plus the M×K codebook literals compiled into the plan.
+
+    Asymmetric distance computation: the query stays exact; a
+    candidate is scored as cos(q, x̂) where x̂ is the concatenation of
+    its codewords — numerator and the candidate norm are per-subspace
+    strict folds combined in fixed subspace order, so the approximated
+    score (not just the ranking) is engine-exact and a SQL oracle
+    matches it to the last rounded digit.
+
+    Fidelity envelope (honest numbers on the synthetic fixture, whose
+    vectors are near-isotropic — exact-cosine IQR ≈ 0.16, the hardest
+    regime for PQ): M=8/K=16 gives corr(exact, approx) ≈ 0.6 and
+    recall@5 ≈ 0.2 vs brute force; on real embeddings with cluster
+    structure (and production-sized K=256 codebooks) PQ recall is far
+    higher — the determinism contract, not the recall at toy K, is
+    what this operator pins. Encoding is a scan-local
+    argmax per subspace against codeword literals (zero shuffle);
+    scoring is a broadcast of the query rows; the only shuffle is the
+    final per-query top-k. Returns (query_id, neighbor_id, pq_cosine,
+    rank); ranks tie-break on neighbor id."""
+    from montandon_etl_spark.operators.util import stable_round6
+
+    books = pq_codebooks(embeddings, dim, m_subspaces, n_codewords,
+                         sample_size, n_iters, id_col, vec_col)
+    d = dim // m_subspaces
+    enc = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("_v"))
+    for m in range(m_subspaces):
+        enc = enc.withColumn(f"_s{m}", F.slice(F.col("_v"), m * d + 1, d))
+        enc = enc.withColumn(
+            f"_c{m}", F.element_at(_top_cells(books[m], f"_s{m}", 1), 1))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("qvec"))
+    scored = enc.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    num = None
+    norm2 = None
+    for m in range(m_subspaces):
+        cw = F.element_at(
+            F.lit([[float(x) for x in c["cvec"]] for c in books[m]]),
+            F.col(f"_c{m}") + 1)
+        scored = scored.withColumn(f"_w{m}", cw)
+        scored = scored.withColumn(
+            f"_q{m}", F.slice(F.col("qvec"), m * d + 1, d))
+        dm = _dot(f"_q{m}", f"_w{m}")
+        nm = F.expr(
+            f"aggregate(_w{m}, cast(0.0 as double),"
+            " (acc, v) -> acc + v * v)")
+        num = dm if num is None else (num + dm)
+        norm2 = nm if norm2 is None else (norm2 + nm)
+    score = num / (_norm("qvec") * F.sqrt(norm2))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_pq"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_pq", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                stable_round6("_pq").alias("pq_cosine"), "rank")
+    )

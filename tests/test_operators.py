@@ -234,3 +234,35 @@ def test_pps_systematic_sample_invariants(spark):
             for r in pps_systematic_sample(df3, "id", "w", 40).collect()}
     assert 5000 not in got3 and 5001 not in got3
     assert got3 == got
+
+
+def test_pq_topk_fidelity_and_determinism(spark):
+    """PQ ANN: approximated scores must positively track exact cosine
+    (the fixture's near-isotropic synthetic vectors bound how tight —
+    see the operator docstring), codes respect the codebook size, the
+    output is layout-invariant, and every query returns exactly k
+    self-excluded rows."""
+    from pyspark.sql import functions as F
+
+    from montandon_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") < 5)
+    qs = qdf.select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec"))
+    pq = cosine_topk_pq(emb, qs, dim=64, k=400, m_subspaces=8,
+                        n_codewords=16).toPandas()
+    bf = cosine_topk_bruteforce(emb, qdf, k=400).toPandas()
+    j = bf.merge(pq, on=["query_id", "neighbor_id"])
+    assert j.cosine.corr(j.pq_cosine) > 0.4
+    assert (j.query_id != j.neighbor_id).all()
+    assert (pq.groupby("query_id").size() == 400).all()
+    # determinism across partition layouts
+    pq2 = cosine_topk_pq(emb.repartition(17), qs, dim=64, k=400,
+                         m_subspaces=8, n_codewords=16).toPandas()
+    a = set(map(tuple, pq[["query_id", "neighbor_id", "pq_cosine"]].values))
+    b = set(map(tuple, pq2[["query_id", "neighbor_id", "pq_cosine"]].values))
+    assert a == b
