@@ -467,6 +467,34 @@ def q_dedup_clusters(spark, sf):
     return out.select(F.col("id").alias("doc_id"), "cluster_id", "is_canonical")
 
 
+def q_dedup_survivors(spark, sf):
+    """The keep-one-copy decision that closes the dedup pipeline: LSH
+    pairs → connected components → per-family survivor = the member
+    with the best quality score (micro-rounded, so the comparison key
+    is identical cross-engine), ties to the smaller doc_id. Output is
+    the keep-list: (cluster_id, survivor_id, best_quality,
+    n_members) — singletons are their own survivors."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4,
+                                max_bucket=500)
+    clusters = D.dedup_clusters(docs.select("doc_id"), pairs,
+                                id_col="doc_id")
+    qual = X.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    j = (clusters.select(F.col("id").alias("doc_id"), "cluster_id")
+         .join(qual, "doc_id"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id"))
+    cw = Window.partitionBy("cluster_id")
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members", F.count(F.lit(1)).over(cw))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("survivor_id"),
+                    F.col("quality").alias("best_quality"),
+                    F.col("n_members").cast("bigint").alias("n_members")))
+
+
 def q_asof_join(spark, sf):
     """As-of join (temporal lookup): each event picks the latest
     purchase by the same user at or before its timestamp — one
@@ -1491,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_source_stats": q_mv_source_stats,
         "kmv_distinct_users": q_kmv_distinct_users,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "asof_join": q_asof_join,
         "heavy_hitters": q_heavy_hitters,
         "simhash": q_simhash,
@@ -1680,6 +1709,38 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM r WHERE rn <= 64 GROUP BY 1""",
         "dedup_clusters": _oracle_dedup_clusters(n=2, k=8, bands=4, max_bucket=500),
+        "dedup_survivors": f"""
+            WITH clus AS (
+              {{CLUS}}
+            ),
+            qb AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len({_W}) AS n_words,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     len(list_filter({_WLOW}, w -> w IN ({_STOP_EN_SQL}))) AS stops
+              FROM documents),
+            qual AS (
+              SELECT doc_id,
+                     floor(least(greatest(
+                       stops / n_words
+                       - n_punct / greatest(n_chars, 1)
+                       - abs((n_chars - (n_words - 1)) / n_words - 5.0) / 10.0,
+                       0.0), 1.0) * 1000000 + 0.5) / 1000000 AS quality
+              FROM qb),
+            j AS (
+              SELECT c.cluster_id, c.doc_id, q.quality
+              FROM clus c JOIN qual q USING (doc_id)),
+            r AS (
+              SELECT cluster_id, doc_id, quality,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_members
+              FROM j)
+            SELECT cluster_id, doc_id AS survivor_id,
+                   quality AS best_quality, n_members::BIGINT AS n_members
+            FROM r WHERE rn = 1""".replace(
+                "{CLUS}", _oracle_dedup_clusters(n=2, k=8, bands=4,
+                                                 max_bucket=500)),
         "asof_join": """
             WITH purch AS (
               SELECT user_id, ts,

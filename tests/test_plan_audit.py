@@ -22,7 +22,7 @@ SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 # dedup_clusters executes eagerly while building (iterative loop with
 # convergence counts) — audited separately in its unit tests
-_EAGER = {"dedup_clusters"}
+_EAGER = {"dedup_clusters", "dedup_survivors"}
 
 QUERY_NAMES = sorted(n for n in entry_mod.queries() if n not in _EAGER)
 
