@@ -951,6 +951,19 @@ def q_bpe_tokenize(spark, sf):
     return bpe_doc_tokens(docs, vocab, "doc_id", "text")
 
 
+def q_chunk_documents(spark, sf):
+    """Context-window packing: sentences stay whole, a sentence opens
+    chunk k when its cumulative START offset crosses k*128 BPE tokens
+    (counts from the same trained vocabulary as bpe_tokenize). Integer
+    boundary rule ⇒ chunk layout is bit-identical cross-engine."""
+    from montandon_etl_spark.operators.bpe import chunk_documents
+
+    _, vocab = _bpe_vocab(spark, sf)
+    docs = _t(spark, sf, "documents")
+    return chunk_documents(docs, vocab, "doc_id", "text",
+                           budget_tokens=128)
+
+
 def _bpe_oracle_sql() -> dict[str, str]:
     """Unrolled-CTE replay of BPE training (the k-means-oracle
     technique): w0 = char segmentations of the distinct-word table;
@@ -1016,6 +1029,35 @@ def _bpe_oracle_sql() -> dict[str, str]:
           )
         ) d JOIN {final} w USING (word)
         GROUP BY d.doc_id""",
+        "chunk_documents": f"""{ctes},
+        sents AS (
+          SELECT doc_id, x.idx - 1 AS sent_idx, x.sent AS sentence FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(arr)),
+                          i -> {{'idx': i, 'sent': arr[i]}})) AS x
+            FROM (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS arr
+                  FROM documents)
+          ) WHERE length(trim(x.sent)) > 0),
+        sw AS (
+          SELECT doc_id, sent_idx,
+                 unnest(list_filter(str_split_regex(trim(regexp_replace(
+                   lower(sentence), '[^a-z0-9]+', ' ', 'g')), ' +'),
+                   x -> x <> '')) AS word
+          FROM sents),
+        st AS (
+          SELECT s.doc_id, s.sent_idx,
+                 sum(len(str_split(trim(w.seg), '   ')))::BIGINT AS s_toks
+          FROM sw s JOIN {final} w USING (word) GROUP BY 1, 2),
+        pk AS (
+          SELECT doc_id, sent_idx, s_toks,
+                 sum(s_toks) OVER (PARTITION BY doc_id
+                                   ORDER BY sent_idx) AS cum
+          FROM st)
+        SELECT doc_id, ((cum - s_toks) // 128)::INT AS chunk_id,
+               count(*)::BIGINT AS n_sentences,
+               sum(s_toks)::BIGINT AS n_tokens,
+               min(sent_idx) AS first_sent_idx
+        FROM pk GROUP BY 1, 2""",
     }
 
 
@@ -1549,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_approx": q_value_percentiles_approx,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
+        "chunk_documents": q_chunk_documents,
         "hash_sample": q_hash_sample,
         "stratified_cap": q_stratified_cap,
         "kv_pivot_roundtrip": q_kv_pivot_roundtrip,

@@ -156,3 +156,44 @@ def bpe_doc_tokens(df: DataFrame, vocab: DataFrame, id_col: str,
             " ").alias("tokens_prefix"),
     )
     return per_doc
+
+
+def chunk_documents(df: DataFrame, vocab: DataFrame, id_col: str,
+                    text_col: str = "text",
+                    budget_tokens: int = 128) -> DataFrame:
+    """Token-budget document chunking — the context-window packing
+    step between a cleaned corpus and a trainer/RAG indexer: sentences
+    stay whole, and a sentence starts a new chunk when its START
+    offset crosses a multiple of the budget (pure integer rule, so
+    chunk boundaries are bit-identical cross-engine; a sentence longer
+    than the budget owns its chunk).
+
+    Per-sentence token counts come from the trained BPE vocabulary
+    (broadcast join — text never shuffles); the cumulative layout is
+    one window sum per document. Returns (id, chunk_id, n_sentences,
+    n_tokens, first_sent_idx)."""
+    from pyspark.sql import Window
+
+    from montandon_etl_spark.sources.payload import split_sentences
+
+    sents = split_sentences(df, id_col, text_col)
+    toks = F.split(F.trim(F.col("seg")), SEP)
+    wtok = F.broadcast(vocab.select("word", F.size(toks).alias("w_toks")))
+    sw = (
+        sents.select(F.col(id_col), "sent_idx",
+                     F.explode(_norm_words(sents, "sentence")).alias("word"))
+        .join(wtok, "word")
+        .groupBy(id_col, "sent_idx")
+        .agg(F.sum("w_toks").cast("bigint").alias("s_toks"))
+    )
+    w = Window.partitionBy(id_col).orderBy("sent_idx")
+    packed = (
+        sw.withColumn("_cum", F.sum("s_toks").over(w))
+        .withColumn("chunk_id",
+                    F.expr(f"cast((_cum - s_toks) div {budget_tokens} as int)"))
+    )
+    return packed.groupBy(id_col, "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("s_toks").cast("bigint").alias("n_tokens"),
+        F.min("sent_idx").alias("first_sent_idx"),
+    )

@@ -88,3 +88,35 @@ def test_word_counts_normalization(spark):
     docs = _docs(spark, ["Hello, WORLD!! hello-world 42"])
     got = {r["word"]: r["n"] for r in word_counts(docs).collect()}
     assert got == {"hello": 2, "world": 2, "42": 1}
+
+
+def test_chunk_documents_packing(spark):
+    """Chunk boundaries: sentences whole, a sentence opens chunk k
+    when its start offset crosses k*budget; chunk token sums
+    reconstruct the doc total; layout-invariant."""
+    from montandon_etl_spark.operators.bpe import (
+        bpe_doc_tokens,
+        chunk_documents,
+        train_bpe,
+    )
+
+    texts = ["one two three. four five. six seven eight nine. ten."]
+    docs = _docs(spark, texts * 2)  # two identical docs
+    merges, vocab = train_bpe(spark, docs, 4)
+    out = chunk_documents(docs, vocab, "doc_id", budget_tokens=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    tot = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_doc_tokens(docs, vocab, "doc_id").collect()}
+    for d, rows in by_doc.items():
+        assert sum(r["n_tokens"] for r in rows) == tot[d]
+        # chunk ids contiguous from 0 in first-sentence order
+        rows = sorted(rows, key=lambda r: r["first_sent_idx"])
+        assert rows[0]["chunk_id"] == 0
+        assert all(rows[i]["chunk_id"] <= rows[i + 1]["chunk_id"]
+                   for i in range(len(rows) - 1))
+    # identical docs chunk identically
+    a, b = (sorted(((r["chunk_id"], r["n_sentences"], r["n_tokens"])
+                    for r in by_doc[d])) for d in sorted(by_doc))
+    assert a == b
