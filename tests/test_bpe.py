@@ -120,3 +120,70 @@ def test_chunk_documents_packing(spark):
     a, b = (sorted(((r["chunk_id"], r["n_sentences"], r["n_tokens"])
                     for r in by_doc[d])) for d in sorted(by_doc))
     assert a == b
+
+
+def _ref_bpe(texts, n_merges):
+    """Independent pure-Python BPE reference (dict/list algorithm, no
+    string-replace trick): returns (merges, {word: token tuple})."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split():
+            words[w] += 1
+    segs = {w: tuple(w) + ("</w>",) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, n in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        # tie-break: highest count, then lexicographically SMALLEST pair
+        top = max(pc.values())
+        pair = min(p for p, c in pc.items() if c == top)
+        if pc[pair] < 2:
+            break
+        merges.append(pair)
+        a, b = pair
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges, segs
+
+
+def test_bpe_matches_python_reference_randomized(spark):
+    """Property test: the string-replace training program must equal an
+    independent tuple-based reference BPE (merges AND final
+    segmentations) on randomized corpora — including adjacent-repeat
+    words that stress the non-overlapping merge semantics."""
+    import random
+
+    rng = random.Random(20260817)
+    alphabet = "abcz01"
+    for trial in range(6):
+        n_words = rng.randint(5, 25)
+        lex = ["".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 6)))
+               for _ in range(n_words)]
+        # repeat-heavy text (shared prefixes/suffixes + doubled chars)
+        text = " ".join(rng.choice(lex + [w + w for w in lex[:3]])
+                        for _ in range(rng.randint(20, 80)))
+        n_merges = rng.randint(1, 10)
+        want_merges, want_segs = _ref_bpe([text], n_merges)
+        from montandon_etl_spark.operators.bpe import SEP, train_bpe
+        got_merges, vocab = train_bpe(spark, _docs(spark, [text]), n_merges)
+        assert got_merges == want_merges, (trial, text)
+        got_segs = {r["word"]: tuple(r["seg"].strip().split(SEP))
+                    for r in vocab.collect()}
+        assert got_segs == {w: s for w, s in want_segs.items()}, (trial, text)
