@@ -692,6 +692,19 @@ def q_ann_topk_pq(spark, sf):
                             m_subspaces=8, n_codewords=16)
 
 
+def q_ann_topk_ivfpq(spark, sf):
+    """IVF-PQ, the production FAISS composition: a coarse 8-cell
+    k-means quantizer prunes candidates to each query's 2 probe cells;
+    8x16 PQ codes score them (engine-exact ADC). Cells, codes, and
+    scores are all reproduced by the composed SQL oracle."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    return S.cosine_topk_ivfpq(emb, queries, dim=64, k=5, n_centroids=8,
+                               nprobe=2, m_subspaces=8, n_codewords=16)
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-dup pairs, label-blocked (training-data
     dedup family, scale path = LSH blocking)."""
@@ -1410,13 +1423,10 @@ def _oracle_kmeans_cents(n_centroids: int = 8, sample_size: int = 64,
     return "".join(parts)
 
 
-def _pq_oracle_sql(m_subspaces: int = 8, n_codewords: int = 16,
-                   dim: int = 64, k: int = 5) -> str:
-    """DuckDB replay of the whole PQ pipeline: per-subspace codebooks
-    via the parameterized k-means CTE chain, scan-side code
-    assignment (cosine argmax, ties to the smaller cid), asymmetric
-    scoring with per-subspace strict folds combined in fixed subspace
-    order — matches cosine_topk_pq's SCORES to the rounded digit."""
+def _pq_fragments(m_subspaces: int, n_codewords: int, dim: int):
+    """Shared SQL fragments for the PQ oracles: codebook CTE chains,
+    per-subspace code-assignment CTEs, the enc join skeleton, and the
+    fixed-order ADC numerator / candidate-norm expressions."""
     d = dim // m_subspaces
     books = ",".join(
         _oracle_kmeans_cents(n_centroids=n_codewords, prefix=f"pq{m}",
@@ -1464,6 +1474,25 @@ def _pq_oracle_sql(m_subspaces: int = 8, n_codewords: int = 16,
     n2 = norms[0]
     for t in norms[1:]:
         n2 = f"({n2} + {t})"
+    return books, assigns, enc_joins, enc_cols, w_joins, num, n2
+
+
+_PQ_SCORE_TMPL = """
+                     {num}
+                     / (sqrt(list_reduce(list_transform(q.embedding,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
+                        * sqrt({n2})) AS pq_cos"""
+
+
+def _pq_oracle_sql(m_subspaces: int = 8, n_codewords: int = 16,
+                   dim: int = 64, k: int = 5) -> str:
+    """DuckDB replay of the whole PQ pipeline: per-subspace codebooks
+    via the parameterized k-means CTE chain, scan-side code
+    assignment (cosine argmax, ties to the smaller cid), asymmetric
+    scoring with per-subspace strict folds combined in fixed subspace
+    order — matches cosine_topk_pq's SCORES to the rounded digit."""
+    books, assigns, enc_joins, enc_cols, w_joins, num, n2 = _pq_fragments(
+        m_subspaces, n_codewords, dim)
     return f"""
             WITH {books},{"".join(a + "," for a in assigns)}
             enc AS (
@@ -1471,15 +1500,63 @@ def _pq_oracle_sql(m_subspaces: int = 8, n_codewords: int = 16,
               FROM embeddings e
               {enc_joins}),
             scored AS (
-              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                     {num}
-                     / (sqrt(list_reduce(list_transform(q.embedding,
-                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
-                        * sqrt({n2})) AS pq_cos
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,{_PQ_SCORE_TMPL.format(num=num, n2=n2)}
               FROM enc e
               {w_joins}
               CROSS JOIN (SELECT vec_id, embedding FROM embeddings
                           WHERE vec_id < 3) q
+              WHERE e.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY pq_cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id,
+                   floor(pq_cos * 1000000 + 0.5) / 1000000 AS pq_cosine, rank
+            FROM ranked WHERE rank <= {k}"""
+
+
+def _ivfpq_oracle_sql(m_subspaces: int = 8, n_codewords: int = 16,
+                      dim: int = 64, k: int = 5, n_centroids: int = 8,
+                      nprobe: int = 2) -> str:
+    """IVF-PQ replay: the coarse k-means chain assigns every vector a
+    cell (queries get their nprobe nearest), PQ codes come from the
+    shared fragments, and scoring runs only over cell-matched
+    candidate pairs — cells, codes, AND scores all value-exact."""
+    books, assigns, enc_joins, enc_cols, w_joins, num, n2 = _pq_fragments(
+        m_subspaces, n_codewords, dim)
+    coarse = _oracle_kmeans_cents(n_centroids=n_centroids)
+    return f"""
+            WITH {coarse},
+            csc AS (
+              SELECT e.vec_id, c.cid,
+                     list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                       (a, v) -> a + v)
+                     / (sqrt(list_reduce(list_transform(c.cvec,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
+                        * sqrt(list_reduce(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))) AS cos
+              FROM embeddings e CROSS JOIN cents c),
+            cassign AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid ASC) AS rn
+              FROM csc),
+            ccells AS (SELECT vec_id, cid AS cell FROM cassign WHERE rn = 1),
+            qcells AS (SELECT vec_id, cid AS cell FROM cassign
+                       WHERE rn <= {nprobe} AND vec_id < 3),
+            {books},{"".join(a + "," for a in assigns)}
+            enc AS (
+              SELECT e.vec_id, cc.cell, {enc_cols}
+              FROM embeddings e
+              JOIN ccells cc ON cc.vec_id = e.vec_id
+              {enc_joins}),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,{_PQ_SCORE_TMPL.format(num=num, n2=n2)}
+              FROM enc e
+              {w_joins}
+              JOIN qcells qc ON qc.cell = e.cell
+              JOIN embeddings q ON q.vec_id = qc.vec_id
               WHERE e.vec_id <> q.vec_id),
             ranked AS (
               SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1582,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_computed": q_ann_topk_ivf_computed,
         "ann_topk_ivf_multiprobe": q_ann_topk_ivf_multiprobe,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_norms": q_embedding_norms,
@@ -2082,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
                    floor(cosine * 1000000 + 0.5) / 1000000 AS cosine, rank
             FROM ranked WHERE rank <= 5""",
         "ann_topk_pq": _pq_oracle_sql(),
+        "ann_topk_ivfpq": _ivfpq_oracle_sql(),
         "embedding_near_dup": f"""
             WITH p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -495,6 +495,19 @@ def cosine_topk_pq(embeddings: DataFrame, queries: DataFrame, dim: int,
 
     books = pq_codebooks(embeddings, dim, m_subspaces, n_codewords,
                          sample_size, n_iters, id_col, vec_col)
+    enc = _pq_encode(embeddings, books, dim, id_col, vec_col)
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("qvec"))
+    scored = enc.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    return _pq_rank(scored, books, dim, k)
+
+
+def _pq_encode(embeddings: DataFrame, books, dim: int,
+               id_col: str, vec_col: str) -> DataFrame:
+    """(neighbor_id, _c0.._c{M-1}): scan-local per-subspace argmax
+    against the codeword literals — the PQ code columns."""
+    m_subspaces = len(books)
     d = dim // m_subspaces
     enc = embeddings.select(F.col(id_col).alias("neighbor_id"),
                             F.col(vec_col).alias("_v"))
@@ -502,10 +515,16 @@ def cosine_topk_pq(embeddings: DataFrame, queries: DataFrame, dim: int,
         enc = enc.withColumn(f"_s{m}", F.slice(F.col("_v"), m * d + 1, d))
         enc = enc.withColumn(
             f"_c{m}", F.element_at(_top_cells(books[m], f"_s{m}", 1), 1))
-    q = queries.select(F.col(qid_col).alias("query_id"),
-                       F.col(qvec_col).alias("qvec"))
-    scored = enc.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id"))
+    return enc.drop("_v", *[f"_s{m}" for m in range(m_subspaces)])
+
+
+def _pq_rank(scored: DataFrame, books, dim: int, k: int) -> DataFrame:
+    """ADC scoring + per-query top-k over (query_id, qvec, neighbor_id,
+    _c0..): per-subspace strict folds combined in fixed order."""
+    from montandon_etl_spark.operators.util import stable_round6
+
+    m_subspaces = len(books)
+    d = dim // m_subspaces
     num = None
     norm2 = None
     for m in range(m_subspaces):
@@ -531,3 +550,42 @@ def cosine_topk_pq(embeddings: DataFrame, queries: DataFrame, dim: int,
         .select("query_id", "neighbor_id",
                 stable_round6("_pq").alias("pq_cosine"), "rank")
     )
+
+
+def cosine_topk_ivfpq(embeddings: DataFrame, queries: DataFrame, dim: int,
+                      k: int = 5, n_centroids: int = 8, nprobe: int = 2,
+                      m_subspaces: int = 8, n_codewords: int = 16,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "query_id", qvec_col: str = "qvec",
+                      sample_size: int = 64, n_iters: int = 2) -> DataFrame:
+    """IVF-PQ — the production vector-search composition (FAISS's
+    default at scale): a coarse k-means quantizer PRUNES candidates to
+    the query's ``nprobe`` cells, and product-quantization codes SCORE
+    them — so the scan touches ~nprobe/C of the corpus and reads only
+    M code bytes per candidate instead of the raw vector. Cell
+    assignment and PQ encoding are both scan-local argmaxes against
+    literals; the probe is a co-partitioned cell equi-join; scoring is
+    the same engine-exact ADC as ``cosine_topk_pq``. Both quantizers
+    follow the seeded sampled k-means contract, so a SQL oracle
+    reproduces cells, codes, and scores exactly."""
+    cents = _quantizer_centroids(embeddings, "kmeans", n_centroids,
+                                 id_col, vec_col)
+    books = pq_codebooks(embeddings, dim, m_subspaces, n_codewords,
+                         sample_size, n_iters, id_col, vec_col)
+    d = dim // m_subspaces
+    enc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"),
+        F.element_at(_top_cells(cents, vec_col, 1), 1).alias("cell"))
+    for m in range(m_subspaces):
+        enc = enc.withColumn(f"_s{m}", F.slice(F.col("_v"), m * d + 1, d))
+        enc = enc.withColumn(
+            f"_c{m}", F.element_at(_top_cells(books[m], f"_s{m}", 1), 1))
+    enc = enc.drop("_v", *[f"_s{m}" for m in range(m_subspaces)])
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).alias("qvec"),
+        F.explode(_top_cells(cents, qvec_col, nprobe)).alias("cell"),
+    )
+    scored = enc.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    return _pq_rank(scored, books, dim, k)
