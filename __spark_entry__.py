@@ -1975,7 +1975,8 @@ def oracle_sql() -> dict[str, str]:
             bg AS MATERIALIZED (
               SELECT DISTINCT unnest({_sql_word_shingles(5)}) AS g FROM bench),
             bpos AS MATERIALIZED (
-              SELECT {_H60.format(x="g || '#' || i::VARCHAR")} % 262144 AS pos
+              SELECT ({_H60.format(x="g || chr(35) || 'a'")}
+                      + i * {_H60.format(x="g || chr(35) || 'b'")}) % 262144 AS pos
               FROM bg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
             words AS MATERIALIZED (
               SELECT pos // 60 AS word_idx,
@@ -1986,7 +1987,8 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus),
             pp AS (
               SELECT doc_id, g,
-                     {_H60.format(x="g || '#' || i::VARCHAR")} % 262144 AS pos
+                     ({_H60.format(x="g || chr(35) || 'a'")}
+                      + i * {_H60.format(x="g || chr(35) || 'b'")}) % 262144 AS pos
               FROM dg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
             ph AS (
               SELECT doc_id, g,

@@ -86,6 +86,21 @@ def _bit_mask(bit: F.Column) -> F.Column:
     return F.element_at(F.lit(_POW2), bit + 1)
 
 
+def _bloom_positions(value_col: str, m_bits: int,
+                     n_hashes: int) -> list[F.Column]:
+    """Kirsch–Mitzenmacher double hashing: pos_i = (h1 + i·h2) mod m
+    from TWO md5-prefix hashes instead of one per hash function — the
+    md5 is the probe's dominant cost and this halves it (to 2) for any
+    n_hashes, with the classic result that the FP rate is preserved.
+    Pure int64 (h1 + i·h2 < 2^60 + n·2^60 stays far from overflow for
+    the practical n), so the layout is engine-portable like before."""
+    v = F.col(value_col).cast("string")
+    h1 = hash60(F.concat(v, F.lit("#a")))
+    h2 = hash60(F.concat(v, F.lit("#b")))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+            for i in range(n_hashes)]
+
+
 def bloom_build(df: DataFrame, value_col: str, m_bits: int,
                 n_hashes: int) -> DataFrame:
     """Build a Bloom filter over a column as (word_idx, bits) rows —
@@ -101,13 +116,9 @@ def bloom_build(df: DataFrame, value_col: str, m_bits: int,
     (see ``bloom_probe``) instead of broadcasting the exact member
     set; build is explode → groupBy(word) bit_or, map-side
     combinable. Mergeable: union = bit_or of word rows."""
-    pos_exprs = [
-        F.pmod(hash60(F.concat(F.col(value_col).cast("string"),
-                               F.lit(f"#{i}"))), F.lit(m_bits))
-        for i in range(n_hashes)
-    ]
     return (
-        df.select(F.explode(F.array(*pos_exprs)).alias("pos"))
+        df.select(F.explode(F.array(
+            *_bloom_positions(value_col, m_bits, n_hashes))).alias("pos"))
         .select(
             (F.col("pos") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
             F.pmod(F.col("pos"), F.lit(_BLOOM_WORD)).cast("int").alias("bit"),
@@ -124,14 +135,10 @@ def bloom_probe(df: DataFrame, id_col: str, value_col: str,
     the filter's rate — deterministic ones, since the bit math is
     portable; false negatives never). The filter side broadcasts; the
     probe side never shuffles before the per-row verdict."""
-    pos_exprs = [
-        F.pmod(hash60(F.concat(F.col(value_col).cast("string"),
-                               F.lit(f"#{i}"))), F.lit(m_bits))
-        for i in range(n_hashes)
-    ]
     probes = df.select(
         F.col(id_col), F.col(value_col),
-        F.explode(F.array(*pos_exprs)).alias("pos"),
+        F.explode(F.array(
+            *_bloom_positions(value_col, m_bits, n_hashes))).alias("pos"),
     ).select(
         id_col, value_col,
         (F.col("pos") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
@@ -166,9 +173,7 @@ def bloom_member_col(value_col: str, words: list[int], m_bits: int,
     shuffle, the shape a 100-TB decontamination scan wants."""
     arr = F.lit(words)
     cond = None
-    for i in range(n_hashes):
-        pos = F.pmod(hash60(F.concat(F.col(value_col).cast("string"),
-                                     F.lit(f"#{i}"))), F.lit(m_bits))
+    for pos in _bloom_positions(value_col, m_bits, n_hashes):
         word = F.element_at(arr, (pos / _BLOOM_WORD).cast("int") + 1)
         mask = _bit_mask(F.pmod(pos, F.lit(_BLOOM_WORD)).cast("int"))
         c = word.bitwiseAND(mask) == mask
