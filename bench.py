@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "redact_pii",
     "dedup_paragraphs",
     "ngram_contamination",
+    "bloom_decontamination",  # sketch-compressed blocklist, join-free probe
+    "bpe_tokenize",  # BPE train (distinct-word table) + broadcast encode
+    "ann_topk_ivfpq",  # coarse-cell prune + product-quantization scoring
     "doc_fingerprint",
     "dedup_clusters",
     "repetition_stats",
