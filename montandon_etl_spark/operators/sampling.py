@@ -47,7 +47,7 @@ def stratified_cap(
 
 
 def pps_systematic_sample(df: DataFrame, id_col: str, weight_col: str,
-                          n_samples: int) -> DataFrame:
+                          n_samples: int, n_buckets: int = 256) -> DataFrame:
     """Deterministic probability-proportional-to-size sampling by the
     systematic (cumulative-interval) method — the mixture-construction
     step of a training-data pipeline ("sample N documents with
@@ -65,20 +65,39 @@ def pps_systematic_sample(df: DataFrame, id_col: str, weight_col: str,
     Returns (id, n_hits ≥ 1); heavy rows can cover several cuts.
     Bound: 2·n_samples·ΣW must fit in int64.
 
-    Plan shape: one window cumulative sum over the hash order (a
-    single global sort — the price of systematic sampling; at 10^10
-    rows switch the order column to pre-bucketed ranges so the sort is
-    per-bucket) and a scan-local cut-count expression; no other
-    shuffle."""
+    Plan shape — two-phase bucketed cumulative sum, NO global sort:
+    the hash line is pre-cut into ``n_buckets`` contiguous hash
+    ranges (bucket order ≡ hash order, ties impossible across
+    buckets since equal hashes share a bucket). Phase 1 aggregates
+    the ≤n_buckets per-bucket weight totals (one partial-agg
+    shuffle of n_buckets rows) and the driver turns them into an
+    exclusive-prefix offset map — bounded metadata, broadcast back
+    as a literal map. Phase 2 runs the cumulative sum as a window
+    PARTITIONED by bucket (each bucket sorts locally in parallel)
+    plus the broadcast offset — bit-identical to the single global
+    window by construction — and the scan-local cut-count
+    expression. The sort is per-bucket, so the operator scales with
+    executors instead of funneling 10^10 rows through one task."""
     wcol = F.col(weight_col).cast("bigint")
-    ordw = Window.orderBy(hash60(F.col(id_col).cast("string")), F.col(id_col))
-    with_cum = (df.withColumn("_w", wcol).filter(F.col("_w") > 0)
-                .withColumn("_cum", F.sum("_w").over(ordw)))
-    row = with_cum.agg(F.max("_cum").alias("t")).collect()[0]
-    total = row["t"]
-    if total is None:
+    span = (1 << 60) // n_buckets  # hash60 ∈ [0, 2^60)
+    base = (df.withColumn("_w", wcol).filter(F.col("_w") > 0)
+            .withColumn("_h", hash60(F.col(id_col).cast("string")))
+            .withColumn("_bk", F.expr(f"_h div {span}")))
+    bucket_totals = sorted(
+        base.groupBy("_bk").agg(F.sum("_w").alias("t")).collect(),
+        key=lambda r: r["_bk"])
+    if not bucket_totals:
         return df.select(F.col(id_col),
                          F.lit(0).cast("bigint").alias("n_hits")).limit(0)
+    offsets, total = {}, 0
+    for r in bucket_totals:
+        offsets[r["_bk"]] = total
+        total += r["t"]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv])
+    wb = Window.partitionBy("_bk").orderBy("_h", F.col(id_col))
+    with_cum = base.withColumn(
+        "_cum", off_map[F.col("_bk")] + F.sum("_w").over(wb))
     # cut i sits at (2i+1)·T/(2n); row covers (cum−w, cum] —
     # #cuts = f(2n·cum) − f(2n·(cum−w)) with f(x) = #odd m: m·T ≤ x
     #       = (x div T + 1) div 2  (pure int64 arithmetic)

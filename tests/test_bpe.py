@@ -162,6 +162,80 @@ def _ref_bpe(texts, n_merges):
     return merges, segs
 
 
+def test_doc_tokens_oov_fallback(spark):
+    """Encoding a corpus the tokenizer was NOT trained on: with
+    merges= the encoders left-join the vocab and replay the merge
+    program for unseen words — token counts match per-word
+    apply_merges, and an all-OOV document does NOT vanish."""
+    from montandon_etl_spark.operators.bpe import _seg0, chunk_documents
+
+    train = _docs(spark, ["low low lower newest newest widest"])
+    merges, vocab = train_bpe(spark, train, 3)
+    # 'slowest' and 'zzz' are OOV; doc 1 is ALL-OOV
+    docs = _docs(spark, ["low slowest newest", "zzz qqq"])
+    out = {r["doc_id"]: r for r in
+           bpe_doc_tokens(docs, vocab, "doc_id", merges=merges).collect()}
+    assert set(out) == {0, 1}
+    assert out[1]["n_words"] == 2  # all-OOV doc present and counted
+    oov = spark.createDataFrame([("slowest",), ("zzz",), ("qqq",)],
+                                "word string")
+    enc = {r["word"]: r["enc"].strip().split(SEP) for r in oov.select(
+        "word", apply_merges(_seg0(F.col("word")), merges).alias("enc")
+    ).collect()}
+    segs = {r["word"]: r["seg"].strip().split(SEP) for r in vocab.collect()}
+    want0 = (len(segs["low"]) + len(enc["slowest"]) + len(segs["newest"]))
+    assert out[0]["n_tokens"] == want0
+    assert out[1]["n_tokens"] == len(enc["zzz"]) + len(enc["qqq"])
+    # without merges= the legacy inner-join contract holds (OOV drops)
+    legacy = {r["doc_id"]: r for r in
+              bpe_doc_tokens(docs, vocab, "doc_id").collect()}
+    assert 1 not in legacy and legacy[0]["n_words"] == 2
+    # chunking with the fallback accounts every sentence's OOV words
+    ch = chunk_documents(docs, vocab, "doc_id", budget_tokens=4,
+                         merges=merges).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += r["n_tokens"]
+    assert by_doc == {0: out[0]["n_tokens"], 1: out[1]["n_tokens"]}
+
+
+def test_batched_training_equals_sequential(spark):
+    """batch_k>1 must produce the IDENTICAL merge list and
+    segmentations as the classic one-merge-per-round algorithm — the
+    _safe_batch prefix/disjoint/hazard guards are sound, on corpora
+    engineered to stress created-symbol interactions ('cab...xy'
+    style) as well as random ones."""
+    import random
+
+    rng = random.Random(20260818)
+    corpora = [
+        # created-pair hazard: after (a,b), (c,ab) outranks (x,y)
+        " ".join(["cab"] * 9 + ["xy"] * 4),
+        # equal-count created-pair tie: (ab,</w>) ties batched (c,d)
+        " ".join(["zab"] * 5 + ["cd"] * 5),
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest",
+    ]
+    alphabet = "abcxz0"
+    for _ in range(4):
+        lex = ["".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 5)))
+               for _ in range(rng.randint(4, 15))]
+        corpora.append(" ".join(rng.choice(lex + [w + w for w in lex[:2]])
+                                for _ in range(rng.randint(15, 60))))
+    for text in corpora:
+        n_merges = 8
+        seq_m, seq_v = train_bpe(spark, _docs(spark, [text]), n_merges,
+                                 batch_k=1)
+        bat_m, bat_v = train_bpe(spark, _docs(spark, [text]), n_merges,
+                                 batch_k=8)
+        assert bat_m == seq_m, text
+        a = {r["word"]: r["seg"] for r in seq_v.collect()}
+        b = {r["word"]: r["seg"] for r in bat_v.collect()}
+        assert a == b, text
+
+
 def test_bpe_matches_python_reference_randomized(spark):
     """Property test: the string-replace training program must equal an
     independent tuple-based reference BPE (merges AND final

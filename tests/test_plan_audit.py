@@ -218,3 +218,14 @@ def test_bloom_decontamination_is_join_free(spark):
     plan = _physical_plan(df)
     assert "Join" not in plan, plan[:1500]
     assert plan.count("Exchange") <= 2, plan[:1500]  # agg partial+final
+
+
+def test_pps_sample_no_global_sort(spark):
+    """The PPS cumulative sum must be the two-phase bucketed shape:
+    the window is PARTITIONED by hash-range bucket, so the plan
+    contains no single-partition exchange (the r4 scale-killer was a
+    global Window.orderBy funneling every row through one task)."""
+    df = entry_mod.queries()["pps_sample"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "SinglePartition" not in plan, plan[:1500]
+    assert "Window" in plan, plan[:1500]
