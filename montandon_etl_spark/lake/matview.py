@@ -67,6 +67,8 @@ class MaterializedAggregate:
     """CDF-maintained ``GROUP BY group_cols`` view with ``n_rows`` and
     ``sum_<col>`` for each measure column. See module docstring."""
 
+    GP_ALGO = 2  # canonical group-partition hash (see _gp)
+
     def __init__(self, path: str, table: SnapshotTable):
         self.path = path
         self.table = table
@@ -77,6 +79,15 @@ class MaterializedAggregate:
         self.group_ids: list[int] = cfg["group_ids"]
         self.sum_ids: list[int] = cfg["sum_ids"]
         self.n_state_parts: int = cfg.get("n_state_parts", 16)
+        # gp algo 2 = canonical (session-config-independent) group
+        # hash; a state partitioned by the old to_json hash would be
+        # silently mis-pruned — fail loudly instead
+        algo = cfg.get("gp_algo", 1)
+        if algo != self.GP_ALGO:
+            raise ValueError(
+                f"materialized view at {path} was partitioned with "
+                f"group-hash algo {algo}, this build uses "
+                f"{self.GP_ALGO} — drop and re-create() the view")
         self.store = VersionedPartitionStore(
             os.path.join(path, "state"), "gp", self.n_state_parts)
 
@@ -111,7 +122,8 @@ class MaterializedAggregate:
         os.makedirs(os.path.join(path, "state"), exist_ok=True)
         by_name = {f.name: f.id for f in table.user_fields()}
         with open(os.path.join(path, "mv.json"), "w") as f:
-            json.dump({"group_ids": [by_name[c] for c in group_cols],
+            json.dump({"gp_algo": cls.GP_ALGO,
+                       "group_ids": [by_name[c] for c in group_cols],
                        "sum_ids": [by_name[c] for c in sum_cols],
                        "n_state_parts": n_state_parts}, f)
         mv = cls(path, table)
@@ -143,10 +155,30 @@ class MaterializedAggregate:
 
     def _gp(self, names: list[str]) -> F.Column:
         """Deterministic state partition of a group tuple — hashed over
-        a FIXED-name struct so a rename DDL never migrates groups."""
-        j = F.to_json(F.struct(
-            *[F.col(c).alias(f"g{i}") for i, c in enumerate(names)]))
-        return F.pmod(hash60(j), F.lit(self.n_state_parts)).cast("int")
+        a CANONICAL encoding, not ``to_json`` (whose output shifts with
+        ``spark.sql.session.timeZone`` for timestamp groups and with
+        ``spark.sql.jsonGenerator.ignoreNullFields`` for NULLs — a
+        refresh under a different session config would then miss the
+        group's existing state row and write a duplicate; ADVICE r4).
+        Encoding: per field, ``n|`` for NULL else ``v<len>|<value>``
+        (length prefix kills boundary ambiguity between fields);
+        timestamps render as ``unix_micros`` epoch integers (session-
+        timezone-immune), every other type as its CAST-to-string,
+        which is config-independent in Spark. Field order is pinned by
+        position so a rename DDL never migrates groups."""
+        parts = []
+        for c, t in zip(names, self._group_types()):
+            col = F.col(c)
+            if t.lower() == "timestamp":
+                s = F.unix_micros(col).cast("string")
+            else:
+                s = col.cast("string")
+            parts.append(
+                F.when(col.isNull(), F.lit("n|")).otherwise(
+                    F.concat(F.lit("v"), F.length(s).cast("string"),
+                             F.lit("|"), s)))
+        return F.pmod(hash60(F.concat(*parts)),
+                      F.lit(self.n_state_parts)).cast("int")
 
     def _positional(self, df: DataFrame) -> DataFrame:
         """(group..., n_rows, sum_...) under current names → stored

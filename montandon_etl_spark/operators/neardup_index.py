@@ -74,6 +74,8 @@ class NearDupIndex:
     """Incrementally-maintained minhash-LSH candidate-pair index over a
     CDC change stream. See module docstring."""
 
+    LAYOUT = 2  # fused banded+pair rows in one 'lsh' store
+
     def __init__(self, path: str, n: int = 3, k: int = 16, bands: int = 4,
                  n_pfx: int = 64, max_bucket: int | None = None):
         self.path = path
@@ -81,6 +83,18 @@ class NearDupIndex:
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 cfg = json.load(f)
+            # layout 2 = the fused single-'lsh'-store row format. A
+            # pre-fusion index (separate banded/ + pairs/ stores, no
+            # layout stamp) must fail LOUDLY here: it would otherwise
+            # open fine and silently read as an empty pair state
+            # (ADVICE r4).
+            layout = cfg.get("layout", 1)
+            if layout != self.LAYOUT:
+                raise ValueError(
+                    f"NearDupIndex at {path} has on-disk layout "
+                    f"{layout}, this build reads layout {self.LAYOUT} "
+                    "(fused 'lsh' store); rebuild the index from the "
+                    "signature table")
             n, k, bands, n_pfx = cfg["n"], cfg["k"], cfg["bands"], cfg["n_pfx"]
             max_bucket = cfg.get("max_bucket")
         assert k % bands == 0
@@ -106,7 +120,8 @@ class NearDupIndex:
         )
         os.makedirs(os.path.join(path, "lsh"), exist_ok=True)
         with open(os.path.join(path, "index.json"), "w") as f:
-            json.dump({"n": n, "k": k, "bands": bands, "n_pfx": n_pfx,
+            json.dump({"layout": cls.LAYOUT, "n": n, "k": k,
+                       "bands": bands, "n_pfx": n_pfx,
                        "max_bucket": max_bucket}, f)
         return cls(path)
 

@@ -227,3 +227,65 @@ def test_partitioned_state_rewrites_strict_subset(spark, tmp_path):
     got = {tuple(r) for r in mv.state(spark).collect()}
     want = {tuple(r) for r in mv._aggregate(table.read(spark)).collect()}
     assert got == want
+
+
+def test_gp_hash_is_session_timezone_independent(spark, tmp_path):
+    """ADVICE r4: the state-partition hash of a TIMESTAMP group must
+    not depend on spark.sql.session.timeZone — a refresh under a
+    different session timezone must find the group's existing state
+    row (same gp → pruned read hits it) instead of writing a
+    duplicate row into another partition."""
+    table = SnapshotTable.create(str(tmp_path / "t"), fields=FIELDS,
+                                 key_col="url", n_buckets=4)
+    table.merge(spark, _batch(spark, [
+        (1, "u1", 0, "insert", "a", 10),
+        (2, "u2", 0, "insert", "a", 20),  # same hour → same ts group
+        (3, "u3", 5, "insert", "b", 30),
+    ]), batch_id=0)
+    mv = MaterializedAggregate.create(
+        str(tmp_path / "mv"), spark, table,
+        group_cols=["warc_ts"], sum_cols=["n_chars"], n_state_parts=8)
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        table.merge(spark, _batch(spark, [
+            (4, "u4", 0, "insert", "a", 40),   # existing ts group grows
+            (5, "u3", 5, "delete", "b", None),  # existing ts group drains
+        ]), batch_id=1)
+        mv.refresh(spark)
+        rows = mv.state(spark).collect()
+        got = {r["warc_ts"]: (r["n_rows"], float(r["sum_n_chars"]))
+               for r in rows}
+        assert len(rows) == len(got), "duplicate group rows in state"
+        live = {r["warc_ts"]: (r["n"], float(r["s"])) for r in
+                table.read(spark).groupBy("warc_ts").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("n_chars").cast("decimal(28,6)")).alias("s"),
+                ).collect()}
+        assert got == live
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_legacy_gp_algo_fails_loudly(spark, tmp_path):
+    """A state partitioned by the old to_json group hash must refuse
+    to open rather than mis-prune reads."""
+    import json
+    import os
+
+    import pytest
+
+    table = SnapshotTable.create(str(tmp_path / "t"), fields=FIELDS,
+                                 key_col="url", n_buckets=4)
+    table.merge(spark, _batch(spark, [(1, "u1", 0, "insert", "a", 10)]),
+                batch_id=0)
+    MaterializedAggregate.create(
+        str(tmp_path / "mv"), spark, table,
+        group_cols=["source"], sum_cols=["n_chars"])
+    cfg_path = os.path.join(str(tmp_path / "mv"), "mv.json")
+    cfg = json.load(open(cfg_path))
+    del cfg["gp_algo"]  # what a round-4 build wrote
+    json.dump(cfg, open(cfg_path, "w"))
+    with pytest.raises(ValueError, match="group-hash algo"):
+        MaterializedAggregate(str(tmp_path / "mv"), table)

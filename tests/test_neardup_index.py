@@ -180,3 +180,23 @@ def test_incremental_index_redelivery_noop(spark, tmp_path):
     idx.update(spark, _batch(spark, b0), batch_id=0)  # re-delivery
     assert idx.table.io.head_snapshot_id() == head
     assert _got_pairs(idx, spark) == before == {("u/a", "u/d")}
+
+
+def test_legacy_layout_fails_loudly(spark, tmp_path):
+    """A pre-fusion index dir (no layout stamp in index.json) must
+    refuse to open instead of silently reading an empty pair state
+    (ADVICE r4)."""
+    import json
+    import os
+
+    import pytest
+
+    from montandon_etl_spark.operators.neardup_index import NearDupIndex
+
+    idx = NearDupIndex.create(str(tmp_path / "i"), k=8, bands=2)
+    cfg_path = os.path.join(str(tmp_path / "i"), "index.json")
+    cfg = json.load(open(cfg_path))
+    del cfg["layout"]  # what a round-3 build wrote
+    json.dump(cfg, open(cfg_path, "w"))
+    with pytest.raises(ValueError, match="layout"):
+        NearDupIndex(str(tmp_path / "i"))

@@ -47,32 +47,44 @@ def test_manifest_written_and_resolution_needs_no_globs(spark, tmp_path):
     mf = json.load(open(tmp_path / "s" / "v2" / "manifest.json"))
     assert mf["parts"] == {"0": True, "1": False}
 
-    # a fresh instance resolves purely from manifests: break the glob
-    # fallback by asserting _pmap never globs (monkeypatch glob.glob)
-    st2 = VersionedPartitionStore(str(tmp_path / "s"), "p", 4)
+    # a fresh instance resolves purely from manifests (there is no
+    # glob fallback anymore — the module does not even import glob)
     import montandon_etl_spark.lake.pstore as pstore_mod
-    orig = pstore_mod.glob.glob
-    calls = []
-    pstore_mod.glob.glob = lambda *a, **k: (calls.append(a), orig(*a, **k))[1]
-    try:
-        got = {(r["id"], r["p"]) for r in
-               st2.read(spark, SCHEMA, attach_part=True).collect()}
-    finally:
-        pstore_mod.glob.glob = orig
-    assert got == {("a2", 0)}  # partition 1 tombstoned, no stale "b"
-    assert calls == []  # resolution used manifests only
-
-
-def test_fallback_glob_for_manifestless_version(spark, tmp_path):
-    st = VersionedPartitionStore(str(tmp_path / "s"), "p", 4)
-    st.write(spark, _df(spark, [("a", 0), ("b", 2)]), 1, {0, 2}, SCHEMA)
-    os.remove(tmp_path / "s" / "v1" / "manifest.json")  # pre-manifest store
+    assert not hasattr(pstore_mod, "glob")
     st2 = VersionedPartitionStore(str(tmp_path / "s"), "p", 4)
     got = {(r["id"], r["p"]) for r in
            st2.read(spark, SCHEMA, attach_part=True).collect()}
-    assert got == {("a", 0), ("b", 2)}
-    # and the fallback result is memoized (second read, no new state)
-    assert st2._pmaps[1] == {0: True, 2: True}
+    assert got == {("a2", 0)}  # partition 1 tombstoned, no stale "b"
+
+
+def test_torn_write_is_uncommitted_and_retryable(spark, tmp_path):
+    """ADVICE r4: the manifest is the commit point. A crash after the
+    parquet _SUCCESS but before the tombstone/manifest stamp must
+    leave the version UNCOMMITTED (so the previous generation's
+    tombstones never resurface) and a caller's
+    `version in versions()` idempotency check must re-run the write,
+    which fully repairs the store."""
+    st = VersionedPartitionStore(str(tmp_path / "s"), "p", 4)
+    st.write(spark, _df(spark, [("a", 0), ("b", 1)]), 1, {0, 1}, SCHEMA)
+    # v2 empties partition 1 (tombstone) — simulate the crash window by
+    # deleting what write() stamps after the parquet job finished
+    st.write(spark, _df(spark, [("a2", 0)]), 2, {0, 1}, SCHEMA)
+    os.remove(tmp_path / "s" / "v2" / "manifest.json")
+    import shutil
+    shutil.rmtree(tmp_path / "s" / "v2" / "p=1")
+    assert os.path.exists(tmp_path / "s" / "v2" / "_SUCCESS")
+
+    st2 = VersionedPartitionStore(str(tmp_path / "s"), "p", 4)
+    assert st2.versions() == [1]  # torn v2 is not committed
+    got = {(r["id"], r["p"]) for r in
+           st2.read(spark, SCHEMA, attach_part=True).collect()}
+    assert got == {("a", 0), ("b", 1)}  # pre-crash state, no half-read
+    # retry (caller sees 2 not in versions()) repairs everything
+    st2.write(spark, _df(spark, [("a2", 0)]), 2, {0, 1}, SCHEMA)
+    assert st2.versions() == [1, 2]
+    got = {(r["id"], r["p"]) for r in
+           st2.read(spark, SCHEMA, attach_part=True).collect()}
+    assert got == {("a2", 0)}  # and the tombstone for p=1 holds
 
 
 def test_below_version_and_gc_keep_previous_generation(spark, tmp_path):
