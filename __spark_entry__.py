@@ -375,6 +375,120 @@ def q_mv_source_stats(spark, sf):
     )
 
 
+def q_h264_pcm_decode(spark, sf):
+    """H.264 pixel decode as a distributed operator (operators/
+    h264.py, VERDICT r4 Next #8): per doc_id, an Arrow batch worker
+    builds deterministic YUV420 planes, encodes them with the
+    in-package lossless I_PCM baseline encoder, then runs the full
+    decoder (NAL split, EP3B unescape, SPS/PPS/slice-header parse,
+    macroblock loop) and emits plane checksums plus position-weighted
+    checksums. I_PCM is lossless by construction, so DuckDB replays
+    the checksums from the same pixel formula — pure integer SQL.
+    (The CAVLC/intra/IDCT paths are pinned by tests/test_h264.py's
+    encoder round-trip; PCM is the SQL-expressible slice.)"""
+    import pandas as pd
+
+    from montandon_etl_spark.operators import h264 as Hc
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 40).distinct())
+
+    def batches(it):
+        import numpy as np
+        r16 = np.arange(16).reshape(16, 1)
+        c16 = np.arange(16).reshape(1, 16)
+        r8 = np.arange(8).reshape(8, 1)
+        c8 = np.arange(8).reshape(1, 8)
+        wy = (r16 * 16 + c16 + 1).astype(np.int64)
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y = ((did * 31 + r16 * 3 + c16) % 256).astype(np.uint8)
+                cb = ((did * 7 + r8 * 5 + c8 * 2) % 256).astype(np.uint8)
+                cr = ((did * 13 + r8 * 2 + c8 * 3) % 256).astype(np.uint8)
+                stream = Hc.encode_ipcm_annexb(y, cb, cr)
+                sps = pps = sl = None
+                for nal in Hc.split_annexb(stream):
+                    t = nal[0] & 0x1F
+                    if t == 7:
+                        sps = Hc.parse_sps(nal)
+                    elif t == 8:
+                        pps = Hc.parse_pps(nal)
+                    elif t == 5:
+                        sl = nal
+                yd, cbd, crd = Hc.decode_i_frame(sps, pps, sl)
+                rows.append((did, int(yd.astype(np.int64).sum()),
+                             int(cbd.astype(np.int64).sum()),
+                             int(crd.astype(np.int64).sum()),
+                             int((yd.astype(np.int64) * wy).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "y_sum", "cb_sum", "cr_sum", "y_wsum"])
+
+    return ids.mapInPandas(
+        batches,
+        "doc_id bigint, y_sum bigint, cb_sum bigint, cr_sum bigint,"
+        " y_wsum bigint")
+
+
+def q_mv_source_extremes(spark, sf):
+    """Incremental MIN/MAX view maintenance (lake/matview.py, VERDICT
+    r4 Next #5): documents arrive as three CDC upsert batches, then a
+    DELETE batch retracts every doc_id % 7 == 0 row — including
+    per-source extrema, which exercises the rescan-on-retraction
+    fallback. The maintained state must equal the one-shot GROUP BY
+    over the surviving rows."""
+    import tempfile
+
+    from montandon_etl_spark.lake.format import Field
+    from montandon_etl_spark.lake.matview import MaterializedAggregate
+    from montandon_etl_spark.lake.table import SnapshotTable
+    from montandon_etl_spark.operators.dedup import hash60
+
+    base = tempfile.mkdtemp(prefix="mvx_")
+    fields = [
+        Field(1, "did", "string", False),
+        Field(2, "warc_ts", "timestamp", False),
+        Field(10, "source", "string", True),
+        Field(11, "n_chars", "bigint", True),
+    ]
+    table = SnapshotTable.create(os.path.join(base, "t"), fields=fields,
+                                 key_col="did", n_buckets=4)
+    docs = _t(spark, sf, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("did"),
+        F.col("doc_id").alias("seq"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit("upsert").alias("op"),
+        "source", "n_chars",
+    )
+    part = F.pmod(hash60(F.col("did")), F.lit(3))
+    table.merge(spark, src.filter(part == 0), batch_id=0)
+    mv = MaterializedAggregate.create(os.path.join(base, "mv"), spark, table,
+                                      group_cols=["source"],
+                                      sum_cols=["n_chars"],
+                                      min_cols=["n_chars"],
+                                      max_cols=["n_chars"])
+    for i in (1, 2):
+        table.merge(spark, src.filter(part == i), batch_id=i)
+        mv.refresh(spark)
+    dels = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        F.col("doc_id").cast("string").alias("did"),
+        (F.col("doc_id") + F.lit(10_000_000)).alias("seq"),
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("warc_ts"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+    )
+    table.merge(spark, dels, batch_id=3)
+    mv.refresh(spark)
+    return mv.state(spark).select(
+        "source", "n_rows",
+        F.col("sum_n_chars").cast("double").alias("sum_n_chars"),
+        "min_n_chars", "max_n_chars",
+    )
+
+
 def q_incremental_ann_topk(spark, sf):
     """Incremental ANN index (operators/ann_index.py): embeddings
     arrive as THREE CDC batches into cell-partitioned IVF postings
@@ -1667,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
         "incremental_ann_topk_pq": q_incremental_ann_topk_pq,
+        "mv_source_extremes": q_mv_source_extremes,
+        "h264_pcm_decode": q_h264_pcm_decode,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "value_percentiles_approx": q_value_percentiles_approx,
@@ -1876,6 +1992,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))), 0)
                         AS DOUBLE) AS sum_n_chars
             FROM documents GROUP BY 1""",
+        "h264_pcm_decode": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 40),
+            ysum AS (
+              SELECT i.doc_id,
+                     SUM((i.doc_id*31 + r.range*3 + c.range) % 256)::BIGINT
+                       AS y_sum,
+                     SUM((r.range*16 + c.range + 1)
+                         * ((i.doc_id*31 + r.range*3 + c.range) % 256)
+                         )::BIGINT AS y_wsum
+              FROM ids i, range(16) r, range(16) c GROUP BY 1),
+            csum AS (
+              SELECT i.doc_id,
+                     SUM((i.doc_id*7 + r.range*5 + c.range*2) % 256)::BIGINT
+                       AS cb_sum,
+                     SUM((i.doc_id*13 + r.range*2 + c.range*3) % 256)::BIGINT
+                       AS cr_sum
+              FROM ids i, range(8) r, range(8) c GROUP BY 1)
+            SELECT i.doc_id, y.y_sum, s.cb_sum, s.cr_sum, y.y_wsum
+            FROM ids i JOIN ysum y USING (doc_id)
+            JOIN csum s USING (doc_id)""",
+        "mv_source_extremes": """
+            SELECT source, count(*) AS n_rows,
+                   CAST(COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))), 0)
+                        AS DOUBLE) AS sum_n_chars,
+                   MIN(n_chars) AS min_n_chars,
+                   MAX(n_chars) AS max_n_chars
+            FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1""",
         "kmv_distinct_users": f"""
             WITH h AS (
               SELECT DISTINCT event_type,

@@ -114,7 +114,11 @@ BENCH_QUERIES = [
     "ngram_contamination",
     "bloom_decontamination",  # sketch-compressed blocklist, join-free probe
     "bpe_tokenize",  # BPE train (distinct-word table) + broadcast encode
+    "chunk_documents",  # token-budget packing over the same vocab
+    "pps_sample",  # two-phase bucketed PPS cumsum (no global sort)
     "ann_topk_ivfpq",  # coarse-cell prune + product-quantization scoring
+    "incremental_ann_topk_pq",  # CDC-maintained PQ-code postings
+    "mv_source_extremes",  # CDF-maintained MIN/MAX w/ retraction rescan
     "doc_fingerprint",
     "dedup_clusters",
     "repetition_stats",

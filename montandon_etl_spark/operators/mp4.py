@@ -22,8 +22,11 @@ This module implements that layer completely, with zero dependencies:
   touching the full asset again. Arrow-batched, narrow (no shuffle).
 - ``video_features``: per-asset summary (codec, dims, duration, fps,
   keyframe count) — the quality-gate projection.
-- ``decode_frame_rgb``: HONESTLY GATED — H.264/H.265 entropy decoding
-  needs a real codec (ffmpeg), which is not in this container.
+- ``decode_frame_rgb``: REAL for H.264 baseline-intra keyframes via
+  the pure-python decoder in ``operators/h264`` (CAVLC + I_16x16
+  intra + IDCT + I_PCM, SPS/PPS from the track's avcC); P/B slices,
+  CABAC and other out-of-subset tools raise ``H264Unsupported`` —
+  the honest gate, narrowed to what is genuinely unimplemented.
 
 Reference analogue: the reference stores media as opaque blobs with
 typed metadata rows (apps/etl/models.py:72); SURVEY.md §2's multimodal
@@ -140,6 +143,7 @@ def _parse_trak(b: bytes, ts: int, te: int) -> dict:
         else:
             timescale, duration = _u32s(b, s + 4 + 8, 2)
     codec = None
+    avcc = None
     stts_runs, ctts_runs, stsc_runs = [], [], []
     sizes: list[int] = []
     fixed_size = 0
@@ -151,6 +155,11 @@ def _parse_trak(b: bytes, ts: int, te: int) -> dict:
                 (cnt,) = _u32s(b, s + 4, 1)
                 if cnt >= 1:
                     codec = b[s + 12 : s + 16].decode("latin-1")
+                    # avcC child of the visual sample entry (SPS/PPS)
+                    idx = b.find(b"avcC", s, e)
+                    if idx >= 4:
+                        (bsz,) = _u32s(b, idx - 4, 1)
+                        avcc = b[idx + 4 : idx - 4 + bsz]
             elif typ == b"stts":
                 (cnt,) = _u32s(b, s + 4, 1)
                 vals = _u32s(b, s + 8, 2 * cnt)
@@ -214,6 +223,7 @@ def _parse_trak(b: bytes, ts: int, te: int) -> dict:
                 si += 1
     return {
         "track_id": track_id, "handler": handler, "codec": codec,
+        "avcc": avcc,
         "width": width, "height": height, "timescale": timescale,
         "duration": duration, "frames": frames,
     }
@@ -240,13 +250,17 @@ def build_mp4(
     chunk_plan: list[int] | None = None,
     codec: bytes = b"avc1",
     use_co64: bool = False,
+    avcc: bytes | None = None,
 ) -> bytes:
     """Mux opaque frame payloads into a structurally-valid unfragmented
     MP4 (ftyp + mdat + moov with a full sample table). ``keyframes``
     are 0-based frame indices for the stss box (None → no stss ⇒ all
     frames sync); ``chunk_plan`` groups consecutive frames into stco
     chunks (default: one chunk per frame). Timescale == fps so each
-    frame advances pts by exactly 1 tick."""
+    frame advances pts by exactly 1 tick. ``avcc``: optional raw
+    AVCDecoderConfigurationRecord payload appended to the sample
+    entry as an ``avcC`` child box (carries SPS/PPS for real
+    decode — see :func:`make_avcc`)."""
     n = len(frames)
     chunk_plan = chunk_plan or [1] * n
     assert sum(chunk_plan) == n, "chunk_plan must cover every frame"
@@ -278,7 +292,8 @@ def build_mp4(
             + b"\x00" * 4
             + struct.pack(">H", 1)  # frame count per sample
             + b"\x00" * 32  # compressor name
-            + struct.pack(">Hh", 24, -1),
+            + struct.pack(">Hh", 24, -1)
+            + (_box(b"avcC", avcc) if avcc is not None else b""),
         ),
     )
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
@@ -419,13 +434,57 @@ def video_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.select(id_col, bin_col).mapInPandas(batches, schema=VIDEO_FEATURE_SCHEMA)
 
 
-def decode_frame_rgb(frame_payload: bytes):  # pragma: no cover - honest gate
-    """Pixel decode of an H.264/H.265 frame requires a real codec
-    library (ffmpeg/PyAV), which is NOT in this container. The
-    container layer above is complete; this is the one genuinely
-    codec-bound step."""
-    raise NotImplementedError(
-        "H.264/H.265 entropy decoding needs ffmpeg/PyAV; install one and "
-        "swap this gate for av.CodecContext decode. The sample-table "
-        "layer (byte ranges, pts, keyframes) is fully implemented."
-    )
+def make_avcc(sps_nal: bytes, pps_nal: bytes,
+              length_size: int = 4) -> bytes:
+    """AVCDecoderConfigurationRecord payload carrying one SPS + one
+    PPS — what ``build_mp4(avcc=...)`` embeds and ``parse_mp4``
+    returns under ``track["avcc"]``."""
+    return bytes([
+        1, sps_nal[1], sps_nal[2], sps_nal[3],
+        0xFC | (length_size - 1), 0xE0 | 1,
+    ]) + struct.pack(">H", len(sps_nal)) + sps_nal \
+        + bytes([1]) + struct.pack(">H", len(pps_nal)) + pps_nal
+
+
+def parse_avcc(avcc: bytes) -> tuple[list[bytes], list[bytes], int]:
+    """(sps_nals, pps_nals, nal_length_size) from an
+    AVCDecoderConfigurationRecord payload."""
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise ValueError("bad avcC record")
+    length_size = (avcc[4] & 3) + 1
+    n_sps = avcc[5] & 0x1F
+    pos, sps = 6, []
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        sps.append(avcc[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    n_pps = avcc[pos]
+    pos += 1
+    pps = []
+    for _ in range(n_pps):
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        pps.append(avcc[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    return sps, pps, length_size
+
+
+def decode_frame_rgb(frame_payload: bytes, avcc: bytes | None = None):
+    """Decode an H.264 keyframe payload to an RGB HxWx3 numpy array
+    using the pure-python baseline-intra decoder (``operators/h264``
+    — CAVLC, I_16x16 intra prediction, IDCT, I_PCM; spec subset in
+    that module's docstring). ``avcc`` is the track's
+    AVCDecoderConfigurationRecord (``parse_mp4(...)["tracks"][i]
+    ["avcc"]``) carrying SPS/PPS and the NAL length size; without it
+    the payload must be Annex B with in-band parameter sets.
+
+    P/B slices, CABAC, I_NxN and other out-of-subset tools raise
+    ``h264.H264Unsupported`` (a NotImplementedError) — the honest
+    gate narrowed from 'all pixel decode' to the genuinely
+    unimplemented tools."""
+    from montandon_etl_spark.operators.h264 import decode_keyframe
+
+    if avcc is not None:
+        sps, pps, length_size = parse_avcc(avcc)
+        return decode_keyframe(frame_payload, sps_rbsp=sps[0],
+                               pps_rbsp=pps[0], length_size=length_size)
+    return decode_keyframe(frame_payload)

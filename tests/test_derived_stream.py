@@ -63,3 +63,62 @@ def test_stream_maintains_derived_artifacts(spark, tmp_path):
     assert table.io.head_snapshot_id() == head
     assert {(r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()} == want
     assert {(r["lang"], r["n_rows"]) for r in mv.state(spark).collect()} == want_mv
+
+
+def test_stream_maintains_bloom_index(spark, tmp_path):
+    """Incremental Bloom blocklist (VERDICT r4 Next #7): adds merge
+    in-stream via bit_or; the derived filter equals a one-shot
+    bloom_build over every value ever upserted; a delete in the
+    stream durably marks rebuild-needed; rebuild() over the live set
+    matches the from-scratch filter and clears the mark; checkpoint
+    re-run is a no-op."""
+    from montandon_etl_spark.operators.bloom_index import BloomIndex
+    from montandon_etl_spark.operators.sketches import bloom_build
+
+    M, H = 1 << 12, 3
+    log = gen_changelog(n_events=300, n_urls=100, seed=11, n_domains=8)
+    assert (log.op == "delete").any()  # fixture must exercise deletes
+    write_changelog(log, str(tmp_path / "chg"), n_chunks=3)
+    table = SnapshotTable.create(str(tmp_path / "pages"), n_buckets=4)
+    bidx = BloomIndex.create(str(tmp_path / "bloom"), m_bits=M, n_hashes=H)
+
+    def update_bloom(s, df, epoch_id):
+        ups = df.filter(F.col("op") == "upsert").select("url").distinct()
+        n_dels = df.filter(F.col("op") == "delete").limit(1).count()
+        bidx.update(s, ups, "url", epoch_id, has_deletes=n_dels > 0)
+
+    run_stream(spark, table, str(tmp_path / "chg"), str(tmp_path / "ckpt"),
+               derived_updaters=[update_bloom]).awaitTermination(300)
+
+    def rows(df):
+        return {(r["word_idx"], r["bits"]) for r in df.collect()}
+
+    ever = spark.createDataFrame(
+        log[log.op == "upsert"][["url"]].drop_duplicates())
+    assert rows(bidx.filter_df(spark)) == rows(
+        bloom_build(ever, "url", M, H))
+    assert bidx.dirty  # deletes passed through
+
+    # no false negatives against the live set (superset contract)
+    from montandon_etl_spark.operators.sketches import (
+        bloom_dense,
+        bloom_member_col,
+    )
+    words = bloom_dense(bidx.filter_df(spark), M)
+    live = table.read(spark)
+    misses = live.filter(~bloom_member_col("url", words, M, H)).count()
+    assert misses == 0
+
+    # rebuild over the live set == from-scratch build; dirty cleared
+    bidx.rebuild(spark, live.select("url"), "url")
+    assert not bidx.dirty
+    assert rows(bidx.filter_df(spark)) == rows(
+        bloom_build(live.select("url"), "url", M, H))
+
+    # checkpoint re-run: no-op for the filter (dirty stays cleared —
+    # no new batches run, the stream is drained)
+    before = rows(bidx.filter_df(spark))
+    run_stream(spark, table, str(tmp_path / "chg"), str(tmp_path / "ckpt"),
+               derived_updaters=[update_bloom]).awaitTermination(300)
+    assert rows(bidx.filter_df(spark)) == before
+    assert not bidx.dirty

@@ -1,0 +1,615 @@
+"""H.264 baseline I-frame decoder: CAVLC table structure pins, a
+spec-following test ENCODER (bit-writer direction of the same syntax)
+round-tripped through the decoder — the decoded frame must equal the
+encoder's own reconstruction EXACTLY (entropy layer, prediction,
+dequant, IDCT, and bitstream framing all exercised), plus NAL/EP3B
+and container-integration checks. No Spark needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from montandon_etl_spark.operators import h264 as H
+
+# ------------------------------------------------------------- table pins
+
+
+def test_cavlc_tables_structurally_sound():
+    """Every VLC table section must be prefix-free (no code is a
+    prefix of another) and carry the spec's exact entry count."""
+    def check_prefix_free(tbl, name):
+        codes = sorted(tbl.values(), key=len)
+        for i, a in enumerate(codes):
+            for b in codes[i + 1:]:
+                assert not b.startswith(a), (name, a, b)
+
+    for name, tbl, n in [
+        ("coeff_token nC<2", H._CT_NC0, 62),
+        ("coeff_token 2<=nC<4", H._CT_NC2, 62),
+        ("coeff_token 4<=nC<8", H._CT_NC4, 62),
+        ("coeff_token chromaDC", H._CT_CHROMA_DC, 14),
+    ]:
+        assert len(tbl) == n, name
+        check_prefix_free(tbl, name)
+        # every (tc, t1) combination the spec defines is present
+        maxtc = 4 if tbl is H._CT_CHROMA_DC else 16
+        want = {(tc, t1) for tc in range(maxtc + 1)
+                for t1 in range(min(tc, 3) + 1)}
+        assert set(tbl) == want, name
+    for tc, tbl in H._TZ_4x4.items():
+        assert len(tbl) == 17 - tc, tc  # total_zeros ∈ [0, 16 − tc]
+        check_prefix_free(tbl, f"total_zeros tc={tc}")
+    for tc, tbl in H._TZ_CHROMA_DC.items():
+        assert len(tbl) == 4 - tc + 1, tc
+        check_prefix_free(tbl, f"tz chroma tc={tc}")
+    for zl, tbl in H._RUN_BEFORE.items():
+        check_prefix_free(tbl, f"run_before zl={zl}")
+        if zl < 7:
+            assert set(tbl) == set(range(zl + 1)), zl
+        else:
+            assert set(tbl) == set(range(15)), zl
+
+
+def test_bitreader_expgolomb():
+    w = BitWriter()
+    vals = [0, 1, 2, 3, 7, 8, 254, 255, 1023]
+    for v in vals:
+        w.ue(v)
+    svals = [0, 1, -1, 2, -2, 17, -31]
+    for v in svals:
+        w.se(v)
+    r = H.BitReader(w.rbsp())
+    assert [r.ue() for _ in vals] == vals
+    assert [r.se() for _ in svals] == svals
+
+
+def test_ep3b_roundtrip():
+    raw = bytes([0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 7, 0, 0])
+    esc = _ep3b_escape(raw)
+    # escaped stream never contains 00 00 0x with x in {0,1,2}
+    for i in range(len(esc) - 2):
+        if esc[i] == 0 and esc[i + 1] == 0:
+            assert esc[i + 2] >= 3, esc.hex()
+    assert H.strip_ep3b(esc) == raw
+
+
+# ----------------------------------------------------------- test encoder
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int):
+        assert 0 <= v < (1 << n), (v, n)
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def put(self, bitstr: str):
+        self.bits.extend(1 if c == "1" else 0 for c in bitstr)
+
+    def ue(self, v: int):
+        v1 = v + 1
+        n = v1.bit_length()
+        self.u(0, n - 1)
+        self.u(v1, n)
+
+    def se(self, v: int):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def byte_align_zero(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def rbsp(self, trailing: bool = False) -> bytes:
+        bits = list(self.bits)
+        if trailing:  # rbsp_stop_one_bit + alignment zeros
+            bits.append(1)
+            while len(bits) % 8:
+                bits.append(0)
+        else:
+            while len(bits) % 8:
+                bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+        return bytes(out)
+
+
+def _ep3b_escape(b: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for byte in b:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def _annexb(nal_rbsp: bytes) -> bytes:
+    return b"\x00\x00\x00\x01" + _ep3b_escape(nal_rbsp)
+
+
+# forward transform/quant (encoder side — quality-only, any quantized
+# level is a valid stream; correctness is defined by the decoder-math
+# reconstruction the encoder mirrors)
+_CF = np.array([[1, 1, 1, 1], [2, 1, -1, -2],
+                [1, -1, -1, 1], [1, -2, 2, -1]], dtype=np.int64)
+_MF = [(13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+       (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559)]
+
+
+def _mf(qp):
+    m = np.empty((4, 4), dtype=np.int64)
+    v0, v1, v2 = _MF[qp % 6]
+    for i in range(4):
+        for j in range(4):
+            m[i, j] = v0 if (i % 2, j % 2) == (0, 0) else (
+                v1 if (i % 2, j % 2) == (1, 1) else v2)
+    return m
+
+
+def _fwd4x4(x: np.ndarray) -> np.ndarray:
+    return _CF @ x.astype(np.int64) @ _CF.T
+
+
+def _quant(w: np.ndarray, qp: int) -> np.ndarray:
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    z = (np.abs(w) * _mf(qp) + f) >> qbits
+    return (np.sign(w) * z).astype(np.int64)
+
+
+def _quant_dc(w: np.ndarray, qp: int) -> np.ndarray:
+    qbits = 16 + qp // 6
+    f = 2 * ((1 << (qbits - 1)) // 3)
+    mf0 = _MF[qp % 6][0]
+    z = (np.abs(w) * mf0 + f) >> qbits
+    return (np.sign(w) * z).astype(np.int64)
+
+
+def _block_zigzag(b: np.ndarray) -> list[int]:
+    return [int(b[i, j]) for (i, j) in H._ZIGZAG_4x4]
+
+
+def _write_residual(w: BitWriter, levels: list[int], nC: int):
+    """Encode one residual block (levels in zig-zag order) — the
+    writer direction of H.read_residual_block."""
+    n = len(levels)
+    nz = [(i, l) for i, l in enumerate(levels) if l != 0]
+    total_coeff = len(nz)
+    # trailing ones: run of |1| at the high-frequency end, max 3
+    t1 = 0
+    for i in range(total_coeff - 1, -1, -1):
+        if abs(nz[i][1]) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    if nC >= 8:
+        w.u(3 if total_coeff == 0 else ((total_coeff - 1) << 2) | t1, 6)
+    else:
+        key = -1 if nC < 0 else (0 if nC < 2 else (2 if nC < 4 else 4))
+        w.put(H._CT_TABLES[key][(total_coeff, t1)])
+    if total_coeff == 0:
+        return 0
+    hi_first = nz[::-1]
+    suffix_len = 1 if (total_coeff > 10 and t1 < 3) else 0
+    for i, (pos, level) in enumerate(hi_first):
+        if i < t1:
+            w.u(0 if level > 0 else 1, 1)
+            continue
+        lc = 2 * level - 2 if level > 0 else -2 * level - 1
+        if i == t1 and t1 < 3:
+            lc -= 2
+        if suffix_len == 0:
+            if lc < 14:
+                w.u(0, lc)
+                w.u(1, 1)
+            elif lc < 30:
+                w.u(0, 14)
+                w.u(1, 1)
+                w.u(lc - 14, 4)
+            else:
+                assert lc - 30 < (1 << 12), "level beyond test range"
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(lc - 30, 12)
+        else:
+            if lc < (15 << suffix_len):
+                w.u(0, lc >> suffix_len)
+                w.u(1, 1)
+                w.u(lc & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                lc2 = lc - (15 << suffix_len)
+                assert lc2 < (1 << 12), "level beyond test range"
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(lc2, 12)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros
+    if total_coeff < n:
+        tz = nz[-1][0] + 1 - total_coeff
+        if nC < 0:
+            w.put(H._TZ_CHROMA_DC[total_coeff][tz])
+        else:
+            w.put(H._TZ_4x4[total_coeff][tz])
+    else:
+        tz = 0
+    zeros_left = tz
+    for i in range(total_coeff - 1, 0, -1):
+        run = nz[i][0] - nz[i - 1][0] - 1
+        if zeros_left > 0:
+            w.put(H._RUN_BEFORE[min(zeros_left, 7)][run])
+        zeros_left -= run
+    return total_coeff
+
+
+def _make_sps_pps(wmb: int, hmb: int, qp: int):
+    w = BitWriter()
+    w.u(0x67, 8)  # nal: ref_idc=3, type=7
+    w.u(66, 8)  # baseline
+    w.u(0xC0, 8)  # constraint_set0/1
+    w.u(30, 8)  # level 3.0
+    w.ue(0)  # sps_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # poc type 2
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps
+    w.ue(wmb - 1)
+    w.ue(hmb - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(0, 1)  # direct_8x8
+    w.u(0, 1)  # no cropping
+    w.u(0, 1)  # no vui
+    sps = w.rbsp(trailing=True)
+
+    w = BitWriter()
+    w.u(0x68, 8)  # nal type 8
+    w.ue(0)  # pps_id
+    w.ue(0)  # sps_id
+    w.u(0, 1)  # CAVLC
+    w.u(0, 1)  # bottom_field_poc
+    w.ue(0)  # one slice group
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)  # weighted_pred
+    w.u(0, 2)
+    w.se(qp - 26)  # pic_init_qp
+    w.se(0)  # pic_init_qs
+    w.se(0)  # chroma_qp_index_offset
+    w.u(1, 1)  # deblocking_filter_control_present
+    w.u(0, 1)  # constrained_intra
+    w.u(0, 1)  # redundant_pic_cnt
+    pps = w.rbsp(trailing=True)
+    return sps, pps
+
+
+def encode_iframe(src_y, src_cb, src_cr, qp: int, mb_plan):
+    """Minimal spec-syntax I-frame encoder. ``mb_plan[(mbx,mby)]`` =
+    ("pcm",) or ("i16", luma_mode, chroma_mode, qp_delta). Returns
+    (slice_rbsp, recon_y, recon_cb, recon_cr) where recon is the
+    decoder-math reconstruction the bitstream must reproduce."""
+    hmb, wmb = src_y.shape[0] // 16, src_y.shape[1] // 16
+    Y = np.zeros_like(src_y, dtype=np.int64)
+    Cb = np.zeros_like(src_cb, dtype=np.int64)
+    Cr = np.zeros_like(src_cr, dtype=np.int64)
+    nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
+    nzC = {0: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64),
+           1: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64)}
+
+    w = BitWriter()
+    w.u(0x65, 8)  # nal: ref_idc=3, type=5 (IDR)
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type I (all slices)
+    w.ue(0)  # pps_id
+    w.u(0, 4)  # frame_num (log2=4)
+    w.ue(0)  # idr_pic_id
+    w.u(1, 1)  # no_output_of_prior_pics
+    w.u(0, 1)  # long_term_reference
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc = 1
+
+    cur_qp = qp
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            plan = mb_plan.get((mbx, mby), ("i16", 2, 0, 0))
+            ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+            if plan[0] == "pcm":
+                w.ue(25)
+                w.byte_align_zero()
+                for y in range(16):
+                    for x in range(16):
+                        v = int(src_y[oy + y, ox + x])
+                        w.u(v, 8)
+                        Y[oy + y, ox + x] = v
+                for plane, src in ((Cb, src_cb), (Cr, src_cr)):
+                    for y in range(8):
+                        for x in range(8):
+                            v = int(src[cy + y, cx + x])
+                            w.u(v, 8)
+                            plane[cy + y, cx + x] = v
+                nzY[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
+                for c in (0, 1):
+                    nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+                continue
+
+            _, lmode, cmode, qpd = plan
+            cur_qp = (cur_qp + qpd + 52) % 52
+            qpc = H.qp_chroma(cur_qp, 0)
+
+            # ---- luma: predict from recon, transform+quant residual
+            top = Y[oy - 1, ox:ox + 16] if mby > 0 else None
+            left = Y[oy:oy + 16, ox - 1] if mbx > 0 else None
+            if lmode == 3:
+                top17 = np.concatenate(([Y[oy - 1, ox - 1]], top))
+                left17 = np.concatenate(([Y[oy - 1, ox - 1]], left))
+                pred = H.pred_16x16_plane(left17, top17)
+            else:
+                pred = H.pred_16x16(lmode, left, top)
+            resid = src_y[oy:oy + 16, ox:ox + 16].astype(np.int64) - pred
+            coefs = {}
+            dcs = np.empty((4, 4), dtype=np.int64)
+            for bi, (bx, by) in enumerate(H._BLK_SCAN):
+                blk = resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                wt = _fwd4x4(blk)
+                z = _quant(wt, cur_qp)
+                dcs[by, bx] = wt[0, 0]  # DC taken pre-quant
+                z[0, 0] = 0
+                coefs[bi] = z
+            # forward 4x4 Hadamard is the same ±1 butterfly as the
+            # inverse; the encoder normalizes by /2 (informative spec
+            # encoder) — encoder-side quant only shapes quality, the
+            # round-trip contract is decoder-math reconstruction
+            wdc = H.ihadamard4x4(dcs.astype(np.int64)) // 2
+            zdc = _quant_dc(wdc, cur_qp)
+            dc_zig = _block_zigzag(zdc)
+            any_ac = any(np.any(z) for z in coefs.values())
+            cbp_luma = 15 if any_ac else 0
+
+            # ---- chroma
+            ctop = {0: Cb[cy - 1, cx:cx + 8] if mby > 0 else None,
+                    1: Cr[cy - 1, cx:cx + 8] if mby > 0 else None}
+            cleft = {0: Cb[cy:cy + 8, cx - 1] if mbx > 0 else None,
+                     1: Cr[cy:cy + 8, cx - 1] if mbx > 0 else None}
+            ccorner = {0: int(Cb[cy - 1, cx - 1]) if mbx and mby else None,
+                       1: int(Cr[cy - 1, cx - 1]) if mbx and mby else None}
+            cpred, cz, czdc = {}, {}, {}
+            for c, srcp in ((0, src_cb), (1, src_cr)):
+                cpred[c] = H.pred_chroma(cmode, cleft[c], ctop[c],
+                                         ccorner[c])
+                cresid = srcp[cy:cy + 8, cx:cx + 8].astype(np.int64) \
+                    - cpred[c]
+                dc2 = np.empty((2, 2), dtype=np.int64)
+                for bi in range(4):
+                    bx, by = bi % 2, bi // 2
+                    wt = _fwd4x4(cresid[by * 4:by * 4 + 4,
+                                        bx * 4:bx * 4 + 4])
+                    z = _quant(wt, qpc)
+                    dc2[by, bx] = wt[0, 0]
+                    z[0, 0] = 0
+                    cz[(c, bi)] = z
+                wdc2 = H.ihadamard2x2(dc2)
+                czdc[c] = _quant_dc(wdc2 // 2, qpc)
+            any_cac = any(np.any(z) for z in cz.values())
+            any_cdc = any(np.any(czdc[c]) for c in (0, 1))
+            cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+
+            # ---- write MB syntax
+            mb_type = 1 + lmode + 4 * cbp_chroma + (12 if cbp_luma else 0)
+            w.ue(mb_type)
+            w.ue(cmode)
+            w.se(qpd)
+            gx, gy = mbx * 4, mby * 4
+            _write_residual(w, dc_zig, H._nc_from(nzY, gx, gy))
+            for bi, (bx, by) in enumerate(H._BLK_SCAN):
+                fx, fy = gx + bx, gy + by
+                if cbp_luma:
+                    lv = _block_zigzag(coefs[bi])[1:]
+                    tc = _write_residual(w, lv, H._nc_from(nzY, fx, fy))
+                    nzY[fy, fx] = tc
+                else:
+                    nzY[fy, fx] = 0
+            for c in (0, 1):
+                if cbp_chroma:
+                    dz = [int(czdc[c][0, 0]), int(czdc[c][0, 1]),
+                          int(czdc[c][1, 0]), int(czdc[c][1, 1])]
+                    _write_residual(w, dz, -1)
+            for c in (0, 1):
+                for bi in range(4):
+                    bx, by = bi % 2, bi // 2
+                    fx, fy = mbx * 2 + bx, mby * 2 + by
+                    if cbp_chroma == 2:
+                        lv = _block_zigzag(cz[(c, bi)])[1:]
+                        tc = _write_residual(
+                            w, lv, H._nc_from(nzC[c], fx, fy))
+                        nzC[c][fy, fx] = tc
+                    else:
+                        nzC[c][fy, fx] = 0
+
+            # ---- reconstruct with DECODER math (the expected output)
+            if not cbp_luma:
+                for bi in coefs:
+                    coefs[bi] = np.zeros((4, 4), dtype=np.int64)
+            dcr = H.dequant_dc_luma(H.ihadamard4x4(zigzag4(dc_zig)),
+                                    cur_qp)
+            scale = H._dequant_scale(cur_qp)
+            for bi, (bx, by) in enumerate(H._BLK_SCAN):
+                d = (coefs[bi] * scale) << (cur_qp // 6)
+                d[0, 0] = dcr[by, bx]
+                res = H.idct4x4(d)
+                py, px = oy + by * 4, ox + bx * 4
+                Y[py:py + 4, px:px + 4] = np.clip(
+                    pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                    + ((res + 32) >> 6), 0, 255)
+            for c, plane in ((0, Cb), (1, Cr)):
+                use_dc = czdc[c] if cbp_chroma else \
+                    np.zeros((2, 2), dtype=np.int64)
+                dccr = H.dequant_dc_chroma(H.ihadamard2x2(use_dc), qpc)
+                csc = H._dequant_scale(qpc)
+                for bi in range(4):
+                    bx, by = bi % 2, bi // 2
+                    zz = cz[(c, bi)] if cbp_chroma == 2 else \
+                        np.zeros((4, 4), dtype=np.int64)
+                    d = (zz * csc) << (qpc // 6)
+                    d[0, 0] = dccr[by, bx]
+                    res = H.idct4x4(d)
+                    py, px = cy + by * 4, cx + bx * 4
+                    plane[py:py + 4, px:px + 4] = np.clip(
+                        cpred[c][by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                        + ((res + 32) >> 6), 0, 255)
+
+    return (w.rbsp(trailing=True), Y.astype(np.uint8),
+            Cb.astype(np.uint8), Cr.astype(np.uint8))
+
+
+def zigzag4(levels):
+    return H.zigzag_to_block(levels)
+
+
+def _src_planes(wmb, hmb, seed=3):
+    rng = np.random.RandomState(seed)
+    H_, W_ = hmb * 16, wmb * 16
+    yy, xx = np.mgrid[0:H_, 0:W_]
+    y = ((xx * 3 + yy * 2) % 200 + 28
+         + rng.randint(-6, 7, (H_, W_))).clip(0, 255).astype(np.uint8)
+    cb = ((xx[::2, ::2] * 2) % 160 + 48
+          + rng.randint(-4, 5, (H_ // 2, W_ // 2))).clip(0, 255
+                                                         ).astype(np.uint8)
+    cr = ((yy[::2, ::2] * 2) % 160 + 48
+          + rng.randint(-4, 5, (H_ // 2, W_ // 2))).clip(0, 255
+                                                         ).astype(np.uint8)
+    return y, cb, cr
+
+
+def test_iframe_roundtrip_exact():
+    """decode(encode(frame)) must equal the encoder's decoder-math
+    reconstruction BIT-EXACTLY, across all luma/chroma prediction
+    modes, an I_PCM macroblock, and mb_qp_delta changes."""
+    wmb, hmb, qp = 4, 3, 28
+    src_y, src_cb, src_cr = _src_planes(wmb, hmb)
+    plan = {
+        (0, 0): ("i16", 2, 0, 0),   # DC / chroma DC (edge MB)
+        (1, 0): ("i16", 1, 1, 0),   # H pred / chroma H
+        (2, 0): ("pcm",),           # raw samples
+        (3, 0): ("i16", 1, 1, 2),   # qp_delta +2
+        (0, 1): ("i16", 0, 2, 0),   # V pred / chroma V
+        (1, 1): ("i16", 3, 3, 0),   # Plane / chroma Plane
+        (2, 1): ("i16", 2, 0, -4),  # qp_delta -4
+        (3, 1): ("i16", 0, 2, 0),
+        (0, 2): ("i16", 2, 0, 0),
+        (1, 2): ("i16", 3, 3, 0),
+        (2, 2): ("i16", 1, 2, 0),
+        (3, 2): ("i16", 2, 1, 0),
+    }
+    slice_rbsp, ry, rcb, rcr = encode_iframe(src_y, src_cb, src_cr,
+                                             qp, plan)
+    sps, pps = _make_sps_pps(wmb, hmb, qp)
+    y, cb, cr = H.decode_i_frame(H.parse_sps(sps), H.parse_pps(pps),
+                                 slice_rbsp)
+    assert np.array_equal(y, ry), np.argwhere(y != ry)[:5]
+    assert np.array_equal(cb, rcb)
+    assert np.array_equal(cr, rcr)
+    # PCM macroblock reproduces the SOURCE exactly (spec-trivial path)
+    assert np.array_equal(y[0:16, 32:48], src_y[0:16, 32:48])
+    # lossy MBs should still be close to source at qp 28 (sanity that
+    # the transform chain is a real codec, not identity)
+    err = np.abs(y[0:16, 0:16].astype(int) - src_y[0:16, 0:16].astype(int))
+    assert err.mean() < 12.0, err.mean()
+
+
+def test_decode_keyframe_annexb_and_avcc():
+    wmb, hmb, qp = 2, 2, 30
+    src_y, src_cb, src_cr = _src_planes(wmb, hmb, seed=9)
+    plan = {(x, y): ("i16", 2, 0, 0) for x in range(2) for y in range(2)}
+    slice_rbsp, ry, rcb, rcr = encode_iframe(src_y, src_cb, src_cr,
+                                             qp, plan)
+    sps, pps = _make_sps_pps(wmb, hmb, qp)
+    want_rgb = H.yuv420_to_rgb(ry, rcb, rcr)
+    # Annex B with in-band SPS/PPS
+    stream = _annexb(sps) + _annexb(pps) + _annexb(slice_rbsp)
+    got = H.decode_keyframe(stream)
+    assert np.array_equal(got, want_rgb)
+    # AVCC with out-of-band parameter sets (the avcC/mp4 shape)
+    payload = len(slice_rbsp).to_bytes(4, "big") + slice_rbsp
+    got2 = H.decode_keyframe(payload, sps_rbsp=sps, pps_rbsp=pps,
+                             length_size=4)
+    assert np.array_equal(got2, want_rgb)
+
+
+def test_unsupported_paths_gate_loudly():
+    sps, pps = _make_sps_pps(2, 2, 30)
+    # CABAC PPS
+    w = BitWriter()
+    w.u(0x68, 8)
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 1)  # entropy_coding_mode = CABAC
+    with pytest.raises(H.H264Unsupported, match="CABAC"):
+        H.parse_pps(w.rbsp(trailing=True))
+    # P slice
+    w = BitWriter()
+    w.u(0x61, 8)  # non-IDR slice
+    w.ue(0)  # first_mb
+    w.ue(0)  # slice_type P
+    with pytest.raises(H.H264Unsupported, match="slice_type"):
+        H.parse_slice_header(w.rbsp(trailing=True), H.parse_sps(sps),
+                             H.parse_pps(pps))
+    # I_NxN macroblock
+    w = BitWriter()
+    w.u(0x65, 8)
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(1, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(1)
+    w.ue(0)  # mb_type = I_NxN
+    with pytest.raises(H.H264Unsupported, match="I_NxN"):
+        H.decode_i_frame(H.parse_sps(sps), H.parse_pps(pps),
+                         w.rbsp(trailing=True))
+
+
+def test_mp4_container_to_pixels_end_to_end():
+    """The full multimodal path: encode an I-frame, mux it into an
+    MP4 with an avcC record, re-parse the container, pull the frame's
+    byte range from the sample table, and decode_frame_rgb it — the
+    pixels must equal the encoder's reconstruction."""
+    from montandon_etl_spark.operators.mp4 import (
+        build_mp4,
+        decode_frame_rgb,
+        parse_mp4,
+    )
+
+    wmb, hmb, qp = 3, 2, 27
+    src_y, src_cb, src_cr = _src_planes(wmb, hmb, seed=5)
+    plan = {(1, 1): ("i16", 3, 3, 0), (2, 1): ("pcm",)}
+    slice_rbsp, ry, rcb, rcr = encode_iframe(src_y, src_cb, src_cr,
+                                             qp, plan)
+    sps, pps = _make_sps_pps(wmb, hmb, qp)
+    esc = _ep3b_escape(slice_rbsp)
+    payload = len(esc).to_bytes(4, "big") + esc
+
+    from montandon_etl_spark.operators.mp4 import make_avcc
+    mp4 = build_mp4([payload], width=wmb * 16, height=hmb * 16,
+                    keyframes=[0],
+                    avcc=make_avcc(_ep3b_escape(sps), _ep3b_escape(pps)))
+    meta = parse_mp4(mp4)
+    t = next(x for x in meta["tracks"] if x["handler"] == "vide")
+    assert t["avcc"] is not None
+    off, size, pts, key = t["frames"][0]
+    assert key
+    rgb = decode_frame_rgb(mp4[off:off + size], avcc=t["avcc"])
+    assert rgb.shape == (hmb * 16, wmb * 16, 3)
+    assert np.array_equal(rgb, H.yuv420_to_rgb(ry, rcb, rcr))

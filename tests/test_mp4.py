@@ -64,7 +64,12 @@ def test_not_an_mp4_raises():
 
 
 def test_decode_gate_is_honest():
-    with pytest.raises(NotImplementedError):
+    # decode is REAL for baseline-intra (test_h264.py end-to-end);
+    # out-of-subset tools still gate as NotImplementedError, and a
+    # payload with no parameter sets is a plain decode error
+    from montandon_etl_spark.operators.h264 import H264Error
+
+    with pytest.raises(H264Error):
         decode_frame_rgb(b"\x00\x00\x01\x65")
 
 
