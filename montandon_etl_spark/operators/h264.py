@@ -5,13 +5,15 @@ library.
 
 Scope (honest): IDR/I slices, CAVLC entropy coding, macroblock types
 I_16x16 (all four luma prediction modes: Vertical / Horizontal / DC /
-Plane, all four chroma modes) and I_PCM. frame_mbs_only, 4:2:0, 8-bit
-— i.e. what a constrained-baseline intra stream contains. Loudly
-gated (``H264Unsupported``): P/B slices, I_NxN (4x4-partitioned
-intra) macroblocks, CABAC, interlace, high-profile tools, and the
-in-loop deblocking filter (decode requires streams signalling
-``disable_deblocking_filter_idc = 1`` — with the filter enabled the
-pre-filter reconstruction would silently differ, so it raises).
+Plane, all four chroma modes), I_NxN (Intra_4x4 — all NINE 4x4
+prediction modes, most-probable-mode coding, Table 9-4 CBP, per-8x8
+residual gating, above-right substitution) and I_PCM. frame_mbs_only,
+4:2:0, 8-bit — i.e. a complete constrained-baseline INTRA decoder.
+Loudly gated (``H264Unsupported``): P/B slices, CABAC, interlace,
+high-profile tools, and the in-loop deblocking filter (decode
+requires streams signalling ``disable_deblocking_filter_idc = 1`` —
+with the filter enabled the pre-filter reconstruction would silently
+differ, so it raises).
 
 Decode pipeline per macroblock (spec sections in parentheses):
 NAL unbescaping (7.3.1/7.4.1 emulation prevention) → ExpGolomb
@@ -833,6 +835,9 @@ def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
     nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     nzC = {0: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64),
            1: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64)}
+    # per-4x4 Intra_4x4 prediction mode (-1 = not an I4x4 block),
+    # for 8.3.1.1 most-probable-mode prediction across blocks/MBs
+    i4m = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     qp = sh["qp"]
 
     for mb in range(wmb * hmb):
@@ -853,8 +858,12 @@ def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
             for c in (0, 1):
                 nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
             continue
-        if mb_type == 0:
-            raise H264Unsupported("I_NxN (4x4 intra) macroblocks")
+        if mb_type == 0:  # I_NxN = Intra_4x4 (transform_8x8 is a
+            # high-profile tool the PPS gate already rejects)
+            _decode_i4x4_mb(r, mb, mbx, mby, wmb, Y, Cb, Cr,
+                            nzY, nzC, i4m, qp_box := [qp], pps)
+            qp = qp_box[0]
+            continue
         if mb_type > 25:
             raise H264Error(f"bad I-slice mb_type {mb_type}")
         k = mb_type - 1
@@ -1139,3 +1148,291 @@ def encode_ipcm_annexb(y: np.ndarray, cb: np.ndarray,
     sc = b"\x00\x00\x00\x01"
     return sc + _ep3b_escape(sps) + sc + _ep3b_escape(pps) \
         + sc + _ep3b_escape(sl)
+
+
+# ------------------------------------------------------------ Intra_4x4
+# Table 9-4, ChromaArrayType=1, Intra_4x4 column: codeNum →
+# coded_block_pattern (me(v) mapped Exp-Golomb). Structural pin: a
+# permutation of 0..47 (tested).
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
+
+
+def pred_4x4(mode: int, l: np.ndarray | None, t: np.ndarray | None,
+             c: int | None) -> np.ndarray:
+    """8.3.1.2 Intra_4x4 sample prediction. ``l``: 4 left samples
+    (top→bottom), ``t``: 8 above samples (above + above-right,
+    already substituted per 8.3.1.2 when above-right is unavailable),
+    ``c``: the corner p[-1,-1]. Availability is the CALLER's problem;
+    a mode referencing a missing neighbor raises."""
+    out = np.empty((4, 4), dtype=np.int64)
+
+    def T(i):  # p[i, -1], i = -1 means corner
+        if i < 0:
+            if c is None:
+                raise H264Error("intra4x4 needs corner")
+            return int(c)
+        if t is None:
+            raise H264Error("intra4x4 needs above")
+        return int(t[i])
+
+    def L(i):  # p[-1, i], i = -1 means corner
+        if i < 0:
+            if c is None:
+                raise H264Error("intra4x4 needs corner")
+            return int(c)
+        if l is None:
+            raise H264Error("intra4x4 needs left")
+        return int(l[i])
+
+    if mode == 0:  # Vertical
+        for y in range(4):
+            for x in range(4):
+                out[y, x] = T(x)
+    elif mode == 1:  # Horizontal
+        for y in range(4):
+            for x in range(4):
+                out[y, x] = L(y)
+    elif mode == 2:  # DC
+        if t is not None and l is not None:
+            dc = (sum(T(i) for i in range(4))
+                  + sum(L(i) for i in range(4)) + 4) >> 3
+        elif t is not None:
+            dc = (sum(T(i) for i in range(4)) + 2) >> 2
+        elif l is not None:
+            dc = (sum(L(i) for i in range(4)) + 2) >> 2
+        else:
+            dc = 128
+        out[:] = dc
+    elif mode == 3:  # Diagonal-Down-Left
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y, x] = (T(6) + 3 * T(7) + 2) >> 2
+                else:
+                    out[y, x] = (T(x + y) + 2 * T(x + y + 1)
+                                 + T(x + y + 2) + 2) >> 2
+    elif mode == 4:  # Diagonal-Down-Right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    out[y, x] = (T(x - y - 2) + 2 * T(x - y - 1)
+                                 + T(x - y) + 2) >> 2
+                elif x < y:
+                    out[y, x] = (L(y - x - 2) + 2 * L(y - x - 1)
+                                 + L(y - x) + 2) >> 2
+                else:
+                    out[y, x] = (T(0) + 2 * T(-1) + L(0) + 2) >> 2
+    elif mode == 5:  # Vertical-Right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (T(x - (y >> 1) - 1)
+                                 + T(x - (y >> 1)) + 1) >> 1
+                elif z >= 0:
+                    out[y, x] = (T(x - (y >> 1) - 2)
+                                 + 2 * T(x - (y >> 1) - 1)
+                                 + T(x - (y >> 1)) + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (L(0) + 2 * T(-1) + T(0) + 2) >> 2
+                else:
+                    out[y, x] = (L(y - 2 * x - 1)
+                                 + 2 * L(y - 2 * x - 2)
+                                 + L(y - 2 * x - 3) + 2) >> 2
+    elif mode == 6:  # Horizontal-Down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (L(y - (x >> 1) - 1)
+                                 + L(y - (x >> 1)) + 1) >> 1
+                elif z >= 0:
+                    out[y, x] = (L(y - (x >> 1) - 2)
+                                 + 2 * L(y - (x >> 1) - 1)
+                                 + L(y - (x >> 1)) + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (L(0) + 2 * T(-1) + T(0) + 2) >> 2
+                else:
+                    out[y, x] = (T(x - 2 * y - 1)
+                                 + 2 * T(x - 2 * y - 2)
+                                 + T(x - 2 * y - 3) + 2) >> 2
+    elif mode == 7:  # Vertical-Left
+        for y in range(4):
+            for x in range(4):
+                if y % 2 == 0:
+                    out[y, x] = (T(x + (y >> 1))
+                                 + T(x + (y >> 1) + 1) + 1) >> 1
+                else:
+                    out[y, x] = (T(x + (y >> 1))
+                                 + 2 * T(x + (y >> 1) + 1)
+                                 + T(x + (y >> 1) + 2) + 2) >> 2
+    elif mode == 8:  # Horizontal-Up
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z in (0, 2, 4):
+                    out[y, x] = (L(y + (x >> 1))
+                                 + L(y + (x >> 1) + 1) + 1) >> 1
+                elif z in (1, 3):
+                    out[y, x] = (L(y + (x >> 1))
+                                 + 2 * L(y + (x >> 1) + 1)
+                                 + L(y + (x >> 1) + 2) + 2) >> 2
+                elif z == 5:
+                    out[y, x] = (L(2) + 3 * L(3) + 2) >> 2
+                else:
+                    out[y, x] = L(3)
+    else:
+        raise H264Error(f"bad intra4x4 pred mode {mode}")
+    return out
+
+
+# which reference samples each 4x4 mode requires (above-right is
+# SUBSTITUTED, never required: 8.3.1.2 replicates t[3] into t[4..7])
+_I4_NEEDS = {0: "t", 1: "l", 2: "", 3: "t", 4: "tlc", 5: "tlc",
+             6: "tlc", 7: "t", 8: "l"}
+
+
+def i4_mode_available(mode: int, have_l: bool, have_t: bool,
+                      have_c: bool) -> bool:
+    need = _I4_NEEDS[mode]
+    return (("l" not in need or have_l) and ("t" not in need or have_t)
+            and ("c" not in need or have_c))
+
+
+def _decode_i4x4_mb(r: BitReader, mb: int, mbx: int, mby: int, wmb: int,
+                    Y, Cb, Cr, nzY, nzC, i4m, qp_box, pps) -> None:
+    """Decode one I_NxN (Intra_4x4) macroblock: 16 predicted modes
+    (8.3.1.1 most-probable-mode), CBP via Table 9-4, per-8x8 luma
+    residual gating, block-by-block Z-order reconstruction where each
+    block predicts from already-reconstructed samples — including the
+    above-right substitution rule (8.3.1.2)."""
+    ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+    gx, gy = mbx * 4, mby * 4
+    n_blk_cols = wmb * 4
+
+    # ---- 16 prediction modes (Z-order; MPM uses modes as parsed)
+    modes = [2] * 16
+    for bi, (bx, by) in enumerate(_BLK_SCAN):
+        fx, fy = gx + bx, gy + by
+        if fx > 0 and fy > 0:
+            a = i4m[fy, fx - 1]
+            b = i4m[fy - 1, fx]
+            mpm = min(int(a) if a >= 0 else 2, int(b) if b >= 0 else 2)
+        else:
+            mpm = 2
+        if r.u(1):
+            m = mpm
+        else:
+            rem = r.u(3)
+            m = rem if rem < mpm else rem + 1
+        modes[bi] = m
+        i4m[fy, fx] = m
+
+    chroma_mode = r.ue()
+    if chroma_mode > 3:
+        raise H264Error("bad intra_chroma_pred_mode")
+    cn = r.ue()
+    if cn >= 48:
+        raise H264Error("bad coded_block_pattern")
+    cbp = _CBP_INTRA[cn]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    qp = qp_box[0]
+    if cbp:  # mb_qp_delta present only when any residual is coded
+        qp = (qp + r.se() + 52) % 52
+        qp_box[0] = qp
+    qpc = qp_chroma(qp, pps["chroma_qp_index_offset"])
+
+    # ---- residual parse (luma 16-coeff blocks, then chroma)
+    blocks = {}
+    for bi, (bx, by) in enumerate(_BLK_SCAN):
+        fx, fy = gx + bx, gy + by
+        if cbp_luma & (1 << (bi // 4)):
+            lv, tc = read_residual_block(r, _nc_from(nzY, fx, fy), 16)
+            blocks[bi] = lv
+            nzY[fy, fx] = tc
+        else:
+            blocks[bi] = [0] * 16
+            nzY[fy, fx] = 0
+    cdc = {}
+    cac = {}
+    for c in (0, 1):
+        cdc[c] = read_residual_block(r, -1, 4)[0] if cbp_chroma \
+            else [0, 0, 0, 0]
+    for c in (0, 1):
+        for bi in range(4):
+            bx, by = bi % 2, bi // 2
+            fx, fy = mbx * 2 + bx, mby * 2 + by
+            if cbp_chroma == 2:
+                lv, tc = read_residual_block(r, _nc_from(nzC[c], fx, fy),
+                                             15)
+                cac[(c, bi)] = lv
+                nzC[c][fy, fx] = tc
+            else:
+                cac[(c, bi)] = [0] * 15
+                nzC[c][fy, fx] = 0
+
+    # ---- luma reconstruction, Z-order
+    scale = _dequant_scale(qp)
+    shift = qp // 6
+    for bi, (bx, by) in enumerate(_BLK_SCAN):
+        fx, fy = gx + bx, gy + by
+        px, py = ox + bx * 4, oy + by * 4
+        have_l, have_t = fx > 0, fy > 0
+        have_c = have_l and have_t
+        lref = Y[py:py + 4, px - 1].astype(np.int64) if have_l else None
+        cref = int(Y[py - 1, px - 1]) if have_c else None
+        tref = None
+        if have_t:
+            t4 = Y[py - 1, px:px + 4].astype(np.int64)
+            ar_ok = False
+            if fx + 1 < n_blk_cols:
+                ar_mb = (fy - 1) // 4 * wmb + (fx + 1) // 4
+                if ar_mb < mb:
+                    ar_ok = True
+                elif ar_mb == mb:
+                    rel = (fx + 1 - gx, fy - 1 - gy)
+                    ar_ok = rel in _BLK_SCAN and \
+                        _BLK_SCAN.index(rel) < bi
+            if ar_ok:
+                tr = Y[py - 1, px + 4:px + 8].astype(np.int64)
+            else:
+                tr = np.full(4, t4[3], dtype=np.int64)
+            tref = np.concatenate([t4, tr])
+        m = modes[bi]
+        if not i4_mode_available(m, have_l, have_t, have_c):
+            raise H264Error(f"intra4x4 mode {m} at unavailable edge")
+        pred = pred_4x4(m, lref, tref, cref)
+        d = (zigzag_to_block(blocks[bi]) * scale) << shift
+        res = idct4x4(d)
+        Y[py:py + 4, px:px + 4] = np.clip(pred + ((res + 32) >> 6),
+                                          0, 255)
+
+    # ---- chroma reconstruction (identical to the I_16x16 path)
+    for c, plane in ((0, Cb), (1, Cr)):
+        ctop = plane[cy - 1, cx:cx + 8] if mby > 0 else None
+        cleft = plane[cy:cy + 8, cx - 1] if mbx > 0 else None
+        ccorner = int(plane[cy - 1, cx - 1]) \
+            if (mbx > 0 and mby > 0) else None
+        cpred = pred_chroma(chroma_mode, cleft, ctop, ccorner)
+        f = ihadamard2x2(np.array(
+            [[cdc[c][0], cdc[c][1]], [cdc[c][2], cdc[c][3]]],
+            dtype=np.int64))
+        dcc = dequant_dc_chroma(f, qpc)
+        cscale = _dequant_scale(qpc)
+        for bi in range(4):
+            bx, by = bi % 2, bi // 2
+            d = np.zeros((4, 4), dtype=np.int64)
+            for kk, (zi, zj) in enumerate(_ZIGZAG_4x4[1:]):
+                d[zi, zj] = cac[(c, bi)][kk]
+            d = (d * cscale) << (qpc // 6)
+            d[0, 0] = dcc[by, bx]
+            res = idct4x4(d)
+            py, px = cy + by * 4, cx + bx * 4
+            plane[py:py + 4, px:px + 4] = np.clip(
+                cpred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                + ((res + 32) >> 6), 0, 255)

@@ -293,11 +293,162 @@ def _make_sps_pps(wmb: int, hmb: int, qp: int):
     return sps, pps
 
 
+def _encode_i4_mb(w, plan, src_y, src_cb, src_cr, Y, Cb, Cr,
+                  nzY, nzC, i4m, mbx, mby, wmb, mb, cur_qp):
+    """Encode one I_NxN macroblock (writer mirror of
+    h264._decode_i4x4_mb); returns the updated slice QP."""
+    _, want_mode, cmode, qpd = plan
+    ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+    gx, gy = mbx * 4, mby * 4
+    n_blk_cols = wmb * 4
+    qp2 = (cur_qp + qpd + 52) % 52
+    qpc = H.qp_chroma(qp2, 0)
+
+    # phase A: per-block mode choice, quant, decoder-math recon
+    modes, mpms, levels = [], [], []
+    scale = H._dequant_scale(qp2)
+    for bi, (bx, by) in enumerate(H._BLK_SCAN):
+        fx, fy = gx + bx, gy + by
+        px, py = ox + bx * 4, oy + by * 4
+        have_l, have_t = fx > 0, fy > 0
+        have_c = have_l and have_t
+        if fx > 0 and fy > 0:
+            a = i4m[fy, fx - 1]
+            b = i4m[fy - 1, fx]
+            mpm = min(int(a) if a >= 0 else 2, int(b) if b >= 0 else 2)
+        else:
+            mpm = 2
+        m = want_mode if H.i4_mode_available(
+            want_mode, have_l, have_t, have_c) else 2
+        modes.append(m)
+        mpms.append(mpm)
+        i4m[fy, fx] = m
+        lref = Y[py:py + 4, px - 1].astype(np.int64) if have_l else None
+        cref = int(Y[py - 1, px - 1]) if have_c else None
+        tref = None
+        if have_t:
+            t4 = Y[py - 1, px:px + 4].astype(np.int64)
+            ar_ok = False
+            if fx + 1 < n_blk_cols:
+                ar_mb = (fy - 1) // 4 * wmb + (fx + 1) // 4
+                if ar_mb < mb:
+                    ar_ok = True
+                elif ar_mb == mb:
+                    rel = (fx + 1 - gx, fy - 1 - gy)
+                    ar_ok = rel in H._BLK_SCAN and \
+                        H._BLK_SCAN.index(rel) < bi
+            tr = Y[py - 1, px + 4:px + 8].astype(np.int64) if ar_ok \
+                else np.full(4, t4[3], dtype=np.int64)
+            tref = np.concatenate([t4, tr])
+        pred = H.pred_4x4(m, lref, tref, cref)
+        resid = src_y[py:py + 4, px:px + 4].astype(np.int64) - pred
+        z = _quant(_fwd4x4(resid), qp2)
+        levels.append(z)
+        d = (z * scale) << (qp2 // 6)
+        res = H.idct4x4(d)
+        Y[py:py + 4, px:px + 4] = np.clip(pred + ((res + 32) >> 6),
+                                          0, 255)
+    cbp_luma = 0
+    for quad in range(4):
+        if any(np.any(levels[quad * 4 + k]) for k in range(4)):
+            cbp_luma |= 1 << quad
+    # quads with bit 0 decode as all-zero: recompute those blocks'
+    # recon with zero residual (they ARE zero — assert the invariant)
+    for quad in range(4):
+        if not (cbp_luma & (1 << quad)):
+            for k in range(4):
+                assert not np.any(levels[quad * 4 + k])
+
+    # chroma (same shapes as the I_16x16 branch)
+    ctop = {0: Cb[cy - 1, cx:cx + 8] if mby > 0 else None,
+            1: Cr[cy - 1, cx:cx + 8] if mby > 0 else None}
+    cleft = {0: Cb[cy:cy + 8, cx - 1] if mbx > 0 else None,
+             1: Cr[cy:cy + 8, cx - 1] if mbx > 0 else None}
+    ccorner = {0: int(Cb[cy - 1, cx - 1]) if mbx and mby else None,
+               1: int(Cr[cy - 1, cx - 1]) if mbx and mby else None}
+    cpred, cz, czdc = {}, {}, {}
+    for c, srcp in ((0, src_cb), (1, src_cr)):
+        cpred[c] = H.pred_chroma(cmode, cleft[c], ctop[c], ccorner[c])
+        cresid = srcp[cy:cy + 8, cx:cx + 8].astype(np.int64) - cpred[c]
+        dc2 = np.empty((2, 2), dtype=np.int64)
+        for bi in range(4):
+            bx, by = bi % 2, bi // 2
+            wt = _fwd4x4(cresid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+            z = _quant(wt, qpc)
+            dc2[by, bx] = wt[0, 0]
+            z[0, 0] = 0
+            cz[(c, bi)] = z
+        czdc[c] = _quant_dc(H.ihadamard2x2(dc2) // 2, qpc)
+    any_cac = any(np.any(z) for z in cz.values())
+    any_cdc = any(np.any(czdc[c]) for c in (0, 1))
+    cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+    if cbp == 0:
+        qp2 = cur_qp  # decoder parses no mb_qp_delta; qp unchanged
+
+    # phase B: syntax
+    w.ue(0)  # mb_type I_NxN
+    for m, mpm in zip(modes, mpms):
+        if m == mpm:
+            w.u(1, 1)
+        else:
+            w.u(0, 1)
+            w.u(m if m < mpm else m - 1, 3)
+    w.ue(cmode)
+    w.ue(H._CBP_INTRA_INV[cbp])
+    if cbp:
+        w.se(qpd)
+    for bi, (bx, by) in enumerate(H._BLK_SCAN):
+        fx, fy = gx + bx, gy + by
+        if cbp_luma & (1 << (bi // 4)):
+            tc = _write_residual(w, _block_zigzag(levels[bi]),
+                                 H._nc_from(nzY, fx, fy))
+            nzY[fy, fx] = tc
+        else:
+            nzY[fy, fx] = 0
+    for c in (0, 1):
+        if cbp_chroma:
+            dz = [int(czdc[c][0, 0]), int(czdc[c][0, 1]),
+                  int(czdc[c][1, 0]), int(czdc[c][1, 1])]
+            _write_residual(w, dz, -1)
+    for c in (0, 1):
+        for bi in range(4):
+            bx, by = bi % 2, bi // 2
+            fx, fy = mbx * 2 + bx, mby * 2 + by
+            if cbp_chroma == 2:
+                tc = _write_residual(w, _block_zigzag(cz[(c, bi)])[1:],
+                                     H._nc_from(nzC[c], fx, fy))
+                nzC[c][fy, fx] = tc
+            else:
+                nzC[c][fy, fx] = 0
+
+    # chroma recon with decoder math
+    for c, plane in ((0, Cb), (1, Cr)):
+        use_dc = czdc[c] if cbp_chroma else np.zeros((2, 2),
+                                                     dtype=np.int64)
+        dccr = H.dequant_dc_chroma(H.ihadamard2x2(use_dc), qpc)
+        csc = H._dequant_scale(qpc)
+        for bi in range(4):
+            bx, by = bi % 2, bi // 2
+            zz = cz[(c, bi)] if cbp_chroma == 2 else \
+                np.zeros((4, 4), dtype=np.int64)
+            d = (zz * csc) << (qpc // 6)
+            d[0, 0] = dccr[by, bx]
+            res = H.idct4x4(d)
+            py, px = cy + by * 4, cx + bx * 4
+            plane[py:py + 4, px:px + 4] = np.clip(
+                cpred[c][by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                + ((res + 32) >> 6), 0, 255)
+    return qp2
+
+
 def encode_iframe(src_y, src_cb, src_cr, qp: int, mb_plan):
     """Minimal spec-syntax I-frame encoder. ``mb_plan[(mbx,mby)]`` =
-    ("pcm",) or ("i16", luma_mode, chroma_mode, qp_delta). Returns
-    (slice_rbsp, recon_y, recon_cb, recon_cr) where recon is the
-    decoder-math reconstruction the bitstream must reproduce."""
+    ("pcm",), ("i16", luma_mode, chroma_mode, qp_delta), or
+    ("i4", preferred_4x4_mode, chroma_mode, qp_delta) — the 4x4 mode
+    falls back to DC per-block where its references are unavailable.
+    Returns (slice_rbsp, recon_y, recon_cb, recon_cr) where recon is
+    the decoder-math reconstruction the bitstream must reproduce."""
     hmb, wmb = src_y.shape[0] // 16, src_y.shape[1] // 16
     Y = np.zeros_like(src_y, dtype=np.int64)
     Cb = np.zeros_like(src_cb, dtype=np.int64)
@@ -305,6 +456,7 @@ def encode_iframe(src_y, src_cb, src_cr, qp: int, mb_plan):
     nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     nzC = {0: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64),
            1: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64)}
+    i4m = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
 
     w = BitWriter()
     w.u(0x65, 8)  # nal: ref_idc=3, type=5 (IDR)
@@ -342,6 +494,12 @@ def encode_iframe(src_y, src_cb, src_cr, qp: int, mb_plan):
                     nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
                 continue
 
+            if plan[0] == "i4":
+                cur_qp = _encode_i4_mb(
+                    w, plan, src_y, src_cb, src_cr, Y, Cb, Cr,
+                    nzY, nzC, i4m, mbx, mby, wmb, mby * wmb + mbx,
+                    cur_qp)
+                continue
             _, lmode, cmode, qpd = plan
             cur_qp = (cur_qp + qpd + 52) % 52
             qpc = H.qp_chroma(cur_qp, 0)
@@ -563,7 +721,7 @@ def test_unsupported_paths_gate_loudly():
     with pytest.raises(H.H264Unsupported, match="slice_type"):
         H.parse_slice_header(w.rbsp(trailing=True), H.parse_sps(sps),
                              H.parse_pps(pps))
-    # I_NxN macroblock
+    # deblocking filter left enabled
     w = BitWriter()
     w.u(0x65, 8)
     w.ue(0)
@@ -574,11 +732,10 @@ def test_unsupported_paths_gate_loudly():
     w.u(1, 1)
     w.u(0, 1)
     w.se(0)
-    w.ue(1)
-    w.ue(0)  # mb_type = I_NxN
-    with pytest.raises(H.H264Unsupported, match="I_NxN"):
-        H.decode_i_frame(H.parse_sps(sps), H.parse_pps(pps),
-                         w.rbsp(trailing=True))
+    w.ue(0)  # disable_deblocking_filter_idc = 0 (filter ON)
+    with pytest.raises(H.H264Unsupported, match="deblocking"):
+        H.parse_slice_header(w.rbsp(trailing=True), H.parse_sps(sps),
+                             H.parse_pps(pps))
 
 
 def test_mp4_container_to_pixels_end_to_end():
@@ -613,3 +770,43 @@ def test_mp4_container_to_pixels_end_to_end():
     rgb = decode_frame_rgb(mp4[off:off + size], avcc=t["avcc"])
     assert rgb.shape == (hmb * 16, wmb * 16, 3)
     assert np.array_equal(rgb, H.yuv420_to_rgb(ry, rcb, rcr))
+
+
+def test_i4x4_roundtrip_all_modes_exact():
+    """I_NxN macroblocks: decode(encode(frame)) equals the encoder's
+    decoder-math reconstruction bit-exactly across ALL NINE 4x4
+    prediction modes (with per-block DC fallback at unavailable
+    edges), most-probable-mode coding, Table 9-4 CBP gating, and
+    mixed I_16x16 / I_NxN / I_PCM pictures."""
+    wmb, hmb, qp = 4, 3, 26
+    src_y, src_cb, src_cr = _src_planes(wmb, hmb, seed=17)
+    plan = {}
+    mode_cycle = list(range(9))
+    k = 0
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            cm = k % 4  # chroma mode needs its references available
+            if (cm in (2, 3) and mby == 0) or (cm in (1, 3) and mbx == 0):
+                cm = 0
+            plan[(mbx, mby)] = ("i4", mode_cycle[k % 9], cm, 0)
+            k += 1
+    # mix in the other MB types to stress cross-type neighbor state
+    plan[(2, 1)] = ("pcm",)
+    plan[(3, 1)] = ("i16", 2, 0, 2)
+    plan[(1, 2)] = ("i4", 4, 3, -3)  # qp_delta on an I_NxN MB
+    slice_rbsp, ry, rcb, rcr = encode_iframe(src_y, src_cb, src_cr,
+                                             qp, plan)
+    sps, pps = _make_sps_pps(wmb, hmb, qp)
+    y, cb, cr = H.decode_i_frame(H.parse_sps(sps), H.parse_pps(pps),
+                                 slice_rbsp)
+    assert np.array_equal(y, ry), np.argwhere(y != ry)[:5]
+    assert np.array_equal(cb, rcb)
+    assert np.array_equal(cr, rcr)
+    # lossy sanity at qp 26
+    err = np.abs(y.astype(int) - src_y.astype(int))
+    assert err.mean() < 12.0, err.mean()
+
+
+def test_cbp_intra_table_is_permutation():
+    assert sorted(H._CBP_INTRA) == list(range(48))
+    assert all(H._CBP_INTRA[H._CBP_INTRA_INV[v]] == v for v in range(48))
