@@ -375,6 +375,16 @@ def q_mv_source_stats(spark, sf):
     )
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic deduplication (similarity.py): seeded
+    k-means cells block the O(N²) comparison; an item drops when a
+    lower-id same-cell neighbor is within cosine 0.7 (one-pass
+    keep-smallest-id rule). Cells, similarities, and the kept set are
+    all value-exact against the composed SQL replay."""
+    emb = _t(spark, sf, "embeddings")
+    return S.semantic_dedup(emb, n_centroids=8, threshold=0.7)
+
+
 def q_h264_pcm_decode(spark, sf):
     """H.264 pixel decode as a distributed operator (operators/
     h264.py, VERDICT r4 Next #8): per doc_id, an Arrow batch worker
@@ -1783,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_ann_topk_pq": q_incremental_ann_topk_pq,
         "mv_source_extremes": q_mv_source_extremes,
         "h264_pcm_decode": q_h264_pcm_decode,
+        "semantic_dedup": q_semantic_dedup,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "value_percentiles_approx": q_value_percentiles_approx,
@@ -1992,6 +2003,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))), 0)
                         AS DOUBLE) AS sum_n_chars
             FROM documents GROUP BY 1""",
+        "semantic_dedup": f"""
+            WITH {_oracle_kmeans_cents(n_centroids=8)},
+            csc AS (
+              SELECT e.vec_id, c.cid,
+                     list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                       (a, v) -> a + v)
+                     / (sqrt(list_reduce(list_transform(c.cvec,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
+                        * sqrt(list_reduce(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))) AS cos
+              FROM embeddings e CROSS JOIN cents c),
+            cassign AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid ASC) AS rn
+              FROM csc),
+            ccells AS (SELECT vec_id, cid::INT AS cell FROM cassign
+                       WHERE rn = 1),
+            p AS (
+              SELECT a.vec_id AS id,
+                     max({_COS.replace('q.embedding', 'a.embedding')
+                          .replace('c.embedding', 'b.embedding')}) AS maxsim
+              FROM embeddings a
+              JOIN ccells ca ON ca.vec_id = a.vec_id
+              JOIN ccells cb ON cb.cell = ca.cell
+              JOIN embeddings b ON b.vec_id = cb.vec_id
+                                AND b.vec_id < a.vec_id
+              GROUP BY 1)
+            SELECT c.vec_id, c.cell,
+                   coalesce(p.maxsim, -1.0) < 0.7 AS keep,
+                   floor(p.maxsim * 1000000 + 0.5) / 1000000 AS max_dup_sim
+            FROM ccells c LEFT JOIN p ON p.id = c.vec_id""",
         "h264_pcm_decode": """
             WITH ids AS (SELECT DISTINCT doc_id FROM documents
                          WHERE doc_id < 40),

@@ -589,3 +589,60 @@ def cosine_topk_ivfpq(embeddings: DataFrame, queries: DataFrame, dim: int,
     scored = enc.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id"))
     return _pq_rank(scored, books, dim, k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 64,
+    n_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the seeded
+    sampled k-means quantizer, then compare pairs ONLY within a
+    cluster and drop every item that has a semantically-near
+    lower-id neighbor there. The rule is the paper's one-pass
+    variant: x drops iff SOME lower-id same-cluster item has
+    cosine >= threshold — regardless of whether that item itself
+    dropped — so the decision is a single scan with no iteration,
+    and lowest-id is the deterministic survivor of every
+    near-duplicate chain.
+
+    Returns (id, cell, keep, max_dup_sim): ``max_dup_sim`` is the
+    highest cosine to any lower-id same-cell item (NULL when none).
+
+    100-TB shape: cell assignment is a scan-local argmax against
+    centroid literals; the pair comparison is a self-join on the
+    cell key — Σ|cell|² work instead of N², exactly the role the
+    coarse quantizer plays in the paper; the per-id reduction is one
+    groupBy. All determinism contracts (seeded k-means, strict-fold
+    dot products, round-half-up) are shared with the IVF family, so
+    a SQL oracle reproduces cells, similarities, and the kept set
+    exactly."""
+    cents = kmeans_centroids(embeddings, n_centroids=n_centroids,
+                             sample_size=sample_size, n_iters=n_iters,
+                             id_col=id_col, vec_col=vec_col)
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.element_at(_top_cells(cents, vec_col, 1), 1).alias("cell"),
+    )
+    lower = assigned.select(F.col("id").alias("id_b"),
+                            F.col("v").alias("vb"), "cell")
+    pairs = (
+        assigned.join(lower, "cell")
+        .filter(F.col("id_b") < F.col("id"))
+        .withColumn("cos", cosine_similarity_col("v", "vb"))
+    )
+    best = pairs.groupBy("id").agg(F.max("cos").alias("_maxsim"))
+    return (
+        assigned.join(best, "id", "left")
+        .select(
+            F.col("id").alias(id_col), "cell",
+            (F.coalesce(F.col("_maxsim"), F.lit(-1.0))
+             < F.lit(threshold)).alias("keep"),
+            stable_round6("_maxsim").alias("max_dup_sim"),
+        )
+    )

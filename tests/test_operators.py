@@ -266,3 +266,49 @@ def test_pq_topk_fidelity_and_determinism(spark):
     a = set(map(tuple, pq[["query_id", "neighbor_id", "pq_cosine"]].values))
     b = set(map(tuple, pq2[["query_id", "neighbor_id", "pq_cosine"]].values))
     assert a == b
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup one-pass rule: an item drops iff a LOWER-id same-cell
+    item is within the cosine threshold; the lowest id of every
+    near-dup chain survives; partition layout never changes the
+    verdicts."""
+    from pyspark.sql import functions as F
+
+    from montandon_etl_spark.operators.similarity import semantic_dedup
+
+    # two tight direction groups + one isolated vector
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, base_a), (2, [0.999, 0.01, 0.0, 0.0]),   # dup of 1
+        (3, base_b), (4, [0.02, 0.999, 0.0, 0.0]),   # dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),                   # isolated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, n_centroids=3, threshold=0.9).collect()}
+    assert len(out) == 5
+    kept = {i for i, r in out.items() if r["keep"]}
+    # lowest id of each chain always survives; 5 has no neighbors
+    assert 5 in kept
+    assert 1 in kept or 1 not in out  # 1 can only drop to a lower id: none
+    assert out[1]["keep"]
+    # a dropped item must name a similarity above threshold
+    for i, r in out.items():
+        if not r["keep"]:
+            assert r["max_dup_sim"] is not None
+            assert r["max_dup_sim"] >= 0.9
+    # dups 2/4 drop IF they share a cell with their base (cells come
+    # from seeded kmeans; same-direction vectors land together here)
+    cells = {i: out[i]["cell"] for i in out}
+    if cells[2] == cells[1]:
+        assert not out[2]["keep"]
+    if cells[4] == cells[3]:
+        assert not out[4]["keep"]
+    # layout-independence
+    out2 = {r["vec_id"]: (r["cell"], r["keep"], r["max_dup_sim"]) for r in
+            semantic_dedup(emb.repartition(7), n_centroids=3,
+                           threshold=0.9).collect()}
+    assert out2 == {i: (r["cell"], r["keep"], r["max_dup_sim"])
+                    for i, r in out.items()}
