@@ -274,18 +274,22 @@ def q_minhash_lsh_candidates(spark, sf):
     return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4, max_bucket=500)
 
 
-def _run_incremental_neardup(spark, sf, max_bucket, with_clusters=False):
+def _run_incremental_neardup(spark, sf, max_bucket, with_clusters=False,
+                             with_survivors=False):
     """Feed documents through the NearDupIndex as three CDC upsert
     batches (split by hash60(key) % 3); optionally attach a
     ClusterIndex so incremental connected components ride the same
-    batches. Keys are zero-padded so string least/greatest ordering
-    (and min-label cluster ids) match the oracle's numeric ordering,
-    then cast back to bigint. Returns (idx, cidx)."""
+    batches, and a SurvivorIndex re-electing only changed families
+    after each batch. Keys are zero-padded so string least/greatest
+    ordering (and min-label cluster ids) match the oracle's numeric
+    ordering, then cast back to bigint. Returns (idx, cidx) or
+    (idx, cidx, sidx)."""
     import tempfile
 
     from montandon_etl_spark.operators.cluster_index import ClusterIndex
     from montandon_etl_spark.operators.dedup import hash60
     from montandon_etl_spark.operators.neardup_index import NearDupIndex
+    from montandon_etl_spark.operators.survivor_index import SurvivorIndex
 
     docs = _t(spark, sf, "documents").select(
         F.format_string("%020d", F.col("doc_id")).alias("did"),
@@ -297,7 +301,12 @@ def _run_incremental_neardup(spark, sf, max_bucket, with_clusters=False):
                               n=2, k=8, bands=4, key_col="did", n_pfx=16,
                               max_bucket=max_bucket)
     cidx = ClusterIndex(os.path.join(base, "ci"), n_parts=16) \
-        if with_clusters else None
+        if (with_clusters or with_survivors) else None
+    sidx = SurvivorIndex(os.path.join(base, "si"), n_parts=16) \
+        if with_survivors else None
+    qual = (X.quality_score(docs.select("did", "text"), "did", "text")
+            .select("did", "quality").localCheckpoint()
+            if with_survivors else None)
     ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
     # the fixture's per-batch working sets are tiny (thousands of
     # rows); 32-wide shuffles pay pure scheduling latency across the
@@ -315,8 +324,13 @@ def _run_incremental_neardup(spark, sf, max_bucket, with_clusters=False):
                         F.lit("upsert").alias("op"), "text")
             )
             idx.update(spark, batch, batch_id=i, cluster_index=cidx)
+            if sidx is not None:
+                sidx.refresh(spark, cidx, qual, id_col="did",
+                             q_col="quality")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    if with_survivors:
+        return idx, cidx, sidx
     return idx, cidx
 
 
@@ -372,6 +386,23 @@ def q_mv_source_stats(spark, sf):
     return mv.state(spark).select(
         "source", "n_rows",
         F.col("sum_n_chars").cast("double").alias("sum_n_chars"),
+    )
+
+
+def q_incremental_dedup_survivors(spark, sf):
+    """Incremental survivor election (operators/survivor_index.py):
+    the keep-list rides the same three CDC batches as the near-dup and
+    cluster indexes — after each batch only families whose membership
+    changed re-elect (best quality, ties to the smaller id). The final
+    state must equal the one-shot election the oracle runs over the
+    full-corpus clustering (pair-participating docs, the index's
+    scope)."""
+    _, _, sidx = _run_incremental_neardup(spark, sf, max_bucket=None,
+                                          with_survivors=True)
+    return sidx.survivors(spark).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("survivor_id").cast("bigint").alias("survivor_id"),
+        "best_quality", "n_members",
     )
 
 
@@ -1544,6 +1575,37 @@ SELECT id AS doc_id, {fp} AS simhash FROM v
 _STOP_EN_SQL = ", ".join(f"'{s}'" for s in X.EN_STOP)
 _STOP_ES_SQL = ", ".join(f"'{s}'" for s in X.ES_STOP)
 _WLOW = "string_split_regex(lower(trim(text)), '\\s+')"
+
+_SURVIVORS_ORACLE_TMPL = f"""
+            WITH clus AS (
+              {{CLUS}}
+            ),
+            qb AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len({_W}) AS n_words,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     len(list_filter({_WLOW}, w -> w IN ({_STOP_EN_SQL}))) AS stops
+              FROM documents),
+            qual AS (
+              SELECT doc_id,
+                     floor(least(greatest(
+                       stops / n_words
+                       - n_punct / greatest(n_chars, 1)
+                       - abs((n_chars - (n_words - 1)) / n_words - 5.0) / 10.0,
+                       0.0), 1.0) * 1000000 + 0.5) / 1000000 AS quality
+              FROM qb),
+            j AS (
+              SELECT c.cluster_id, c.doc_id, q.quality
+              FROM clus c JOIN qual q USING (doc_id)),
+            r AS (
+              SELECT cluster_id, doc_id, quality,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_members
+              FROM j)
+            SELECT cluster_id, doc_id AS survivor_id,
+                   quality AS best_quality, n_members::BIGINT AS n_members
+            FROM r WHERE rn = 1"""
 _COS = (
     "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
     " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -1794,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_source_extremes": q_mv_source_extremes,
         "h264_pcm_decode": q_h264_pcm_decode,
         "semantic_dedup": q_semantic_dedup,
+        "incremental_dedup_survivors": q_incremental_dedup_survivors,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "value_percentiles_approx": q_value_percentiles_approx,
@@ -2081,38 +2144,13 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM r WHERE rn <= 64 GROUP BY 1""",
         "dedup_clusters": _oracle_dedup_clusters(n=2, k=8, bands=4, max_bucket=500),
-        "dedup_survivors": f"""
-            WITH clus AS (
-              {{CLUS}}
-            ),
-            qb AS (
-              SELECT doc_id, length(text) AS n_chars,
-                     len({_W}) AS n_words,
-                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-                     len(list_filter({_WLOW}, w -> w IN ({_STOP_EN_SQL}))) AS stops
-              FROM documents),
-            qual AS (
-              SELECT doc_id,
-                     floor(least(greatest(
-                       stops / n_words
-                       - n_punct / greatest(n_chars, 1)
-                       - abs((n_chars - (n_words - 1)) / n_words - 5.0) / 10.0,
-                       0.0), 1.0) * 1000000 + 0.5) / 1000000 AS quality
-              FROM qb),
-            j AS (
-              SELECT c.cluster_id, c.doc_id, q.quality
-              FROM clus c JOIN qual q USING (doc_id)),
-            r AS (
-              SELECT cluster_id, doc_id, quality,
-                     row_number() OVER (PARTITION BY cluster_id
-                       ORDER BY quality DESC, doc_id ASC) AS rn,
-                     count(*) OVER (PARTITION BY cluster_id) AS n_members
-              FROM j)
-            SELECT cluster_id, doc_id AS survivor_id,
-                   quality AS best_quality, n_members::BIGINT AS n_members
-            FROM r WHERE rn = 1""".replace(
-                "{CLUS}", _oracle_dedup_clusters(n=2, k=8, bands=4,
-                                                 max_bucket=500)),
+        "incremental_dedup_survivors": _SURVIVORS_ORACLE_TMPL.replace(
+            "{CLUS}", _oracle_dedup_clusters(
+                n=2, k=8, bands=4, max_bucket=None,
+                participants_only=True)),
+        "dedup_survivors": _SURVIVORS_ORACLE_TMPL.replace(
+            "{CLUS}", _oracle_dedup_clusters(n=2, k=8, bands=4,
+                                             max_bucket=500)),
         "asof_join": """
             WITH purch AS (
               SELECT user_id, ts,
