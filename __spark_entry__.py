@@ -389,6 +389,71 @@ def q_mv_source_stats(spark, sf):
     )
 
 
+_DH_W, _DH_H = 18, 16  # 9x8 cell grid × 2x2 boxes — exact divisors
+
+
+def _dhash_fixture(spark, sf):
+    """Deterministic 18x16 grayscale-in-RGB PNGs per doc_id (< 200):
+    pixel v = (37·g + 11x + 7y + ((x·y)%5)·9 + perturb) % 256 with
+    g = doc_id % 13 (13 exact-duplicate families) and a one-level
+    checker perturbation on doc_id % 4 == 0 (near-dups); scanline
+    filter type cycles doc_id % 5 so all five PNG filters sit in the
+    decode path. Every pixel is a closed-form integer, so DuckDB
+    replays decode → box-average → gradient bits → band ints
+    analytically."""
+    import numpy as np
+    import pandas as pd
+
+    from montandon_etl_spark.operators.multimodal import _encode_png
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 200).distinct()
+           .repartition(spark.sparkContext.defaultParallelism))
+
+    def gen(it):
+        xs = np.arange(_DH_W)[None, :]
+        ys = np.arange(_DH_H)[:, None]
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d % 13
+                v = (37 * g + 11 * xs + 7 * ys + ((xs * ys) % 5) * 9)
+                if d % 4 == 0:
+                    v = v + ((xs // 2 + ys // 2) % 2)
+                v = (v % 256).astype(np.uint8)
+                arr = np.repeat(v[:, :, None], 3, axis=2)
+                rows.append((d, _encode_png(arr, filter_type=d % 5)))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    return ids.mapInPandas(gen, "doc_id bigint, png binary")
+
+
+def q_image_dhash(spark, sf):
+    """Perceptual image hashing (operators/phash.py): REAL PNG decode
+    → integer box-resize → 64 gradient-sign bits as four 16-bit band
+    ints. The oracle replays the whole pipeline from the pixel
+    formula — any decode or box-boundary bug flips band values."""
+    from montandon_etl_spark.operators.phash import image_dhash
+
+    return image_dhash(_dhash_fixture(spark, sf), "doc_id", "png")
+
+
+def q_image_near_dup(spark, sf):
+    """Image near-dup pairs by dHash Hamming distance: band-equality
+    blocking (EXACT for distance <= 3 by pigeonhole — recall 1.0, not
+    probabilistic) then bit_count verification, both JVM-side. The
+    fixture's 13 exact-duplicate families plus checker-perturbed
+    variants make real 0- and small-distance pairs."""
+    from montandon_etl_spark.operators.phash import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    hashes = image_dhash(_dhash_fixture(spark, sf), "doc_id", "png")
+    return image_near_dup_pairs(hashes, "doc_id", max_hamming=3)
+
+
 def q_incremental_dedup_survivors(spark, sf):
     """Incremental survivor election (operators/survivor_index.py):
     the keep-list rides the same three CDC batches as the near-dup and
@@ -1576,6 +1641,40 @@ _STOP_EN_SQL = ", ".join(f"'{s}'" for s in X.EN_STOP)
 _STOP_ES_SQL = ", ".join(f"'{s}'" for s in X.ES_STOP)
 _WLOW = "string_split_regex(lower(trim(text)), '\\s+')"
 
+_DHASH_ORACLE_CTES = f"""
+            ids AS (SELECT DISTINCT doc_id FROM documents
+                    WHERE doc_id < 200),
+            px AS (
+              SELECT i.doc_id, x.range AS x, y.range AS y,
+                     ((37 * (i.doc_id % 13) + 11 * x.range + 7 * y.range
+                       + ((x.range * y.range) % 5) * 9
+                       + CASE WHEN i.doc_id % 4 = 0
+                              THEN ((x.range // 2 + y.range // 2) % 2)
+                              ELSE 0 END) % 256) AS v
+              FROM ids i, range({_DH_W}) x, range({_DH_H}) y),
+            cellsd AS (
+              SELECT doc_id, (y // 2)::INT AS r, (x // 2)::INT AS c,
+                     (sum(v)::BIGINT // 4) AS cv
+              FROM px GROUP BY 1, 2, 3),
+            bitsd AS (
+              SELECT l.doc_id, l.r, l.c,
+                     CASE WHEN l.cv < rr.cv THEN 1 ELSE 0 END AS bit
+              FROM cellsd l JOIN cellsd rr
+                ON rr.doc_id = l.doc_id AND rr.r = l.r
+               AND rr.c = l.c + 1
+              WHERE l.c < 8),
+            bandv AS (
+              SELECT doc_id, (r // 2) AS band,
+                     sum(bit * (1::BIGINT << ((r % 2) * 8 + c)))::INT AS bv
+              FROM bitsd GROUP BY 1, 2),
+            bands_p AS (
+              SELECT doc_id,
+                     max(CASE WHEN band = 0 THEN bv END)::INT AS b0,
+                     max(CASE WHEN band = 1 THEN bv END)::INT AS b1,
+                     max(CASE WHEN band = 2 THEN bv END)::INT AS b2,
+                     max(CASE WHEN band = 3 THEN bv END)::INT AS b3
+              FROM bandv GROUP BY 1)"""
+
 _SURVIVORS_ORACLE_TMPL = f"""
             WITH clus AS (
               {{CLUS}}
@@ -1857,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_pcm_decode": q_h264_pcm_decode,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
+        "image_dhash": q_image_dhash,
+        "image_near_dup": q_image_near_dup,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "value_percentiles_approx": q_value_percentiles_approx,
@@ -2099,6 +2200,23 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.maxsim, -1.0) < 0.7 AS keep,
                    floor(p.maxsim * 1000000 + 0.5) / 1000000 AS max_dup_sim
             FROM ccells c LEFT JOIN p ON p.id = c.vec_id""",
+        "image_dhash": f"""
+            WITH {_DHASH_ORACLE_CTES}
+            SELECT doc_id, {_DH_W} AS width, {_DH_H} AS height,
+                   b0, b1, b2, b3
+            FROM bands_p""",
+        "image_near_dup": f"""
+            WITH {_DHASH_ORACLE_CTES},
+            pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                      + bit_count(xor(a.b2, b.b2))
+                      + bit_count(xor(a.b3, b.b3)))::INT AS hamming
+              FROM bands_p a JOIN bands_p b
+                ON b.doc_id > a.doc_id
+               AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
+                    OR a.b3 = b.b3))
+            SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
         "h264_pcm_decode": """
             WITH ids AS (SELECT DISTINCT doc_id FROM documents
                          WHERE doc_id < 40),

@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "incremental_neardup_pairs_capped",  # 3-batch CDC-maintained LSH index
     "mv_source_stats",  # CDF-maintained materialized aggregate
     "video_frame_index",  # MP4 sample-table demux, per-frame rows
+    "image_near_dup",  # PNG decode -> dHash -> banded Hamming pairs
+    "h264_pcm_decode",  # distributed H.264 encode->decode round trip
     "simhash",
     "token_stats",
     "quality_score",

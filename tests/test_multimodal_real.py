@@ -248,3 +248,64 @@ def test_jpeg_roundtrip_property():
         assert np.abs(px2.astype(int) - noisy.astype(int)).max() <= 4
 
     check()
+
+
+def test_image_dhash_and_near_dup(spark):
+    """dHash: identical pixels → identical bands (distance 0);
+    brightness shift preserves the hash (gradient signs); band
+    blocking is EXACT for hamming <= 3 (flipping 3 bits still leaves
+    an equal band); undecodable payloads keep their row with NULLs."""
+    import numpy as np
+
+    from montandon_etl_spark.operators.multimodal import _encode_png
+    from montandon_etl_spark.operators.phash import (
+        dhash_bands,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    xs = np.arange(18)[None, :]
+    ys = np.arange(16)[:, None]
+    base = ((11 * xs + 7 * ys + (xs * ys) % 5 * 9) % 200).astype(np.uint8)
+
+    def png(v):
+        return _encode_png(np.repeat(v[:, :, None], 3, axis=2))
+
+    rows = [
+        (1, png(base)),
+        (2, png(base)),                         # identical → 0
+        (3, png((base + 30).astype(np.uint8))),  # brightness shift
+        (4, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, png binary")
+    h = image_dhash(df, "doc_id", "png")
+    got = {r["doc_id"]: r for r in h.collect()}
+    assert got[4]["b0"] is None  # record-not-drop
+    assert [got[1][f"b{i}"] for i in range(4)] == \
+           [got[2][f"b{i}"] for i in range(4)]
+    # +30 with no wrap preserves every gradient sign → same hash
+    assert [got[3][f"b{i}"] for i in range(4)] == \
+           [got[1][f"b{i}"] for i in range(4)]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup_pairs(h, "doc_id").collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+
+    # exactness at the threshold: flip exactly 3 bits spread over 3
+    # bands — one band stays equal, so blocking MUST find the pair
+    b = [got[1][f"b{i}"] for i in range(4)]
+    flipped = [b[0] ^ 1, b[1] ^ 2, b[2] ^ 4, b[3]]
+    h2 = spark.createDataFrame(
+        [(1, 18, 16, *b), (9, 18, 16, *flipped)],
+        "doc_id bigint, width int, height int, b0 int, b1 int,"
+        " b2 int, b3 int")
+    p2 = {(r["id_a"], r["id_b"]): r["hamming"]
+          for r in image_near_dup_pairs(h2, "doc_id").collect()}
+    assert p2 == {(1, 9): 3}
+    # 4 flipped bits across all 4 bands: blocking finds nothing AND
+    # the verification threshold excludes it anyway
+    flipped4 = [x ^ 8 for x in b]
+    h3 = spark.createDataFrame(
+        [(1, 18, 16, *b), (9, 18, 16, *flipped4)],
+        "doc_id bigint, width int, height int, b0 int, b1 int,"
+        " b2 int, b3 int")
+    assert image_near_dup_pairs(h3, "doc_id").count() == 0
