@@ -122,3 +122,76 @@ def test_stream_maintains_bloom_index(spark, tmp_path):
                derived_updaters=[update_bloom]).awaitTermination(300)
     assert rows(bidx.filter_df(spark)) == before
     assert not bidx.dirty
+
+
+def test_stream_maintains_cluster_and_survivor_indexes(spark, tmp_path):
+    """The full incremental dedup pipeline inside foreachBatch:
+    near-dup index → cluster index → survivor election all advance
+    per epoch; after the stream drains, clusters equal the
+    from-scratch recompute and the keep-list equals the batch
+    election; checkpoint re-run is a no-op for all three."""
+    from montandon_etl_spark.operators.cluster_index import ClusterIndex
+    from montandon_etl_spark.operators.dedup import dedup_clusters
+    from montandon_etl_spark.operators.survivor_index import SurvivorIndex
+    from montandon_etl_spark.operators.textstats import quality_score
+
+    PAR = dict(n=3, k=8, bands=4)
+    log = gen_changelog(n_events=400, n_urls=120, seed=7, n_domains=10)
+    write_changelog(log, str(tmp_path / "chg"), n_chunks=3)
+    table = SnapshotTable.create(str(tmp_path / "pages"), n_buckets=4)
+    idx = NearDupIndex.create(str(tmp_path / "ndi"), n_pfx=16, **PAR)
+    cidx = ClusterIndex(str(tmp_path / "ci"), n_parts=8)
+    sidx = SurvivorIndex(str(tmp_path / "si"), n_parts=8)
+
+    def quality_of(df):
+        return (quality_score(df, "url", "text")
+                .select("url", "quality"))
+
+    def update_all(s, df, epoch_id):
+        batch = df.withColumn("text",
+                              extract_text_udf(F.col("html")).text)
+        idx.update(s, batch, batch_id=epoch_id, cluster_index=cidx)
+        # quality over the CURRENT live corpus (bounded: the election
+        # only reads changed families' members)
+        live = table.read(s).select("url", "text")
+        sidx.refresh(s, cidx, quality_of(live), id_col="url",
+                     q_col="quality")
+
+    run_stream(spark, table, str(tmp_path / "chg"), str(tmp_path / "ckpt"),
+               derived_updaters=[update_all]).awaitTermination(300)
+
+    live = table.read(spark)
+    corpus = live.select("url", "text")
+    pairs = minhash_lsh_pairs(corpus, "url", "text", max_bucket=None,
+                              **PAR)
+    # clusters ≡ recompute over PAIR-PARTICIPATING nodes (the index's
+    # scope; singletons never enter the pair graph)
+    nodes = (pairs.select(F.col("id_a").alias("id"))
+             .unionByName(pairs.select(F.col("id_b").alias("id")))
+             .distinct())
+    want_cl = {tuple(r) for r in dedup_clusters(
+        nodes, pairs.select("id_a", "id_b"), id_col="id").collect()}
+    got_cl = {tuple(r) for r in cidx.clusters(spark).collect()}
+    assert got_cl == want_cl and want_cl
+
+    # keep-list ≡ batch election over the final cluster state
+    from pyspark.sql import Window
+    j = (cidx.clusters(spark).select(F.col("id").alias("url"),
+                                     "cluster_id")
+         .join(quality_of(corpus), "url"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"),
+                                                 F.asc("url"))
+    cw = Window.partitionBy("cluster_id")
+    want_sv = {(r["cluster_id"], r["url"], r["quality"], r["n"])
+               for r in (j.withColumn("rn", F.row_number().over(w))
+                         .withColumn("n", F.count(F.lit(1)).over(cw)
+                                     .cast("bigint"))
+                         .filter(F.col("rn") == 1)).collect()}
+    got_sv = {tuple(r) for r in sidx.survivors(spark).collect()}
+    assert got_sv == want_sv and want_sv
+
+    # checkpoint re-run: exactly-once across all three artifacts
+    run_stream(spark, table, str(tmp_path / "chg"), str(tmp_path / "ckpt"),
+               derived_updaters=[update_all]).awaitTermination(300)
+    assert {tuple(r) for r in cidx.clusters(spark).collect()} == want_cl
+    assert {tuple(r) for r in sidx.survivors(spark).collect()} == want_sv

@@ -229,3 +229,22 @@ def test_pps_sample_no_global_sort(spark):
     plan = _physical_plan(df)
     assert "SinglePartition" not in plan, plan[:1500]
     assert "Window" in plan, plan[:1500]
+
+
+def test_image_near_dup_is_band_equi_join(spark):
+    """The dHash pair join must block on band equality — an equi-join
+    (SortMerge/Hash), never a cartesian/BroadcastNestedLoop product of
+    the corpus with itself."""
+    df = entry_mod.queries()["image_near_dup"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_semantic_dedup_is_cell_equi_join(spark):
+    """SemDeDup's pair comparison must be the k-means-cell equi-join
+    (sum-of-cell-squared work), not an all-pairs product."""
+    df = entry_mod.queries()["semantic_dedup"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
