@@ -454,6 +454,37 @@ def q_image_near_dup(spark, sf):
     return image_near_dup_pairs(hashes, "doc_id", max_hamming=3)
 
 
+def q_range_join_windows(spark, sf):
+    """Point-in-interval range join via bucket-explode equi-join
+    (operators/relational.bucketed_range_join): each signup opens a
+    (user_id % 48 + 1)-hour window; count/sum every event whose ts
+    falls in it. Naive Spark plans this as BroadcastNestedLoopJoin
+    (all points x all intervals) — the bucketed form shuffles on a
+    day-width bucket key instead (plan-audit pinned). Everything
+    stays in int64 micros; sums go through DECIMAL(28,6) so both
+    engines agree bit-for-bit."""
+    from montandon_etl_spark.operators.relational import bucketed_range_join
+
+    ev = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hours = (F.col("user_id") % 48 + 1).cast("bigint")
+    intervals = (ev.filter(F.col("event_type") == "signup")
+                 .select(F.col("event_id").alias("interval_id"),
+                         us.alias("s_us"),
+                         (us + hours * F.lit(3_600_000_000))
+                         .alias("e_us")))
+    points = ev.select(F.col("event_id").alias("point_id"),
+                       us.alias("p_us"), "value")
+    pairs = bucketed_range_join(points, intervals, "p_us", "s_us",
+                                "e_us", bucket_width=86_400_000_000)
+    dec = "decimal(28,6)"
+    return pairs.groupBy("interval_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(F.col("value").cast(dec)).cast(dec).cast("double")
+        .alias("sum_value"),
+    )
+
+
 def q_incremental_dedup_survivors(spark, sf):
     """Incremental survivor election (operators/survivor_index.py):
     the keep-list rides the same three CDC batches as the near-dup and
@@ -1958,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
+        "range_join_windows": q_range_join_windows,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "value_percentiles_approx": q_value_percentiles_approx,
@@ -2200,6 +2232,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.maxsim, -1.0) < 0.7 AS keep,
                    floor(p.maxsim * 1000000 + 0.5) / 1000000 AS max_dup_sim
             FROM ccells c LEFT JOIN p ON p.id = c.vec_id""",
+        "range_join_windows": """
+            WITH iv AS (
+              SELECT event_id AS interval_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                       + (user_id % 48 + 1) * 3600000000 AS e
+              FROM events WHERE event_type = 'signup'),
+            p AS (SELECT epoch_us(ts) AS t, value FROM events)
+            SELECT iv.interval_id,
+                   count(*)::BIGINT AS n_points,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     AS sum_value
+            FROM iv JOIN p ON p.t >= iv.s AND p.t < iv.e
+            GROUP BY 1""",
         "image_dhash": f"""
             WITH {_DHASH_ORACLE_CTES}
             SELECT doc_id, {_DH_W} AS width, {_DH_H} AS height,

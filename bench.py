@@ -125,11 +125,13 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "repetition_stats",
     "embedding_near_dup_lsh",
+    "semantic_dedup",  # SemDeDup: k-means-cell-blocked keep rule
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_ivf_computed",  # seeded sampled k-means quantizer path
     "incremental_ann_topk",  # CDC-maintained IVF postings
     "asof_join",
+    "range_join_windows",  # bucket-explode equi-join, no BNLJ
     "heavy_hitters",
     "kmv_distinct_users",
     "q1_pricing_summary",

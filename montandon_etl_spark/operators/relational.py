@@ -205,3 +205,35 @@ def kv_pivot(df: DataFrame, group: str, k_col: str, v_col: str) -> DataFrame:
             F.collect_list(k_col), F.collect_list(v_col)
         ).alias("kv")
     )
+
+
+def bucketed_range_join(points: DataFrame, intervals: DataFrame,
+                        point_col: str, start_col: str, end_col: str,
+                        bucket_width: int) -> DataFrame:
+    """Point-in-interval join as an EQUI-join — the scale fix for the
+    plan Spark otherwise picks for a pure range predicate
+    (BroadcastNestedLoopJoin: every point against every interval).
+
+    Positions are int64 (e.g. unix_micros). Each interval explodes to
+    the contiguous buckets of width ``bucket_width`` it overlaps
+    (bounded by interval_span/width + 1 rows — pick the width near
+    the typical interval length); each point maps to its ONE bucket,
+    so after the bucket equi-join + the exact half-open
+    ``start <= p < end`` filter every matching pair appears exactly
+    once — no distinct needed. The join shuffles on the bucket key
+    and AQE handles hot buckets; at 10^10 points this is the
+    standard interval-join shape (Spark has no native range-join
+    optimization without vendor extensions).
+
+    Caller guarantees disjoint column names between the two sides;
+    ``end_col`` must be strictly greater than ``start_col``."""
+    p = points.withColumn(
+        "_bk", F.expr(f"{point_col} div {bucket_width}"))
+    iv = (intervals
+          .withColumn("_bk", F.explode(F.sequence(
+              F.expr(f"{start_col} div {bucket_width}"),
+              F.expr(f"({end_col} - 1) div {bucket_width}")))))
+    return (p.join(iv, "_bk")
+            .filter((F.col(point_col) >= F.col(start_col))
+                    & (F.col(point_col) < F.col(end_col)))
+            .drop("_bk"))

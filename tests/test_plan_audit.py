@@ -248,3 +248,14 @@ def test_semantic_dedup_is_cell_equi_join(spark):
     plan = _physical_plan(df)
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """bucketed_range_join must plan as a bucket-key equi-join — the
+    whole point vs the BroadcastNestedLoopJoin a raw range predicate
+    produces."""
+    df = entry_mod.queries()["range_join_windows"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "Join" in plan
