@@ -468,15 +468,27 @@ def q_range_join_windows(spark, sf):
     ev = _t(spark, sf, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     hours = (F.col("user_id") % 48 + 1).cast("bigint")
-    intervals = (ev.filter(F.col("event_type") == "signup")
+    # every 7th signup: the interesting cost is pairs-per-interval
+    # (window length × point density), not interval count — the full
+    # signup set at sf0.1 yields ~55M (point, interval) memberships
+    # whose decimal sums dominate the wall without testing anything
+    # extra
+    intervals = (ev.filter((F.col("event_type") == "signup")
+                           & (F.col("event_id") % 7 == 0))
                  .select(F.col("event_id").alias("interval_id"),
                          us.alias("s_us"),
                          (us + hours * F.lit(3_600_000_000))
                          .alias("e_us")))
     points = ev.select(F.col("event_id").alias("point_id"),
                        us.alias("p_us"), "value")
+    # hour-width buckets: the fixture spans ~30 days, so day buckets
+    # would mean ~30 distinct join keys — a skew trap (few giant
+    # sort-merge groups). ~720 hour keys parallelize the
+    # within-bucket candidate products AND shrink them (candidates ≈
+    # true matches + one bucket of slop). The width-≈-interval-length
+    # rule the operator documents.
     pairs = bucketed_range_join(points, intervals, "p_us", "s_us",
-                                "e_us", bucket_width=86_400_000_000)
+                                "e_us", bucket_width=3_600_000_000)
     dec = "decimal(28,6)"
     return pairs.groupBy("interval_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
@@ -2237,7 +2249,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id AS interval_id, epoch_us(ts) AS s,
                      epoch_us(ts)
                        + (user_id % 48 + 1) * 3600000000 AS e
-              FROM events WHERE event_type = 'signup'),
+              FROM events
+              WHERE event_type = 'signup' AND event_id % 7 = 0),
             p AS (SELECT epoch_us(ts) AS t, value FROM events)
             SELECT iv.interval_id,
                    count(*)::BIGINT AS n_points,

@@ -312,3 +312,36 @@ def test_semantic_dedup_keep_rule(spark):
                            threshold=0.9).collect()}
     assert out2 == {i: (r["cell"], r["keep"], r["max_dup_sim"])
                     for i, r in out.items()}
+
+
+def test_bloom_index_crash_between_dirty_and_write(spark, tmp_path):
+    """BloomIndex stamps the dirty flag BEFORE the versioned write:
+    a crash in between leaves dirty set and the version uncommitted,
+    so the epoch retries cleanly and the delete is never lost; a
+    duplicate delivery after commit is a no-op."""
+    from montandon_etl_spark.operators.bloom_index import BloomIndex
+    from montandon_etl_spark.operators.sketches import bloom_build
+
+    M, H = 1 << 10, 3
+    bidx = BloomIndex.create(str(tmp_path / "b"), m_bits=M, n_hashes=H)
+    v0 = spark.createDataFrame([("a",), ("b",)], "v string")
+    bidx.update(spark, v0, "v", epoch_id=0)
+
+    # crash window: dirty stamped, write never happened
+    bidx._mark_dirty(2)
+    assert bidx.dirty
+    assert bidx.store.versions() == [1]  # epoch 1's version absent
+
+    # retry of the epoch (adds 'c', has_deletes=True) completes both
+    v1 = spark.createDataFrame([("c",)], "v string")
+    bidx.update(spark, v1, "v", epoch_id=1, has_deletes=True)
+    assert bidx.dirty and bidx.store.versions() == [1, 2]
+    want = bloom_build(spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "v string"), "v", M, H)
+    got = {tuple(r) for r in bidx.filter_df(spark).collect()}
+    assert got == {tuple(r) for r in want.collect()}
+
+    # duplicate delivery: no new version, filter unchanged
+    bidx.update(spark, v1, "v", epoch_id=1, has_deletes=True)
+    assert bidx.store.versions() == [1, 2]
+    assert {tuple(r) for r in bidx.filter_df(spark).collect()} == got
