@@ -454,6 +454,61 @@ def q_image_near_dup(spark, sf):
     return image_near_dup_pairs(hashes, "doc_id", max_hamming=3)
 
 
+def q_video_keyframe_pixels(spark, sf):
+    """Container-to-pixels as ONE distributed operator
+    (mp4.video_keyframe_features): per doc, a worker muxes a lossless
+    I_PCM H.264 keyframe (Cb=Cr=128 so BT.601 RGB == Y exactly — the
+    conversion is float-identity) into a real MP4 with an avcC
+    record, then the operator demuxes the sample table, slices the
+    keyframe byte range, parses avcC, decodes, and emits channel
+    means. sum/512 is a power-of-two division, so the doubles are
+    bit-exact against the closed-form SQL."""
+    import pandas as pd
+
+    from montandon_etl_spark.operators import h264 as Hc
+    from montandon_etl_spark.operators.mp4 import (
+        build_mp4,
+        make_avcc,
+        video_keyframe_features,
+    )
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 30).distinct()
+           .repartition(spark.sparkContext.defaultParallelism))
+
+    def gen(it):
+        import numpy as np
+        xs = np.arange(32)[None, :]
+        ys = np.arange(16)[:, None]
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                y = ((23 * d + 5 * xs + 3 * ys) % 256).astype(np.uint8)
+                c = np.full((8, 16), 128, dtype=np.uint8)
+                stream = Hc.encode_ipcm_annexb(y, c, c)
+                sps = pps = sl = None
+                for nal in Hc.split_annexb(stream):
+                    t = nal[0] & 0x1F
+                    if t == 7:
+                        sps = nal
+                    elif t == 8:
+                        pps = nal
+                    elif t == 5:
+                        sl = nal
+                esc = Hc._ep3b_escape(sl)
+                payload = len(esc).to_bytes(4, "big") + esc
+                mp4 = build_mp4(
+                    [payload], width=32, height=16, keyframes=[0],
+                    avcc=make_avcc(Hc._ep3b_escape(sps),
+                                   Hc._ep3b_escape(pps)))
+                rows.append((d, mp4))
+            yield pd.DataFrame(rows, columns=["doc_id", "mp4"])
+
+    assets = ids.mapInPandas(gen, "doc_id bigint, mp4 binary")
+    return video_keyframe_features(assets, "doc_id", "mp4")
+
+
 def q_range_join_windows(spark, sf):
     """Point-in-interval range join via bucket-explode equi-join
     (operators/relational.bucketed_range_join): each signup opens a
@@ -2002,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
         "range_join_windows": q_range_join_windows,
+        "video_keyframe_pixels": q_video_keyframe_pixels,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "value_percentiles_approx": q_value_percentiles_approx,
@@ -2244,6 +2300,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.maxsim, -1.0) < 0.7 AS keep,
                    floor(p.maxsim * 1000000 + 0.5) / 1000000 AS max_dup_sim
             FROM ccells c LEFT JOIN p ON p.id = c.vec_id""",
+        "video_keyframe_pixels": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 30),
+            s AS (
+              SELECT i.doc_id,
+                     SUM((23 * i.doc_id + 5 * x.range + 3 * y.range)
+                         % 256)::BIGINT AS sy
+              FROM ids i, range(32) x, range(16) y GROUP BY 1)
+            SELECT doc_id AS asset_id, 0 AS frame_idx,
+                   32 AS width, 16 AS height,
+                   sy / 512.0 AS mean_r, sy / 512.0 AS mean_g,
+                   sy / 512.0 AS mean_b
+            FROM s""",
         "range_join_windows": """
             WITH iv AS (
               SELECT event_id AS interval_id, epoch_us(ts) AS s,

@@ -488,3 +488,61 @@ def decode_frame_rgb(frame_payload: bytes, avcc: bytes | None = None):
         return decode_keyframe(frame_payload, sps_rbsp=sps[0],
                                pps_rbsp=pps[0], length_size=length_size)
     return decode_keyframe(frame_payload)
+
+
+KEYFRAME_FEATURE_SCHEMA = (
+    "asset_id bigint, frame_idx int, width int, height int,"
+    " mean_r double, mean_g double, mean_b double"
+)
+
+
+def video_keyframe_features(df: DataFrame, id_col: str,
+                            bin_col: str) -> DataFrame:
+    """Decode each asset's FIRST keyframe to pixels and emit RGB
+    channel means — the container-to-pixels path as one distributed
+    operator: demux the sample table, slice the keyframe's byte
+    range, pull SPS/PPS from the avcC record, run the baseline-intra
+    H.264 decoder. Assets that don't parse, carry no avcC, or use
+    out-of-subset tools (P/B-only payloads, CABAC, deblocking…)
+    yield NULL feature columns — record-not-drop, same policy as the
+    image/audio operators. Arrow-batched, no shuffle."""
+    from montandon_etl_spark.operators.h264 import decode_keyframe
+    from montandon_etl_spark.operators.mp4 import parse_avcc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_idx", "width", "height",
+                "mean_r", "mean_g", "mean_b"]
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    b = bytes(p)
+                    meta = parse_mp4(b)
+                    t = next(x for x in meta["tracks"]
+                             if x["handler"] == "vide")
+                    if t["avcc"] is None:
+                        raise ValueError("no avcC")
+                    sps, pps, ls = parse_avcc(t["avcc"])
+                    idx, (off, size, _pts, _key) = next(
+                        (i, f) for i, f in enumerate(t["frames"])
+                        if f[3])
+                    rgb = decode_keyframe(b[off:off + size],
+                                          sps_rbsp=sps[0],
+                                          pps_rbsp=pps[0],
+                                          length_size=ls)
+                    rows.append((
+                        int(aid), idx, rgb.shape[1], rgb.shape[0],
+                        float(rgb[:, :, 0].astype("int64").sum())
+                        / (rgb.shape[0] * rgb.shape[1]),
+                        float(rgb[:, :, 1].astype("int64").sum())
+                        / (rgb.shape[0] * rgb.shape[1]),
+                        float(rgb[:, :, 2].astype("int64").sum())
+                        / (rgb.shape[0] * rgb.shape[1]),
+                    ))
+                except Exception:
+                    rows.append((int(aid), None, None, None,
+                                 None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, schema=KEYFRAME_FEATURE_SCHEMA)

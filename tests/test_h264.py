@@ -810,3 +810,60 @@ def test_i4x4_roundtrip_all_modes_exact():
 def test_cbp_intra_table_is_permutation():
     assert sorted(H._CBP_INTRA) == list(range(48))
     assert all(H._CBP_INTRA[H._CBP_INTRA_INV[v]] == v for v in range(48))
+
+
+def test_cavlc_tables_kraft_complete():
+    """Kraft-sum pins: a VLC table transcription typo that lengthens,
+    shortens, or drops a code almost surely changes the code-space
+    mass. Every total_zeros table (except tc=1) and run_before table
+    (except the zl>=7 escape table) is a COMPLETE prefix code
+    (sum 2^-len == 1); the remaining tables miss exactly the
+    all-zeros-codeword-sized gap the spec leaves unused (the decoder
+    must never see an all-zero string of table length — level_prefix
+    parsing depends on bounded zero runs)."""
+    from fractions import Fraction
+
+    def kraft(tbl):
+        return sum(Fraction(1, 2 ** len(b)) for b in tbl.values())
+
+    assert kraft(H._CT_NC0) == Fraction(32767, 32768)
+    assert kraft(H._CT_NC2) == Fraction(8191, 8192)
+    assert kraft(H._CT_NC4) == Fraction(1023, 1024)
+    assert kraft(H._CT_CHROMA_DC) == 1
+    for tc, tbl in H._TZ_4x4.items():
+        assert kraft(tbl) == (Fraction(511, 512) if tc == 1 else 1), tc
+    for tc, tbl in H._TZ_CHROMA_DC.items():
+        assert kraft(tbl) == 1, tc
+    for zl, tbl in H._RUN_BEFORE.items():
+        assert kraft(tbl) == (Fraction(2047, 2048) if zl == 7 else 1), zl
+
+
+def test_decoder_robust_to_corruption():
+    """Randomly corrupted streams must either decode or raise a
+    H264Error/H264Unsupported (what the mapInPandas record-not-drop
+    wrappers catch) — never escape with an arbitrary crash. Numpy
+    index/value errors from garbage syntax counting as crashes is
+    exactly what this hunts."""
+    import random
+
+    wmb, hmb, qp = 2, 2, 28
+    src_y, src_cb, src_cr = _src_planes(wmb, hmb, seed=23)
+    plan = {(0, 0): ("i16", 2, 0, 0), (1, 0): ("i4", 3, 0, 0),
+            (0, 1): ("pcm",), (1, 1): ("i16", 1, 1, 0)}
+    slice_rbsp, *_ = encode_iframe(src_y, src_cb, src_cr, qp, plan)
+    sps, pps = _make_sps_pps(wmb, hmb, qp)
+    stream = _annexb(sps) + _annexb(pps) + _annexb(slice_rbsp)
+    rng = random.Random(20260817)
+    ok = failed = 0
+    for _ in range(200):
+        b = bytearray(stream)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            H.decode_keyframe(bytes(b))
+            ok += 1
+        except (H.H264Error, H.H264Unsupported, ValueError):
+            failed += 1
+        # any OTHER exception type propagates and fails the test
+    assert ok + failed == 200
+    assert failed > 0  # corruption is actually being exercised
