@@ -744,17 +744,14 @@ def q_incremental_ann_topk_pq(spark, sf):
     import tempfile
 
     from montandon_etl_spark.operators.ann_index import AnnIndex
-    from montandon_etl_spark.operators.similarity import (
-        kmeans_centroids,
-        pq_codebooks,
-    )
+    from montandon_etl_spark.operators.similarity import ivfpq_quantizers
 
     emb = _t(spark, sf, "embeddings")
-    cents = [c["cvec"] for c in sorted(
-        kmeans_centroids(emb, n_centroids=8), key=lambda c: c["cid"])]
+    raw_cents, raw_books = ivfpq_quantizers(
+        emb, dim=64, n_centroids=8, m_subspaces=8, n_codewords=16)
+    cents = [c["cvec"] for c in sorted(raw_cents, key=lambda c: c["cid"])]
     books = [[c["cvec"] for c in sorted(b, key=lambda c: c["cid"])]
-             for b in pq_codebooks(emb, dim=64, m_subspaces=8,
-                                   n_codewords=16)]
+             for b in raw_books]
     idx = AnnIndex.create(tempfile.mkdtemp(prefix="mannipq_"),
                           centroids=cents, codebooks=books)
     ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))

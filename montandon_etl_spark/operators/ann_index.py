@@ -100,12 +100,18 @@ class AnnIndex:
         """Scan-local PQ codes of ``vec_col``: per-subspace cosine
         argmax against the codeword literals (ties to the smaller
         cid) — identical to similarity._pq_encode's program."""
+        # ONE select, not a withColumn loop: each withColumn re-analyzes
+        # a deeper projection and the M=8 ADC trees made plan compile a
+        # visible share of the per-batch wall
         d = self.subdim
-        for m, book in enumerate(self.books):
-            sub = F.slice(F.col(vec_col), m * d + 1, d)
-            df = df.withColumn(f"_s{m}", sub).withColumn(
-                f"_c{m}", F.element_at(_top_cells(book, f"_s{m}", 1), 1))
-        return df.drop(*[f"_s{m}" for m in range(len(self.books))])
+        code_cols = [
+            F.element_at(
+                _top_cells(book, f"slice({vec_col}, {m * d + 1}, {d})", 1),
+                1,
+            ).alias(f"_c{m}")
+            for m, book in enumerate(self.books)
+        ]
+        return df.select("*", *code_cols)
 
     def _posting_cols(self) -> list[str]:
         if self.books is not None:

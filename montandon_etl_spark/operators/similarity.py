@@ -25,11 +25,18 @@ def _dot(a: str, b: str) -> F.Column:
     )
 
 
-def _norm(a: str) -> F.Column:
+def _ncol(a) -> F.Column:
+    """Accept a column name or an already-built Column (lets callers
+    score subspace SLICES without materializing them as columns)."""
+    return F.col(a) if isinstance(a, str) else a
+
+
+def _norm(a) -> F.Column:
     return F.sqrt(
-        F.expr(
-            f"aggregate({a}, cast(0.0 as double),"
-            " (acc, v) -> acc + cast(v as double) * cast(v as double))"
+        F.aggregate(
+            _ncol(a),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
     )
 
@@ -163,8 +170,23 @@ def kmeans_centroids(
     so a SQL oracle (DuckDB list_reduce folds) reproduces the centroids
     bit-for-bit — the same trick the hyperplane-LSH oracle uses.
     """
-    import math
+    sample = collect_kmeans_sample(embeddings, sample_size, id_col, vec_col)
+    return lloyd_centroids(sample, n_centroids, n_iters)
 
+
+def collect_kmeans_sample(
+    embeddings: DataFrame,
+    sample_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """ONE bounded job: the ``sample_size`` hash-smallest full vectors
+    in (hash60(id), id) order — the shared training sample for every
+    quantizer over the same corpus. Because the order key is a content
+    hash of the ID (never the vector), the sampled ROW SET is identical
+    whether the caller later trains on full vectors or on subspace
+    slices — so a single collect feeds the coarse quantizer and all M
+    PQ codebooks bit-identically to per-quantizer collects."""
     from montandon_etl_spark.operators.dedup import hash60
 
     rows = (
@@ -177,7 +199,19 @@ def kmeans_centroids(
         .limit(sample_size)
         .collect()
     )
-    sample = [[float(x) for x in r["v"]] for r in rows]
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def lloyd_centroids(
+    sample: list[list[float]], n_centroids: int = 8, n_iters: int = 2
+) -> list[dict]:
+    """Driver-side Lloyd over an already-collected sample (quantizer
+    METADATA, a few KB) — the deterministic core of
+    ``kmeans_centroids``, factored out so multi-quantizer trainings
+    (IVF-PQ: 1 coarse + M subspace codebooks) reuse one sample collect
+    instead of paying one full-table job each."""
+    import math
+
     if not sample:
         return []
 
@@ -216,33 +250,79 @@ def _quantizer_centroids(embeddings, quantizer, n_centroids, id_col, vec_col):
     raise ValueError(f"unknown quantizer {quantizer!r} (use 'kmeans' or 'head')")
 
 
-def _cell_score_entries(cents, vc: str) -> list:
+def _fsql(x: float) -> str:
+    """An exact double literal for generated SQL: ``repr`` round-trips
+    the double through the shortest decimal string, and STRING→DOUBLE
+    casting parses it back to the identical bits."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _cell_score_sql(cents, vc_sql: str) -> list[str]:
+    """SQL-text twin of ``_cell_score_entries`` — same ops in the same
+    order (zip_with fold dot, strict-fold norm, nrm*norm then divide),
+    emitted as ONE parseable string per centroid instead of ~25 py4j
+    round trips: building the M=8×K=16 ADC trees through the Column
+    API cost ~7 s of pure driver time PER CALL (measured sf0.1), which
+    dominated every incremental-index batch."""
+    import math
+
+    out = []
+    for c in cents:
+        vec = [float(x) for x in c["cvec"]]
+        nrm = math.sqrt(sum(x * x for x in vec))
+        lit = "array(" + ", ".join(_fsql(x) for x in vec) + ")"
+        dot = (
+            f"aggregate(zip_with({vc_sql}, {lit},"
+            " (a, b) -> CAST(a AS DOUBLE) * b),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        norm = (
+            f"sqrt(aggregate({vc_sql}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        cos = f"{dot} / ({_fsql(nrm)} * {norm})"
+        out.append(
+            f"named_struct('cos', {cos}, 'ncid', {-int(c['cid'])})")
+    return out
+
+
+def _cell_score_entries(cents, vc) -> list:
     """Per-centroid (cosine, -cid) structs as scan-local expressions:
     fold-ordered dot products (bit-identical to a strict-fold SQL
     oracle), centroid vector + norm compiled in as literals. Struct
     comparison orders by cosine first, then -cid — ties go to the
     SMALLEST centroid id. Shared by every IVF variant so tie-break and
-    fold-order fixes propagate everywhere at once."""
+    fold-order fixes propagate everywhere at once. ``vc`` may be a
+    column name or a Column (e.g. a subspace slice)."""
     import math
 
+    col = _ncol(vc)
     entries = []
     for c in cents:
         vec = [float(x) for x in c["cvec"]]
         nrm = math.sqrt(sum(x * x for x in vec))
         lit = F.array(*[F.lit(x) for x in vec])
         dot = F.aggregate(
-            F.zip_with(F.col(vc), lit, lambda a, b: a.cast("double") * b),
+            F.zip_with(col, lit, lambda a, b: a.cast("double") * b),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
-        cos = dot / (F.lit(nrm) * _norm(vc))
+        cos = dot / (F.lit(nrm) * _norm(col))
         entries.append(F.struct(cos.alias("cos"), F.lit(-int(c["cid"])).alias("ncid")))
     return entries
 
 
-def _top_cells(cents, vc: str, n: int) -> F.Column:
+def _top_cells(cents, vc, n: int) -> F.Column:
     """The n nearest cell ids, best first — sort the (cos, -cid)
-    structs descending inside the scan, no shuffle."""
+    structs descending inside the scan, no shuffle. ``vc`` may be a
+    column name / SQL vector expression (fast path: the whole tree is
+    ONE parsed F.expr) or a Column (py4j-built fallback, same tree)."""
+    if isinstance(vc, str):
+        entries = ", ".join(_cell_score_sql(cents, vc))
+        return F.expr(
+            f"transform(slice(sort_array(array({entries}), false),"
+            f" 1, {int(n)}), s -> -s.ncid)"
+        )
     arr = F.sort_array(F.array(*_cell_score_entries(cents, vc)), asc=False)
     return F.transform(F.slice(arr, 1, n), lambda s: -s["ncid"])
 
@@ -442,25 +522,47 @@ def embedding_near_dup_lsh(
 def pq_codebooks(embeddings: DataFrame, dim: int, m_subspaces: int = 4,
                  n_codewords: int = 8, sample_size: int = 64,
                  n_iters: int = 2, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> list[list[dict]]:
+                 vec_col: str = "embedding",
+                 sample: list[list[float]] | None = None) -> list[list[dict]]:
     """Per-subspace codebooks for product quantization: the vector is
     split into ``m_subspaces`` contiguous slices and each slice gets
     its own seeded sampled (spherical) k-means — exactly the
     ``kmeans_centroids`` determinism contract, M times, so a SQL
     oracle reproduces every codebook bit-for-bit. Returns
-    books[m] = [{cid, cvec}, ...]."""
+    books[m] = [{cid, cvec}, ...].
+
+    All M trainings share ONE sample collect (the row set is selected
+    by hash60(id), independent of the slice — see
+    ``collect_kmeans_sample``), then Lloyd runs per subspace on
+    driver-side slices: bit-identical to per-subspace collects, minus
+    M-1 full-table jobs. Pass ``sample`` (a ``collect_kmeans_sample``
+    result over the same corpus/params) to also share the coarse
+    quantizer's collect."""
     if dim % m_subspaces:
         raise ValueError("dim must divide evenly into subspaces")
     d = dim // m_subspaces
+    if sample is None:
+        sample = collect_kmeans_sample(embeddings, sample_size, id_col, vec_col)
     return [
-        kmeans_centroids(
-            embeddings.select(
-                F.col(id_col),
-                F.slice(F.col(vec_col), m * d + 1, d).alias(vec_col)),
-            n_centroids=n_codewords, sample_size=sample_size,
-            n_iters=n_iters, id_col=id_col, vec_col=vec_col)
+        lloyd_centroids(
+            [v[m * d:(m + 1) * d] for v in sample], n_codewords, n_iters)
         for m in range(m_subspaces)
     ]
+
+
+def ivfpq_quantizers(embeddings: DataFrame, dim: int, n_centroids: int = 8,
+                     m_subspaces: int = 4, n_codewords: int = 8,
+                     sample_size: int = 64, n_iters: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(coarse centroids, PQ codebooks) for IVF-PQ from ONE sample
+    collect — 1 bounded job instead of 1 + M. Returns
+    ``(cents, books)`` exactly as ``kmeans_centroids`` /
+    ``pq_codebooks`` would produce them separately."""
+    sample = collect_kmeans_sample(embeddings, sample_size, id_col, vec_col)
+    cents = lloyd_centroids(sample, n_centroids, n_iters)
+    books = pq_codebooks(embeddings, dim, m_subspaces, n_codewords,
+                         sample_size, n_iters, id_col, vec_col, sample=sample)
+    return cents, books
 
 
 def cosine_topk_pq(embeddings: DataFrame, queries: DataFrame, dim: int,
@@ -509,13 +611,19 @@ def _pq_encode(embeddings: DataFrame, books, dim: int,
     against the codeword literals — the PQ code columns."""
     m_subspaces = len(books)
     d = dim // m_subspaces
-    enc = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                            F.col(vec_col).alias("_v"))
-    for m in range(m_subspaces):
-        enc = enc.withColumn(f"_s{m}", F.slice(F.col("_v"), m * d + 1, d))
-        enc = enc.withColumn(
-            f"_c{m}", F.element_at(_top_cells(books[m], f"_s{m}", 1), 1))
-    return enc.drop("_v", *[f"_s{m}" for m in range(m_subspaces)])
+    # single select (no withColumn loop — each withColumn re-analyzes
+    # a deeper projection; at M=8 the ADC trees made plan compile a
+    # visible wall)
+    return embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[
+            F.element_at(
+                _top_cells(books[m], f"slice({vec_col}, {m * d + 1}, {d})", 1),
+                1,
+            ).alias(f"_c{m}")
+            for m in range(m_subspaces)
+        ],
+    )
 
 
 def _pq_rank(scored: DataFrame, books, dim: int, k: int) -> DataFrame:
@@ -527,17 +635,21 @@ def _pq_rank(scored: DataFrame, books, dim: int, k: int) -> DataFrame:
     d = dim // m_subspaces
     num = None
     norm2 = None
+    # codeword lookup + query slice stay inline expressions (no
+    # withColumn loop — 2 columns × M re-analyses made plan compile a
+    # visible wall at M=8); float ops and their order are unchanged
     for m in range(m_subspaces):
         cw = F.element_at(
             F.lit([[float(x) for x in c["cvec"]] for c in books[m]]),
             F.col(f"_c{m}") + 1)
-        scored = scored.withColumn(f"_w{m}", cw)
-        scored = scored.withColumn(
-            f"_q{m}", F.slice(F.col("qvec"), m * d + 1, d))
-        dm = _dot(f"_q{m}", f"_w{m}")
-        nm = F.expr(
-            f"aggregate(_w{m}, cast(0.0 as double),"
-            " (acc, v) -> acc + v * v)")
+        qm = F.slice(F.col("qvec"), m * d + 1, d)
+        dm = F.aggregate(
+            F.zip_with(qm, cw, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        nm = F.aggregate(
+            cw, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
         num = dm if num is None else (num + dm)
         norm2 = nm if norm2 is None else (norm2 + nm)
     score = num / (_norm("qvec") * F.sqrt(norm2))
@@ -568,19 +680,21 @@ def cosine_topk_ivfpq(embeddings: DataFrame, queries: DataFrame, dim: int,
     the same engine-exact ADC as ``cosine_topk_pq``. Both quantizers
     follow the seeded sampled k-means contract, so a SQL oracle
     reproduces cells, codes, and scores exactly."""
-    cents = _quantizer_centroids(embeddings, "kmeans", n_centroids,
-                                 id_col, vec_col)
-    books = pq_codebooks(embeddings, dim, m_subspaces, n_codewords,
-                         sample_size, n_iters, id_col, vec_col)
+    cents, books = ivfpq_quantizers(
+        embeddings, dim, n_centroids, m_subspaces, n_codewords,
+        sample_size, n_iters, id_col, vec_col)
     d = dim // m_subspaces
     enc = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"),
-        F.element_at(_top_cells(cents, vec_col, 1), 1).alias("cell"))
-    for m in range(m_subspaces):
-        enc = enc.withColumn(f"_s{m}", F.slice(F.col("_v"), m * d + 1, d))
-        enc = enc.withColumn(
-            f"_c{m}", F.element_at(_top_cells(books[m], f"_s{m}", 1), 1))
-    enc = enc.drop("_v", *[f"_s{m}" for m in range(m_subspaces)])
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(_top_cells(cents, vec_col, 1), 1).alias("cell"),
+        *[
+            F.element_at(
+                _top_cells(books[m], f"slice({vec_col}, {m * d + 1}, {d})", 1),
+                1,
+            ).alias(f"_c{m}")
+            for m in range(m_subspaces)
+        ],
+    )
     q = queries.select(
         F.col(qid_col).alias("query_id"),
         F.col(qvec_col).alias("qvec"),
