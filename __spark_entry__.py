@@ -569,6 +569,64 @@ def q_incremental_dedup_survivors(spark, sf):
     )
 
 
+def q_pagerank(spark, sf):
+    """Link-graph PageRank in exact integer mass units (operators/
+    graph.py): every doc links to 3 hash-derived targets (outdeg == 3,
+    no dangling mass), then 4 power-method rounds — each ONE
+    co-partitioned edge⋈rank join plus ONE groupBy(dst) with map-side
+    partial aggregation, lineage cut per round. All arithmetic is
+    BIGINT add/multiply/truncating-div in units of 10^12, so in-edge
+    sums are order-independent and the oracle replays every iteration
+    to the exact unit."""
+    from montandon_etl_spark.operators.graph import (
+        hash_link_edges,
+        pagerank_int,
+    )
+
+    docs = _t(spark, sf, "documents")
+    n = docs.count()
+    edges = hash_link_edges(docs, n_nodes=n, fanout=3)
+    return pagerank_int(
+        docs.select("doc_id"), edges, n_iters=4, id_col="doc_id",
+    ).select(F.col("id").alias("doc_id"), "pr")
+
+
+def _sql_pagerank(n_iters: int = 4) -> str:
+    """Unrolled integer-PageRank oracle: iteration CTEs are
+    MATERIALIZED (DuckDB re-evaluates non-materialized CTEs per
+    reference) and every op is the engine program's integer twin."""
+    one, damp = 10**12, 85
+    base = f"(({one} * {100 - damp}) // (100 * (SELECT n FROM nn)))"
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents)",
+        """edges AS MATERIALIZED (
+            SELECT d.doc_id::BIGINT AS src,
+                   (('0x' || substr(md5(d.doc_id::VARCHAR || ':' || js.j::VARCHAR), 1, 15))::BIGINT
+                    % (SELECT n FROM nn)) AS dst
+            FROM documents d, (SELECT unnest([1, 2, 3]) AS j) js)""",
+        """ed AS MATERIALIZED (
+            SELECT e.src, e.dst, g.deg
+            FROM edges e
+            JOIN (SELECT src, count(*) AS deg FROM edges GROUP BY src) g
+              USING (src))""",
+        f"""it0 AS MATERIALIZED (
+            SELECT doc_id::BIGINT AS id,
+                   ({one} // (SELECT n FROM nn))::BIGINT AS pr
+            FROM documents)""",
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(f"""it{t} AS MATERIALIZED (
+            SELECT nd.id,
+                   ({base} + (COALESCE(s.inc, 0) * {damp}) // 100)::BIGINT AS pr
+            FROM (SELECT doc_id::BIGINT AS id FROM documents) nd
+            LEFT JOIN (
+                SELECT e.dst AS id, SUM(p.pr // e.deg) AS inc
+                FROM ed e JOIN it{t - 1} p ON e.src = p.id
+                GROUP BY e.dst) s USING (id))""")
+    return (",\n".join(parts)
+            + f"\nSELECT id AS doc_id, pr FROM it{n_iters}")
+
+
 def q_semantic_dedup(spark, sf):
     """SemDeDup-style semantic deduplication (similarity.py): seeded
     k-means cells block the O(N²) comparison; an item drops when a
@@ -2046,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "link_pagerank": q_pagerank,
         "incremental_ann_topk_pq": q_incremental_ann_topk_pq,
         "mv_source_extremes": q_mv_source_extremes,
         "h264_pcm_decode": q_h264_pcm_decode,
@@ -2143,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
       WHEN NOT starts_with(props, '{') THEN 'bad_props'
       ELSE NULL END"""
     oracles = {
+        "link_pagerank": _sql_pagerank(4),
         "cdc_lww_latest_state": _SQL_LWW,
         "cdc_lww_salted_state": _SQL_LWW,
         "dedup_exact_content": """

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf_computed",  # seeded sampled k-means quantizer path
     "incremental_ann_topk",  # CDC-maintained IVF postings
     "asof_join",
+    "link_pagerank",  # integer-unit power method, one join+agg per round
     "range_join_windows",  # bucket-explode equi-join, no BNLJ
     "heavy_hitters",
     "kmv_distinct_users",

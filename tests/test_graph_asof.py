@@ -252,3 +252,69 @@ def test_asof_join_semantics(spark):
     assert got[4] == (300, "z")          # keys partition independently
     assert out[out.ev == 5].rv.isna().all()  # key with no right rows
     assert len(out) == 5                 # every left row survives
+
+
+def _py_pagerank(n, edges, n_iters=4, damping_pct=85, one=10**12):
+    """Tuple-based integer reference implementing the exact pinned
+    arithmetic of operators/graph.pagerank_int."""
+    from collections import Counter, defaultdict
+    deg = Counter(s for s, _ in edges)
+    base = (one * (100 - damping_pct)) // (100 * n)
+    pr = {i: one // n for i in range(n)}
+    for _ in range(n_iters):
+        inc = defaultdict(int)
+        for s, d in edges:
+            inc[d] += pr[s] // deg[s]
+        pr = {i: base + (inc[i] * damping_pct) // 100 for i in range(n)}
+    return pr
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """Hub-and-spoke plus a chain, multi-edges and a self-loop — the
+    engine must equal the tuple-based reference to the exact unit."""
+    from montandon_etl_spark.operators.graph import pagerank_int
+
+    n = 12
+    edges = ([(i, 0) for i in range(1, n)]          # star into 0
+             + [(0, 1), (0, 1), (0, 2)]             # hub fan-out, multi-edge
+             + [(i, i + 1) for i in range(1, n - 1)]  # chain
+             + [(5, 5)])                            # self-loop
+    nodes = spark.range(n).select(F.col("id").alias("nid"))
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.pr for r in pagerank_int(
+        nodes, e, n_iters=4, id_col="nid").collect()}
+    assert got == _py_pagerank(n, edges)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Integer arithmetic ⇒ any partition layout yields the identical
+    rank vector (the float formulation would not guarantee this)."""
+    from montandon_etl_spark.operators.graph import (
+        hash_link_edges,
+        pagerank_int,
+    )
+
+    n = 60
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = hash_link_edges(docs, n_nodes=n, fanout=3)
+    a = pagerank_int(docs, edges, n_iters=3, id_col="doc_id")
+    b = pagerank_int(docs.repartition(7), edges.repartition(11),
+                     n_iters=3, id_col="doc_id")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # outdeg == fanout for every node: no dangling mass, Σpr ~ one
+    assert abs(sum(p for _, p in ra) - 10**12) < n * 200
+
+
+def test_pagerank_cycle_uniform(spark):
+    """A pure cycle's stationary distribution is uniform; the integer
+    iteration must keep every node at the same mass."""
+    from montandon_etl_spark.operators.graph import pagerank_int
+
+    n = 16
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src bigint, dst bigint")
+    out = pagerank_int(nodes, e, n_iters=5, id_col="doc_id").collect()
+    assert len({r.pr for r in out}) == 1
