@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "mv_source_stats",  # CDF-maintained materialized aggregate
     "video_frame_index",  # MP4 sample-table demux, per-frame rows
     "image_near_dup",  # PNG decode -> dHash -> banded Hamming pairs
+    "image_near_dup_jpeg",  # same pipeline across the lossy baseline-JPEG path
     "h264_pcm_decode",  # distributed H.264 encode->decode round trip
     "simhash",
     "token_stats",
