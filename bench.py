@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "ngram_lm_score",  # self-trained char-trigram LM fluency scoring
     "redact_pii",
     "dedup_paragraphs",
+    "dup_spans",  # ExactSubstr: corpus-wide duplicated k-token spans
     "ngram_contamination",
     "bloom_decontamination",  # sketch-compressed blocklist, join-free probe
     "bpe_tokenize",  # BPE train (distinct-word table) + broadcast encode
