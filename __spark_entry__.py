@@ -2238,6 +2238,38 @@ _DUP_SPAN_CTES = """
     FROM isl2 GROUP BY doc_id, island)"""
 
 
+def q_classifier_score(spark, sf):
+    """fastText-family hashed-ngram linear classifier inference:
+    scan-local unigram+bigram hashing, broadcast integer weight table,
+    one per-doc aggregation — exact argmax/margin, oracle-checkable."""
+    from montandon_etl_spark.operators.classifier import (
+        score_hashed_linear, seeded_weights)
+
+    docs = _t(spark, sf, "documents")
+    wts = seeded_weights(spark, n_buckets=4096, n_classes=3)
+    return score_hashed_linear(docs, "doc_id", "text", wts,
+                               n_buckets=4096, n_classes=3)
+
+
+def q_countmin_freq(spark, sf):
+    """Count-min sketch frequency estimates vs exact counts for a
+    deterministic probe set of users — overcount is the sketch's
+    one-sided error, 0 for most probes at this width."""
+    from montandon_etl_spark.operators.sketches import (
+        countmin_build, countmin_estimate)
+
+    ev = _t(spark, sf, "events")
+    sk = countmin_build(ev.select("user_id"), "user_id", depth=4, width=256)
+    probes = (ev.filter(F.col("user_id") % 17 == 0)
+              .select("user_id").distinct())
+    est = countmin_estimate(probes, "user_id", sk, depth=4, width=256)
+    exact = (ev.filter(F.col("user_id") % 17 == 0)
+             .groupBy("user_id").agg(F.count("*").alias("exact")))
+    return (est.join(exact, "user_id")
+            .select("user_id", "est", "exact",
+                    (F.col("est") - F.col("exact")).alias("overcount")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # never-yet-driver-sampled queries lead: the driver samples a
@@ -2246,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 Next #1 — the six round-4 additions rotate to the front)
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
+        "classifier_score": q_classifier_score,
+        "countmin_freq": q_countmin_freq,
         "link_pagerank": q_pagerank,
         "image_near_dup_jpeg": q_image_near_dup_jpeg,
         "incremental_ann_topk_pq": q_incremental_ann_topk_pq,
@@ -2368,6 +2402,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT toks.doc_id, coalesce(agg.clean_text, '') AS clean_text,
                    len(w) AS n_tokens, len(w) - coalesce(n_kept, 0) AS n_removed
             FROM toks LEFT JOIN agg USING (doc_id)""",
+        "classifier_score": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, {_W} AS w FROM documents),
+            feats AS MATERIALIZED (
+              SELECT doc_id, u % 4096 AS bucket FROM (
+                SELECT doc_id, unnest(list_concat(
+                  list_transform(w, x -> {_H60.format(x="x")}),
+                  CASE WHEN len(w) >= 2 THEN
+                    list_transform(generate_series(1, len(w) - 1),
+                      i -> {_H60.format(x="w[i] || '_' || w[i+1]")})
+                  ELSE [] END)) AS u
+                FROM toks)),
+            wts AS MATERIALIZED (
+              SELECT b AS bucket, c AS cls,
+                     {_H60.format(x="'wt:' || b || ':' || c")} % 1001 - 500 AS wt
+              FROM (SELECT unnest(generate_series(0, 4095)) AS b)
+              CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c)),
+            sc AS (
+              SELECT f.doc_id,
+                     coalesce(sum(CASE WHEN cls = 0 THEN wt END), 0)::BIGINT AS score_0,
+                     coalesce(sum(CASE WHEN cls = 1 THEN wt END), 0)::BIGINT AS score_1,
+                     coalesce(sum(CASE WHEN cls = 2 THEN wt END), 0)::BIGINT AS score_2
+              FROM feats f JOIN wts USING (bucket) GROUP BY f.doc_id),
+            allsc AS (
+              SELECT d.doc_id, coalesce(score_0, 0) AS score_0,
+                     coalesce(score_1, 0) AS score_1,
+                     coalesce(score_2, 0) AS score_2
+              FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id))
+            SELECT doc_id, score_0, score_1, score_2,
+                   CASE WHEN score_0 >= score_1 AND score_0 >= score_2 THEN 0
+                        WHEN score_1 >= score_2 THEN 1 ELSE 2 END AS label,
+                   list_reverse_sort([score_0, score_1, score_2])[1]
+                   - list_reverse_sort([score_0, score_1, score_2])[2] AS margin
+            FROM allsc""",
+        "countmin_freq": f"""
+            WITH pairs AS (
+              SELECT ({_H60.format(x="user_id::VARCHAR || chr(35) || 'a'")}
+                      + j * {_H60.format(x="user_id::VARCHAR || chr(35) || 'b'")})
+                     % 256 AS pos, j
+              FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+            sk AS MATERIALIZED (
+              SELECT j, pos, count(*)::BIGINT AS cnt FROM pairs GROUP BY j, pos),
+            probes AS MATERIALIZED (
+              SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0),
+            pq AS (
+              SELECT user_id, j,
+                     ({_H60.format(x="user_id::VARCHAR || chr(35) || 'a'")}
+                      + j * {_H60.format(x="user_id::VARCHAR || chr(35) || 'b'")})
+                     % 256 AS pos
+              FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+            est AS (
+              SELECT pq.user_id, min(coalesce(sk.cnt, 0)) AS est
+              FROM pq LEFT JOIN sk USING (j, pos) GROUP BY pq.user_id),
+            exact AS (
+              SELECT user_id, count(*)::BIGINT AS exact FROM events
+              WHERE user_id % 17 = 0 GROUP BY user_id)
+            SELECT user_id, est, exact, est - exact AS overcount
+            FROM est JOIN exact USING (user_id)""",
         "link_pagerank": _sql_pagerank(4),
         "image_near_dup_jpeg": f"""
             WITH {_DHASH_JPEG_ORACLE_CTES},

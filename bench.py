@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "redact_pii",
     "dedup_paragraphs",
     "dup_spans",  # ExactSubstr: corpus-wide duplicated k-token spans
+    "classifier_score",  # hashed-ngram linear classifier, broadcast weights
+    "countmin_freq",  # count-min sketch build + probe
     "ngram_contamination",
     "bloom_decontamination",  # sketch-compressed blocklist, join-free probe
     "bpe_tokenize",  # BPE train (distinct-word table) + broadcast encode

@@ -209,3 +209,49 @@ def bloom_contamination(corpus: DataFrame, id_col: str, text_col: str,
         .agg(F.sum(hit.cast("int")).cast("bigint").alias("n_hits"))
         .select(id_col, "n_hits", (F.col("n_hits") >= 1).alias("contaminated"))
     )
+
+
+# ------------------------------------------------------------- count-min ----
+def countmin_build(df: DataFrame, value_col: str, depth: int = 4,
+                   width: int = 256) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over a column,
+    as sparse counter rows (j, pos, cnt) — row j's counter at
+    pos = (h1 + j·h2) mod width, Kirsch–Mitzenmacher double hashing
+    like the Bloom filter above (two md5s per value total).
+
+    The frequency-estimation dual of ``bloom_build``: depth×width
+    integers summarize the full frequency table; estimates only ever
+    OVER-count (by ≤ εN with ε=e/width at δ=e^-depth confidence).
+    Mergeable: union of streams = SUM of matching (j, pos) counters —
+    the property that lets 1000 executors sketch partitions
+    independently and a tiny reduce combine them.
+
+    100 TB shape: build is one partial-agged groupBy over
+    depth × n_rows narrow pairs; the sketch (depth·width rows,
+    config-bounded, never data-bounded) then BROADCASTS to whatever
+    probes it — heavy-hitter screening without shuffling the corpus
+    (exact top-k by groupBy pays a full shuffle of the key universe;
+    the sketch is the pre-filter that makes that affordable)."""
+    pos = _bloom_positions(value_col, width, depth)
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), p.alias("pos"))
+        for j, p in enumerate(pos)
+    ])).alias("x")).select("x.j", "x.pos")
+    return (pairs.groupBy("j", "pos")
+            .agg(F.count("*").cast("bigint").alias("cnt")))
+
+
+def countmin_estimate(items: DataFrame, value_col: str, sketch: DataFrame,
+                      depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-query the sketch for each item: est = min over rows j of
+    counter[(j, pos_j(item))], absent counters read 0. The sketch side
+    broadcasts; items never shuffle before their verdict (the final
+    per-item min is keyed by the item itself, map-side combinable)."""
+    pos = _bloom_positions(value_col, width, depth)
+    probes = items.select(F.col(value_col), F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), p.alias("pos"))
+        for j, p in enumerate(pos)
+    ])).alias("x")).select(value_col, "x.j", "x.pos")
+    joined = probes.join(F.broadcast(sketch), ["j", "pos"], "left")
+    return (joined.groupBy(value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))

@@ -1,0 +1,143 @@
+"""Hashed linear classifier + count-min sketch vs Python references."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+from montandon_etl_spark.operators.classifier import (
+    feature_class_counts,
+    hashed_features,
+    score_hashed_linear,
+    seeded_weights,
+)
+from montandon_etl_spark.operators.sketches import countmin_build, countmin_estimate
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_features(text: str, b: int) -> list[int]:
+    # engine semantics: split(trim('')) is [''] — one empty token
+    s = text.strip()
+    w = s.split() if s else [""]
+    out = [_h60(x) % b for x in w]
+    out += [_h60(f"{w[i]}_{w[i+1]}") % b for i in range(len(w) - 1)]
+    return out
+
+
+def _ref_weight(bucket: int, cls: int) -> int:
+    return _h60(f"wt:{bucket}:{cls}") % 1001 - 500
+
+
+def _corpus(seed: int, n: int = 25) -> dict[int, str]:
+    rng = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(60)]
+    return {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for d in range(n)
+    }
+
+
+def test_features_match_reference(spark):
+    docs = _corpus(5)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {}
+    for r in hashed_features(df, "doc_id", "text", 512).collect():
+        got.setdefault(r.doc_id, []).append(r.bucket)
+    for d, t in docs.items():
+        assert sorted(got.get(d, [])) == sorted(_ref_features(t, 512)), d
+
+
+def test_scores_exact_and_tiebreak(spark):
+    docs = _corpus(9)
+    docs[100] = ""  # empty text -> one '' token, still scored
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    wts = seeded_weights(spark, 256, 3)
+    out = {r.doc_id: r for r in
+           score_hashed_linear(df, "doc_id", "text", wts, 256, 3).collect()}
+    assert set(out) == set(docs)
+    for d, t in docs.items():
+        feats = _ref_features(t, 256)
+        scores = [sum(_ref_weight(b, c) for b in feats) for c in range(3)]
+        r = out[d]
+        assert [r.score_0, r.score_1, r.score_2] == scores, d
+        top = max(scores)
+        assert r.label == scores.index(top)  # smallest index on ties
+        assert r.margin == top - sorted(scores, reverse=True)[1]
+
+
+def test_weights_broadcast_in_plan(spark):
+    docs = _corpus(2)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    wts = seeded_weights(spark, 256, 2)
+    plan = score_hashed_linear(df, "doc_id", "text", wts, 256, 2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # weight table never shuffles the corpus
+
+
+def test_feature_class_counts(spark):
+    docs = {0: "a b a", 1: "a c"}
+    labels = {0: 0, 1: 1}
+    df = spark.createDataFrame(
+        [(d, t, labels[d]) for d, t in docs.items()],
+        "doc_id long, text string, y int",
+    )
+    got = {(r.bucket, r.cls): r.n for r in
+           feature_class_counts(df, "doc_id", "text", "y", 64).collect()}
+    want: dict[tuple[int, int], int] = {}
+    for d, t in docs.items():
+        for b in _ref_features(t, 64):
+            k = (b, labels[d])
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+# ------------------------------------------------------------- count-min ----
+def _km_pos(v: str, j: int, width: int) -> int:
+    return (_h60(v + "#a") + j * _h60(v + "#b")) % width
+
+
+def test_countmin_never_undercounts(spark):
+    rng = random.Random(13)
+    vals = [rng.randint(0, 40) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = countmin_build(df, "v", depth=4, width=64)
+    items = spark.createDataFrame([(v,) for v in set(vals)], "v long")
+    est = {r.v: r.est for r in countmin_estimate(items, "v", sk, 4, 64).collect()}
+    exact: dict[int, int] = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    for v, e in exact.items():
+        assert est[v] >= e, v  # one-sided error
+    # the estimate equals the true min over rows of colliding mass
+    for v in exact:
+        want = min(
+            sum(c for u, c in exact.items()
+                if _km_pos(str(u), j, 64) == _km_pos(str(v), j, 64))
+            for j in range(4)
+        )
+        assert est[v] == want, v
+
+
+def test_countmin_mergeable(spark):
+    a = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    b = spark.createDataFrame([(i % 5,) for i in range(80)], "v long")
+    both = a.union(b)
+    merged = (
+        countmin_build(a, "v", 4, 32).union(countmin_build(b, "v", 4, 32))
+        .groupBy("j", "pos").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = countmin_build(both, "v", 4, 32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_countmin_absent_item_bounded(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    sk = countmin_build(df, "v", depth=4, width=1024)
+    items = spark.createDataFrame([(999999,)], "v long")
+    [r] = countmin_estimate(items, "v", sk, 4, 1024).collect()
+    assert 0 <= r.est <= 50  # absent item: only collision mass
