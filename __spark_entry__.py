@@ -2270,12 +2270,123 @@ def q_countmin_freq(spark, sf):
                     (F.col("est") - F.col("exact")).alias("overcount")))
 
 
+def _packed_docs(spark, sf, budget=256, n_shards=16):
+    from montandon_etl_spark.operators.packing import sequence_pack
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws"),
+    )
+    return sequence_pack(toks, "doc_id", "n_ws", budget=budget,
+                         n_shards=n_shards)
+
+
+def q_sequence_pack(spark, sf):
+    """Cross-document sequence packing (operators/packing.py): whole
+    documents greedily first-fit into 256-token training sequences
+    within 16 hash shards. Sequential state per shard rides a
+    metadata-only applyInPandas; the oracle replays the identical
+    greedy recurrence as a DuckDB recursive CTE."""
+    return _packed_docs(spark, sf)
+
+
+def q_sequence_pack_stats(spark, sf):
+    """Per-sequence utilization (padding waste) of the same packing —
+    one partial aggregation over (shard, seq_id)."""
+    from montandon_etl_spark.operators.packing import pack_stats
+
+    return pack_stats(_packed_docs(spark, sf), budget=256)
+
+
+def q_zorder_cells(spark, sf):
+    """Morton (Z-order) interleave over (value-cents, hour-of-day) —
+    the clustering key a z-ordered compaction sorts by
+    (lake/zorder.py). Pure int64 shift/mask math inside whole-stage
+    codegen; the oracle replays the identical bit layout, so the cell
+    ids match exactly — the determinism contract that lets a DuckDB
+    oracle audit the lake's physical layout."""
+    from montandon_etl_spark.lake.zorder import quantize, zvalue
+
+    ev = _t(spark, sf, "events")
+    x = F.round(F.col("value") * 100).cast("bigint")
+    y = F.hour(F.col("ts").cast("timestamp")).cast("bigint")
+    z = zvalue([quantize(x, 0, 65535, 8), quantize(y, 0, 23, 8)], 8)
+    return (
+        ev.withColumn("z", z)
+        .groupBy("z")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        )
+    )
+
+
+def _zorder_lake_fixture(spark, sf):
+    """Events replayed as a 2-batch CDC changelog into a SnapshotTable
+    (batch 1 moves every 11th key's value up 100000 with a higher seq),
+    then a Z-order clustered compaction on (value_cents, user_id)."""
+    import tempfile
+
+    from montandon_etl_spark.lake.format import Field
+    from montandon_etl_spark.lake.table import SnapshotTable
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("seq"),
+        F.format_string("%020d", F.col("event_id")).alias("k"),
+        F.lit("upsert").alias("op"),
+        F.col("user_id"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    t = SnapshotTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="mzo_"), "zt"),
+        fields=[
+            Field(1, "k", "string", False),
+            Field(2, "user_id", "bigint", True),
+            Field(3, "value_cents", "bigint", True),
+        ],
+        n_buckets=8,
+        key_col="k",
+        order_cols=("seq",),
+    )
+    t.merge(spark, ev, batch_id=0)
+    upd = (
+        ev.filter(F.col("seq") % 11 == 0)
+        .withColumn("value_cents", F.col("value_cents") + F.lit(100_000))
+        .withColumn("seq", F.col("seq") + F.lit(1_000_000_000))
+    )
+    t.merge(spark, upd, batch_id=1)
+    t.compact(spark, cluster_by=["value_cents", "user_id"],
+              target_file_rows=256)
+    return t
+
+
+def q_zorder_pruned_scan(spark, sf):
+    """End-to-end Z-order range scan: CDC merges -> clustered
+    compaction -> read(range_filters=...) with file-level pruning on
+    the harvested col_stats (plus the post-LWW row filter). The oracle
+    is the same predicate over a plain LWW materialization — pruning
+    must be invisible to semantics, including the every-11th keys whose
+    newer version moved OUT of the filter box."""
+    t = _zorder_lake_fixture(spark, sf)
+    out = t.read(
+        spark, range_filters={"value_cents": (1000, 3000), "user_id": (0, 49)}
+    )
+    return out.select(
+        F.col("k").cast("bigint").alias("event_id"), "user_id", "value_cents"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # never-yet-driver-sampled queries lead: the driver samples a
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "sequence_pack": q_sequence_pack,
+        "sequence_pack_stats": q_sequence_pack_stats,
+        "zorder_cells": q_zorder_cells,
+        "zorder_pruned_scan": q_zorder_pruned_scan,
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "classifier_score": q_classifier_score,
@@ -2378,7 +2489,66 @@ def oracle_sql() -> dict[str, str]:
       WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 'unknown_type'
       WHEN NOT starts_with(props, '{') THEN 'bad_props'
       ELSE NULL END"""
+    from montandon_etl_spark.lake.zorder import quantize_sql, zvalue_sql
+
+    _zq = zvalue_sql(
+        [quantize_sql("x", 0, 65535, 8), quantize_sql("y", 0, 23, 8)], 8
+    )
+    _pack_ctes = """toks AS MATERIALIZED (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+              FROM documents),
+            sharded AS MATERIALIZED (
+              SELECT doc_id, n_toks, h, h % 16 AS shard,
+                     row_number() OVER (PARTITION BY h % 16
+                                        ORDER BY h, doc_id) AS rn
+              FROM toks),
+            pack AS (
+              SELECT shard, rn, doc_id, n_toks,
+                     0::BIGINT AS seq_id, 0::BIGINT AS tok_offset
+              FROM sharded WHERE rn = 1
+              UNION ALL
+              SELECT s.shard, s.rn, s.doc_id, s.n_toks,
+                     CASE WHEN p.tok_offset + p.n_toks + s.n_toks > 256
+                          THEN p.seq_id + 1 ELSE p.seq_id END,
+                     CASE WHEN p.tok_offset + p.n_toks + s.n_toks > 256
+                          THEN 0::BIGINT ELSE p.tok_offset + p.n_toks END
+              FROM pack p
+              JOIN sharded s ON s.shard = p.shard AND s.rn = p.rn + 1)"""
     oracles = {
+        "sequence_pack": f"""
+            WITH RECURSIVE {_pack_ctes}
+            SELECT shard, doc_id, seq_id, tok_offset, n_toks FROM pack""",
+        "sequence_pack_stats": f"""
+            WITH RECURSIVE {_pack_ctes}
+            SELECT shard, seq_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS seq_toks,
+                   CAST(least(100::HUGEINT, (SUM(n_toks) * 100) // 256)
+                        AS BIGINT) AS fill_ratio_pct
+            FROM pack GROUP BY shard, seq_id""",
+        "zorder_cells": f"""
+            WITH b AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                     CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y,
+                     value
+              FROM events)
+            SELECT {_zq} AS z,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+            FROM b GROUP BY 1""",
+        "zorder_pruned_scan": """
+            WITH cur AS (
+              SELECT event_id, user_id,
+                     CASE WHEN event_id % 11 = 0
+                          THEN CAST(round(value * 100) AS BIGINT) + 100000
+                          ELSE CAST(round(value * 100) AS BIGINT)
+                     END AS value_cents
+              FROM events)
+            SELECT event_id, user_id, value_cents FROM cur
+            WHERE value_cents BETWEEN 1000 AND 3000
+              AND user_id BETWEEN 0 AND 49""",
         "dup_spans": f"""
             WITH {_DUP_SPAN_CTES}
             SELECT doc_id, span_start, span_end, span_len, n_windows FROM spans""",

@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "bpe_tokenize",  # BPE train (distinct-word table) + broadcast encode
     "chunk_documents",  # token-budget packing over the same vocab
     "pps_sample",  # two-phase bucketed PPS cumsum (no global sort)
+    "zorder_pruned_scan",  # CDC merges -> z-clustered compact -> pruned range read
+    "sequence_pack_stats",  # cross-doc greedy packing + per-sequence utilization
     "ann_topk_ivfpq",  # coarse-cell prune + product-quantization scoring
     "incremental_ann_topk_pq",  # CDC-maintained PQ-code postings
     "mv_source_extremes",  # CDF-maintained MIN/MAX w/ retraction rescan

@@ -162,12 +162,28 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         buckets: Iterable[int] | None = None,
         point_lookup: str | None = None,
+        range_filters: dict | None = None,
     ) -> list[dict]:
         """The manifest after pruning: bucket pruning (partition-level —
         only the matching buckets' manifest files are even OPENED) then
         per-file key min/max pruning (file-level, Iceberg-style). A file
         written before stats existed (key_min/key_max absent or None) is
-        conservatively kept."""
+        conservatively kept.
+
+        ``range_filters`` ({col: (lo, hi)}, either bound None for
+        open-ended) prunes on the ``col_stats`` a Z-ordered compaction
+        harvested. MOR-correctness guard: files are pruned ONLY inside
+        buckets where every entry (a) came from ONE commit — i.e. the
+        bucket was fully rewritten by that commit and holds exactly one
+        live row per key — and (b) carries stats for every filtered
+        column. With any later delta present, dropping a non-matching
+        z-file could orphan the OLD version of a key the delta moved
+        out of range... except the delta is exactly the file that would
+        out-vote it, and if the delta itself is pruned the old in-range
+        row resurfaces. One-commit buckets have no second version to
+        resurrect, so file pruning there commutes with LWW. Mixed
+        buckets are scanned whole (conservative, correct).
+        """
         snap = self.snapshot(snapshot_id)
         bset = set(buckets) if buckets is not None else None
         manifest = self.io.load_manifest(snap, buckets=bset)
@@ -177,6 +193,34 @@ class SnapshotTable:
                 if m.get("key_min") is None or m.get("key_max") is None
                 or (m["key_min"] <= point_lookup <= m["key_max"])
             ]
+        if range_filters:
+            norm = {
+                c: (self._stat_norm(lo), self._stat_norm(hi))
+                for c, (lo, hi) in range_filters.items()
+            }
+            by_bucket: dict[int, list[dict]] = {}
+            for m in manifest:
+                by_bucket.setdefault(m["bucket"], []).append(m)
+
+            def matches(m: dict) -> bool:
+                for c, (lo, hi) in norm.items():
+                    mn, mx = m["col_stats"][c]
+                    if mn is None or mx is None:
+                        continue
+                    if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                        return False
+                return True
+
+            manifest = []
+            for b, ents in sorted(by_bucket.items()):
+                commits = {m["path"].split(os.sep)[1] for m in ents}
+                prunable = len(commits) == 1 and all(
+                    all(c in (m.get("col_stats") or {}) for c in norm)
+                    for m in ents
+                )
+                manifest.extend(
+                    [m for m in ents if matches(m)] if prunable else ents
+                )
         return manifest
 
     def read(
@@ -187,8 +231,16 @@ class SnapshotTable:
         buckets: Iterable[int] | None = None,
         resolve: bool = True,
         point_lookup: str | None = None,
+        range_filters: dict | None = None,
     ) -> DataFrame:
         """Read table state at a snapshot (HEAD by default).
+
+        ``range_filters`` ({col: (lo, hi)}): file-level pruning on the
+        col_stats a Z-ordered compaction harvested (see
+        ``manifest_entries`` for the MOR-correctness guard), plus the
+        equivalent row filter applied AFTER LWW resolution — the
+        predicate selects keys whose CURRENT version matches, exactly
+        as filtering a fully-materialized table would.
 
         Only manifest files are read; bucket pruning (``buckets=``)
         skips files whose bucket can't match — the lake-format
@@ -205,7 +257,8 @@ class SnapshotTable:
         """
         snap = self.snapshot(snapshot_id)
         manifest = self.manifest_entries(
-            snapshot_id=snap["snapshot_id"], buckets=buckets, point_lookup=point_lookup
+            snapshot_id=snap["snapshot_id"], buckets=buckets,
+            point_lookup=point_lookup, range_filters=range_filters,
         )
 
         current = self.current_fields(snap)
@@ -235,6 +288,12 @@ class SnapshotTable:
             out = lww_latest(out, keys=props["key_col"], order_cols=props["order_cols"])
         if not include_tombstones:
             out = out.filter(F.col("op") == F.lit("upsert")).drop("op")
+        if range_filters:
+            for c, (lo, hi) in range_filters.items():
+                if lo is not None:
+                    out = out.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    out = out.filter(F.col(c) <= F.lit(hi))
         return out
 
     # ------------------------------------------------------------------ merge
@@ -556,11 +615,33 @@ class SnapshotTable:
         return self.snapshot()
 
     def compact(self, spark: SparkSession, buckets: list[int] | None = None,
-                tombstone_horizon: int | None = None) -> dict:
+                tombstone_horizon: int | None = None,
+                cluster_by: list[str] | None = None,
+                cluster_bits: int = 8,
+                target_file_rows: int | None = None) -> dict:
         """Rewrite buckets' delta files to one resolved file each
         (read-side LWW materialized). Tombstones are preserved by
         default — a compaction must not forget deletes, or a late older
         upsert could resurrect a deleted key.
+
+        ``cluster_by``: Z-order the rewrite on these columns (numeric /
+        timestamp) instead of the 1-D key sort: bits interleave so each
+        output file covers a tight hyper-rectangle of the value space,
+        per-file min/max stats land in the manifest (``col_stats``),
+        and ``read(range_filters=...)`` prunes files the filter cannot
+        match — the Delta OPTIMIZE ZORDER BY / Iceberg sort-order move.
+        Combine with ``target_file_rows`` (maxRecordsPerFile) so a
+        bucket splits into several z-contiguous files; one giant file
+        per bucket has full-range stats and prunes nothing. The z-sort
+        rides the compaction shuffle's sortWithinPartitions slot and
+        the range agg is one 1-row job — no extra shuffle either way.
+
+        Clustering is STICKY: a clustered compaction records its
+        columns in table properties (``stats_cols``), and later
+        compactions — including the amortized auto-compactions MERGE
+        triggers — default to the same layout, so churned buckets
+        regain their pruning power without the caller re-specifying.
+        Pass ``cluster_by=[]`` to explicitly rewrite key-sorted.
 
         ``tombstone_horizon`` is the delete-GC knob: a tombstone whose
         winning ``seq`` is <= the horizon is physically dropped during
@@ -575,14 +656,22 @@ class SnapshotTable:
         """
         snap = self.snapshot()
         props = snap["properties"]
+        if cluster_by is None:
+            cluster_by = list(props.get("stats_cols", [])) or None
+        if target_file_rows is None:
+            # sticky with the layout: one giant file per bucket would
+            # carry full-range stats and prune nothing
+            target_file_rows = props.get("target_file_rows")
         if buckets is None:
             counts: dict[int, int] = {}
             for m in self.io.load_manifest(snap):
                 counts[m["bucket"]] = counts.get(m["bucket"], 0) + 1
             # plain compaction targets multi-file buckets; a tombstone-GC
             # pass must visit single-file buckets too (their one file can
-            # still hold droppable tombstones)
-            min_files = 1 if tombstone_horizon is not None else 2
+            # still hold droppable tombstones), and a clustered rewrite
+            # must too (re-laying-out one big file into z-contiguous
+            # splits is the whole point)
+            min_files = 1 if (tombstone_horizon is not None or cluster_by) else 2
             buckets = sorted(b for b, c in counts.items() if c >= min_files)
         if not buckets:
             return snap
@@ -595,22 +684,52 @@ class SnapshotTable:
             resolved = resolved.filter(
                 ~((F.col("op") == F.lit("delete")) & (F.col(seqk) <= tombstone_horizon))
             )
+        sort_cols = [_BUCKET_COL, props["key_col"]]
+        drop_cols: list[str] = []
+        if cluster_by:
+            from montandon_etl_spark.lake.zorder import quantize, zvalue
+
+            longs = [self._stats_long_col(c, snap) for c in cluster_by]
+            rng = resolved.agg(*[
+                f for i, c in enumerate(longs)
+                for f in (F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}"))
+            ]).first()  # 1 row: bounded driver work
+            qs = [
+                quantize(c, rng[f"_lo{i}"] or 0, rng[f"_hi{i}"] or 0, cluster_bits)
+                for i, c in enumerate(longs)
+            ]
+            resolved = resolved.withColumn("_zv", zvalue(qs, cluster_bits))
+            sort_cols = [_BUCKET_COL, "_zv"]
+            drop_cols = ["_zv"]
         out_dir = self.io.commit_data_dir(next_sid)
-        (
+        writer = (
             resolved.repartition(max(1, min(len(buckets), 32)), F.col(_BUCKET_COL))
-            # key-clustered layout (1-D z-order): sorting within the
-            # bucket partition tightens parquet row-group and manifest
-            # key min/max, so point lookups prune harder; rides the
-            # compaction shuffle's sort slot — no extra exchange
-            .sortWithinPartitions(_BUCKET_COL, props["key_col"])
+            # clustered layout: the 1-D key sort tightens key min/max
+            # for point-lookup pruning; the z-variant instead tightens
+            # cluster_by col stats for range pruning. Either way the
+            # sort rides the compaction shuffle's sort slot — no extra
+            # exchange
+            .sortWithinPartitions(*sort_cols)
+            .drop(*drop_cols)
             .write.mode("overwrite")
-            .partitionBy(_BUCKET_COL)
-            .parquet(out_dir)
         )
-        new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
+        if target_file_rows:
+            writer = writer.option("maxRecordsPerFile", target_file_rows)
+        writer.partitionBy(_BUCKET_COL).parquet(out_dir)
+        new_entries = self._scan_commit_dir(
+            next_sid, snap["schema_version"],
+            stats_cols=list(cluster_by) if cluster_by else None,
+        )
         manifest_files, _ = self._commit_manifests(
             next_sid, snap, new_entries, replaced_buckets=buckets
         )
+        props_out = dict(props)
+        if cluster_by:
+            # future MOR deltas harvest the same col stats, so later
+            # clustered compactions keep their pruning power
+            props_out["stats_cols"] = list(cluster_by)
+            if target_file_rows:
+                props_out["target_file_rows"] = int(target_file_rows)
         new_snap = {
             "snapshot_id": next_sid,
             "parent_id": snap["snapshot_id"],
@@ -619,7 +738,7 @@ class SnapshotTable:
             "schema_version": snap["schema_version"],
             "schemas": snap["schemas"],
             "manifest_files": manifest_files,
-            "properties": props,
+            "properties": props_out,
             "offsets": snap["offsets"],
             "metrics": {
                 "rows_written": sum(e["rows"] for e in new_entries),
@@ -650,13 +769,42 @@ class SnapshotTable:
             exprs.append((F.col(src) if src else F.lit(None)).cast(f.type).alias(f.name))
         return df.select(*exprs)
 
-    def _scan_commit_dir(self, snapshot_id: int, schema_version: int) -> list[dict]:
+    def _stats_long_col(self, name: str, snap: dict) -> F.Column:
+        """A cluster/stats column normalized to bigint for quantizing:
+        timestamps → epoch micros (cast to TIMESTAMP first —
+        unix_micros rejects TIMESTAMP_NTZ), numerics → bigint."""
+        typed = {f.name: f.type for f in self.current_fields(snap)}
+        c = F.col(name)
+        if typed.get(name, "").startswith("timestamp"):
+            c = F.unix_micros(c.cast("timestamp"))
+        return c.cast("bigint")
+
+    @staticmethod
+    def _stat_norm(v):
+        """Footer stat → JSON-storable comparable: datetimes become
+        epoch micros (int), bytes decode, numerics/strings pass."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            import pandas as pd
+
+            return int(pd.Timestamp(v).value // 1000)
+        if isinstance(v, (bytes, bytearray)):
+            return v.decode("utf-8", "replace")
+        return v
+
+    def _scan_commit_dir(self, snapshot_id: int, schema_version: int,
+                         stats_cols: list[str] | None = None) -> list[dict]:
         """Enumerate data files a commit just wrote, with bucket + rows
         + per-file key min/max (Iceberg-style file stats, harvested from
         the parquet footers' column statistics — zero extra data reads).
         Point lookups prune on these WITHIN a bucket: a key's bucket may
         hold hundreds of files but only those whose [key_min, key_max]
-        covers the key are scanned. Footer reads fan out over a thread
+        covers the key are scanned. ``stats_cols`` (defaults to the
+        table's ``stats_cols`` property, set by a clustered compaction)
+        additionally harvests per-file min/max for those columns into
+        ``col_stats`` — the range-pruning metadata behind
+        ``read(range_filters=...)``. Footer reads fan out over a thread
         pool — this runs on the driver between jobs, so serial I/O here
         is Amdahl overhead."""
         from concurrent.futures import ThreadPoolExecutor
@@ -664,8 +812,27 @@ class SnapshotTable:
         import pyarrow.parquet as pq
 
         key_col = self.properties["key_col"]
+        if stats_cols is None:
+            stats_cols = list(self.properties.get("stats_cols", []))
         out_dir = self.io.commit_data_dir(snapshot_id)
         paths = sorted(glob.glob(os.path.join(out_dir, f"{_BUCKET_COL}=*", "*.parquet")))
+
+        def col_minmax(md, name: str):
+            """(min, max) across row groups for a leaf column, or None."""
+            rg0 = md.row_group(0)
+            idx = next(
+                (i for i in range(rg0.num_columns)
+                 if rg0.column(i).path_in_schema == name), -1)
+            if idx < 0:
+                return None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            return (self._stat_norm(mn), self._stat_norm(mx))
 
         def entry(p: str) -> dict | None:
             md = pq.ParquetFile(p).metadata
@@ -697,8 +864,16 @@ class SnapshotTable:
                         key_max = st.max if key_max is None else max(key_max, st.max)
             except Exception:
                 key_min = key_max = None  # stats are an optimization, never a failure
+            col_stats = {}
+            for c in stats_cols:
+                try:
+                    mm = col_minmax(md, c)
+                except Exception:
+                    mm = None  # stats are an optimization, never a failure
+                if mm is not None:
+                    col_stats[c] = [mm[0], mm[1]]
             m = re.search(rf"{_BUCKET_COL}=(\d+)", p)
-            return {
+            out = {
                 "path": os.path.relpath(p, self.path),
                 "bucket": int(m.group(1)),
                 "rows": rows,
@@ -706,6 +881,9 @@ class SnapshotTable:
                 "key_min": key_min,
                 "key_max": key_max,
             }
+            if col_stats:
+                out["col_stats"] = col_stats
+            return out
 
         with ThreadPoolExecutor(max_workers=16) as ex:
             return [e for e in ex.map(entry, paths) if e is not None]

@@ -37,7 +37,11 @@ class CdcPipelinePlan:
     # maintenance policy: ``ordered_source`` asserts the changelog is
     # globally seq-ordered (WAL/binlog tail) → tombstones are GC'd at
     # amortized compactions; ``retention_snapshots`` expires snapshots
-    # beyond the newest N so a forever-running tail's disk is bounded
+    # beyond the newest N so a forever-running tail's disk is bounded.
+    # Layout: one explicit table().compact(cluster_by=[...],
+    # target_file_rows=N) z-orders the table ONCE; clustering is sticky
+    # (lake/table.py), so this plan's amortized auto-compactions keep
+    # re-clustering churned buckets with no per-batch configuration
     ordered_source: bool = False
     retention_snapshots: int | None = None
     compact_threshold: int = 8
