@@ -21,14 +21,23 @@ metadata bytes over the table's life); this form writes ~10 small
 files. Reading a snapshot is HEAD → snapshot json → the bucket
 manifests the query's pruning actually needs.
 
-Commit protocol (crash-safe, single-writer):
+Commit protocol (crash-safe, optimistic-concurrency):
   1. data files are written under ``data/s<next>/``, manifest files
      under ``_meta/manifests/m-<next>-*`` (neither is referenced until
      the snapshot commits — a crash leaves ignorable orphans);
-  2. ``snapshot-<n>.json`` is written to a temp name and ``os.replace``d;
+  2. under ``_meta/COMMIT.lock`` (O_EXCL; stale locks from crashed
+     writers are broken after a grace period) the writer verifies
+     HEAD still equals the snapshot's ``parent_id`` and atomically
+     CLAIMS ``snapshot-<n>.json`` via ``os.link`` (EEXIST = another
+     writer took this id) — a lost-update race raises
+     :class:`CommitConflict` instead of silently clobbering HEAD;
   3. ``HEAD`` is swapped by ``os.replace`` (atomic on POSIX).
 A reader always follows HEAD → snapshot json → manifests, so it sees
-either the old or the new snapshot, never a torn state.
+either the old or the new snapshot, never a torn state. A conflicted
+writer re-reads HEAD and retries its commit; MERGE's batchId-keyed
+idempotency makes the retry exactly-once. (On an object store the
+lock+link pair maps to a catalog conditional-put / compare-and-swap —
+the same shape Iceberg and Delta use; local POSIX primitives here.)
 """
 
 from __future__ import annotations
@@ -48,8 +57,20 @@ class Field:
     nullable: bool = True
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed since this snapshot's parent was read
+    (or claimed the same snapshot id). Re-read HEAD, rebuild the
+    commit against it, and retry — MERGE retries are exactly-once via
+    the committed-batchId check."""
+
+
 class TableMetadataIO:
     """Reads/writes the _meta directory of one table."""
+
+    #: a COMMIT.lock older than this is treated as left by a crashed
+    #: writer and broken (a live commit holds it for milliseconds)
+    LOCK_STALE_SEC = 60.0
+    LOCK_WAIT_SEC = 10.0
 
     def __init__(self, table_path: str):
         self.table_path = table_path
@@ -93,24 +114,85 @@ class TableMetadataIO:
         with open(self.snapshot_path(snapshot_id), encoding="utf-8") as f:
             return json.load(f)
 
+    def _acquire_commit_lock(self) -> int:
+        import time
+
+        lock = os.path.join(self.meta_dir, "COMMIT.lock")
+        deadline = time.monotonic() + self.LOCK_WAIT_SEC
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                return fd
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                    if age > self.LOCK_STALE_SEC:
+                        os.unlink(lock)  # crashed writer; race here is
+                        continue  # re-resolved by the O_EXCL open
+                except OSError:
+                    continue  # holder released between stat and unlink
+                if time.monotonic() > deadline:
+                    raise CommitConflict(
+                        f"commit lock held for >{self.LOCK_WAIT_SEC}s "
+                        f"by another writer: {lock}"
+                    )
+                time.sleep(0.05)
+
     def write_snapshot_and_swap_head(self, snap: dict) -> None:
-        """Steps 2+3 of the commit protocol: immutable snapshot json,
-        then atomic HEAD swap."""
+        """Steps 2+3 of the commit protocol: verify parent under the
+        commit lock, atomically claim the immutable snapshot json,
+        then swap HEAD. Raises :class:`CommitConflict` on a lost-update
+        race with a concurrent writer."""
         sid = snap["snapshot_id"]
         snap_path = self.snapshot_path(sid)
-        tmp = snap_path + ".tmp"
+        tmp = snap_path + f".tmp.{os.getpid()}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(snap, f, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, snap_path)
 
-        head_tmp = self.head_path() + ".tmp"
-        with open(head_tmp, "w", encoding="utf-8") as f:
-            f.write(str(sid))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(head_tmp, self.head_path())
+        fd = self._acquire_commit_lock()
+        try:
+            parent = snap.get("parent_id")
+            if parent is not None:
+                cur = self.head_snapshot_id()
+                if cur != parent:
+                    raise CommitConflict(
+                        f"HEAD moved to {cur} while this commit was built "
+                        f"against parent {parent}; re-read and retry"
+                    )
+            try:
+                os.link(tmp, snap_path)  # atomic claim: EEXIST = taken
+            except FileExistsError:
+                # claimed but never published (HEAD behind sid) = a
+                # writer crashed between claim and swap; the orphan is
+                # unreachable (readers follow HEAD), so a retry may
+                # reclaim it. HEAD at/past sid = genuinely committed.
+                if self.head_snapshot_id() >= sid:
+                    raise CommitConflict(
+                        f"snapshot id {sid} already committed by another "
+                        f"writer"
+                    ) from None
+                os.unlink(snap_path)
+                os.link(tmp, snap_path)
+
+            head_tmp = self.head_path() + ".tmp"
+            with open(head_tmp, "w", encoding="utf-8") as f:
+                f.write(str(sid))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(head_tmp, self.head_path())
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            os.close(fd)
+            try:
+                os.unlink(os.path.join(self.meta_dir, "COMMIT.lock"))
+            except OSError:
+                pass
 
     # -- manifests -------------------------------------------------------------
     def write_bucket_manifest(
