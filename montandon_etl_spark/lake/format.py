@@ -84,15 +84,25 @@ class TableMetadataIO:
     def head_path(self) -> str:
         return os.path.join(self.meta_dir, "HEAD")
 
-    def commit_data_dir(self, snapshot_id: int) -> str:
-        return os.path.join(self.data_dir, f"s{snapshot_id:08d}")
+    def commit_data_dir(self, snapshot_id: int, token: str | None = None) -> str:
+        """Staging/data directory of one commit ATTEMPT. ``token``
+        (unique per attempt) keeps two writers racing the same next
+        snapshot id in disjoint directories — without it the loser's
+        overwrite-mode Spark write could clobber the winner's files
+        before the winner even commits. Readers never construct these
+        paths; they follow manifest entries."""
+        name = f"s{snapshot_id:08d}" + (f"-{token}" if token else "")
+        return os.path.join(self.data_dir, name)
 
     def manifests_dir(self) -> str:
         return os.path.join(self.meta_dir, "manifests")
 
-    def bucket_manifest_relpath(self, snapshot_id: int, bucket: int) -> str:
+    def bucket_manifest_relpath(
+        self, snapshot_id: int, bucket: int, token: str | None = None
+    ) -> str:
+        tok = f"-{token}" if token else ""
         return os.path.join(
-            "_meta", "manifests", f"m-{snapshot_id:08d}-b{bucket:05d}.json"
+            "_meta", "manifests", f"m-{snapshot_id:08d}{tok}-b{bucket:05d}.json"
         )
 
     # -- io ------------------------------------------------------------------
@@ -144,9 +154,14 @@ class TableMetadataIO:
         commit lock, atomically claim the immutable snapshot json,
         then swap HEAD. Raises :class:`CommitConflict` on a lost-update
         race with a concurrent writer."""
+        from uuid import uuid4
+
         sid = snap["snapshot_id"]
         snap_path = self.snapshot_path(sid)
-        tmp = snap_path + f".tmp.{os.getpid()}"
+        # unique per ATTEMPT (pid is not enough: two writer threads in
+        # one process would interleave writes into a shared tmp and the
+        # winner could publish the loser's bytes)
+        tmp = snap_path + f".tmp.{os.getpid()}.{uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(snap, f, sort_keys=True)
             f.flush()
@@ -196,12 +211,14 @@ class TableMetadataIO:
 
     # -- manifests -------------------------------------------------------------
     def write_bucket_manifest(
-        self, snapshot_id: int, bucket: int, entries: list[dict]
+        self, snapshot_id: int, bucket: int, entries: list[dict],
+        token: str | None = None,
     ) -> str:
         """Write one bucket's manifest file (immutable — the name embeds
-        the committing snapshot id). Returns the table-relative path
-        stored in the snapshot's manifest_files map."""
-        rel = self.bucket_manifest_relpath(snapshot_id, bucket)
+        the committing snapshot id and attempt token). Returns the
+        table-relative path stored in the snapshot's manifest_files
+        map."""
+        rel = self.bucket_manifest_relpath(snapshot_id, bucket, token)
         path = os.path.join(self.table_path, rel)
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from montandon_etl_spark.functions.extract import EXTRACTOR_VERSION
-from montandon_etl_spark.lake.format import Field, TableMetadataIO
+from montandon_etl_spark.lake.format import CommitConflict, Field, TableMetadataIO
 from montandon_etl_spark.operators.lww import lww_latest, lww_latest_salted
 
 # The canonical pages-table user schema (field ids fixed at creation).
@@ -303,6 +303,7 @@ class SnapshotTable:
         parent_snap: dict,
         new_entries: list[dict],
         replaced_buckets: Iterable[int] | None = None,
+        token: str | None = None,
     ) -> tuple[dict, dict]:
         """Write manifest files for the buckets this commit touched and
         carry every other bucket's manifest BY REFERENCE — per-commit
@@ -331,7 +332,7 @@ class SnapshotTable:
                 leg_by_bucket.setdefault(m["bucket"], []).append(m)
             for b, ents in leg_by_bucket.items():
                 if b not in touched:
-                    files[str(b)] = self.io.write_bucket_manifest(next_sid, b, ents)
+                    files[str(b)] = self.io.write_bucket_manifest(next_sid, b, ents, token=token)
         else:
             for b_str, rel in parent_files.items():
                 if int(b_str) not in touched:
@@ -347,7 +348,7 @@ class SnapshotTable:
                 else:
                     prev = []
                 ents = prev + ents
-            files[str(b)] = self.io.write_bucket_manifest(next_sid, b, ents)
+            files[str(b)] = self.io.write_bucket_manifest(next_sid, b, ents, token=token)
             sizes[b] = len(ents)
         return files, sizes
 
@@ -365,6 +366,43 @@ class SnapshotTable:
         enrich=None,
         broadcast_keys: bool | None = None,
         gc_tombstones: bool = False,
+        commit_retries: int = 2,
+    ) -> dict | None:
+        """MERGE with optimistic-concurrency retry: each attempt stages
+        data/manifests under a unique token (two writers racing the
+        same next snapshot id never share a directory), and a
+        :class:`CommitConflict` at the HEAD swap recomputes the merge
+        against the new HEAD — correct in both MOR and COW modes by
+        construction, because nothing staged under the loser's token is
+        reachable and the retry re-reads state. The batchId high-water
+        check re-runs per attempt, so a retry of a batch the winner
+        already committed degrades to the no-op path (exactly-once).
+        See :meth:`_merge_once` for the single-attempt plan story."""
+        from uuid import uuid4
+
+        for attempt in range(commit_retries + 1):
+            try:
+                return self._merge_once(
+                    spark, batch_df, batch_id=batch_id, use_salted=use_salted,
+                    n_salts=n_salts, enrich=enrich,
+                    broadcast_keys=broadcast_keys,
+                    gc_tombstones=gc_tombstones, token=uuid4().hex[:8],
+                )
+            except CommitConflict:
+                if attempt == commit_retries:
+                    raise
+
+    def _merge_once(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: int | None = None,
+        use_salted: bool = False,
+        n_salts: int = 16,
+        enrich=None,
+        broadcast_keys: bool | None = None,
+        gc_tombstones: bool = False,
+        token: str | None = None,
     ) -> dict | None:
         """MERGE a change-event batch into the table (LWW per key).
 
@@ -423,7 +461,7 @@ class SnapshotTable:
         write_mode = props.get("write_mode", "cow")
         elect = lww_latest_salted if use_salted else lww_latest
         kwargs = {"n_salts": n_salts} if use_salted else {}
-        out_dir = self.io.commit_data_dir(next_sid)
+        out_dir = self.io.commit_data_dir(next_sid, token)
 
         if write_mode == "mor":
             # ---- merge-on-read: append batch winners as delta files.
@@ -484,9 +522,11 @@ class SnapshotTable:
                 stats = {"lo": None, "hi": None, "n": 0}
             if stats["n"] == 0:
                 return None
-            new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
+            new_entries = self._scan_commit_dir(
+                next_sid, snap["schema_version"], token=token
+            )
             manifest_files, bucket_sizes = self._commit_manifests(
-                next_sid, snap, new_entries
+                next_sid, snap, new_entries, token=token
             )
             buckets_rewritten = 0
         else:
@@ -565,9 +605,12 @@ class SnapshotTable:
                 merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
             finally:
                 winkeys.unpersist()
-            new_entries = self._scan_commit_dir(next_sid, snap["schema_version"])
+            new_entries = self._scan_commit_dir(
+                next_sid, snap["schema_version"], token=token
+            )
             manifest_files, bucket_sizes = self._commit_manifests(
-                next_sid, snap, new_entries, replaced_buckets=affected
+                next_sid, snap, new_entries, replaced_buckets=affected,
+                token=token,
             )
             buckets_rewritten = len(affected)
 
@@ -592,7 +635,11 @@ class SnapshotTable:
                 else snap["committed_max_batch_id"]
             ),
         }
-        self.io.write_snapshot_and_swap_head(new_snap)
+        try:
+            self.io.write_snapshot_and_swap_head(new_snap)
+        except CommitConflict:
+            self._abort_commit_attempt(next_sid, token, manifest_files)
+            raise
 
         # amortized compaction: any bucket over the delta-file budget
         # gets rewritten to one resolved file set (its own snapshot).
@@ -611,7 +658,12 @@ class SnapshotTable:
             )
             if over:
                 horizon = stats["hi"] if gc_tombstones else None
-                self.compact(spark, buckets=over, tombstone_horizon=horizon)
+                try:
+                    self.compact(spark, buckets=over, tombstone_horizon=horizon)
+                except CommitConflict:
+                    # advisory maintenance lost a race — the buckets
+                    # stay over budget and the next batch re-triggers
+                    pass
         return self.snapshot()
 
     def compact(self, spark: SparkSession, buckets: list[int] | None = None,
@@ -701,7 +753,10 @@ class SnapshotTable:
             resolved = resolved.withColumn("_zv", zvalue(qs, cluster_bits))
             sort_cols = [_BUCKET_COL, "_zv"]
             drop_cols = ["_zv"]
-        out_dir = self.io.commit_data_dir(next_sid)
+        from uuid import uuid4
+
+        token = uuid4().hex[:8]
+        out_dir = self.io.commit_data_dir(next_sid, token)
         writer = (
             resolved.repartition(max(1, min(len(buckets), 32)), F.col(_BUCKET_COL))
             # clustered layout: the 1-D key sort tightens key min/max
@@ -719,9 +774,10 @@ class SnapshotTable:
         new_entries = self._scan_commit_dir(
             next_sid, snap["schema_version"],
             stats_cols=list(cluster_by) if cluster_by else None,
+            token=token,
         )
         manifest_files, _ = self._commit_manifests(
-            next_sid, snap, new_entries, replaced_buckets=buckets
+            next_sid, snap, new_entries, replaced_buckets=buckets, token=token
         )
         props_out = dict(props)
         if cluster_by:
@@ -748,8 +804,31 @@ class SnapshotTable:
             },
             "committed_max_batch_id": snap["committed_max_batch_id"],
         }
-        self.io.write_snapshot_and_swap_head(new_snap)
+        try:
+            self.io.write_snapshot_and_swap_head(new_snap)
+        except CommitConflict:
+            self._abort_commit_attempt(next_sid, token, manifest_files)
+            raise
         return new_snap
+
+    def _abort_commit_attempt(self, next_sid: int, token: str | None,
+                              manifest_files: dict | None) -> None:
+        """Remove everything a LOSING commit attempt staged: its
+        token-unique data directory and the manifest files it wrote
+        (identified by the token in their names — carried-by-reference
+        manifests from the parent are never touched). The winner's
+        files are untouchable by construction: different token."""
+        import shutil
+
+        shutil.rmtree(self.io.commit_data_dir(next_sid, token),
+                      ignore_errors=True)
+        if token:
+            for rel in (manifest_files or {}).values():
+                if f"-{token}-" in os.path.basename(rel):
+                    try:
+                        os.remove(os.path.join(self.path, rel))
+                    except OSError:
+                        pass
 
     def _conform(self, df: DataFrame, snap: dict) -> DataFrame:
         """Project ``df`` onto the snapshot's internal schema. A field
@@ -794,7 +873,8 @@ class SnapshotTable:
         return v
 
     def _scan_commit_dir(self, snapshot_id: int, schema_version: int,
-                         stats_cols: list[str] | None = None) -> list[dict]:
+                         stats_cols: list[str] | None = None,
+                         token: str | None = None) -> list[dict]:
         """Enumerate data files a commit just wrote, with bucket + rows
         + per-file key min/max (Iceberg-style file stats, harvested from
         the parquet footers' column statistics — zero extra data reads).
@@ -814,7 +894,7 @@ class SnapshotTable:
         key_col = self.properties["key_col"]
         if stats_cols is None:
             stats_cols = list(self.properties.get("stats_cols", []))
-        out_dir = self.io.commit_data_dir(snapshot_id)
+        out_dir = self.io.commit_data_dir(snapshot_id, token)
         paths = sorted(glob.glob(os.path.join(out_dir, f"{_BUCKET_COL}=*", "*.parquet")))
 
         def col_minmax(md, name: str):
@@ -1096,25 +1176,64 @@ class SnapshotTable:
         steps 2-3 did not), plus torn ``_meta/*.tmp`` files. Safe by
         construction: files under ``data/s<id>`` are first referenced
         by snapshot ``id`` itself, so an id above HEAD is referenced by
-        nothing. Returns the removed paths."""
+        nothing. Returns the removed paths.
+
+        Run this with NO writer in flight (startup / maintenance): an
+        active concurrent writer's staging dir is indistinguishable
+        from crash debris until its commit publishes."""
         import shutil
 
         removed: list[str] = []
         head = self.io.head_snapshot_id()
         for sdir in sorted(glob.glob(os.path.join(self.io.data_dir, "s*"))):
-            m = re.fullmatch(r"s(\d+)", os.path.basename(sdir))
+            m = re.fullmatch(r"s(\d+)(?:-[0-9a-f]+)?", os.path.basename(sdir))
             if m and int(m.group(1)) > head:
                 shutil.rmtree(sdir, ignore_errors=True)
                 removed.append(sdir)
         # manifest files written by the crashed commit (their name embeds
         # the committing snapshot id, which never reached HEAD)
         for mf in glob.glob(os.path.join(self.io.manifests_dir(), "m-*.json")):
-            m = re.fullmatch(r"m-(\d+)-b\d+\.json", os.path.basename(mf))
+            m = re.fullmatch(r"m-(\d+)(?:-[0-9a-f]+)?-b\d+\.json", os.path.basename(mf))
             if m and int(m.group(1)) > head:
                 os.remove(mf)
                 removed.append(mf)
-        for tmp in glob.glob(os.path.join(self.io.meta_dir, "*.tmp")) + glob.glob(
-            os.path.join(self.io.manifests_dir(), "*.tmp")
+        # loser-attempt debris at or below HEAD: a writer that lost a
+        # commit race and crashed before its own abort leaves a
+        # token-suffixed dir whose id the WINNER published. Such a dir
+        # (and its token's manifest files) is removable iff no retained
+        # snapshot references it — the token makes the check exact
+        # (the winner's files live in a different-token dir).
+        tokened = [
+            d for d in glob.glob(os.path.join(self.io.data_dir, "s*-*"))
+            if (m := re.fullmatch(r"s(\d+)-[0-9a-f]+", os.path.basename(d)))
+            and int(m.group(1)) <= head
+        ]
+        tok_mfs = [
+            mf for mf in glob.glob(os.path.join(self.io.manifests_dir(), "m-*-*-b*.json"))
+            if (m := re.fullmatch(r"m-(\d+)-[0-9a-f]+-b\d+\.json", os.path.basename(mf)))
+            and int(m.group(1)) <= head
+        ]
+        if tokened or tok_mfs:
+            live_dirs: set[str] = set()
+            live_mfs: set[str] = set()
+            for s in self.history():
+                for rel in s.get("manifest_files", {}).values():
+                    live_mfs.add(os.path.basename(rel))
+                for e in self.io.load_manifest(s):
+                    parts = os.path.normpath(e["path"]).split(os.sep)
+                    if len(parts) > 1:
+                        live_dirs.add(parts[1])
+            for d in tokened:
+                if os.path.basename(d) not in live_dirs:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(d)
+            for mf in tok_mfs:
+                if os.path.basename(mf) not in live_mfs:
+                    os.remove(mf)
+                    removed.append(mf)
+        # *.tmp (manifest/HEAD temps) and *.tmp.<pid> (snapshot temps)
+        for tmp in glob.glob(os.path.join(self.io.meta_dir, "*.tmp*")) + glob.glob(
+            os.path.join(self.io.manifests_dir(), "*.tmp*")
         ):
             os.remove(tmp)
             removed.append(tmp)

@@ -208,6 +208,7 @@ def test_orphan_files_ignored(spark, table, small_changelog, tmp_path):
     os.makedirs(os.path.join(d, "_bucket=0"), exist_ok=True)
     import shutil
 
-    src = glob.glob(os.path.join(table.io.commit_data_dir(1), "_bucket=*", "*.parquet"))[0]
+    src = glob.glob(os.path.join(
+        table.io.data_dir, "s00000001*", "_bucket=*", "*.parquet"))[0]
     shutil.copy(src, os.path.join(d, "_bucket=0", "orphan.parquet"))
     assert table.read(spark).count() == n  # manifest is authoritative

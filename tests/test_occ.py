@@ -112,6 +112,122 @@ def test_no_tmp_litter_after_conflict(table):
     assert litter == []
 
 
+def _mkbatch(spark, rows):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        [(seq, url, pd.Timestamp("2024-01-01").to_pydatetime(), "upsert",
+          html.encode()) for seq, url, html in rows],
+        "seq long, url string, warc_ts timestamp, op string, html binary",
+    )
+
+
+def test_merge_retries_through_conflict(spark, table):
+    """A concurrent commit landing between a merge's compute and its
+    HEAD swap forces CommitConflict; the merge retries against the new
+    HEAD and both writers' rows survive (no lost update), with the
+    loser's first-attempt staging debris removed."""
+    import glob as g
+
+    # writer A's competing commit is injected right before writer B's
+    # first swap attempt
+    real_swap = table.io.write_snapshot_and_swap_head
+    fired = {"n": 0}
+
+    def inject_then_swap(snap):
+        if fired["n"] == 0 and snap.get("type") == "merge":
+            fired["n"] = 1
+            a = _child_snap(table)
+            a["type"] = "merge"
+            real_swap(a)  # A wins the race
+        return real_swap(snap)
+
+    table.io.write_snapshot_and_swap_head = inject_then_swap
+    try:
+        out = table.merge(
+            spark, _mkbatch(spark, [(1, "https://b.com/1", "<p>b</p>")]),
+            batch_id=0,
+        )
+    finally:
+        table.io.write_snapshot_and_swap_head = real_swap
+    assert out is not None
+    head = table.snapshot()
+    assert head["type"] == "merge" and head["parent_id"] == 1
+    assert table.read(spark).count() == 1
+    # exactly one staged data dir for the committed sid survives
+    sid = head["snapshot_id"]
+    dirs = g.glob(os.path.join(table.io.data_dir, f"s{sid:08d}-*"))
+    assert len(dirs) == 1, dirs
+    # a redelivery of the same batch after the retry is still a no-op
+    assert table.merge(
+        spark, _mkbatch(spark, [(1, "https://b.com/1", "<p>b</p>")]),
+        batch_id=0,
+    ) is None
+
+
+def test_vacuum_removes_crashed_loser_debris(spark, table):
+    """A loser that crashed before its abort leaves a token dir at the
+    winner's sid; vacuum removes it (unreferenced) and keeps the
+    winner's files."""
+    table.merge(spark, _mkbatch(spark, [(1, "https://a.com/1", "<p>a</p>")]),
+                batch_id=0)
+    sid = table.snapshot()["snapshot_id"]
+    loser = table.io.commit_data_dir(sid, "deadbeef")
+    os.makedirs(os.path.join(loser, "_bucket=0"))
+    with open(os.path.join(loser, "_bucket=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"junk")
+    mf = os.path.join(table.io.manifests_dir(),
+                      f"m-{sid:08d}-deadbeef-b00000.json")
+    with open(mf, "w") as f:
+        f.write("[]")
+    removed = table.vacuum_orphans()
+    assert loser in removed and mf in removed
+    assert table.read(spark).count() == 1
+
+
+def test_two_writers_interleaved_no_lost_updates(spark, table):
+    """Two writer threads interleave merges on the same table (no
+    batch-id coordination — multi-writer mode); every commit must land
+    (retry absorbs conflicts) and the final state equals LWW over the
+    union of all events."""
+    import threading
+
+    def rows_for(writer, j):
+        lo = 1000 * (2 * j + writer)
+        return [(lo + i, f"https://w.com/{(lo + i) % 37}", f"<p>{lo + i}</p>")
+                for i in range(40)]
+
+    batches = {w: [rows_for(w, j) for j in range(3)] for w in (0, 1)}
+    errs = []
+
+    def run(writer):
+        try:
+            for b in batches[writer]:
+                table.merge(spark, _mkbatch(spark, b), batch_id=None,
+                            commit_retries=8)
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(w,)) for w in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    # serial LWW oracle over the union (max seq per url wins)
+    want = {}
+    for w in (0, 1):
+        for b in batches[w]:
+            for seq, url, html in b:
+                if url not in want or seq > want[url][0]:
+                    want[url] = (seq, html)
+    got = {r.url: (r.seq, bytes(r.html).decode())
+           for r in table.read(spark).collect()}
+    assert got == want
+    # 6 merges committed: head is at least 6 (auto-compactions may add)
+    assert table.snapshot()["snapshot_id"] >= 6
+
+
 def test_merge_path_still_commits(spark, table):
     """The normal single-writer MERGE path is unaffected by the OCC
     guards (head advances once per batch)."""
