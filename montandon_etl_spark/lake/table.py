@@ -1249,7 +1249,18 @@ class SnapshotTable:
         ("float", "double"), ("int", "double"),
     }
 
-    def commit_batch_id(self, batch_id: int) -> dict | None:
+    def commit_batch_id(self, batch_id: int, commit_retries: int = 4) -> dict | None:
+        """Retrying wrapper: metadata-only commit, so a CommitConflict
+        retry simply rebuilds against the new HEAD (and the batchId
+        no-op check re-runs, keeping redeliveries exactly-once)."""
+        for attempt in range(commit_retries + 1):
+            try:
+                return self._commit_batch_id_once(batch_id)
+            except CommitConflict:
+                if attempt == commit_retries:
+                    raise
+
+    def _commit_batch_id_once(self, batch_id: int) -> dict | None:
         """Record an epoch that changed neither data nor schema (e.g. a
         DDL-only micro-batch whose DDLs were all already applied) as an
         empty commit carrying the batch high-water mark — so the
@@ -1279,6 +1290,20 @@ class SnapshotTable:
         return new_snap
 
     def apply_ddl(self, op: str, field: str, new_name: str | None = None,
+                  dtype: str | None = None, batch_id: int | None = None,
+                  commit_retries: int = 4) -> dict:
+        """Retrying wrapper (see :meth:`_apply_ddl_once`): DDL commits
+        are schema-only, so a CommitConflict retry revalidates and
+        rebuilds the schema change against the new HEAD."""
+        for attempt in range(commit_retries + 1):
+            try:
+                return self._apply_ddl_once(op, field, new_name=new_name,
+                                            dtype=dtype, batch_id=batch_id)
+            except CommitConflict:
+                if attempt == commit_retries:
+                    raise
+
+    def _apply_ddl_once(self, op: str, field: str, new_name: str | None = None,
                   dtype: str | None = None, batch_id: int | None = None) -> dict:
         """Apply a schema-evolution event as a schema-only snapshot —
         no data file is touched by any of these (Iceberg-style id-based

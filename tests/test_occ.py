@@ -228,6 +228,28 @@ def test_two_writers_interleaved_no_lost_updates(spark, table):
     assert table.snapshot()["snapshot_id"] >= 6
 
 
+def test_ddl_retries_through_conflict(spark, table):
+    """A DDL losing a commit race rebuilds the schema change against
+    the new HEAD and lands on top of it."""
+    real_swap = table.io.write_snapshot_and_swap_head
+    fired = {"n": 0}
+
+    def inject(snap):
+        if fired["n"] == 0 and snap.get("type") == "schema":
+            fired["n"] = 1
+            a = _child_snap(table)
+            real_swap(a)
+        return real_swap(snap)
+
+    table.io.write_snapshot_and_swap_head = inject
+    try:
+        out = table.apply_ddl("add_column", "score", dtype="double")
+    finally:
+        table.io.write_snapshot_and_swap_head = real_swap
+    assert out["parent_id"] == 1
+    assert "score" in [f.name for f in table.user_fields()]
+
+
 def test_merge_path_still_commits(spark, table):
     """The normal single-writer MERGE path is unaffected by the OCC
     guards (head advances once per batch)."""
