@@ -97,6 +97,9 @@ class TableMetadataIO:
     def manifests_dir(self) -> str:
         return os.path.join(self.meta_dir, "manifests")
 
+    def refs_dir(self) -> str:
+        return os.path.join(self.meta_dir, "refs")
+
     def bucket_manifest_relpath(
         self, snapshot_id: int, bucket: int, token: str | None = None
     ) -> str:
@@ -208,6 +211,44 @@ class TableMetadataIO:
                 os.unlink(os.path.join(self.meta_dir, "COMMIT.lock"))
             except OSError:
                 pass
+
+    # -- tags ----------------------------------------------------------------
+    _TAG_NAME = r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}"
+
+    def write_tag(self, name: str, snapshot_id: int) -> None:
+        """Create an immutable named ref → snapshot id. O_EXCL makes
+        tag creation atomic and first-writer-wins (re-tagging raises
+        FileExistsError — drop first)."""
+        import re as _re
+
+        if not _re.fullmatch(self._TAG_NAME, name):
+            raise ValueError(f"invalid tag name {name!r}")
+        os.makedirs(self.refs_dir(), exist_ok=True)
+        fd = os.open(
+            os.path.join(self.refs_dir(), name),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        try:
+            os.write(fd, str(snapshot_id).encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def read_tags(self) -> dict:
+        refs = self.refs_dir()
+        if not os.path.isdir(refs):
+            return {}
+        out = {}
+        for name in os.listdir(refs):
+            try:
+                with open(os.path.join(refs, name), encoding="utf-8") as f:
+                    out[name] = int(f.read().strip())
+            except (OSError, ValueError):
+                continue  # torn ref: ignorable, recreate it
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        os.unlink(os.path.join(self.refs_dir(), name))
 
     # -- manifests -------------------------------------------------------------
     def write_bucket_manifest(

@@ -108,8 +108,34 @@ class SnapshotTable:
         return t
 
     # -------------------------------------------------------------- inspection
-    def snapshot(self, snapshot_id: int | None = None) -> dict:
+    def snapshot(self, snapshot_id: int | str | None = None) -> dict:
+        """Snapshot by id, by TAG NAME (str), or HEAD (None)."""
+        if isinstance(snapshot_id, str):
+            tags = self.io.read_tags()
+            if snapshot_id not in tags:
+                raise KeyError(
+                    f"no tag {snapshot_id!r}; have {sorted(tags)}")
+            snapshot_id = tags[snapshot_id]
         return self.io.read_snapshot(snapshot_id)
+
+    # -------------------------------------------------------------------- tags
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (HEAD by default).
+        Tagged snapshots survive ``expire_snapshots`` — together with
+        OCC commits this is the write-audit-publish primitive: commit,
+        validate the snapshot, then tag it "published"; readers resolve
+        the tag and never see an unaudited state. Re-tagging an
+        existing name raises (tags are immutable; ``drop_tag`` first)."""
+        sid = snapshot_id if snapshot_id is not None else self.io.head_snapshot_id()
+        self.io.read_snapshot(sid)  # must exist (and not be expired)
+        self.io.write_tag(name, sid)
+        return sid
+
+    def tags(self) -> dict:
+        return self.io.read_tags()
+
+    def drop_tag(self, name: str) -> None:
+        self.io.delete_tag(name)
 
     def history(self) -> list[dict]:
         """Retained snapshots, oldest first (the table's commit log).
@@ -1094,6 +1120,16 @@ class SnapshotTable:
                 break
             retained.append(sid)
             sid = s["parent_id"]
+        # tagged snapshots are pinned: their json, manifests and data
+        # files stay live regardless of age (their ANCESTORS may still
+        # expire — a tagged snapshot's manifests are self-contained)
+        for tname, tsid in sorted(self.io.read_tags().items()):
+            if tsid not in retained:
+                try:
+                    self.io.read_snapshot(tsid)
+                except FileNotFoundError:
+                    continue  # tag points past an earlier expiry
+                retained.append(tsid)
 
         live = set()
         keep_manifests = set()
@@ -1134,7 +1170,7 @@ class SnapshotTable:
             # data/sNNNNNNNN is the commit dir two levels up
             affected_dirs.add(os.path.dirname(os.path.dirname(p)))
         for sdir in sorted(affected_dirs):
-            base = re.fullmatch(r"s(\d+)", os.path.basename(sdir))
+            base = re.fullmatch(r"s(\d+)(?:-[0-9a-f]+)?", os.path.basename(sdir))
             if base is None or int(base.group(1)) > head:
                 continue  # never touch an in-flight commit dir
             for p in glob.glob(os.path.join(sdir, "**", "*.parquet"), recursive=True):
