@@ -165,13 +165,16 @@ class SnapshotTable:
 
     # ------------------------------------------------------------------- read
     def _select_exprs_for_version(
-        self, file_version: int, snap: dict
+        self, file_version: int, snap: dict, current: list | None = None
     ) -> list:
         """Column expressions mapping a file written under schema
         ``file_version`` to the snapshot's current schema, resolved by
         field id (Iceberg-style name mapping): renamed columns alias
-        old name → new name; later-added columns materialize as NULL."""
-        current = self.current_fields(snap)
+        old name → new name; later-added columns materialize as NULL.
+        ``current`` (optionally pre-narrowed by ``read(columns=)``)
+        bounds what the scan projects."""
+        if current is None:
+            current = self.current_fields(snap)
         old = {
             f.id: f for f in TableMetadataIO.fields_from_json(snap["schemas"][str(file_version)])
         }
@@ -258,8 +261,19 @@ class SnapshotTable:
         resolve: bool = True,
         point_lookup: str | None = None,
         range_filters: dict | None = None,
+        columns: Iterable[str] | None = None,
     ) -> DataFrame:
         """Read table state at a snapshot (HEAD by default).
+
+        ``columns``: project to these user columns AT THE SCAN. The
+        LWW resolution packs every selected column into a max_by
+        struct, which blocks Catalyst's own column pruning through
+        ``read()`` — so without this, "give me (url, lang)" still
+        reads the html payload bytes of every file. With it, the scan
+        ReadSchema carries only the requested columns plus the
+        key/order/op system columns the resolution itself needs
+        (pruning is plan-audited). The projected result resolves LWW
+        identically: winners are decided by (key, order) alone.
 
         ``range_filters`` ({col: (lo, hi)}): file-level pruning on the
         col_stats a Z-ordered compaction harvested (see
@@ -288,6 +302,16 @@ class SnapshotTable:
         )
 
         current = self.current_fields(snap)
+        props_ = snap["properties"]
+        if columns is not None:
+            want = set(columns)
+            unknown = want - {f.name for f in current}
+            if unknown:
+                raise ValueError(f"unknown column(s) {sorted(unknown)}")
+            need = (want | {props_["key_col"], *props_["order_cols"], "op"}
+                    | set(range_filters or {}))
+            keep_order = [f for f in current if f.name in need]
+            current = keep_order
         ddl = ", ".join(f"`{f.name}` {f.type}" for f in current)
         if not manifest:
             out = spark.createDataFrame([], schema=ddl)
@@ -301,7 +325,8 @@ class SnapshotTable:
             parts = []
             for ver, paths in sorted(by_version.items()):
                 df = spark.read.parquet(*paths)
-                parts.append(df.select(*self._select_exprs_for_version(ver, snap)))
+                parts.append(df.select(
+                    *self._select_exprs_for_version(ver, snap, current)))
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -320,6 +345,11 @@ class SnapshotTable:
                     out = out.filter(F.col(c) >= F.lit(lo))
                 if hi is not None:
                     out = out.filter(F.col(c) <= F.lit(hi))
+        if columns is not None:
+            final = [f.name for f in current if f.name in want]
+            if include_tombstones and "op" not in final:
+                final.append("op")
+            out = out.select(*final)
         return out
 
     # ------------------------------------------------------------------ merge

@@ -212,3 +212,31 @@ def test_orphan_files_ignored(spark, table, small_changelog, tmp_path):
         table.io.data_dir, "s00000001*", "_bucket=*", "*.parquet"))[0]
     shutil.copy(src, os.path.join(d, "_bucket=0", "orphan.parquet"))
     assert table.read(spark).count() == n  # manifest is authoritative
+
+
+def test_projected_read_prunes_scan_and_matches(spark, table, small_changelog):
+    """read(columns=...) must (a) shrink the scan's ReadSchema so the
+    html payload bytes are never read for a narrow projection — the
+    LWW max_by struct otherwise blocks Catalyst's own pruning — and
+    (b) return exactly the full read's projection."""
+    import re
+
+    _merge_pdf(spark, table, small_changelog.iloc[:400], batch_id=0)
+    _merge_pdf(spark, table, small_changelog.iloc[400:], batch_id=1)
+
+    proj = table.read(spark, columns=["url", "lang"])
+    assert proj.columns == ["url", "lang"]
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    schemas = set(re.findall(r"ReadSchema: (\S+)", plan))
+    assert schemas, "no scan in plan?"
+    assert not any("html" in s for s in schemas), schemas
+    full = {(r.url, r.lang) for r in table.read(spark).select("url", "lang").collect()}
+    got = {(r.url, r.lang) for r in proj.collect()}
+    assert got == full and len(got) > 0
+
+    # projection composes with rename: new name projects old files
+    table.apply_ddl("rename_column", "lang", new_name="language")
+    renamed = table.read(spark, columns=["url", "language"])
+    assert {(r.url, r.language) for r in renamed.collect()} == full
+    with pytest.raises(ValueError, match="unknown column"):
+        table.read(spark, columns=["nope"])
