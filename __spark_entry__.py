@@ -2270,6 +2270,39 @@ def q_countmin_freq(spark, sf):
                     (F.col("est") - F.col("exact")).alias("overcount")))
 
 
+# mixing weights exercising every path: up-sample w/ fraction, pure
+# down-sample, drop-stratum, exact-1 passthrough; others default 1.0
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src2": 0.0, "src3": 1.0}
+
+
+def q_mixture_resample(spark, sf):
+    """Data-mixture resampling (operators/mixing.py): per-source
+    weights deterministically down-sample (hash threshold) and
+    up-sample (whole copies + fractional copy) the corpus — the
+    corpus-mixing step before training. The oracle replays the same
+    integer hash grid, so the resampled multiset matches exactly."""
+    from montandon_etl_spark.operators.mixing import mixture_resample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "lang")
+    out = mixture_resample(docs, "doc_id", "source", _MIX_WEIGHTS)
+    return out.select(
+        "doc_id", "source", "lang",
+        F.col("copy_idx").cast("bigint").alias("copy_idx"),
+    )
+
+
+def q_mixture_report(spark, sf):
+    """Per-source row counts after the same resample — the mixture
+    sanity report a curation run logs."""
+    from montandon_etl_spark.operators.mixing import (
+        mixture_report, mixture_resample)
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "lang")
+    return mixture_report(
+        mixture_resample(docs, "doc_id", "source", _MIX_WEIGHTS), "source"
+    )
+
+
 def _packed_docs(spark, sf, budget=256, n_shards=16):
     from montandon_etl_spark.operators.packing import sequence_pack
 
@@ -2383,6 +2416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "mixture_resample": q_mixture_resample,
+        "mixture_report": q_mixture_report,
         "sequence_pack": q_sequence_pack,
         "sequence_pack_stats": q_sequence_pack_stats,
         "zorder_cells": q_zorder_cells,
@@ -2516,7 +2551,37 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0::BIGINT ELSE p.tok_offset + p.n_toks END
               FROM pack p
               JOIN sharded s ON s.shard = p.shard AND s.rn = p.rn + 1)"""
+    from montandon_etl_spark.operators.mixing import HASH_SPACE
+
+    def _mix_parts(w):
+        return int(w), int(round((w - int(w)) * HASH_SPACE))
+
+    _mix_vals = ", ".join(
+        f"('{s}', {_mix_parts(w)[0]}, {_mix_parts(w)[1]}::BIGINT)"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    _mix_ctes = f"""w(source, whole, frac) AS (VALUES {_mix_vals}),
+            h AS (
+              SELECT doc_id, source, lang,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+              FROM documents),
+            c AS (
+              SELECT doc_id, h.source, lang,
+                     COALESCE(w.whole, 1)
+                       + CASE WHEN hv < COALESCE(w.frac, 0::BIGINT)
+                              THEN 1 ELSE 0 END AS copies
+              FROM h LEFT JOIN w ON h.source = w.source),
+            r AS (
+              SELECT doc_id, source, lang,
+                     CAST(unnest(range(copies)) AS BIGINT) AS copy_idx
+              FROM c WHERE copies > 0)"""
     oracles = {
+        "mixture_resample": f"""
+            WITH {_mix_ctes}
+            SELECT doc_id, source, lang, copy_idx FROM r""",
+        "mixture_report": f"""
+            WITH {_mix_ctes}
+            SELECT source, COUNT(*) AS n_rows FROM r GROUP BY source""",
         "sequence_pack": f"""
             WITH RECURSIVE {_pack_ctes}
             SELECT shard, doc_id, seq_id, tok_offset, n_toks FROM pack""",

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "pps_sample",  # two-phase bucketed PPS cumsum (no global sort)
     "zorder_pruned_scan",  # CDC merges -> z-clustered compact -> pruned range read
     "sequence_pack_stats",  # cross-doc greedy packing + per-sequence utilization
+    "mixture_resample",  # per-stratum corpus reweighting (down/up-sample)
     "ann_topk_ivfpq",  # coarse-cell prune + product-quantization scoring
     "incremental_ann_topk_pq",  # CDC-maintained PQ-code postings
     "mv_source_extremes",  # CDF-maintained MIN/MAX w/ retraction rescan
