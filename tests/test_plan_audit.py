@@ -259,3 +259,42 @@ def test_range_join_is_bucketed_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "Join" in plan
+
+
+def test_mixture_resample_is_broadcast_join(spark):
+    """The weights join must broadcast (a handful of strata) — the
+    documents must never shuffle for a mixing pass; the only wide op
+    allowed is the broadcast exchange of the weights table."""
+    df = entry_mod.queries()["mixture_resample"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "ShuffledHashJoin" not in plan, plan[:1500]
+    # no doc-side shuffle: every Exchange in the plan is the broadcast
+    import re
+
+    widths = re.findall(r"Exchange (\w+)", plan)
+    assert all(w.startswith("SinglePartition") is False for w in widths)
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_sequence_pack_single_shard_exchange(spark):
+    """Packing is one shuffle on the shard key feeding the
+    metadata-only applyInPandas — no second exchange, no global sort."""
+    import re
+
+    df = entry_mod.queries()["sequence_pack"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:1500]
+    assert "FlatMapGroupsInPandas" in plan, plan[:1500]
+
+
+def test_zorder_pruned_scan_is_manifest_level(spark):
+    """Range pruning happens at the manifest (file list) before Spark
+    ever sees a path — the remaining plan is the plain LWW read plus
+    scan-adjacent filters; no join, no cartesian."""
+    df = entry_mod.queries()["zorder_pruned_scan"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan[:1500]
