@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "mixture_resample",  # per-stratum corpus reweighting (down/up-sample)
     "ann_topk_ivfpq",  # coarse-cell prune + product-quantization scoring
     "incremental_ann_topk_pq",  # CDC-maintained PQ-code postings
+    "bm25_topk",  # one-shot lexical BM25, broadcast query vocabulary
+    "incremental_bm25_topk",  # CDC-maintained inverted index, pruned probes
     "mv_source_extremes",  # CDF-maintained MIN/MAX w/ retraction rescan
     "doc_fingerprint",
     "dedup_clusters",

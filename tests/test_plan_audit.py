@@ -298,3 +298,15 @@ def test_zorder_pruned_scan_is_manifest_level(spark):
     plan = _physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "Join" not in plan, plan[:1500]
+
+
+def test_bm25_topk_plan(spark):
+    """The corpus never sort-merge-shuffles against anything: the
+    query-vocabulary semi-join, the df table, and the query fan-out
+    are all broadcasts; the top-k window is a group-limit, not a
+    global sort."""
+    df = entry_mod.queries()["bm25_topk"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "WindowGroupLimit" in plan, plan[:1500]
