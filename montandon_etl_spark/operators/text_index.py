@@ -158,7 +158,7 @@ def bm25_topk(docs: DataFrame, queries: DataFrame,
     (term, doc) count — the shuffle carries candidate postings only.
     """
     d = docs.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),  # any orderable key type
         tokens_col(text_col).alias("toks"),
     )
     n_docs, sum_dl = d.agg(
@@ -212,11 +212,15 @@ class TextIndex:
             cfg = json.load(f)
         self.n_parts = cfg["n_parts"]
         self.k1, self.b = cfg["k1"], cfg["b"]
+        self.key_type = cfg.get("key_type", "bigint")
         self.table = SnapshotTable(os.path.join(path, "docs"))
         self.postings = VersionedPartitionStore(
             os.path.join(path, "postings"), "part", self.n_parts)
 
-    POSTING_SCHEMA = "term string, doc_id bigint, tf bigint, dl bigint, part int"
+    @property
+    def POSTING_SCHEMA(self) -> str:
+        return (f"term string, doc_id {self.key_type}, tf bigint,"
+                " dl bigint, part int")
 
     @property
     def key_col(self) -> str:
@@ -226,9 +230,10 @@ class TextIndex:
     @classmethod
     def create(cls, path: str, key_col: str = "doc_id",
                n_parts: int = 32, n_buckets: int = 8,
-               k1: float = 1.2, b: float = 0.75) -> "TextIndex":
+               k1: float = 1.2, b: float = 0.75,
+               key_type: str = "bigint") -> "TextIndex":
         fields = [
-            Field(1, key_col, "bigint", False),
+            Field(1, key_col, key_type, False),
             Field(2, "warc_ts", "timestamp", False),
             Field(10, "dl", "bigint", True),
             Field(11, "terms", "array<string>", True),
@@ -239,7 +244,8 @@ class TextIndex:
             n_buckets=n_buckets,
         )
         with open(os.path.join(path, "index.json"), "w") as f:
-            json.dump({"n_parts": n_parts, "k1": k1, "b": b}, f)
+            json.dump({"n_parts": n_parts, "k1": k1, "b": b,
+                       "key_type": key_type}, f)
         return cls(path)
 
     # ----------------------------------------------------------------- state
@@ -284,17 +290,20 @@ class TextIndex:
         toks = tokens_col(text_col)
         ups = batch_df.filter(F.col("op") == "upsert").select(
             "seq", key, "warc_ts", "op", toks.alias("toks"))
+        # term stats per EVENT (seq), not per key: one batch may carry
+        # several upserts of the same key and only the LWW winner's
+        # stats may survive the merge
         term_rows = (
-            ups.select(key, F.explode("toks").alias("term"))
-            .groupBy(key, "term").agg(F.count(F.lit(1)).alias("tf"))
-            .groupBy(key).agg(
+            ups.select("seq", F.explode("toks").alias("term"))
+            .groupBy("seq", "term").agg(F.count(F.lit(1)).alias("tf"))
+            .groupBy("seq").agg(
                 F.array_sort(
                     F.collect_list(F.struct("term", "tf"))
                 ).alias("tt"))
         )
         ups = ups.select(
             "seq", key, "warc_ts", "op", F.size("toks").alias("dl"),
-        ).join(term_rows, key, "left").select(
+        ).join(term_rows, "seq", "left").select(
             "seq", key, "warc_ts", "op", "dl",
             F.col("tt.term").alias("terms"),
             F.col("tt.tf").alias("tfs"),
@@ -323,8 +332,8 @@ class TextIndex:
                 touched_keys, key, "left_semi").localCheckpoint()
         else:
             old_rows = spark.createDataFrame(
-                [], f"{key} bigint, dl bigint, terms array<string>, "
-                    "tfs array<bigint>")
+                [], f"{key} {self.key_type}, dl bigint,"
+                    " terms array<string>, tfs array<bigint>")
 
         # exact integer stats delta: live docs and token mass swing by
         # (new − old) over the touched keys only
