@@ -339,10 +339,24 @@ def q_kmv_distinct_users(spark, sf):
     users per event type, k=64. Deterministic by construction — the
     md5-prefix hashes, the bottom-k set, and the single-division
     estimator are identical in both engines, so a SKETCH is
-    value-hash oracle-checkable (HyperLogLog never is)."""
+    value-hash oracle-checkable (the engine-builtin HyperLogLog never
+    is — see hll_distinct_users for this repo's portable HLL)."""
     from montandon_etl_spark.operators.sketches import kmv_distinct
 
     return kmv_distinct(_t(spark, sf, "events"), "event_type", "user_id", k=64)
+
+
+def q_hll_distinct_users(spark, sf):
+    """Deterministic HyperLogLog (operators/sketches.hll_*): distinct
+    users per event type at p=6 (64 registers). Register index/rank
+    come from the portable md5-prefix hash with the rank computed via
+    binary-string length (no float log), the harmonic-mean denominator
+    is an exact BIGINT sum of dyadic terms, and the final estimate is
+    micro-snapped — a HyperLogLog DuckDB replays bit-for-bit."""
+    from montandon_etl_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_t(spark, sf, "events"), "event_type", "user_id",
+                        p=6)
 
 
 def q_mv_source_stats(spark, sf):
@@ -2482,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 Next #1 — the six round-4 additions rotate to the front)
         "bm25_topk": q_bm25_topk,
         "incremental_bm25_topk": q_incremental_bm25_topk,
+        "hll_distinct_users": q_hll_distinct_users,
         "mixture_resample": q_mixture_resample,
         "mixture_report": q_mixture_report,
         "sequence_pack": q_sequence_pack,
@@ -2578,6 +2593,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_bbox": q_geojson_bbox,
         "xml_roundtrip": q_xml_roundtrip,
     }
+
+
+def _hll_sql(p: int = 6) -> str:
+    """DuckDB twin of sketches.hll_registers/hll_estimate: identical
+    hash → register → exact-BIGINT denominator → literal-parameterized
+    estimator (all fractional constants Python-computed and ::DOUBLE
+    so DuckDB stays off its decimal arithmetic path)."""
+    from montandon_etl_spark.operators.sketches import _hll_dims
+
+    m, kmax, alpha = _hll_dims(p)
+    numer = alpha * m * m * float(1 << kmax)
+    return f"""
+    WITH hv AS MATERIALIZED (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events WHERE user_id IS NOT NULL),
+    reg AS MATERIALIZED (
+      SELECT event_type, h % {m} AS j,
+             max(CASE WHEN h // {m} = 0 THEN {kmax}
+                      ELSE {kmax} - length(bin(h // {m})) END) AS mj
+      FROM hv GROUP BY event_type, h % {m}),
+    ag AS (
+      SELECT event_type,
+             count(*) AS cnt,
+             sum((1::BIGINT << ({kmax} - mj))) AS s_present
+      FROM reg GROUP BY event_type),
+    fin AS (
+      SELECT event_type,
+             CAST(s_present + ({m} - cnt) * (1::BIGINT << {kmax})
+                  AS DOUBLE) AS s,
+             {m} - cnt AS v
+      FROM ag)
+    SELECT event_type,
+           floor(CASE WHEN {numer!r}::DOUBLE / s <= {2.5 * m!r}::DOUBLE
+                           AND v > 0
+                      THEN {float(m)!r}::DOUBLE
+                           * ln({float(m)!r}::DOUBLE / v)
+                      ELSE {numer!r}::DOUBLE / s END
+                 * 1000000 + 0.5) / 1000000 AS est_distinct
+    FROM fin
+    """
 
 
 def _bm25_sql(doc_where: str = "") -> str:
@@ -3086,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
                              / max(hv)
                    END AS est_distinct
             FROM r WHERE rn <= 64 GROUP BY 1""",
+        "hll_distinct_users": _hll_sql(),
         "dedup_clusters": _oracle_dedup_clusters(n=2, k=8, bands=4, max_bucket=500),
         "incremental_dedup_survivors": _SURVIVORS_ORACLE_TMPL.replace(
             "{CLUS}", _oracle_dedup_clusters(

@@ -1,9 +1,14 @@
 """Cardinality sketches that stay deterministic across engines.
 
-``approx_count_distinct`` (HyperLogLog) answers the same question but
-its estimate depends on the engine's hash and register layout — it can
-never be oracle-checked. The K-minimum-values sketch is the
-deterministic alternative: hash every value to (0, 2^60) with the
+The engine-builtin ``approx_count_distinct`` (HyperLogLog) answers
+the distinct question but its estimate depends on the engine's hash
+and register layout — it can never be oracle-checked. This module
+ships two deterministic alternatives: a K-minimum-values sketch, and
+a from-scratch HyperLogLog (``hll_*``) built on the repo's portable
+md5-prefix hash with EXACT integer register math (the harmonic-mean
+denominator Σ 2^(−M_j) is a dyadic rational, summed as BIGINT
+``Σ 2^(Kmax−M_j)`` — order-independent and bit-identical across
+engines). The K-minimum-values sketch: hash every value to (0, 2^60) with the
 repo's portable md5-prefix hash (``dedup.hash60``), keep the k
 smallest DISTINCT hashes per group, and estimate
 
@@ -255,3 +260,93 @@ def countmin_estimate(items: DataFrame, value_col: str, sketch: DataFrame,
     joined = probes.join(F.broadcast(sketch), ["j", "pos"], "left")
     return (joined.groupBy(value_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
+# --------------------------------------------------------------------- HLL
+def _hll_dims(p: int) -> tuple[int, int, float]:
+    """(m, Kmax, alpha_m) for precision ``p``. Register ranks are
+    1..Kmax over the 60-bit portable hash; p is bounded so the exact
+    BIGINT denominator Σ 2^(Kmax−M_j) ≤ m·2^Kmax = 2^61 never
+    overflows."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll: p must be in [4, 16]")
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    return m, 61 - p, alpha
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str,
+                  p: int = 6) -> DataFrame:
+    """Per-group HLL register table ``(group, j, mj)`` — the mergeable
+    sketch state (union = groupBy(group, j).max(mj); see
+    ``hll_merge``). Register index is the hash's low p bits
+    (``h % m``), the rank is leading-zeros+1 of the remaining
+    ``Kmax−1`` bits, computed EXACTLY via the binary-string length
+    (``bin``) both engines share — no float log anywhere. NULL values
+    are ignored, as in every distinct count."""
+    m, kmax, _ = _hll_dims(p)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col),
+            hash60(F.col(value_col).cast("string")).alias("h"),
+        )
+        .select(
+            group_col,
+            F.pmod(F.col("h"), F.lit(m)).cast("int").alias("j"),
+            F.expr(f"h div {m}").alias("w"),
+        )
+        .groupBy(group_col, "j")
+        .agg(F.max(
+            F.when(F.col("w") == 0, F.lit(kmax))
+            .otherwise(F.lit(kmax) - F.length(F.bin(F.col("w"))))
+        ).cast("int").alias("mj"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Sketch of the union of the two sketches' underlying sets."""
+    return (a.unionByName(b).groupBy(group_col, "j")
+            .agg(F.max("mj").alias("mj")))
+
+
+def hll_estimate(reg: DataFrame, group_col: str, p: int = 6) -> DataFrame:
+    """(group, est_distinct) from a register table. The raw estimate
+    is ``α·m²·2^Kmax / S`` with ``S = Σ 2^(Kmax−M_j)`` an exact
+    BIGINT (absent registers contribute 2^Kmax); the standard
+    small-range correction ``m·ln(m/V)`` applies when the raw
+    estimate ≤ 2.5m and V (empty registers) > 0. The numerator and
+    thresholds are Python-computed double literals, the final value
+    is snapped to micro-units — estimates are bit-identical across
+    engines and layouts. Standard error ~1.04/sqrt(m)."""
+    from montandon_etl_spark.operators.util import stable_round6
+
+    m, kmax, alpha = _hll_dims(p)
+    numer = alpha * m * m * float(1 << kmax)  # exact parse both engines
+    agg = reg.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.expr(f"(cast(1 as bigint) << ({kmax} - mj))"))
+        .alias("s_present"),
+    ).select(
+        group_col,
+        (F.col("s_present")
+         + (F.lit(m) - F.col("cnt")) * F.lit(1 << kmax)).alias("s"),
+        (F.lit(m) - F.col("cnt")).alias("v"),
+    )
+    e_raw = F.lit(numer) / F.col("s").cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(e_raw)
+    return agg.select(group_col, stable_round6(est).alias("est_distinct"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str,
+                 p: int = 6) -> DataFrame:
+    """Per-group deterministic-HLL distinct estimate
+    ``(group, est_distinct)`` — one shuffle to the (group, register)
+    grain (map-side partial max), then an O(groups) aggregate.
+    Register state is m rows per group regardless of data volume: the
+    sketch a 100-TB scan reduces to is KBs."""
+    return hll_estimate(
+        hll_registers(df, group_col, value_col, p), group_col, p)
