@@ -346,6 +346,20 @@ def q_kmv_distinct_users(spark, sf):
     return kmv_distinct(_t(spark, sf, "events"), "event_type", "user_id", k=64)
 
 
+def q_shuffle_shards(spark, sf):
+    """Deterministic training shuffle (operators/sampling.
+    shuffle_shards): the corpus permuted into 8 addressable shards as
+    a pure function of (doc_id, seed) — one hash-shuffle to the shard
+    grain, per-shard rank windows, no global sort. Identical on any
+    layout/engine, which is exactly what df.orderBy(rand(seed)) fails
+    to be."""
+    from montandon_etl_spark.operators.sampling import shuffle_shards
+
+    return shuffle_shards(
+        _t(spark, sf, "documents").select("doc_id", "source"),
+        "doc_id", n_shards=8, seed="r5")
+
+
 def q_hll_distinct_users(spark, sf):
     """Deterministic HyperLogLog (operators/sketches.hll_*): distinct
     users per event type at p=6 (64 registers). Register index/rank
@@ -2497,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "incremental_bm25_topk": q_incremental_bm25_topk,
         "hll_distinct_users": q_hll_distinct_users,
+        "shuffle_shards": q_shuffle_shards,
         "mixture_resample": q_mixture_resample,
         "mixture_report": q_mixture_report,
         "sequence_pack": q_sequence_pack,
@@ -3144,6 +3159,19 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM r WHERE rn <= 64 GROUP BY 1""",
         "hll_distinct_users": _hll_sql(),
+        # width = 2^60 // 8 = 2^57 exactly; least() folds the last
+        # range's remainder like the engine
+        "shuffle_shards": f"""
+            WITH h AS MATERIALIZED (
+              SELECT doc_id, source,
+                     {_H60.format(x="doc_id::VARCHAR || '#r5'")} AS h
+              FROM documents)
+            SELECT CAST(least(h // {(1 << 60) // 8}, 7) AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY least(h // {(1 << 60) // 8}, 7)
+                     ORDER BY h, doc_id) AS BIGINT) AS pos,
+                   doc_id, source
+            FROM h""",
         "dedup_clusters": _oracle_dedup_clusters(n=2, k=8, bands=4, max_bucket=500),
         "incremental_dedup_survivors": _SURVIVORS_ORACLE_TMPL.replace(
             "{CLUS}", _oracle_dedup_clusters(

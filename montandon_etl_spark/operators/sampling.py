@@ -110,3 +110,46 @@ def pps_systematic_sample(df: DataFrame, id_col: str, weight_col: str,
             .withColumn("n_hits", (f_hi - f_lo).cast("bigint"))
             .filter(F.col("n_hits") > 0)
             .select(F.col(id_col), "n_hits"))
+
+
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
+                   seed: str = "0") -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    ``(shard, pos, <row>)`` where ``shard``/``pos`` define a
+    pseudorandom permutation of the corpus that is a pure function of
+    (row id, seed) — identical on any partition layout, any engine,
+    any cluster size, and resumable across retries (the property
+    ``df.orderBy(rand(seed))`` does NOT have).
+
+    Trainers want the corpus order decorrelated from crawl/ingest
+    order, reproducible run-to-run, and addressable (shard k, position
+    i) for mid-epoch resume. Shard = fixed-width range of the 60-bit
+    id-hash space (``h // (2^60 / n_shards)`` — no sampled range
+    partitioner, so no nondeterminism), position = rank of (h, id)
+    within the shard. New seed → new independent permutation.
+
+    100 TB shape: ONE hash-shuffle to the shard grain; the per-shard
+    rank is a window WITHIN each shard (rows/shard ~ corpus/n_shards —
+    pick n_shards so a shard fits a task, exactly like output-file
+    sizing); no global sort, no single partition anywhere. Ties are
+    impossible at the (h, id) grain because id is unique.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    width = (1 << 60) // n_shards  # last shard absorbs the remainder
+    h = hash60(F.concat(F.col(id_col).cast("string"),
+                        F.lit("#"), F.lit(seed)))
+    # integer div, NOT `/`: Spark's `/` on bigints is DOUBLE division,
+    # inexact above 2^53 — shard ids near range edges would flip
+    d = df.withColumn("_h", h).withColumn(
+        "shard",
+        F.least(F.expr(f"_h div {width}").cast("int"),
+                F.lit(n_shards - 1)),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        d.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_h")
+        .select("shard", "pos",
+                *[c for c in df.columns])
+    )
