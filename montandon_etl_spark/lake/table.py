@@ -1355,6 +1355,65 @@ class SnapshotTable:
         self.io.write_snapshot_and_swap_head(new_snap)
         return new_snap
 
+    def rollback(self, snapshot_id: int | str,
+                 commit_retries: int = 4) -> dict:
+        """Undo bad commits by rolling the table FORWARD: commit a NEW
+        snapshot carrying the target's logical state — schema, bucket
+        manifests (by reference), offsets, properties and the batch-id
+        ledger — with no data movement. History is preserved (the
+        undone snapshots stay time-travelable until they expire, after
+        which ``expire_snapshots`` + ``vacuum_orphans`` reclaim the bad
+        batch's files). ``snapshot_id`` may be an id or a TAG name and
+        must still be retained; commits are linear under OCC, so every
+        retained snapshot is an ancestor — no chain walk needed.
+
+        Restoring ``committed_max_batch_id`` is deliberate: after
+        rolling back past a bad batch, redelivering that batch id (the
+        FIXED payload, or the original on crash-replay) MERGES instead
+        of no-opping — the undo-and-redeliver recovery flow this
+        exists for. Composes with tags as audit-publish's inverse:
+        tag "published" → audit fails later → ``rollback("published")``.
+
+        Metadata-only, so a ``CommitConflict`` retry just rebuilds
+        against the new HEAD (same policy as ``commit_batch_id`` /
+        ``apply_ddl``). Reference analogue: the reference recovers a
+        bad day's load by re-running over the same idempotency keys
+        (apps/etl/extraction pipelines); with snapshots the undo is
+        O(1) metadata instead of a compensating delete pass.
+        """
+        for attempt in range(commit_retries + 1):
+            try:
+                return self._rollback_once(snapshot_id)
+            except CommitConflict:
+                if attempt == commit_retries:
+                    raise
+
+    def _rollback_once(self, snapshot_id: int | str) -> dict:
+        target = self.snapshot(snapshot_id)
+        snap = self.snapshot()
+        if target["snapshot_id"] == snap["snapshot_id"]:
+            return snap  # already there — no-op, no empty commit
+        new_snap = {
+            "snapshot_id": snap["snapshot_id"] + 1,
+            "parent_id": snap["snapshot_id"],
+            "type": "rollback",
+            "batch_id": None,
+            "schema_version": target["schema_version"],
+            "schemas": target["schemas"],
+            **(
+                {"manifest": target["manifest"]}
+                if "manifest" in target
+                else {"manifest_files": target.get("manifest_files", {})}
+            ),
+            "properties": target["properties"],
+            "offsets": target["offsets"],
+            "metrics": {"rows_written": 0, "buckets_rewritten": 0,
+                        "rolled_back_to": target["snapshot_id"]},
+            "committed_max_batch_id": target["committed_max_batch_id"],
+        }
+        self.io.write_snapshot_and_swap_head(new_snap)
+        return new_snap
+
     def apply_ddl(self, op: str, field: str, new_name: str | None = None,
                   dtype: str | None = None, batch_id: int | None = None,
                   commit_retries: int = 4) -> dict:
