@@ -2343,6 +2343,22 @@ def q_classifier_score(spark, sf):
                                n_buckets=4096, n_classes=3)
 
 
+def q_train_quality_classifier(spark, sf):
+    """Distributed logistic-regression TRAINING (operators/classifier.
+    train_logistic): full-batch gradient descent over hashed
+    unigram+bigram features, en-vs-rest labels; weights live in
+    integer micro-units so the margin and gradient sums are exact
+    BIGINT sums and the 3-epoch trajectory is bit-identical in DuckDB
+    (sigmoid residuals micro-snapped — the k-means treatment applied
+    to GD)."""
+    from montandon_etl_spark.operators.classifier import train_logistic
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("bigint"))
+    return train_logistic(docs, "doc_id", "text", "y",
+                          n_buckets=512, epochs=3, lr=0.5)
+
+
 def q_countmin_freq(spark, sf):
     """Count-min sketch frequency estimates vs exact counts for a
     deterministic probe set of users — overcount is the sketch's
@@ -2512,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_bm25_topk": q_incremental_bm25_topk,
         "hll_distinct_users": q_hll_distinct_users,
         "shuffle_shards": q_shuffle_shards,
+        "train_quality_classifier": q_train_quality_classifier,
         "mixture_resample": q_mixture_resample,
         "mixture_report": q_mixture_report,
         "sequence_pack": q_sequence_pack,
@@ -2608,6 +2625,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_bbox": q_geojson_bbox,
         "xml_roundtrip": q_xml_roundtrip,
     }
+
+
+def _train_logistic_sql(n_buckets: int = 512, epochs: int = 3,
+                        lr: float = 0.5) -> str:
+    """DuckDB replay of classifier.train_logistic: the identical
+    feature hashing, micro-snapped sigmoid residuals, exact BIGINT
+    margin/gradient sums, and floor(lr·g/N + 0.5) updates, unrolled
+    one CTE chain per epoch (the k-means-oracle pattern)."""
+    B = n_buckets
+    sig = ("CAST(floor((1.0::DOUBLE / (1.0::DOUBLE"
+           " + exp(-(CAST(zm AS DOUBLE) / 1000000.0::DOUBLE))) - y)"
+           " * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)")
+    ctes = [f"""toks AS MATERIALIZED (
+              SELECT doc_id, {_W} AS w FROM documents)""",
+            f"""feats AS MATERIALIZED (
+              SELECT doc_id, u % {B} AS bucket FROM (
+                SELECT doc_id, unnest(list_concat(
+                  list_transform(w, x -> {_H60.format(x="x")}),
+                  CASE WHEN len(w) >= 2 THEN
+                    list_transform(generate_series(1, len(w) - 1),
+                      i -> {_H60.format(x="w[i] || '_' || w[i+1]")})
+                  ELSE [] END)) AS u
+                FROM toks))""",
+            """lab AS MATERIALIZED (
+              SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents)""",
+            "n AS MATERIALIZED (SELECT count(*)::BIGINT AS cn FROM documents)"]
+    for e in range(1, epochs + 1):
+        if e == 1:
+            ctes.append(
+                "z1 AS (SELECT doc_id, y, 0::BIGINT AS zm FROM lab)")
+        else:
+            ctes.append(f"""z{e} AS (
+              SELECT l.doc_id, l.y, coalesce(s.zm, 0)::BIGINT AS zm
+              FROM lab l LEFT JOIN (
+                SELECT doc_id, CAST(sum(wm) AS BIGINT) AS zm
+                FROM feats JOIN w{e - 1} USING (bucket)
+                GROUP BY doc_id) s USING (doc_id))""")
+        ctes.append(f"r{e} AS (SELECT doc_id, {sig} AS r FROM z{e})")
+        ctes.append(f"""g{e} AS (
+              SELECT bucket,
+                     CAST(floor(({lr!r}::DOUBLE * CAST(sum(r) AS BIGINT))
+                                / cn + 0.5::DOUBLE) AS BIGINT) AS d
+              FROM feats JOIN r{e} USING (doc_id) CROSS JOIN n
+              GROUP BY bucket, cn)""")
+        if e == 1:
+            ctes.append(f"""w1 AS MATERIALIZED (
+              SELECT bucket, CAST(0 - d AS BIGINT) AS wm FROM g1
+              WHERE d != 0)""")
+        else:
+            ctes.append(f"""w{e} AS MATERIALIZED (
+              SELECT bucket,
+                     CAST(coalesce(w.wm, 0) - coalesce(g.d, 0)
+                          AS BIGINT) AS wm
+              FROM w{e - 1} w FULL JOIN g{e} g USING (bucket)
+              WHERE coalesce(w.wm, 0) - coalesce(g.d, 0) != 0)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT bucket, wm AS w_micro FROM w{epochs}")
 
 
 def _hll_sql(p: int = 6) -> str:
@@ -3159,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM r WHERE rn <= 64 GROUP BY 1""",
         "hll_distinct_users": _hll_sql(),
+        "train_quality_classifier": _train_logistic_sql(),
         # width = 2^60 // 8 = 2^57 exactly; least() folds the last
         # range's remainder like the engine
         "shuffle_shards": f"""

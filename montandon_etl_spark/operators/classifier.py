@@ -144,3 +144,88 @@ def score_hashed_linear(df: DataFrame, id_col: str, text_col: str,
         label.cast("int").alias("label"),
         (F.element_at(arr, 1) - F.element_at(arr, 2)).alias("margin"),
     )
+
+
+def train_logistic(df: DataFrame, id_col: str, text_col: str,
+                   label_col: str, n_buckets: int, epochs: int = 3,
+                   lr: float = 0.5) -> DataFrame:
+    """Train a binary logistic regression over the hashed features by
+    full-batch gradient descent → an integer weight table
+    ``(bucket, w_micro)`` that plugs straight into
+    :func:`score_hashed_linear` (micro-units ARE the int-weight
+    contract; C=2 inference uses w for class 1 and 0 for class 0, or
+    just thresholds the margin at 0).
+
+    Engine-exact by construction, like the k-means family: weights
+    live in integer micro-units, so the two cross-row sums — the
+    per-document margin Σ w[f] and the per-feature gradient
+    Σ count·residual — are exact BIGINT sums (order-independent,
+    layout-independent, DuckDB-replayable). The only transcendental,
+    the sigmoid, is computed on an exact-integer-derived double and
+    its residual is immediately snapped to micro-units, absorbing
+    last-ulp ``exp`` differences between engines. The update
+    ``w -= floor(lr·g/N + 0.5)`` is a straight-line double expression
+    of exact integers, identical in both engines.
+
+    Per epoch: ONE broadcast-weights join for margins (per-doc
+    partial-agged sum), one residual join back to features (per-bucket
+    partial-agged sum) — the corpus shuffles only at the doc and
+    bucket grains; weights are ``localCheckpoint``ed per epoch so
+    Catalyst never re-optimizes an epochs-deep plan. Labels must be
+    0/1.
+
+    Scale note: gradients are exact while Σ count·1e6 stays within
+    int64/2^53 — i.e. training sets up to ~10^9 feature occurrences,
+    which is the operating regime anyway: production quality filters
+    train on bounded labeled SAMPLES (hash_sample upstream), then
+    score the full corpus via the broadcast inference plan.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(label_col).cast("bigint").alias("y"))
+    n = base.count()
+    if not n:
+        raise ValueError("train_logistic: empty training set")
+    feats = hashed_features(df, id_col, text_col, n_buckets) \
+        .localCheckpoint()
+    weights = None  # epoch-0 weights are all zero
+    for _ in range(epochs):
+        if weights is None:
+            zm = base.select("doc_id", "y",
+                             F.lit(0).cast("bigint").alias("zm"))
+        else:
+            zsum = (feats.join(F.broadcast(weights), "bucket")
+                    .groupBy("doc_id")
+                    .agg(F.sum("w_micro").alias("zm")))
+            zm = base.join(zsum, "doc_id", "left").select(
+                "doc_id", "y",
+                F.coalesce(F.col("zm"), F.lit(0)).cast("bigint").alias("zm"))
+        resid = zm.select(
+            "doc_id",
+            F.floor(
+                (F.lit(1.0)
+                 / (F.lit(1.0)
+                    + F.exp(-(F.col("zm").cast("double")
+                              / F.lit(1_000_000.0))))
+                 - F.col("y")) * F.lit(1_000_000.0) + F.lit(0.5)
+            ).cast("bigint").alias("r"),
+        )
+        grad = (feats.join(resid, "doc_id")
+                .groupBy("bucket").agg(F.sum("r").alias("g")))
+        delta = grad.select(
+            "bucket",
+            F.floor(F.lit(lr) * F.col("g") / F.lit(float(n)) + F.lit(0.5))
+            .cast("bigint").alias("d"),
+        )
+        if weights is None:
+            weights = delta.select("bucket", (-F.col("d")).alias("w_micro"))
+        else:
+            # every corpus bucket appears in every epoch's gradient, so
+            # a full outer join is belt-and-braces for callers feeding
+            # epoch-varying corpora
+            weights = weights.join(delta, "bucket", "full_outer").select(
+                "bucket",
+                (F.coalesce(F.col("w_micro"), F.lit(0))
+                 - F.coalesce(F.col("d"), F.lit(0))).alias("w_micro"),
+            )
+        weights = weights.filter(F.col("w_micro") != 0).localCheckpoint()
+    return weights

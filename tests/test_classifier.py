@@ -5,6 +5,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from montandon_etl_spark.operators.classifier import (
@@ -141,3 +143,105 @@ def test_countmin_absent_item_bounded(spark):
     items = spark.createDataFrame([(999999,)], "v long")
     [r] = countmin_estimate(items, "v", sk, 4, 1024).collect()
     assert 0 <= r.est <= 50  # absent item: only collision mass
+
+
+# ------------------------------------------------------- logistic training
+
+
+def _ref_train(docs, B, epochs, lr):
+    """Pure-Python replay of train_logistic: md5-prefix hashing,
+    micro-snapped sigmoid residuals, exact integer margin/gradient
+    sums, floor(lr*g/N + 0.5) updates, zero weights dropped."""
+    import hashlib
+    import math
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    feats = {}
+    for d, text, _ in docs:
+        ws = text.strip().split()
+        fs = [h60(x) % B for x in ws]
+        if len(ws) >= 2:
+            fs += [h60(f"{ws[i]}_{ws[i + 1]}") % B
+                   for i in range(len(ws) - 1)]
+        feats[d] = fs
+    w, n = {}, len(docs)
+    for _ in range(epochs):
+        g = {}
+        for d, _, y in docs:
+            zm = sum(w.get(f, 0) for f in feats[d])
+            p = 1.0 / (1.0 + math.exp(-(zm / 1_000_000.0)))
+            r = math.floor((p - y) * 1_000_000.0 + 0.5)
+            for f in feats[d]:
+                g[f] = g.get(f, 0) + r
+        for f, gv in g.items():
+            nw = w.get(f, 0) - math.floor(lr * gv / n + 0.5)
+            if nw:
+                w[f] = nw
+            else:
+                w.pop(f, None)
+    return sorted(w.items())
+
+
+_POS = ["good great fine solid clean", "great good nice steady fine",
+        "fine clean good bright great", "solid good great calm fine"]
+_NEG = ["bad awful broken dirty poor", "awful bad grim poor broken",
+        "poor broken bad murky awful"]
+
+
+def _train_df(spark):
+    rows = [(i, t, 1) for i, t in enumerate(_POS)] + \
+           [(100 + i, t, 0) for i, t in enumerate(_NEG)]
+    return rows, spark.createDataFrame(
+        rows, "doc_id bigint, text string, y bigint")
+
+
+def test_train_logistic_matches_python_reference(spark):
+    from montandon_etl_spark.operators.classifier import train_logistic
+
+    rows, df = _train_df(spark)
+    got = sorted((r["bucket"], r["w_micro"]) for r in train_logistic(
+        df, "doc_id", "text", "y", n_buckets=64, epochs=4,
+        lr=0.5).collect())
+    assert got == _ref_train(rows, 64, 4, 0.5)
+    assert got  # training actually produced weights
+
+
+def test_train_logistic_separates_and_composes(spark):
+    """Trained weights separate a separable corpus, and they plug into
+    score_hashed_linear's int-weight contract (class-1 weights,
+    class-0 zeros → label = margin sign)."""
+    from montandon_etl_spark.operators.classifier import (
+        score_hashed_linear, train_logistic)
+
+    rows, df = _train_df(spark)
+    w = train_logistic(df, "doc_id", "text", "y", n_buckets=64,
+                       epochs=8, lr=1.0)
+    wts = w.selectExpr("bucket", "1 AS cls", "w_micro AS wt").unionByName(
+        w.selectExpr("bucket", "0 AS cls", "0 AS wt"))
+    scored = score_hashed_linear(df, "doc_id", "text", wts,
+                                 n_buckets=64, n_classes=2)
+    got = {r["doc_id"]: r["label"] for r in scored.collect()}
+    assert got == {d: y for d, _, y in rows}
+
+
+def test_train_logistic_layout_invariance(spark):
+    from montandon_etl_spark.operators.classifier import train_logistic
+
+    _, df = _train_df(spark)
+    base = sorted(map(tuple, train_logistic(
+        df, "doc_id", "text", "y", n_buckets=64, epochs=3).collect()))
+    repart = sorted(map(tuple, train_logistic(
+        df.repartition(5), "doc_id", "text", "y", n_buckets=64,
+        epochs=3).collect()))
+    assert base == repart
+
+
+def test_train_logistic_empty_raises(spark):
+    from montandon_etl_spark.operators.classifier import train_logistic
+
+    with pytest.raises(ValueError, match="empty training set"):
+        train_logistic(
+            spark.createDataFrame([], "doc_id bigint, text string, y bigint"),
+            "doc_id", "text", "y", n_buckets=64)
