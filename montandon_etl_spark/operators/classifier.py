@@ -180,6 +180,8 @@ def train_logistic(df: DataFrame, id_col: str, text_col: str,
     train on bounded labeled SAMPLES (hash_sample upstream), then
     score the full corpus via the broadcast inference plan.
     """
+    if epochs < 1:
+        raise ValueError("train_logistic: epochs must be >= 1")
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.col(label_col).cast("bigint").alias("y"))
     n = base.count()

@@ -136,6 +136,9 @@ def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    taken = {"shard", "pos", "_h"} & set(df.columns)
+    if taken:
+        raise ValueError(f"shuffle_shards: input already has {sorted(taken)}")
     width = (1 << 60) // n_shards  # last shard absorbs the remainder
     h = hash60(F.concat(F.col(id_col).cast("string"),
                         F.lit("#"), F.lit(seed)))

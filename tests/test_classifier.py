@@ -245,3 +245,11 @@ def test_train_logistic_empty_raises(spark):
         train_logistic(
             spark.createDataFrame([], "doc_id bigint, text string, y bigint"),
             "doc_id", "text", "y", n_buckets=64)
+
+
+def test_train_logistic_epoch_validation(spark):
+    from montandon_etl_spark.operators.classifier import train_logistic
+
+    _, df = _train_df(spark)
+    with pytest.raises(ValueError, match="epochs"):
+        train_logistic(df, "doc_id", "text", "y", n_buckets=64, epochs=0)

@@ -59,3 +59,9 @@ def test_single_shard(spark):
 def test_validation(spark):
     with pytest.raises(ValueError, match="n_shards"):
         shuffle_shards(_df(spark, 10), "doc_id", 0)
+
+
+def test_reserved_column_collision(spark):
+    d = _df(spark, 10).withColumn("shard", F.lit(1))
+    with pytest.raises(ValueError, match="already has"):
+        shuffle_shards(d, "doc_id", 4)
