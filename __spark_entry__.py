@@ -2343,6 +2343,19 @@ def q_classifier_score(spark, sf):
                                n_buckets=4096, n_classes=3)
 
 
+def q_curation_gate(spark, sf):
+    """The curation funnel as ONE declarative plan (operators/
+    textstats.curation_gate): quality + language are scan-local
+    columns, canonical-copy election is the single shuffle (min-id
+    window over sha256(text)), and the ordered validation-gate chain
+    (duplicate → not_en → low_quality) names each rejection — the
+    reference's filter_events idiom applied to corpus curation."""
+    from montandon_etl_spark.operators.textstats import curation_gate
+
+    return curation_gate(_t(spark, sf, "documents"), "doc_id", "text",
+                         min_quality=0.02)
+
+
 def q_train_quality_classifier(spark, sf):
     """Distributed logistic-regression TRAINING (operators/classifier.
     train_logistic): full-batch gradient descent over hashed
@@ -2528,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_bm25_topk": q_incremental_bm25_topk,
         "hll_distinct_users": q_hll_distinct_users,
         "shuffle_shards": q_shuffle_shards,
+        "curation_gate": q_curation_gate,
         "train_quality_classifier": q_train_quality_classifier,
         "mixture_resample": q_mixture_resample,
         "mixture_report": q_mixture_report,
@@ -3234,6 +3248,42 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM r WHERE rn <= 64 GROUP BY 1""",
         "hll_distinct_users": _hll_sql(),
+        "curation_gate": f"""
+            WITH b AS MATERIALIZED (
+              SELECT doc_id,
+                     floor(least(greatest(
+                       en_hits / n_words - n_punct / greatest(n_chars, 1)
+                       - abs((n_chars - (n_words - 1)) / n_words - 5.0)
+                         / 10.0, 0.0), 1.0) * 1000000 + 0.5) / 1000000
+                       AS quality,
+                     CASE WHEN en_hits >= es_hits AND en_hits >= 2 THEN 'en'
+                          WHEN es_hits > en_hits AND es_hits >= 2 THEN 'es'
+                          ELSE 'und' END AS lang_pred,
+                     sha256(text) AS h
+              FROM (
+                SELECT doc_id, text, length(text) AS n_chars,
+                       len({_W}) AS n_words,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                       len(list_filter({_WLOW},
+                           w -> w IN ({_STOP_EN_SQL}))) AS en_hits,
+                       len(list_filter({_WLOW},
+                           w -> w IN ({_STOP_ES_SQL}))) AS es_hits
+                FROM documents)),
+            g AS (
+              SELECT doc_id, quality, lang_pred,
+                     doc_id = min(doc_id) OVER (PARTITION BY h)
+                       AS is_canonical
+              FROM b)
+            SELECT doc_id, quality, lang_pred, is_canonical,
+                   (CASE WHEN NOT is_canonical THEN 'duplicate'
+                         WHEN lang_pred <> 'en' THEN 'not_en'
+                         WHEN quality < 0.02::DOUBLE THEN 'low_quality'
+                    END) IS NULL AS keep,
+                   CASE WHEN NOT is_canonical THEN 'duplicate'
+                        WHEN lang_pred <> 'en' THEN 'not_en'
+                        WHEN quality < 0.02::DOUBLE THEN 'low_quality'
+                   END AS reject_reason
+            FROM g""",
         "train_quality_classifier": _train_logistic_sql(),
         # width = 2^60 // 8 = 2^57 exactly; least() folds the last
         # range's remainder like the engine

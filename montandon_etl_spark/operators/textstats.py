@@ -13,7 +13,7 @@ operators are the columnar generalization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from montandon_etl_spark.operators.dedup import word_shingles
@@ -61,9 +61,6 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
     stops = stopword_hits(text_col, EN_STOP)
     mean_wl = (n_chars - (n_words - 1)) / n_words
-    raw = (stops / n_words) - (n_punct / F.greatest(n_chars, F.lit(1))) - (
-        F.abs(mean_wl - 5.0) / 10.0
-    )
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars_obs"),
@@ -71,7 +68,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         stable_round6(n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
         stable_round6(stops / n_words).alias("stop_ratio"),
         stable_round6(mean_wl).alias("mean_word_len"),
-        stable_round6(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))).alias("quality"),
+        _quality_col(text_col).alias("quality"),
     )
 
 
@@ -83,10 +80,7 @@ def lang_id_stopwords(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     es = stopword_hits(text_col, ES_STOP)
     return df.select(
         F.col(id_col),
-        F.when((en >= es) & (en >= 2), F.lit("en"))
-        .when((es > en) & (es >= 2), F.lit("es"))
-        .otherwise(F.lit("und"))
-        .alias("lang_pred"),
+        _lang_pred_col(text_col).alias("lang_pred"),
         en.alias("en_hits"),
         es.alias("es_hits"),
     )
@@ -266,4 +260,72 @@ def winnowing_fingerprints(
     return df.select(
         F.col(id_col),
         F.explode(F.array_distinct(win_mins)).alias("fingerprint"),
+    )
+
+
+def _quality_col(text_col: str) -> F.Column:
+    """The composite quality score as a single scan-local column —
+    the exact program quality_score materializes (micro-snapped)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    stops = stopword_hits(text_col, EN_STOP)
+    mean_wl = (n_chars - (n_words - 1)) / n_words
+    raw = (stops / n_words) - (n_punct / F.greatest(n_chars, F.lit(1))) - (
+        F.abs(mean_wl - 5.0) / 10.0
+    )
+    return stable_round6(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)))
+
+
+def _lang_pred_col(text_col: str) -> F.Column:
+    """lang_id_stopwords' prediction as a single scan-local column."""
+    en = stopword_hits(text_col, EN_STOP)
+    es = stopword_hits(text_col, ES_STOP)
+    return (
+        F.when((en >= es) & (en >= 2), F.lit("en"))
+        .when((es > en) & (es >= 2), F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def curation_gate(df: DataFrame, id_col: str, text_col: str,
+                  min_quality: float = 0.02,
+                  lang: str = "en") -> DataFrame:
+    """The curation funnel fused into ONE declarative plan —
+    ``(id, quality, lang_pred, is_canonical, keep, reject_reason)``:
+
+    - quality and language are scan-local column programs (the same
+      micro-snapped expressions ``quality_score``/``lang_id_stopwords``
+      materialize), so the gate evaluates inside the corpus scan;
+    - canonical-copy election is the single shuffle: a min-id window
+      over ``sha256(text)`` (exact-dedup's first-match-by-ordering);
+    - ``reject_reason`` is the reference's ORDERED validation-gate
+      idiom (apps/etl/transform/sources/*.py filter_events) applied to
+      corpus curation: duplicate → wrong-language → low-quality, first
+      failing gate names the reason, survivors get NULL + keep=true.
+
+    The point is compositional: a 100 TB curation pass is one scan +
+    one hash-window, not a chain of per-stage materializations.
+    Downstream stages consume ``filter(keep)`` (→ mixture_resample →
+    sequence_pack) without ever re-reading text.
+    """
+    base = df.select(
+        F.col(id_col),
+        _quality_col(text_col).alias("quality"),
+        _lang_pred_col(text_col).alias("lang_pred"),
+        F.sha2(F.col(text_col), 256).alias("_h"),
+    )
+    w = Window.partitionBy("_h")
+    gated = base.withColumn(
+        "is_canonical", F.col(id_col) == F.min(id_col).over(w))
+    reason = (
+        F.when(~F.col("is_canonical"), F.lit("duplicate"))
+        .when(F.col("lang_pred") != lang, F.lit("not_" + lang))
+        .when(F.col("quality") < F.lit(min_quality), F.lit("low_quality"))
+    )
+    return gated.select(
+        id_col, "quality", "lang_pred", "is_canonical",
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
     )

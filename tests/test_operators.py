@@ -345,3 +345,37 @@ def test_bloom_index_crash_between_dirty_and_write(spark, tmp_path):
     bidx.update(spark, v1, "v", epoch_id=1, has_deletes=True)
     assert bidx.store.versions() == [1, 2]
     assert {tuple(r) for r in bidx.filter_df(spark).collect()} == got
+
+
+def test_curation_gate_semantics(spark):
+    """Ordered gates: duplicate beats not_en beats low_quality; exactly
+    one canonical survivor per content hash; keep <=> NULL reason."""
+    from montandon_etl_spark.operators.textstats import curation_gate
+
+    good = "the cat is in the hat and it is that good for all of them"
+    rows = [
+        (1, good),                       # keep
+        (2, good),                       # exact dup of 1 -> duplicate
+        (3, "el la de que y en los se un por el la de que"),  # es
+        (4, "zzz qqq xxx www yyy"),      # no stopwords -> und -> not_en
+        (5, "the of " + " ".join(f"verylongword{i:04d}" for i in range(38))),
+        # ^ en (2 stopword hits) but stop-poor + long words -> low quality
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           curation_gate(df, "doc_id", "text", min_quality=0.02).collect()}
+    assert got[1]["keep"] and got[1]["reject_reason"] is None
+    assert got[2]["reject_reason"] == "duplicate"
+    assert not got[2]["is_canonical"]
+    assert got[3]["reject_reason"] == "not_en"
+    assert got[3]["lang_pred"] == "es"
+    assert got[4]["reject_reason"] == "not_en"
+    assert got[5]["reject_reason"] == "low_quality"
+    assert got[5]["lang_pred"] == "en"
+    # gate ORDER: a doc that is both a duplicate and non-English
+    # reports 'duplicate'
+    df2 = spark.createDataFrame(
+        [(10, rows[2][1]), (11, rows[2][1])], "doc_id bigint, text string")
+    got2 = {r["doc_id"]: r["reject_reason"] for r in
+            curation_gate(df2, "doc_id", "text").collect()}
+    assert got2[10] == "not_en" and got2[11] == "duplicate"

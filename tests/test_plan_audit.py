@@ -310,3 +310,15 @@ def test_bm25_topk_plan(spark):
     assert "SortMergeJoin" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_curation_gate_single_exchange(spark):
+    """The whole curation funnel is one scan + ONE shuffle (the
+    content-hash window for canonical election) — no joins, no
+    per-stage materializations."""
+    import re
+
+    df = entry_mod.queries()["curation_gate"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "Join" not in plan, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
