@@ -129,6 +129,10 @@ BENCH_QUERIES = [
     "incremental_ann_topk_pq",  # CDC-maintained PQ-code postings
     "bm25_topk",  # one-shot lexical BM25, broadcast query vocabulary
     "incremental_bm25_topk",  # CDC-maintained inverted index, pruned probes
+    "curation_gate",  # quality+lang+dedup funnel: one scan, one shuffle
+    "train_quality_classifier",  # logistic GD, exact micro-unit trajectory
+    "hll_distinct_users",  # deterministic HyperLogLog, exact registers
+    "shuffle_shards",  # hash-permuted training shards, no global sort
     "mv_source_extremes",  # CDF-maintained MIN/MAX w/ retraction rescan
     "doc_fingerprint",
     "dedup_clusters",

@@ -322,3 +322,27 @@ def test_curation_gate_single_exchange(spark):
     plan = _physical_plan(df)
     assert "Join" not in plan, plan[:1500]
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+
+
+def test_hll_two_phase_aggregation(spark):
+    """HLL reduces to the (group, register) grain with a map-side
+    partial max, then an O(groups) aggregate — two exchanges max, no
+    join, no window."""
+    import re
+
+    df = entry_mod.queries()["hll_distinct_users"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "Join" not in plan, plan[:1500]
+    assert "partial_max" in plan or "HashAggregate" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:2000]
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """One hash-shuffle to the shard grain; the per-shard rank window
+    rides the same partitioning — no global sort, no SinglePartition."""
+    import re
+
+    df = entry_mod.queries()["shuffle_shards"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "SinglePartition" not in plan, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
