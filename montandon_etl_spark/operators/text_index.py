@@ -336,14 +336,22 @@ class TextIndex:
                     " terms array<string>, tfs array<bigint>")
 
         # exact integer stats delta: live docs and token mass swing by
-        # (new − old) over the touched keys only
-        def _cnt(df):
-            c, s = df.agg(F.count(F.lit(1)),
-                          F.coalesce(F.sum("dl"), F.lit(0))).first()
-            return int(c), int(s)
-
-        new_n, new_dl = _cnt(new_rows)
-        old_n, old_dl = _cnt(old_rows)
+        # (new − old) over the touched keys only — ONE tagged
+        # aggregation job for both sides
+        tag = F.col("_new")
+        stats_row = (
+            new_rows.select(F.lit(1).alias("_new"), "dl")
+            .unionByName(old_rows.select(F.lit(0).alias("_new"), "dl"))
+            .agg(
+                F.coalesce(F.sum(tag), F.lit(0)).alias("nn"),
+                F.coalesce(F.sum(tag * F.col("dl")), F.lit(0)).alias("nd"),
+                F.coalesce(F.sum(1 - tag), F.lit(0)).alias("on"),
+                F.coalesce(F.sum((1 - tag) * F.col("dl")),
+                           F.lit(0)).alias("od"),
+            ).first()
+        )
+        new_n, new_dl = int(stats_row["nn"]), int(stats_row["nd"])
+        old_n, old_dl = int(stats_row["on"]), int(stats_row["od"])
         if prev_sid is not None and os.path.exists(
                 os.path.join(self.path, f"stats_v{prev_sid}.json")):
             base_n, base_dl = self.stats(prev_sid)
