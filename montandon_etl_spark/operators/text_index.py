@@ -76,8 +76,12 @@ _TOK_EXPR = "transform(regexp_extract_all({col}, '[A-Za-z0-9]+', 0), x -> lower(
 
 
 def tokens_col(col: str) -> F.Column:
-    """``array<string>`` of lowercased ASCII-alnum tokens of ``col``."""
-    return F.expr(_TOK_EXPR.format(col=col))
+    """``array<string>`` of lowercased ASCII-alnum tokens of ``col``.
+    NULL text tokenizes to the empty array (a null would otherwise
+    flow into ``size()`` as −1 and poison dl/Σdl stats)."""
+    return F.expr(
+        f"coalesce({_TOK_EXPR.format(col=col)},"
+        " cast(array() as array<string>))")
 
 
 def _idf_micro(n_docs: int, df_col: F.Column) -> F.Column:

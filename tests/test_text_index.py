@@ -248,3 +248,19 @@ def test_tokenizer_ascii_only(spark):
     got = df.select(tokens_col("t").alias("x")).first()["x"]
     # non-ASCII bytes act as separators; lowering is per-ASCII-token
     assert got == ["mixed", "case42", "na", "ve", "caf", "7up"]
+
+
+def test_null_text_counts_as_empty(spark, tmp_path):
+    """An upsert with NULL text indexes as a zero-token doc: counted
+    in N, dl 0, no postings — never a -1 from size(NULL)."""
+    idx = TextIndex.create(str(tmp_path / "tix"), n_parts=4, n_buckets=4)
+    idx.update(spark, _batch(spark, [
+        (0, 1, 0, "upsert", "real words here"),
+        (1, 2, 0, "upsert", None),
+    ]), batch_id=0)
+    assert idx.stats() == (2, 3)
+    assert idx.postings.read(spark, idx.POSTING_SCHEMA).count() == 3
+    d = _docs_df(spark, {1: "real words here"}).unionByName(
+        spark.createDataFrame([(2, None)], "doc_id bigint, text string"))
+    assert _rows(idx.query(spark, _queries_df(spark), k=10)) == \
+        _rows(bm25_topk(d, _queries_df(spark), k=10))
