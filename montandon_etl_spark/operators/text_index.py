@@ -210,10 +210,19 @@ class TextIndex:
     equals a one-shot build.
     """
 
+    #: bump on any on-disk layout change so an old index dir fails
+    #: loudly instead of silently reading as empty (ADVICE r4 on
+    #: NearDupIndex's layout migration)
+    LAYOUT = 1
+
     def __init__(self, path: str):
         self.path = path
         with open(os.path.join(path, "index.json")) as f:
             cfg = json.load(f)
+        if cfg.get("layout") != self.LAYOUT:
+            raise ValueError(
+                f"TextIndex at {path}: layout {cfg.get('layout')!r} != "
+                f"{self.LAYOUT} — rebuild the index")
         self.n_parts = cfg["n_parts"]
         self.k1, self.b = cfg["k1"], cfg["b"]
         self.key_type = cfg.get("key_type", "bigint")
@@ -248,8 +257,8 @@ class TextIndex:
             n_buckets=n_buckets,
         )
         with open(os.path.join(path, "index.json"), "w") as f:
-            json.dump({"n_parts": n_parts, "k1": k1, "b": b,
-                       "key_type": key_type}, f)
+            json.dump({"layout": cls.LAYOUT, "n_parts": n_parts,
+                       "k1": k1, "b": b, "key_type": key_type}, f)
         return cls(path)
 
     # ----------------------------------------------------------------- state
@@ -394,6 +403,17 @@ class TextIndex:
         self.postings.write(spark, out, head, touched_parts,
                             self.POSTING_SCHEMA)
         self.postings.gc()
+        # stats-file hygiene: keep only versions the store still holds
+        # (gc always retains the previous generation, so the next
+        # update's prev_sid base is never removed)
+        keep = set(self.postings.versions())
+        for fn in os.listdir(self.path):
+            if fn.startswith("stats_v") and fn.endswith(".json"):
+                if int(fn[7:-5]) not in keep:
+                    try:
+                        os.remove(os.path.join(self.path, fn))
+                    except OSError:
+                        pass
 
     # ----------------------------------------------------------------- query
     def query(self, spark: SparkSession, queries: DataFrame, k: int = 5,
