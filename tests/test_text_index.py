@@ -264,3 +264,26 @@ def test_null_text_counts_as_empty(spark, tmp_path):
         spark.createDataFrame([(2, None)], "doc_id bigint, text string"))
     assert _rows(idx.query(spark, _queries_df(spark), k=10)) == \
         _rows(bm25_topk(d, _queries_df(spark), k=10))
+
+
+def test_bm25_randomized_against_reference(spark):
+    """Seeded random corpora (repeated words, tiny docs, tied scores,
+    shared vocab) — engine == pure-Python reference bit-for-bit on
+    every one."""
+    import random
+
+    vocab = ["spark", "scan", "join", "the", "fast", "q1", "zz"]
+    rng = random.Random(20260817)
+    for trial in range(5):
+        docs = {
+            d: " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(1, 12)))
+            for d in range(rng.randint(2, 9))
+        }
+        queries = [(qi, " ".join(rng.choice(vocab)
+                                 for _ in range(rng.randint(1, 3))))
+                   for qi in range(2)]
+        qdf = spark.createDataFrame(queries,
+                                    "query_id bigint, qtext string")
+        got = _rows(bm25_topk(_docs_df(spark, docs), qdf, k=4))
+        assert got == ref_bm25(docs, queries, k=4), (trial, docs, queries)
