@@ -135,10 +135,16 @@ def _score_candidates(cand: DataFrame, qterms: DataFrame, n_docs: int,
     """Shared scoring tail: ``cand`` = (term, doc_id, tf, dl) rows
     covering EVERY posting of every distinct query term (so the df
     computed here is the true corpus df), ``qterms`` = distinct
-    (query_id, term) — broadcast-sized."""
-    dfc = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    (query_id, term) — broadcast-sized.
+
+    df is a COUNT WINDOW over term, not a separate aggregate joined
+    back: a broadcast of ``cand.groupBy(term)`` would re-derive the
+    candidate set — i.e. re-scan the corpus — just to build the
+    broadcast side. The window pays one candidate-set-sized exchange
+    instead of a second corpus pass."""
+    wdf = Window.partitionBy("term")
     scored = (
-        cand.join(F.broadcast(dfc), "term")
+        cand.withColumn("df", F.count(F.lit(1)).over(wdf))
         .join(F.broadcast(qterms), "term")
         .withColumn("idf_micro", _idf_micro(n_docs, F.col("df")))
         .withColumn("c", _contrib_micro(avgdl, k1, b))
