@@ -305,11 +305,16 @@ def test_bm25_topk_plan(spark):
     query-vocabulary semi-join, the df table, and the query fan-out
     are all broadcasts; the top-k window is a group-limit, not a
     global sort."""
+    import re
+
     df = entry_mod.queries()["bm25_topk"](spark, SF_DIR)
     plan = _physical_plan(df)
     assert "SortMergeJoin" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "WindowGroupLimit" in plan, plan[:1500]
+    # ONE corpus pass: df comes from a term window over the candidate
+    # set, never a broadcast re-aggregation that re-scans the corpus
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
 
 
 def test_curation_gate_single_exchange(spark):
