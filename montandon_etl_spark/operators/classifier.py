@@ -231,3 +231,31 @@ def train_logistic(df: DataFrame, id_col: str, text_col: str,
             )
         weights = weights.filter(F.col("w_micro") != 0).localCheckpoint()
     return weights
+
+
+def train_logistic_ovr(df: DataFrame, id_col: str, text_col: str,
+                       label_col: str, n_classes: int, n_buckets: int,
+                       epochs: int = 3, lr: float = 0.5) -> DataFrame:
+    """Multi-class training as one-vs-rest over :func:`train_logistic`
+    → ``(bucket, cls, wt)``, the exact table
+    :func:`score_hashed_linear` consumes (argmax over per-class exact
+    integer sums — the fastText inference shape). Labels must be
+    0..n_classes-1.
+
+    Each class trains the binary problem ``y = (label == c)``; C
+    sequential trainings over the same checkpointed corpus — at
+    production scale C is small (quality tiers, a topic taxonomy) and
+    each training is the bounded-sample regime ``train_logistic``
+    documents."""
+    if n_classes < 2:
+        raise ValueError("train_logistic_ovr: n_classes must be >= 2")
+    out = None
+    for c in range(n_classes):
+        lab = df.withColumn(
+            "_y", (F.col(label_col) == c).cast("bigint"))
+        w = train_logistic(lab, id_col, text_col, "_y", n_buckets,
+                           epochs=epochs, lr=lr).select(
+            "bucket", F.lit(c).alias("cls"),
+            F.col("w_micro").alias("wt"))
+        out = w if out is None else out.unionByName(w)
+    return out

@@ -253,3 +253,35 @@ def test_train_logistic_epoch_validation(spark):
     _, df = _train_df(spark)
     with pytest.raises(ValueError, match="epochs"):
         train_logistic(df, "doc_id", "text", "y", n_buckets=64, epochs=0)
+
+
+def test_train_ovr_multiclass(spark):
+    """One-vs-rest training separates a 3-class corpus and each class
+    column equals its standalone binary training."""
+    from montandon_etl_spark.operators.classifier import (
+        score_hashed_linear, train_logistic, train_logistic_ovr)
+
+    corpora = {
+        0: ["good great fine solid", "great fine good calm",
+            "fine good great still"],
+        1: ["bad awful poor grim", "awful bad grim murky",
+            "poor awful bad bleak"],
+        2: ["tables charts figures data", "charts data tables rows",
+            "figures tables data cells"],
+    }
+    rows = [(100 * c + i, t, c) for c, ts in corpora.items()
+            for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, y bigint")
+    wts = train_logistic_ovr(df, "doc_id", "text", "y", n_classes=3,
+                             n_buckets=64, epochs=8, lr=1.0)
+    scored = score_hashed_linear(df, "doc_id", "text", wts,
+                                 n_buckets=64, n_classes=3)
+    got = {r["doc_id"]: r["label"] for r in scored.collect()}
+    assert got == {d: y for d, _, y in rows}
+    # class-c weights == the standalone binary training for class c
+    solo = sorted(map(tuple, train_logistic(
+        df.withColumn("_y", (F.col("y") == 2).cast("bigint")),
+        "doc_id", "text", "_y", 64, epochs=8, lr=1.0).collect()))
+    ovr_c2 = sorted((r["bucket"], r["wt"]) for r in
+                    wts.filter(F.col("cls") == 2).collect())
+    assert ovr_c2 == solo
