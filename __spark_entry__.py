@@ -2343,6 +2343,47 @@ def q_classifier_score(spark, sf):
                                n_buckets=4096, n_classes=3)
 
 
+def q_incremental_semantic_dedup(spark, sf):
+    """Incremental SemDeDup (operators/semdedup_index.py): the
+    semantic keep-list maintained over three CDC upsert batches plus a
+    delete batch — each batch rewrites only its touched cells,
+    re-evaluating the keep rule from that cell's surviving membership
+    (a delete resurrects rows it alone suppressed). Centroids frozen
+    from the full pre-delete corpus, so the maintained state answers
+    exactly the one-shot SemDeDup SQL over the survivors."""
+    import tempfile
+
+    from montandon_etl_spark.operators.semdedup_index import SemDedupIndex
+    from montandon_etl_spark.operators.similarity import kmeans_centroids
+
+    emb = _t(spark, sf, "embeddings")
+    cents = [c["cvec"] for c in sorted(
+        kmeans_centroids(emb, n_centroids=8), key=lambda c: c["cid"])]
+    idx = SemDedupIndex.create(tempfile.mkdtemp(prefix="msdd_"),
+                               centroids=cents, threshold=0.7)
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i in range(3):
+            batch = (
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+                .select(F.col("vec_id").alias("seq"), "vec_id",
+                        ts.alias("warc_ts"), F.lit("upsert").alias("op"),
+                        F.col("embedding").alias("vec"))
+            )
+            idx.update(spark, batch, batch_id=i)
+        dels = emb.filter(F.pmod(F.col("vec_id"), F.lit(7)) == 0).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("seq"), "vec_id",
+            F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("warc_ts"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("array<float>").alias("vec"))
+        idx.update(spark, dels, batch_id=3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    return idx.state(spark)
+
+
 def q_curation_gate(spark, sf):
     """The curation funnel as ONE declarative plan (operators/
     textstats.curation_gate): quality + language are scan-local
@@ -2542,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "shuffle_shards": q_shuffle_shards,
         "curation_gate": q_curation_gate,
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "train_quality_classifier": q_train_quality_classifier,
         "mixture_resample": q_mixture_resample,
         "mixture_report": q_mixture_report,
@@ -2639,6 +2681,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_bbox": q_geojson_bbox,
         "xml_roundtrip": q_xml_roundtrip,
     }
+
+
+def _semdedup_sql(corpus_where: str = "") -> str:
+    """SemDeDup SQL replay: seeded k-means cells (trained on the FULL
+    embeddings table — frozen centroids), keep rule over ``corpus``
+    (optionally filtered — the incremental index's surviving state
+    after a delete batch)."""
+    return f"""
+            WITH {_oracle_kmeans_cents(n_centroids=8)},
+            corpus AS MATERIALIZED (
+              SELECT * FROM embeddings{corpus_where}),
+            csc AS (
+              SELECT e.vec_id, c.cid,
+                     list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                       (a, v) -> a + v)
+                     / (sqrt(list_reduce(list_transform(c.cvec,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
+                        * sqrt(list_reduce(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))) AS cos
+              FROM corpus e CROSS JOIN cents c),
+            cassign AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid ASC) AS rn
+              FROM csc),
+            ccells AS (SELECT vec_id, cid::INT AS cell FROM cassign
+                       WHERE rn = 1),
+            p AS (
+              SELECT a.vec_id AS id,
+                     max({_COS.replace('q.embedding', 'a.embedding')
+                          .replace('c.embedding', 'b.embedding')}) AS maxsim
+              FROM corpus a
+              JOIN ccells ca ON ca.vec_id = a.vec_id
+              JOIN ccells cb ON cb.cell = ca.cell
+              JOIN corpus b ON b.vec_id = cb.vec_id
+                            AND b.vec_id < a.vec_id
+              GROUP BY 1)
+            SELECT c.vec_id, c.cell,
+                   coalesce(p.maxsim, -1.0) < 0.7 AS keep,
+                   floor(p.maxsim * 1000000 + 0.5) / 1000000 AS max_dup_sim
+            FROM ccells c LEFT JOIN p ON p.id = c.vec_id"""
 
 
 def _train_logistic_sql(n_buckets: int = 512, epochs: int = 3,
@@ -3126,39 +3210,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))), 0)
                         AS DOUBLE) AS sum_n_chars
             FROM documents GROUP BY 1""",
-        "semantic_dedup": f"""
-            WITH {_oracle_kmeans_cents(n_centroids=8)},
-            csc AS (
-              SELECT e.vec_id, c.cid,
-                     list_reduce(list_transform(list_zip(e.embedding, c.cvec),
-                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-                       (a, v) -> a + v)
-                     / (sqrt(list_reduce(list_transform(c.cvec,
-                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))
-                        * sqrt(list_reduce(list_transform(e.embedding,
-                          x -> CAST(x AS DOUBLE) * x), (a, v) -> a + v))) AS cos
-              FROM embeddings e CROSS JOIN cents c),
-            cassign AS (
-              SELECT vec_id, cid,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY cos DESC, cid ASC) AS rn
-              FROM csc),
-            ccells AS (SELECT vec_id, cid::INT AS cell FROM cassign
-                       WHERE rn = 1),
-            p AS (
-              SELECT a.vec_id AS id,
-                     max({_COS.replace('q.embedding', 'a.embedding')
-                          .replace('c.embedding', 'b.embedding')}) AS maxsim
-              FROM embeddings a
-              JOIN ccells ca ON ca.vec_id = a.vec_id
-              JOIN ccells cb ON cb.cell = ca.cell
-              JOIN embeddings b ON b.vec_id = cb.vec_id
-                                AND b.vec_id < a.vec_id
-              GROUP BY 1)
-            SELECT c.vec_id, c.cell,
-                   coalesce(p.maxsim, -1.0) < 0.7 AS keep,
-                   floor(p.maxsim * 1000000 + 0.5) / 1000000 AS max_dup_sim
-            FROM ccells c LEFT JOIN p ON p.id = c.vec_id""",
+        "semantic_dedup": _semdedup_sql(),
+        # all-upsert CDC feed + a delete batch; centroids frozen from
+        # the FULL pre-delete corpus (what create() was given), keep
+        # rule over the survivors — exactly what the index maintains
+        "incremental_semantic_dedup": _semdedup_sql(
+            corpus_where=" WHERE vec_id % 7 <> 0"),
         "video_keyframe_pixels": """
             WITH ids AS (SELECT DISTINCT doc_id FROM documents
                          WHERE doc_id < 30),

@@ -743,6 +743,18 @@ def semantic_dedup(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.element_at(_top_cells(cents, vec_col, 1), 1).alias("cell"),
     )
+    return semdedup_keep(assigned, threshold).select(
+        F.col("id").alias(id_col), "cell", "keep", "max_dup_sim")
+
+
+def semdedup_keep(assigned: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup one-pass keep rule over assigned rows
+    ``(id, v, cell)`` → ``(id, v, cell, keep, max_dup_sim)``: an id
+    drops iff SOME lower-id same-cell row has cosine >= threshold.
+    Applied to the FULL corpus by ``semantic_dedup`` and, because the
+    rule is a pure function of a cell's membership, applied per
+    TOUCHED CELL by the incremental ``SemDedupIndex`` — both produce
+    identical rows for identical membership."""
     lower = assigned.select(F.col("id").alias("id_b"),
                             F.col("v").alias("vb"), "cell")
     pairs = (
@@ -754,7 +766,7 @@ def semantic_dedup(
     return (
         assigned.join(best, "id", "left")
         .select(
-            F.col("id").alias(id_col), "cell",
+            "id", "v", "cell",
             (F.coalesce(F.col("_maxsim"), F.lit(-1.0))
              < F.lit(threshold)).alias("keep"),
             stable_round6("_maxsim").alias("max_dup_sim"),
