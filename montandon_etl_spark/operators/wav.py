@@ -286,6 +286,69 @@ def wav_meta(df: DataFrame, id_col: str = "id",
     return df.mapInPandas(run, _META_SCHEMA)
 
 
+FP_CELLS = 65  # 64 energy-gradient bits, like dHash's 9x8 cell grid
+FP_BANDS = 4
+
+
+def fingerprint_bands(samples: np.ndarray, n_channels: int = 1) -> list[int]:
+    """64-bit energy-gradient audio fingerprint as four 16-bit bands.
+
+    The clip (mono view) is cut into 65 equal time cells
+    ``[floor(c*n/65), floor((c+1)*n/65))``; cell energy = Σs²;
+    bit c = energy[c+1] > energy[c]. Gradient signs are invariant to
+    uniform gain and robust to small additive noise — the audio
+    analogue of the image dHash, and the bands are the same exact
+    blocking keys (Hamming <= 3 ⇒ some band equal, by pigeonhole)."""
+    s = np.asarray(samples, dtype=np.int64)
+    if n_channels > 1:
+        s = s.reshape(-1, n_channels).sum(axis=1) // n_channels
+    n = len(s)
+    if n < FP_CELLS:
+        raise ValueError(f"clip too short for fingerprint: {n} samples")
+    e = np.empty(FP_CELLS, dtype=np.int64)
+    for c in range(FP_CELLS):
+        seg = s[c * n // FP_CELLS:(c + 1) * n // FP_CELLS]
+        e[c] = int((seg * seg).sum())
+    bands = [0] * FP_BANDS
+    for c in range(FP_CELLS - 1):
+        if e[c + 1] > e[c]:
+            bands[c // 16] |= 1 << (c % 16)
+    return bands
+
+
+_FP_SCHEMA = "id bigint, n_samples bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "id",
+                      bytes_col: str = "wav") -> DataFrame:
+    """(id, n_samples, b0..b3) per decodable clip; undecodable or
+    too-short payloads yield NULL bands (record-not-drop). One Arrow
+    pass, no shuffle — fingerprints are ~10^6x smaller than audio."""
+    def run(it):
+        for pdf in it:
+            rows = []
+            for i, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    w = parse_wav(bytes(raw))
+                    b = fingerprint_bands(w["samples"], w["n_channels"])
+                    rows.append((int(i), w["n_samples"], *b))
+                except Exception:
+                    rows.append((int(i), None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "id", "n_samples", "b0", "b1", "b2", "b3"])
+    return df.select(id_col, bytes_col).mapInPandas(run, _FP_SCHEMA)
+
+
+def audio_near_dup_pairs(fps: DataFrame, id_col: str = "id",
+                         max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) over fingerprints — delegates to the
+    shared banded-Hamming join (operators/phash.py): band-equality
+    blocking shuffles 4 tiny keys per clip, exact recall for
+    max_hamming <= 3 by pigeonhole, bit_count verify JVM-side."""
+    from montandon_etl_spark.operators.phash import image_near_dup_pairs
+    return image_near_dup_pairs(fps, id_col, max_hamming=max_hamming)
+
+
 _FRAME_SCHEMA = ("id bigint, frame bigint, n int, s_sum bigint,"
                  " energy bigint, peak bigint, zero_cross bigint")
 

@@ -125,6 +125,46 @@ def test_adpcm_corrupt_index_rejected():
         W.adpcm_decode(bytes(bad), balign, 9)
 
 
+def test_fingerprint_gain_invariance():
+    s = _rng_samples(21, 2080)
+    half = s // 2  # uniform gain change scales every cell energy
+    assert W.fingerprint_bands(s) == W.fingerprint_bands(half * 2)
+    assert W.fingerprint_bands(s * 0 + s) == W.fingerprint_bands(s)
+
+
+def test_fingerprint_noise_robust_and_discriminating():
+    s = _rng_samples(22, 2080)
+    twin = s + (np.arange(2080) % 5) - 2
+    other = _rng_samples(23, 2080)
+    fb = W.fingerprint_bands
+    ham = lambda a, b: sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert ham(fb(s), fb(twin)) <= 3
+    assert ham(fb(s), fb(other)) > 10
+
+
+def test_fingerprint_too_short_raises():
+    with pytest.raises(ValueError):
+        W.fingerprint_bands(np.zeros(64, dtype=np.int64))
+
+
+def test_audio_near_dup_spark(spark):
+    rows = []
+    for d in range(6):
+        s = _rng_samples(400 + d % 3, 2080)  # 3 content families x 2
+        if d >= 3:
+            s = s + (np.arange(2080) % 5) - 2
+        rows.append((d, bytearray(W.make_wav_pcm16(s, 16000))))
+    rows.append((9, bytearray(b"not a wav")))  # record-not-drop
+    df = spark.createDataFrame(rows, "id bigint, wav binary")
+    fp = W.audio_fingerprint(df)
+    got = {r["id"]: r for r in fp.collect()}
+    assert got[9]["b0"] is None
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in W.audio_near_dup_pairs(fp, "id").collect()}
+    assert set(pairs) == {(0, 3), (1, 4), (2, 5)}
+    assert all(h <= 3 for h in pairs.values())
+
+
 # --- Spark operators ------------------------------------------------
 
 def _clips_df(spark):
