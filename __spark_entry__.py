@@ -928,6 +928,49 @@ def q_audio_near_dup(spark, sf):
     return W.audio_near_dup_pairs(fp, "id", max_hamming=3)
 
 
+def q_token_shards_roundtrip(spark, sf):
+    """Trainer-facing export: tokens → indexed binary shards
+    (sources/tokbin.py, .bin/.idx with O(1) seek records) → read
+    back → per-shard manifest + order-weighted stream checksum. The
+    sizes come from the files actually written (os.path.getsize) and
+    the checksum from bytes actually re-read, so the layout, the
+    dtype width, the seq ordering, and the offset table are all under
+    the oracle, which recomputes everything from the md5-token
+    formula. One shuffle by shard; writers stream their own file."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from montandon_etl_spark.sources import tokbin as TB
+
+    docs = (_t(spark, sf, "documents").filter(F.col("doc_id") < 240)
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(split(trim(coalesce(text, '')), '\\\\s+'),"
+                    " w -> CAST(conv(substring(md5(w), 1, 15), 16, 10)"
+                    " AS BIGINT) % 50000)").alias("tokens"),
+                (F.col("doc_id") % 4).cast("int").alias("shard")))
+    out = tempfile.mkdtemp(prefix="tokshards_")
+    man_rows = TB.to_token_shards(
+        docs, out, id_col="doc_id", tokens_col="tokens",
+        vocab_size=50000, shard_col="shard").collect()
+    man = spark.createDataFrame(
+        man_rows, "shard int, n_seqs bigint, n_tokens bigint,"
+        " bin_bytes bigint, idx_bytes bigint")
+    back = TB.read_token_shards(spark, out)
+    ex = back.select("shard", "pos",
+                     F.posexplode("tokens").alias("ti", "tok"))
+    w = Window.partitionBy("shard").orderBy("pos", "ti")
+    agg = (ex.withColumn("gp", F.row_number().over(w))
+           .groupBy("shard")
+           .agg(F.sum("tok").alias("t_sum"),
+                F.sum(F.col("tok") * F.col("gp")).alias("t_wsum")))
+    return (man.join(agg, "shard")
+            .select("shard", "n_seqs", "n_tokens", "bin_bytes",
+                    "idx_bytes", "t_sum", "t_wsum"))
+
+
 def q_mv_source_extremes(spark, sf):
     """Incremental MIN/MAX view maintenance (lake/matview.py, VERDICT
     r4 Next #5): documents arrive as three CDC upsert batches, then a
@@ -2723,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "token_shards_roundtrip": q_token_shards_roundtrip,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dup": q_audio_near_dup,
         "adpcm_roundtrip": q_adpcm_roundtrip,
@@ -3410,6 +3454,35 @@ def oracle_sql() -> dict[str, str]:
                AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
                     OR a.b3 = b.b3))
             SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+        "token_shards_roundtrip": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 4 AS shard,
+                     string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+') AS ws
+              FROM documents WHERE doc_id < 240),
+            toks AS (
+              SELECT shard, doc_id, r.range AS i,
+                     ('0x' || substr(md5(ws[r.range + 1]), 1, 15)
+                      )::BIGINT % 50000 AS tok
+              FROM docs, range(256) r WHERE r.range < len(ws)),
+            ord AS (
+              SELECT shard, tok,
+                     row_number() OVER (PARTITION BY shard
+                                        ORDER BY doc_id, i) AS gp
+              FROM toks),
+            agg AS (
+              SELECT shard, COUNT(*) AS n_tokens, SUM(tok) AS t_sum,
+                     SUM(tok * gp) AS t_wsum
+              FROM ord GROUP BY shard),
+            seqs AS (SELECT shard, COUNT(*) AS n_seqs FROM docs
+                     GROUP BY shard)
+            SELECT s.shard::INT AS shard, s.n_seqs::BIGINT AS n_seqs,
+                   a.n_tokens::BIGINT AS n_tokens,
+                   (a.n_tokens * 2)::BIGINT AS bin_bytes,
+                   (17 + s.n_seqs * 20)::BIGINT AS idx_bytes,
+                   a.t_sum::BIGINT AS t_sum,
+                   a.t_wsum::BIGINT AS t_wsum
+            FROM seqs s JOIN agg a USING (shard)""",
         "audio_fingerprint": """
             WITH ids AS (SELECT DISTINCT doc_id AS d FROM documents
                          WHERE doc_id < 20),
