@@ -971,23 +971,18 @@ def q_token_shards_roundtrip(spark, sf):
                     "idx_bytes", "t_sum", "t_wsum"))
 
 
-def q_incremental_token_shards(spark, sf):
-    """Incremental trainer-shard export (sources/shard_export.py):
-    the lake's bucket layout IS the shard layout, so each CDC batch's
-    manifest diff names exactly the shards to rewrite — refresh cost
-    is O(changed buckets), and the incremental product is
-    byte-identical to a from-scratch export (pytest-pinned). Here the
-    corpus arrives as two upsert batches, a content-rewrite batch
-    (doc_id%7 truncated), and a delete batch (doc_id%5), with a
-    refresh after every commit; the oracle tokenizes the surviving
-    final state directly."""
+def _cdc_text_table(spark, sf, on_batch=None):
+    """Shared CDC fixture: documents doc_id<240 arrive as two upsert
+    batches, a content-rewrite batch (doc_id%7 → substr(text,1,40),
+    seq+1000), and a delete batch (doc_id%5, seq+2000). Final state
+    is therefore CASE-expressible in plain SQL. ``on_batch(table, i)``
+    runs after each commit (snapshot ids 1..4)."""
     import tempfile
 
     from montandon_etl_spark.lake.format import Field
     from montandon_etl_spark.lake.table import SnapshotTable
-    from montandon_etl_spark.sources.shard_export import ShardExport
 
-    base = tempfile.mkdtemp(prefix="itshards_")
+    base = tempfile.mkdtemp(prefix="cdctext_")
     fields = [
         Field(1, "did", "string", False),
         Field(2, "warc_ts", "timestamp", False),
@@ -1015,22 +1010,59 @@ def q_incremental_token_shards(spark, sf):
         shape(docs.filter(F.col("doc_id") % 5 == 0), 2000,
               F.lit(None).cast("string"), "delete"),
     ]
-    exp = ShardExport.create(os.path.join(base, "shards"),
-                             vocab_size=50000)
     prev_w = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for i, b in enumerate(batches):
             table.merge(spark, b, batch_id=i)
-            exp.refresh(spark, table)
+            if on_batch is not None:
+                on_batch(table, i)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    return base, table
+
+
+def q_incremental_token_shards(spark, sf):
+    """Incremental trainer-shard export (sources/shard_export.py):
+    the lake's bucket layout IS the shard layout, so each CDC batch's
+    manifest diff names exactly the shards to rewrite — refresh cost
+    is O(changed buckets), and the incremental product is
+    byte-identical to a from-scratch export (pytest-pinned). Refresh
+    runs after every commit of the shared CDC fixture; the oracle
+    tokenizes the surviving final state directly."""
+    from montandon_etl_spark.sources.shard_export import ShardExport
+
+    holder = {}
+
+    def on_batch(table, i):
+        if "exp" not in holder:
+            holder["exp"] = ShardExport.create(
+                os.path.join(holder["base"], "shards"), vocab_size=50000)
+        holder["exp"].refresh(spark, table)
+
+    import tempfile
+    holder["base"] = tempfile.mkdtemp(prefix="itshards_")
+    _cdc_text_table(spark, sf, on_batch=on_batch)
+    exp = holder["exp"]
     back = exp.read(spark)
     ex = back.select("seq_id", "n_tokens",
                      F.posexplode("tokens").alias("ti", "tok"))
     return (ex.groupBy("seq_id", "n_tokens")
             .agg(F.sum("tok").alias("t_sum"),
                  F.sum(F.col("tok") * (F.col("ti") + 1)).alias("t_wsum")))
+
+
+def q_snapshot_diff(spark, sf):
+    """Time-travel change feed (lake/table.diff): what changed
+    between snapshot 2 (both upsert batches in) and HEAD of the
+    shared CDC fixture — %5 keys deleted, %7 keys updated, everything
+    else UNREPORTED because only buckets whose manifest file moved
+    are even read (compaction-only rewrites yield zero rows,
+    pytest-pinned). The oracle states the expected feed in one CASE."""
+    _, table = _cdc_text_table(spark, sf)
+    d = table.diff(spark, 2, 4, columns=["text"])
+    return d.select("did", "change", "old_seq", "new_seq",
+                    "old_text", "new_text")
 
 
 def q_mv_source_extremes(spark, sf):
@@ -2828,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "snapshot_diff": q_snapshot_diff,
         "incremental_token_shards": q_incremental_token_shards,
         "token_shards_roundtrip": q_token_shards_roundtrip,
         "audio_fingerprint": q_audio_fingerprint,
@@ -3517,6 +3550,18 @@ def oracle_sql() -> dict[str, str]:
                AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
                     OR a.b3 = b.b3))
             SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+        "snapshot_diff": """
+            SELECT doc_id::VARCHAR AS did,
+                   CASE WHEN doc_id % 5 = 0 THEN 'deleted'
+                        ELSE 'updated' END AS change,
+                   doc_id::BIGINT AS old_seq,
+                   (CASE WHEN doc_id % 5 = 0 THEN NULL
+                         ELSE doc_id + 1000 END)::BIGINT AS new_seq,
+                   text AS old_text,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE substr(text, 1, 40) END AS new_text
+            FROM documents
+            WHERE doc_id < 240 AND (doc_id % 5 = 0 OR doc_id % 7 = 0)""",
         "incremental_token_shards": """
             WITH fin AS (
               SELECT doc_id,
