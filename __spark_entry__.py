@@ -1065,6 +1065,56 @@ def q_snapshot_diff(spark, sf):
                     "old_text", "new_text")
 
 
+def q_h264_p_decode(spark, sf):
+    """H.264 INTER decode as a distributed operator (operators/
+    h264.py P slices): per doc, an I_PCM keyframe (closed-form 32x32
+    YUV420 planes) followed by a residual-free P_L0_16x16 frame whose
+    per-MB motion vectors are even integers — motion compensation is
+    then an exact edge-clamped resample of frame 0, so DuckDB replays
+    the decoded P frame analytically (LEAST/GREATEST index shift per
+    16x16 MB). The fractional-pel/partition/skip/residual inter paths
+    are pinned against a scalar spec-literal reference in
+    tests/test_h264.py."""
+    import pandas as pd
+
+    from montandon_etl_spark.operators import h264 as Hc
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 24).distinct())
+
+    def batches(it):
+        import numpy as np
+        r32 = np.arange(32).reshape(32, 1)
+        c32 = np.arange(32).reshape(1, 32)
+        r16 = np.arange(16).reshape(16, 1)
+        c16 = np.arange(16).reshape(1, 16)
+        wy = (r32 * 32 + c32 + 1).astype(np.int64)
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                y0 = ((d * 31 + r32 * 3 + c32) % 256).astype(np.uint8)
+                cb0 = ((d * 7 + r16 * 5 + c16 * 2) % 256).astype(np.uint8)
+                cr0 = ((d * 13 + r16 * 2 + c16 * 3) % 256).astype(np.uint8)
+                mvs = np.zeros((2, 2, 2), dtype=np.int64)
+                for mby in range(2):
+                    for mbx in range(2):
+                        dx = 2 * ((d + mbx + mby) % 3 - 1)
+                        dy = 2 * ((d + 2 * mbx + mby) % 3 - 1)
+                        mvs[mby, mbx] = (4 * dx, 4 * dy)
+                frames = Hc.decode_annexb_video(
+                    Hc.encode_ip_stream(y0, cb0, cr0, mvs))
+                y1, cb1, cr1 = [p.astype(np.int64) for p in frames[1]]
+                rows.append((d, int(y1.sum()), int((y1 * wy).sum()),
+                             int(cb1.sum()), int(cr1.sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "y1_sum", "y1_wsum", "cb1_sum", "cr1_sum"])
+
+    return ids.mapInPandas(
+        batches, "doc_id bigint, y1_sum bigint, y1_wsum bigint,"
+        " cb1_sum bigint, cr1_sum bigint")
+
+
 def q_mv_source_extremes(spark, sf):
     """Incremental MIN/MAX view maintenance (lake/matview.py, VERDICT
     r4 Next #5): documents arrive as three CDC upsert batches, then a
@@ -2860,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "h264_p_decode": q_h264_p_decode,
         "snapshot_diff": q_snapshot_diff,
         "incremental_token_shards": q_incremental_token_shards,
         "token_shards_roundtrip": q_token_shards_roundtrip,
@@ -3550,6 +3601,47 @@ def oracle_sql() -> dict[str, str]:
                AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
                     OR a.b3 = b.b3))
             SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+        "h264_p_decode": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 24),
+            ypix AS (
+              SELECT i.doc_id, r.range AS y, c.range AS x,
+                     2*((i.doc_id + (c.range//16) + (r.range//16)) % 3
+                        - 1) AS dx,
+                     2*((i.doc_id + 2*(c.range//16) + (r.range//16))
+                        % 3 - 1) AS dy
+              FROM ids i, range(32) r, range(32) c),
+            y1 AS (
+              SELECT doc_id, y, x,
+                     ((doc_id*31
+                       + LEAST(GREATEST(y + dy, 0), 31)*3
+                       + LEAST(GREATEST(x + dx, 0), 31)) % 256) AS v
+              FROM ypix),
+            ysum AS (
+              SELECT doc_id, SUM(v)::BIGINT AS y1_sum,
+                     SUM(v * (y*32 + x + 1))::BIGINT AS y1_wsum
+              FROM y1 GROUP BY doc_id),
+            cpix AS (
+              SELECT i.doc_id, r.range AS y, c.range AS x,
+                     ((i.doc_id + (c.range//8) + (r.range//8)) % 3 - 1)
+                       AS dx,
+                     ((i.doc_id + 2*(c.range//8) + (r.range//8)) % 3
+                      - 1) AS dy
+              FROM ids i, range(16) r, range(16) c),
+            csum AS (
+              SELECT doc_id,
+                     SUM((doc_id*7
+                          + LEAST(GREATEST(y + dy, 0), 15)*5
+                          + LEAST(GREATEST(x + dx, 0), 15)*2) % 256
+                         )::BIGINT AS cb1_sum,
+                     SUM((doc_id*13
+                          + LEAST(GREATEST(y + dy, 0), 15)*2
+                          + LEAST(GREATEST(x + dx, 0), 15)*3) % 256
+                         )::BIGINT AS cr1_sum
+              FROM cpix GROUP BY doc_id)
+            SELECT i.doc_id, y.y1_sum, y.y1_wsum, s.cb1_sum, s.cr1_sum
+            FROM ids i JOIN ysum y USING (doc_id)
+            JOIN csum s USING (doc_id)""",
         "snapshot_diff": """
             SELECT doc_id::VARCHAR AS did,
                    CASE WHEN doc_id % 5 = 0 THEN 'deleted'

@@ -216,9 +216,9 @@ def parse_pps(rbsp: bytes) -> dict:
     bottom_field_poc_present = r.u(1)
     if r.ue() != 0:  # num_slice_groups_minus1
         raise H264Unsupported("slice groups (FMO)")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    num_ref_l0 = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.u(1)  # weighted_pred_flag
+    weighted_pred = r.u(1)  # weighted_pred_flag
     r.u(2)  # weighted_bipred_idc
     pic_init_qp = r.se() + 26
     r.se()  # pic_init_qs
@@ -235,6 +235,8 @@ def parse_pps(rbsp: bytes) -> dict:
         "deblock_control_present": deblock_control_present,
         "bottom_field_poc_present": bottom_field_poc_present,
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
+        "num_ref_idx_l0_default": num_ref_l0,
+        "weighted_pred": weighted_pred,
     }
 
 
@@ -788,12 +790,17 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     idr = nal_type == 5
     first_mb = r.ue()
     slice_type = r.ue()
-    if slice_type % 5 != 2:
-        raise H264Unsupported(f"slice_type {slice_type} (only I slices)")
+    st = slice_type % 5
+    if st not in (0, 2):
+        raise H264Unsupported(
+            f"slice_type {slice_type} (only I and P slices)")
+    is_p = st == 0
+    if is_p and idr:
+        raise H264Error("P slice inside an IDR NAL")
     if first_mb != 0:
         raise H264Unsupported("multi-slice pictures")
     r.ue()  # pps_id
-    r.u(sps["log2_max_frame_num"])  # frame_num
+    frame_num = r.u(sps["log2_max_frame_num"])
     if idr:
         r.ue()  # idr_pic_id
     if sps["poc"]["type"] == 0:
@@ -802,6 +809,17 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             r.se()
     if pps["redundant_pic_cnt_present"]:
         r.ue()
+    if is_p:
+        n_ref = pps["num_ref_idx_l0_default"]
+        if r.u(1):  # num_ref_idx_active_override_flag
+            n_ref = r.ue() + 1
+        if n_ref != 1:
+            raise H264Unsupported(
+                f"{n_ref} L0 reference frames (single-ref P only)")
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise H264Unsupported("ref pic list modification")
+        if pps["weighted_pred"]:
+            raise H264Unsupported("weighted prediction")
     if nal_ref_idc != 0:
         if idr:
             r.u(1)  # no_output_of_prior_pics
@@ -819,7 +837,8 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     else:
         raise H264Unsupported(
             "in-loop deblocking filter (PPS does not allow disabling)")
-    return r, {"qp": qp, "idr": idr}
+    return r, {"qp": qp, "idr": idr, "type": "P" if is_p else "I",
+               "frame_num": frame_num}
 
 
 def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
@@ -827,6 +846,8 @@ def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
     """Decode one I/IDR slice NAL into (Y, Cb, Cr) uint8 planes
     (uncropped macroblock grid; caller applies SPS cropping)."""
     r, sh = parse_slice_header(slice_rbsp, sps, pps)
+    if sh["type"] != "I":
+        raise H264Error("decode_i_frame on a P slice (use decode_p_frame)")
     wmb, hmb = sps["width_mbs"], sps["height_mbs"]
     W, H = wmb * 16, hmb * 16
     Y = np.zeros((H, W), dtype=np.int64)
@@ -846,17 +867,7 @@ def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
         cx, cy = mbx * 8, mby * 8
         mb_type = r.ue()
         if mb_type == 25:  # I_PCM
-            r.byte_align()
-            for y in range(16):
-                for x in range(16):
-                    Y[oy + y, ox + x] = r.u(8)
-            for plane in (Cb, Cr):
-                for y in range(8):
-                    for x in range(8):
-                        plane[cy + y, cx + x] = r.u(8)
-            nzY[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
-            for c in (0, 1):
-                nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+            _decode_ipcm_mb(r, mbx, mby, Y, Cb, Cr, nzY, nzC)
             continue
         if mb_type == 0:  # I_NxN = Intra_4x4 (transform_8x8 is a
             # high-profile tool the PPS gate already rejects)
@@ -866,106 +877,132 @@ def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
             continue
         if mb_type > 25:
             raise H264Error(f"bad I-slice mb_type {mb_type}")
-        k = mb_type - 1
-        pred_mode, cbp_chroma, cbp_luma = k % 4, (k // 4) % 3, \
-            (15 if k >= 12 else 0)
-        chroma_mode = r.ue()
-        if chroma_mode > 3:
-            raise H264Error("bad intra_chroma_pred_mode")
-        qp = (qp + r.se() + 52) % 52  # mb_qp_delta, 8-bit wrap
-        qpc = qp_chroma(qp, pps["chroma_qp_index_offset"])
-
-        # ------------------------------------------------ residual parse
-        gx, gy = mbx * 4, mby * 4  # frame-grid 4x4 coords of blk 0
-        dc_levels, _dc_tc = read_residual_block(
-            r, _nc_from(nzY, gx, gy), 16)
-        ac_levels: dict[int, list[int]] = {}
-        for bi, (bx, by) in enumerate(_BLK_SCAN):
-            fx, fy = gx + bx, gy + by
-            if cbp_luma:
-                lv, tc = read_residual_block(r, _nc_from(nzY, fx, fy), 15)
-                ac_levels[bi] = lv
-                nzY[fy, fx] = tc
-            else:
-                ac_levels[bi] = [0] * 15
-                nzY[fy, fx] = 0
-        cdc = {}
-        cac: dict[tuple[int, int], list[int]] = {}
-        for c in (0, 1):
-            if cbp_chroma:
-                cdc[c], _ = read_residual_block(r, -1, 4)
-            else:
-                cdc[c] = [0, 0, 0, 0]
-        for c in (0, 1):
-            for bi in range(4):
-                bx, by = bi % 2, bi // 2
-                fx, fy = mbx * 2 + bx, mby * 2 + by
-                if cbp_chroma == 2:
-                    lv, tc = read_residual_block(
-                        r, _nc_from(nzC[c], fx, fy), 15)
-                    cac[(c, bi)] = lv
-                    nzC[c][fy, fx] = tc
-                else:
-                    cac[(c, bi)] = [0] * 15
-                    nzC[c][fy, fx] = 0
-
-        # --------------------------------------------------- luma recon
-        top = Y[oy - 1, ox:ox + 16] if mby > 0 else None
-        left = Y[oy:oy + 16, ox - 1] if mbx > 0 else None
-        if pred_mode == 3:
-            if top is None or left is None:
-                raise H264Error("Plane prediction at picture edge")
-            top17 = np.concatenate(([Y[oy - 1, ox - 1]], top)) \
-                if mbx > 0 else None
-            left17 = np.concatenate(([Y[oy - 1, ox - 1]], left))
-            if top17 is None:
-                raise H264Error("Plane prediction needs the corner")
-            pred = pred_16x16_plane(left17, top17)
-        else:
-            pred = pred_16x16(pred_mode, left, top)
-        dc4 = zigzag_to_block(dc_levels)
-        dcs = dequant_dc_luma(ihadamard4x4(dc4), qp)
-        scale = _dequant_scale(qp)
-        shift = qp // 6
-        for bi, (bx, by) in enumerate(_BLK_SCAN):
-            d = np.zeros((4, 4), dtype=np.int64)
-            for kk, (zi, zj) in enumerate(_ZIGZAG_4x4[1:]):
-                d[zi, zj] = ac_levels[bi][kk]
-            d = (d * scale) << shift
-            d[0, 0] = dcs[by, bx]
-            res = idct4x4(d)
-            py, px = oy + by * 4, ox + bx * 4
-            blk = pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
-            Y[py:py + 4, px:px + 4] = np.clip(blk + ((res + 32) >> 6),
-                                              0, 255)
-
-        # -------------------------------------------------- chroma recon
-        for c, plane in ((0, Cb), (1, Cr)):
-            ctop = plane[cy - 1, cx:cx + 8] if mby > 0 else None
-            cleft = plane[cy:cy + 8, cx - 1] if mbx > 0 else None
-            ccorner = int(plane[cy - 1, cx - 1]) \
-                if (mbx > 0 and mby > 0) else None
-            cpred = pred_chroma(chroma_mode, cleft, ctop, ccorner)
-            f = ihadamard2x2(np.array(
-                [[cdc[c][0], cdc[c][1]], [cdc[c][2], cdc[c][3]]],
-                dtype=np.int64))
-            dcc = dequant_dc_chroma(f, qpc)
-            cscale = _dequant_scale(qpc)
-            cshift = qpc // 6
-            for bi in range(4):
-                bx, by = bi % 2, bi // 2
-                d = np.zeros((4, 4), dtype=np.int64)
-                for kk, (zi, zj) in enumerate(_ZIGZAG_4x4[1:]):
-                    d[zi, zj] = cac[(c, bi)][kk]
-                d = (d * cscale) << cshift
-                d[0, 0] = dcc[by, bx]
-                res = idct4x4(d)
-                py, px = cy + by * 4, cx + bx * 4
-                blk = cpred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
-                plane[py:py + 4, px:px + 4] = np.clip(
-                    blk + ((res + 32) >> 6), 0, 255)
+        qp = _decode_i16_mb(r, mb_type, mbx, mby, Y, Cb, Cr,
+                            nzY, nzC, qp, pps)
 
     return (Y.astype(np.uint8), Cb.astype(np.uint8), Cr.astype(np.uint8))
+
+
+def _decode_ipcm_mb(r, mbx, mby, Y, Cb, Cr, nzY, nzC) -> None:
+    ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+    r.byte_align()
+    for y in range(16):
+        for x in range(16):
+            Y[oy + y, ox + x] = r.u(8)
+    for plane in (Cb, Cr):
+        for y in range(8):
+            for x in range(8):
+                plane[cy + y, cx + x] = r.u(8)
+    nzY[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
+    for c in (0, 1):
+        nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+
+
+def _decode_i16_mb(r, mb_type, mbx, mby, Y, Cb, Cr, nzY, nzC, qp,
+                   pps) -> int:
+    """Decode one I_16x16 macroblock (mb_type 1..24); returns the
+    updated slice QP."""
+    ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+    k = mb_type - 1
+    pred_mode, cbp_chroma, cbp_luma = k % 4, (k // 4) % 3, \
+        (15 if k >= 12 else 0)
+    chroma_mode = r.ue()
+    if chroma_mode > 3:
+        raise H264Error("bad intra_chroma_pred_mode")
+    qp = (qp + r.se() + 52) % 52  # mb_qp_delta, 8-bit wrap
+    qpc = qp_chroma(qp, pps["chroma_qp_index_offset"])
+
+    # ------------------------------------------------ residual parse
+    gx, gy = mbx * 4, mby * 4  # frame-grid 4x4 coords of blk 0
+    dc_levels, _dc_tc = read_residual_block(
+        r, _nc_from(nzY, gx, gy), 16)
+    ac_levels: dict[int, list[int]] = {}
+    for bi, (bx, by) in enumerate(_BLK_SCAN):
+        fx, fy = gx + bx, gy + by
+        if cbp_luma:
+            lv, tc = read_residual_block(r, _nc_from(nzY, fx, fy), 15)
+            ac_levels[bi] = lv
+            nzY[fy, fx] = tc
+        else:
+            ac_levels[bi] = [0] * 15
+            nzY[fy, fx] = 0
+    cdc = {}
+    cac: dict[tuple[int, int], list[int]] = {}
+    for c in (0, 1):
+        if cbp_chroma:
+            cdc[c], _ = read_residual_block(r, -1, 4)
+        else:
+            cdc[c] = [0, 0, 0, 0]
+    for c in (0, 1):
+        for bi in range(4):
+            bx, by = bi % 2, bi // 2
+            fx, fy = mbx * 2 + bx, mby * 2 + by
+            if cbp_chroma == 2:
+                lv, tc = read_residual_block(
+                    r, _nc_from(nzC[c], fx, fy), 15)
+                cac[(c, bi)] = lv
+                nzC[c][fy, fx] = tc
+            else:
+                cac[(c, bi)] = [0] * 15
+                nzC[c][fy, fx] = 0
+
+    # --------------------------------------------------- luma recon
+    top = Y[oy - 1, ox:ox + 16] if mby > 0 else None
+    left = Y[oy:oy + 16, ox - 1] if mbx > 0 else None
+    if pred_mode == 3:
+        if top is None or left is None:
+            raise H264Error("Plane prediction at picture edge")
+        top17 = np.concatenate(([Y[oy - 1, ox - 1]], top)) \
+            if mbx > 0 else None
+        left17 = np.concatenate(([Y[oy - 1, ox - 1]], left))
+        if top17 is None:
+            raise H264Error("Plane prediction needs the corner")
+        pred = pred_16x16_plane(left17, top17)
+    else:
+        pred = pred_16x16(pred_mode, left, top)
+    dc4 = zigzag_to_block(dc_levels)
+    dcs = dequant_dc_luma(ihadamard4x4(dc4), qp)
+    scale = _dequant_scale(qp)
+    shift = qp // 6
+    for bi, (bx, by) in enumerate(_BLK_SCAN):
+        d = np.zeros((4, 4), dtype=np.int64)
+        for kk, (zi, zj) in enumerate(_ZIGZAG_4x4[1:]):
+            d[zi, zj] = ac_levels[bi][kk]
+        d = (d * scale) << shift
+        d[0, 0] = dcs[by, bx]
+        res = idct4x4(d)
+        py, px = oy + by * 4, ox + bx * 4
+        blk = pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+        Y[py:py + 4, px:px + 4] = np.clip(blk + ((res + 32) >> 6),
+                                          0, 255)
+
+    # -------------------------------------------------- chroma recon
+    for c, plane in ((0, Cb), (1, Cr)):
+        ctop = plane[cy - 1, cx:cx + 8] if mby > 0 else None
+        cleft = plane[cy:cy + 8, cx - 1] if mbx > 0 else None
+        ccorner = int(plane[cy - 1, cx - 1]) \
+            if (mbx > 0 and mby > 0) else None
+        cpred = pred_chroma(chroma_mode, cleft, ctop, ccorner)
+        f = ihadamard2x2(np.array(
+            [[cdc[c][0], cdc[c][1]], [cdc[c][2], cdc[c][3]]],
+            dtype=np.int64))
+        dcc = dequant_dc_chroma(f, qpc)
+        cscale = _dequant_scale(qpc)
+        cshift = qpc // 6
+        for bi in range(4):
+            bx, by = bi % 2, bi // 2
+            d = np.zeros((4, 4), dtype=np.int64)
+            for kk, (zi, zj) in enumerate(_ZIGZAG_4x4[1:]):
+                d[zi, zj] = cac[(c, bi)][kk]
+            d = (d * cscale) << cshift
+            d[0, 0] = dcc[by, bx]
+            res = idct4x4(d)
+            py, px = cy + by * 4, cx + bx * 4
+            blk = cpred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            plane[py:py + 4, px:px + 4] = np.clip(
+                blk + ((res + 32) >> 6), 0, 255)
+
+    return qp
 
 
 def yuv420_to_rgb(y: np.ndarray, cb: np.ndarray,
@@ -1436,3 +1473,391 @@ def _decode_i4x4_mb(r: BitReader, mb: int, mbx: int, mby: int, wmb: int,
             plane[py:py + 4, px:px + 4] = np.clip(
                 cpred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
                 + ((res + 32) >> 6), 0, 255)
+
+
+# ------------------------------------------------------- P slices (inter)
+# Table 9-4, ChromaArrayType=1, Inter column: codeNum → coded_block_
+# pattern (pinned as a permutation of 0..47 in tests/test_h264.py).
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
+
+
+def interp_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+                mvx: int, mvy: int) -> np.ndarray:
+    """Quarter-pel luma motion compensation (8.4.2.2.1): 6-tap
+    (1,-5,20,20,-5,1) half-pels — the center j from RAW (unclipped)
+    intermediate half-pels — then averaged quarter positions per
+    Table 8-12; integer sample fetches clamp at the picture edge."""
+    Hp, Wp = ref.shape
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    ys = np.clip(np.arange(yi - 2, yi + h + 3), 0, Hp - 1)
+    xs = np.clip(np.arange(xi - 2, xi + w + 3), 0, Wp - 1)
+    E = ref[np.ix_(ys, xs)].astype(np.int64)  # (h+5, w+5) full pels
+    if fx == 0 and fy == 0:
+        return E[2:2 + h, 2:2 + w]
+
+    def tap_h(a):
+        return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+                + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+    def tap_v(a):
+        return (a[0:-5, :] - 5 * a[1:-4, :] + 20 * a[2:-3, :]
+                + 20 * a[3:-2, :] - 5 * a[4:-1, :] + a[5:, :])
+
+    def clip1(a):
+        return np.clip(a, 0, 255)
+
+    braw = tap_h(E)           # (h+5, w): half between G(c) and G(c+1)
+    hraw = tap_v(E)           # (h, w+5): half between G(r) and G(r+1)
+    jraw = tap_v(braw)        # (h, w): center, from RAW halves
+    G = E[2:2 + h, 2:2 + w]
+    Hn = E[2:2 + h, 3:3 + w]  # next integer to the right
+    M = E[3:3 + h, 2:2 + w]   # next integer below
+    b = clip1((braw[2:2 + h, :] + 16) >> 5)
+    s_ = clip1((braw[3:3 + h, :] + 16) >> 5)   # b one row below
+    hh = clip1((hraw[:, 2:2 + w] + 16) >> 5)
+    m_ = clip1((hraw[:, 3:3 + w] + 16) >> 5)   # h one column right
+    j = clip1((jraw + 512) >> 10)
+    table = {
+        (1, 0): (G + b + 1) >> 1, (2, 0): b, (3, 0): (Hn + b + 1) >> 1,
+        (0, 1): (G + hh + 1) >> 1, (0, 2): hh,
+        (0, 3): (M + hh + 1) >> 1,
+        (1, 1): (b + hh + 1) >> 1, (3, 1): (b + m_ + 1) >> 1,
+        (1, 3): (hh + s_ + 1) >> 1, (3, 3): (m_ + s_ + 1) >> 1,
+        (2, 1): (b + j + 1) >> 1, (2, 2): j, (2, 3): (j + s_ + 1) >> 1,
+        (1, 2): (hh + j + 1) >> 1, (3, 2): (j + m_ + 1) >> 1,
+    }
+    return table[(fx, fy)]
+
+
+def interp_chroma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+                  mvx: int, mvy: int) -> np.ndarray:
+    """Eighth-pel chroma MC (8.4.2.2.2): bilinear over the 4 nearest
+    chroma samples; mv is in quarter-LUMA units (so eighth-chroma for
+    4:2:0), fetches clamp at the plane edge."""
+    Hp, Wp = ref.shape
+    xi, yi = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+    ys = np.clip(np.arange(yi, yi + h + 1), 0, Hp - 1)
+    xs = np.clip(np.arange(xi, xi + w + 1), 0, Wp - 1)
+    E = ref[np.ix_(ys, xs)].astype(np.int64)
+    A, B = E[:h, :w], E[:h, 1:w + 1]
+    C, D = E[1:h + 1, :w], E[1:h + 1, 1:w + 1]
+    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
+            + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+
+
+# refg sentinel values: -2 = not yet decoded, -1 = intra, >=0 = refIdx
+_NOT_DECODED = -2
+
+
+def _mv_nb(mvg, refg, x, y):
+    """(avail, refIdx, mvx, mvy) of the 4x4 at grid (x, y); outside
+    the picture or not yet decoded (raster order) → unavailable."""
+    n4h, n4w = refg.shape
+    if x < 0 or y < 0 or x >= n4w or y >= n4h \
+            or refg[y, x] == _NOT_DECODED:
+        return (False, -1, 0, 0)
+    return (True, int(refg[y, x]), int(mvg[y, x, 0]), int(mvg[y, x, 1]))
+
+
+def _median3(a, b, c):
+    return a + b + c - min(a, b, c) - max(a, b, c)
+
+
+def _mv_pred(mvg, refg, px, py, w4, h4, ref_idx, shape=""):
+    """Luma MV predictor (8.4.1.3): neighbor A left / B above /
+    C above-right (D above-left when C unavailable), the 16x8 / 8x16
+    directional shortcuts, the only-A rule, the unique-ref rule, else
+    the component median."""
+    A = _mv_nb(mvg, refg, px - 1, py)
+    B = _mv_nb(mvg, refg, px, py - 1)
+    C = _mv_nb(mvg, refg, px + w4, py - 1)
+    if not C[0]:
+        C = _mv_nb(mvg, refg, px - 1, py - 1)  # D substitution
+    if shape == "16x8_top" and B[1] == ref_idx:
+        return (B[2], B[3])
+    if shape == "16x8_bot" and A[1] == ref_idx:
+        return (A[2], A[3])
+    if shape == "8x16_left" and A[1] == ref_idx:
+        return (A[2], A[3])
+    if shape == "8x16_right" and C[1] == ref_idx:
+        return (C[2], C[3])
+    if A[0] and not B[0] and not C[0]:
+        return (A[2], A[3])
+    matches = [n for n in (A, B, C) if n[1] == ref_idx]
+    if len(matches) == 1:
+        return (matches[0][2], matches[0][3])
+    return (_median3(A[2], B[2], C[2]), _median3(A[3], B[3], C[3]))
+
+
+def _pskip_mv(mvg, refg, px, py):
+    """P_Skip MV (8.4.1.1): zero when A or B is unavailable or is a
+    zero-MV ref-0 block, else the ordinary 16x16 predictor."""
+    A = _mv_nb(mvg, refg, px - 1, py)
+    B = _mv_nb(mvg, refg, px, py - 1)
+    for n in (A, B):
+        if not n[0] or (n[1] == 0 and n[2] == 0 and n[3] == 0):
+            return (0, 0)
+    return _mv_pred(mvg, refg, px, py, 4, 4, 0)
+
+
+def _add_chroma_residual(r, plane, cpred, c, cx, cy, cbp_chroma,
+                         nzC, mbx, mby, qpc, cdc_levels, cac):
+    """Reconstruct one chroma plane of a macroblock from its MC/intra
+    prediction + parsed DC/AC levels (the shared inter/intra path)."""
+    f = ihadamard2x2(np.array(
+        [[cdc_levels[0], cdc_levels[1]], [cdc_levels[2], cdc_levels[3]]],
+        dtype=np.int64))
+    dcc = dequant_dc_chroma(f, qpc)
+    cscale = _dequant_scale(qpc)
+    cshift = qpc // 6
+    for bi in range(4):
+        bx, by = bi % 2, bi // 2
+        d = np.zeros((4, 4), dtype=np.int64)
+        for kk, (zi, zj) in enumerate(_ZIGZAG_4x4[1:]):
+            d[zi, zj] = cac[bi][kk]
+        d = (d * cscale) << cshift
+        d[0, 0] = dcc[by, bx]
+        res = idct4x4(d)
+        py, px = cy + by * 4, cx + bx * 4
+        plane[py:py + 4, px:px + 4] = np.clip(
+            cpred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            + ((res + 32) >> 6), 0, 255)
+
+
+def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
+                   ref: tuple[np.ndarray, np.ndarray, np.ndarray]
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one P slice NAL against a single reference frame
+    (uncropped planes, as produced by decode_i_frame/decode_p_frame).
+
+    Supported inter shapes: P_Skip (mb_skip_run), P_L0_16x16,
+    P_L0_L0_16x8, P_L0_L0_8x16, plus every intra MB type inside the
+    P slice (shared decoders). P_8x8 sub-partitions, multiple
+    reference frames, list reordering and weighted prediction gate
+    loudly as H264Unsupported."""
+    refY = ref[0].astype(np.int64)
+    refCb = ref[1].astype(np.int64)
+    refCr = ref[2].astype(np.int64)
+    r, sh = parse_slice_header(slice_rbsp, sps, pps)
+    if sh["type"] != "P":
+        raise H264Error("decode_p_frame on a non-P slice")
+    wmb, hmb = sps["width_mbs"], sps["height_mbs"]
+    W, H = wmb * 16, hmb * 16
+    if refY.shape != (H, W):
+        raise H264Error("reference frame dims do not match SPS")
+    Y = np.zeros((H, W), dtype=np.int64)
+    Cb = np.zeros((H // 2, W // 2), dtype=np.int64)
+    Cr = np.zeros((H // 2, W // 2), dtype=np.int64)
+    nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
+    nzC = {0: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64),
+           1: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64)}
+    i4m = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
+    mvg = np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
+    refg = np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)
+    qp = sh["qp"]
+    pending: int | None = None
+
+    for mb in range(wmb * hmb):
+        mbx, mby = mb % wmb, mb // wmb
+        ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+        gx, gy = mbx * 4, mby * 4
+        if pending is None:
+            pending = r.ue()  # mb_skip_run
+        if pending > 0:  # ---------------------------------- P_Skip
+            pending -= 1
+            mv = _pskip_mv(mvg, refg, gx, gy)
+            Y[oy:oy + 16, ox:ox + 16] = interp_luma(
+                refY, ox, oy, 16, 16, mv[0], mv[1])
+            Cb[cy:cy + 8, cx:cx + 8] = interp_chroma(
+                refCb, cx, cy, 8, 8, mv[0], mv[1])
+            Cr[cy:cy + 8, cx:cx + 8] = interp_chroma(
+                refCr, cx, cy, 8, 8, mv[0], mv[1])
+            nzY[gy:gy + 4, gx:gx + 4] = 0
+            for c in (0, 1):
+                nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            mvg[gy:gy + 4, gx:gx + 4] = mv
+            refg[gy:gy + 4, gx:gx + 4] = 0
+            continue
+        pending = None
+        mb_type = r.ue()
+        if mb_type >= 5:  # ------------------------- intra inside P
+            it = mb_type - 5
+            refg[gy:gy + 4, gx:gx + 4] = -1
+            if it == 25:
+                _decode_ipcm_mb(r, mbx, mby, Y, Cb, Cr, nzY, nzC)
+            elif it == 0:
+                _decode_i4x4_mb(r, mb, mbx, mby, wmb, Y, Cb, Cr,
+                                nzY, nzC, i4m, qp_box := [qp], pps)
+                qp = qp_box[0]
+            elif it <= 24:
+                qp = _decode_i16_mb(r, it, mbx, mby, Y, Cb, Cr,
+                                    nzY, nzC, qp, pps)
+            else:
+                raise H264Error(f"bad P-slice mb_type {mb_type}")
+            continue
+        if mb_type == 0:
+            parts = [(0, 0, 4, 4, "")]
+        elif mb_type == 1:
+            parts = [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")]
+        elif mb_type == 2:
+            parts = [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")]
+        else:
+            raise H264Unsupported(
+                "P_8x8 sub-macroblock partitions (mb_type 3/4)")
+        # single active reference: ref_idx_l0 not present, inferred 0
+        mvs = []
+        for (px4, py4, w4, h4, shape) in parts:
+            mvd = (r.se(), r.se())
+            p = _mv_pred(mvg, refg, gx + px4, gy + py4, w4, h4, 0, shape)
+            mv = (p[0] + mvd[0], p[1] + mvd[1])
+            mvs.append(mv)
+            mvg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = mv
+            refg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = 0
+        cn = r.ue()
+        if cn >= 48:
+            raise H264Error("bad coded_block_pattern")
+        cbp = _CBP_INTER[cn]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + r.se() + 52) % 52
+        qpc = qp_chroma(qp, pps["chroma_qp_index_offset"])
+        # residual parse: plain 16-coeff luma blocks gated per 8x8
+        blocks = {}
+        for bi, (bx, by) in enumerate(_BLK_SCAN):
+            fx, fy = gx + bx, gy + by
+            if cbp_luma & (1 << (bi // 4)):
+                lv, tc = read_residual_block(r, _nc_from(nzY, fx, fy), 16)
+                blocks[bi] = lv
+                nzY[fy, fx] = tc
+            else:
+                blocks[bi] = [0] * 16
+                nzY[fy, fx] = 0
+        cdc = {}
+        cac = {}
+        for c in (0, 1):
+            cdc[c] = read_residual_block(r, -1, 4)[0] if cbp_chroma \
+                else [0, 0, 0, 0]
+        for c in (0, 1):
+            for bi in range(4):
+                bx, by = bi % 2, bi // 2
+                fx, fy = mbx * 2 + bx, mby * 2 + by
+                if cbp_chroma == 2:
+                    lv, tc = read_residual_block(
+                        r, _nc_from(nzC[c], fx, fy), 15)
+                    cac[(c, bi)] = lv
+                    nzC[c][fy, fx] = tc
+                else:
+                    cac[(c, bi)] = [0] * 15
+                    nzC[c][fy, fx] = 0
+        # ------------------------------------------------ luma recon
+        pred = np.zeros((16, 16), dtype=np.int64)
+        cpredb = np.zeros((8, 8), dtype=np.int64)
+        cpredr = np.zeros((8, 8), dtype=np.int64)
+        for (px4, py4, w4, h4, _), mv in zip(parts, mvs):
+            pred[py4 * 4:(py4 + h4) * 4, px4 * 4:(px4 + w4) * 4] = \
+                interp_luma(refY, ox + px4 * 4, oy + py4 * 4,
+                            w4 * 4, h4 * 4, mv[0], mv[1])
+            cpredb[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = \
+                interp_chroma(refCb, cx + px4 * 2, cy + py4 * 2,
+                              w4 * 2, h4 * 2, mv[0], mv[1])
+            cpredr[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = \
+                interp_chroma(refCr, cx + px4 * 2, cy + py4 * 2,
+                              w4 * 2, h4 * 2, mv[0], mv[1])
+        scale = _dequant_scale(qp)
+        shift = qp // 6
+        for bi, (bx, by) in enumerate(_BLK_SCAN):
+            d = (zigzag_to_block(blocks[bi]) * scale) << shift
+            res = idct4x4(d)
+            py, px = oy + by * 4, ox + bx * 4
+            blk = pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            Y[py:py + 4, px:px + 4] = np.clip(blk + ((res + 32) >> 6),
+                                              0, 255)
+        _add_chroma_residual(r, Cb, cpredb, 0, cx, cy, cbp_chroma,
+                             nzC, mbx, mby, qpc, cdc[0],
+                             [cac[(0, bi)] for bi in range(4)])
+        _add_chroma_residual(r, Cr, cpredr, 1, cx, cy, cbp_chroma,
+                             nzC, mbx, mby, qpc, cdc[1],
+                             [cac[(1, bi)] for bi in range(4)])
+
+    return (Y.astype(np.uint8), Cb.astype(np.uint8), Cr.astype(np.uint8))
+
+
+def decode_annexb_video(stream: bytes) -> list[
+        tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode an Annex-B I/P sequence (single reference frame — the
+    previous decoded picture, which is what max_num_ref_frames=1
+    baseline streams use) into uncropped (Y, Cb, Cr) plane tuples."""
+    sps = pps = None
+    frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for nal in split_annexb(stream):
+        t = nal[0] & 0x1F
+        if t == 7:
+            sps = parse_sps(nal)
+        elif t == 8:
+            pps = parse_pps(nal)
+        elif t in (1, 5):
+            if sps is None or pps is None:
+                raise H264Error("slice before SPS/PPS")
+            _, sh = parse_slice_header(nal, sps, pps)
+            if sh["type"] == "I":
+                frames.append(decode_i_frame(sps, pps, nal))
+            else:
+                if not frames:
+                    raise H264Error("P slice with no reference frame")
+                frames.append(decode_p_frame(sps, pps, nal, frames[-1]))
+    return frames
+
+
+def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
+                    qp_delta: int = 0) -> bytes:
+    """Encode one P slice of explicit P_L0_16x16 macroblocks with the
+    given quarter-pel MVs (shape (hmb, wmb, 2)) and no residual —
+    the in-package inter analogue of ``encode_ipcm_annexb``: motion
+    compensation is the only reconstruction step, so the decoded
+    frame is an exact, closed-form resample of the reference (the
+    SQL-oracle slice of the inter path). Returns the raw slice NAL
+    (unescaped RBSP); pair with the I_PCM encoder's SPS/PPS."""
+    hmb, wmb, _ = mvs_qpel.shape
+    w = _BitWriter()
+    w.u(0x61, 8)  # nal_ref_idc=3, non-IDR slice
+    w.ue(0)  # first_mb
+    w.ue(0)  # slice_type P
+    w.ue(0)  # pps_id
+    w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # dec_ref_pic_marking: adaptive_mode = 0
+    w.se(qp_delta)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc
+    mvg = np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
+    refg = np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            gx, gy = mbx * 4, mby * 4
+            mv = (int(mvs_qpel[mby, mbx, 0]), int(mvs_qpel[mby, mbx, 1]))
+            p = _mv_pred(mvg, refg, gx, gy, 4, 4, 0)
+            w.ue(0)  # mb_skip_run
+            w.ue(0)  # mb_type P_L0_16x16
+            w.se(mv[0] - p[0])
+            w.se(mv[1] - p[1])
+            w.ue(_CBP_INTER_INV[0])  # coded_block_pattern = 0
+            mvg[gy:gy + 4, gx:gx + 4] = mv
+            refg[gy:gy + 4, gx:gx + 4] = 0
+    return w.rbsp()
+
+
+def encode_ip_stream(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     mvs_qpel: np.ndarray) -> bytes:
+    """I_PCM keyframe + one residual-free P_L0_16x16 frame — a fully
+    lossless-by-construction two-frame Annex-B stream whose second
+    frame is an exact MC resample of the first."""
+    sc = b"\x00\x00\x00\x01"
+    return (encode_ipcm_annexb(y, cb, cr)
+            + sc + _ep3b_escape(encode_p16_rbsp(mvs_qpel)))

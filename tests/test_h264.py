@@ -713,12 +713,24 @@ def test_unsupported_paths_gate_loudly():
     w.u(1, 1)  # entropy_coding_mode = CABAC
     with pytest.raises(H.H264Unsupported, match="CABAC"):
         H.parse_pps(w.rbsp(trailing=True))
-    # P slice
+    # B slice (P is supported now; B still gates)
     w = BitWriter()
     w.u(0x61, 8)  # non-IDR slice
     w.ue(0)  # first_mb
-    w.ue(0)  # slice_type P
+    w.ue(1)  # slice_type B
     with pytest.raises(H.H264Unsupported, match="slice_type"):
+        H.parse_slice_header(w.rbsp(trailing=True), H.parse_sps(sps),
+                             H.parse_pps(pps))
+    # P slice demanding 2 reference frames
+    w = BitWriter()
+    w.u(0x61, 8)
+    w.ue(0)  # first_mb
+    w.ue(0)  # slice_type P
+    w.ue(0)  # pps_id
+    w.u(0, 4)  # frame_num
+    w.u(1, 1)  # num_ref_idx_active_override
+    w.ue(1)  # num_ref_idx_l0_active_minus1 = 1 -> 2 refs
+    with pytest.raises(H.H264Unsupported, match="reference frames"):
         H.parse_slice_header(w.rbsp(trailing=True), H.parse_sps(sps),
                              H.parse_pps(pps))
     # deblocking filter left enabled
@@ -867,3 +879,385 @@ def test_decoder_robust_to_corruption():
         # any OTHER exception type propagates and fails the test
     assert ok + failed == 200
     assert failed > 0  # corruption is actually being exercised
+
+
+# ------------------------------------------------------------- P slices
+# Scalar spec-literal luma interpolation (8.4.2.2.x), written
+# independently of the decoder's vectorized path so the two cannot
+# co-sign a bug: every sample fetch clamps its absolute coordinate,
+# half-pels are per-pixel 6-taps, j is built from RAW b half-pels.
+
+def _fp(ref, y, x):
+    Hh, Ww = ref.shape
+    return int(ref[min(max(y, 0), Hh - 1), min(max(x, 0), Ww - 1)])
+
+
+_T6 = ((1, -2), (-5, -1), (20, 0), (20, 1), (-5, 2), (1, 3))
+
+
+def _braw(ref, y, x):  # horizontal half between (y,x) and (y,x+1)
+    return sum(c * _fp(ref, y, x + d) for c, d in _T6)
+
+
+def _hraw(ref, y, x):  # vertical half between (y,x) and (y+1,x)
+    return sum(c * _fp(ref, y + d, x) for c, d in _T6)
+
+
+def _jraw(ref, y, x):  # center: vertical 6-tap over RAW b halves
+    return sum(c * _braw(ref, y + d, x) for c, d in _T6)
+
+
+def _c5(v):
+    return min(max((v + 16) >> 5, 0), 255)
+
+
+def _c10(v):
+    return min(max((v + 512) >> 10, 0), 255)
+
+
+def scalar_mc_luma(ref, x0, y0, w, h, mvx, mvy):
+    out = np.zeros((h, w), dtype=np.int64)
+    fx, fy = mvx & 3, mvy & 3
+    for yy in range(h):
+        for xx in range(w):
+            xi, yi = x0 + xx + (mvx >> 2), y0 + yy + (mvy >> 2)
+            G = _fp(ref, yi, xi)
+            if (fx, fy) == (0, 0):
+                out[yy, xx] = G
+                continue
+            Hn = _fp(ref, yi, xi + 1)
+            M = _fp(ref, yi + 1, xi)
+            b = _c5(_braw(ref, yi, xi))
+            s = _c5(_braw(ref, yi + 1, xi))
+            hh = _c5(_hraw(ref, yi, xi))
+            m = _c5(_hraw(ref, yi, xi + 1))
+            j = _c10(_jraw(ref, yi, xi))
+            tbl = {
+                (1, 0): (G + b + 1) >> 1, (2, 0): b,
+                (3, 0): (Hn + b + 1) >> 1,
+                (0, 1): (G + hh + 1) >> 1, (0, 2): hh,
+                (0, 3): (M + hh + 1) >> 1,
+                (1, 1): (b + hh + 1) >> 1, (3, 1): (b + m + 1) >> 1,
+                (1, 3): (hh + s + 1) >> 1, (3, 3): (m + s + 1) >> 1,
+                (2, 1): (b + j + 1) >> 1, (2, 2): j,
+                (2, 3): (j + s + 1) >> 1, (1, 2): (hh + j + 1) >> 1,
+                (3, 2): (j + m + 1) >> 1,
+            }
+            out[yy, xx] = tbl[(fx, fy)]
+    return out
+
+
+def scalar_mc_chroma(ref, x0, y0, w, h, mvx, mvy):
+    out = np.zeros((h, w), dtype=np.int64)
+    fx, fy = mvx & 7, mvy & 7
+    for yy in range(h):
+        for xx in range(w):
+            xi, yi = x0 + xx + (mvx >> 3), y0 + yy + (mvy >> 3)
+            A, B = _fp(ref, yi, xi), _fp(ref, yi, xi + 1)
+            C, D = _fp(ref, yi + 1, xi), _fp(ref, yi + 1, xi + 1)
+            out[yy, xx] = ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
+                           + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+    return out
+
+
+def test_cbp_inter_table():
+    assert sorted(H._CBP_INTER) == list(range(48))
+    # spec-known leading entries (Table 9-4 Inter column)
+    assert H._CBP_INTER[:13] == [0, 16, 1, 2, 4, 8, 32, 3, 5, 10,
+                                 12, 15, 47]
+
+
+def test_interp_luma_matches_scalar_reference():
+    rng = np.random.default_rng(11)
+    ref = rng.integers(0, 256, size=(40, 44)).astype(np.int64)
+    cases = [(8, 8, mvx, mvy) for mvx in range(-3, 5) for mvy in
+             range(-3, 5)]  # all 16 frac combos, both signs
+    cases += [(0, 0, -9, -11), (28, 24, 9, 13), (36, 36, 50, 41)]
+    for x0, y0, mvx, mvy in cases:
+        got = H.interp_luma(ref, x0, y0, 8, 8, mvx, mvy)
+        want = scalar_mc_luma(ref, x0, y0, 8, 8, mvx, mvy)
+        assert np.array_equal(got, want), (x0, y0, mvx, mvy)
+
+
+def test_interp_chroma_matches_scalar_reference():
+    rng = np.random.default_rng(12)
+    ref = rng.integers(0, 256, size=(20, 22)).astype(np.int64)
+    for mvx in (-13, -4, 0, 3, 7, 9, 21):
+        for mvy in (-9, 0, 5, 8, 17):
+            got = H.interp_chroma(ref, 4, 4, 8, 8, mvx, mvy)
+            want = scalar_mc_chroma(ref, 4, 4, 8, 8, mvx, mvy)
+            assert np.array_equal(got, want), (mvx, mvy)
+
+
+def test_mv_pred_spec_cases():
+    mvg = np.zeros((8, 8, 2), dtype=np.int64)
+    refg = np.full((8, 8), H._NOT_DECODED, dtype=np.int64)
+    # only-A rule: B/C/D unavailable (top row), A inter
+    refg[0:4, 0:4] = 0
+    mvg[0:4, 0:4] = (12, -8)
+    assert H._mv_pred(mvg, refg, 4, 0, 4, 4, 0) == (12, -8)
+    # unique-ref rule: A inter, B intra, C intra -> A wins even if
+    # median would differ
+    refg[:] = H._NOT_DECODED
+    refg[4:8, 0:4] = 0
+    mvg[4:8, 0:4] = (40, 4)
+    refg[0:4, 0:8] = -1  # intra row above (decoded, not matching)
+    assert H._mv_pred(mvg, refg, 4, 4, 4, 4, 0) == (40, 4)
+    # median rule: all three inter with distinct mvs
+    refg[0:4, 0:8] = 0
+    mvg[0:4, 0:4] = (0, 100)   # B region covers (4,3)->B=(0,100)
+    mvg[0:4, 4:8] = (99, 0)    # but C at (8,3) is out of grid -> D
+    assert H._mv_pred(mvg, refg, 4, 4, 4, 4, 0) == (
+        np.median([40, 99, 0]), np.median([4, 0, 100]))
+    # directional shortcuts
+    assert H._mv_pred(mvg, refg, 4, 4, 4, 2, 0, "16x8_top") == (99, 0)
+    assert H._mv_pred(mvg, refg, 4, 6, 4, 2, 0, "16x8_bot") == (40, 4)
+
+
+def _encode_pframe(wmb, hmb, plan, qp=26, frame_num=1):
+    """Test-side P-slice writer. ``plan`` is a list over MBs in
+    raster order; entries:
+      ("skip",)
+      ("16x16", mv, res)   ("16x8", mv0, mv1, res)
+      ("8x16", mv0, mv1, res)   ("ipcm", y16, cb8, cr8)
+    ``res`` is None or {"luma": {bi: levels16}, "cdc": {c: [4]},
+    "cac": {(c, bi): levels15}, "cbp": int}. MVs are quarter-pel."""
+    w = BitWriter()
+    w.u(0x61, 8)
+    w.ue(0)
+    w.ue(0)  # P
+    w.ue(0)  # pps
+    w.u(frame_num & 15, 4)
+    w.u(0, 1)  # no num_ref override
+    w.u(0, 1)  # no list modification
+    w.u(0, 1)  # dec_ref_pic_marking
+    w.se(qp - 26)
+    w.ue(1)  # deblocking off
+    mvg = np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
+    refg = np.full((hmb * 4, wmb * 4), H._NOT_DECODED, dtype=np.int64)
+    nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
+    nzC = {0: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64),
+           1: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64)}
+
+    def nc(nz, x, y):
+        return H._nc_from(nz, x, y)
+
+    run = 0
+    for mb, entry in enumerate(plan):
+        mbx, mby = mb % wmb, mb // wmb
+        gx, gy = mbx * 4, mby * 4
+        if entry[0] == "skip":
+            mv = H._pskip_mv(mvg, refg, gx, gy)
+            run += 1
+            mvg[gy:gy + 4, gx:gx + 4] = mv
+            refg[gy:gy + 4, gx:gx + 4] = 0
+            nzY[gy:gy + 4, gx:gx + 4] = 0
+            for c in (0, 1):
+                nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            continue
+        w.ue(run)
+        run = 0
+        if entry[0] == "ipcm":
+            _, y16, cb8, cr8 = entry
+            w.ue(30)  # 25 + 5
+            w.byte_align_zero()
+            for yy in range(16):
+                for xx in range(16):
+                    w.u(int(y16[yy, xx]), 8)
+            for pl in (cb8, cr8):
+                for yy in range(8):
+                    for xx in range(8):
+                        w.u(int(pl[yy, xx]), 8)
+            refg[gy:gy + 4, gx:gx + 4] = -1
+            nzY[gy:gy + 4, gx:gx + 4] = 16
+            for c in (0, 1):
+                nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+            continue
+        kind = entry[0]
+        res = entry[-1]
+        if kind == "16x16":
+            parts = [((0, 0, 4, 4, ""), entry[1])]
+            w.ue(0)
+        elif kind == "16x8":
+            parts = [((0, 0, 4, 2, "16x8_top"), entry[1]),
+                     ((0, 2, 4, 2, "16x8_bot"), entry[2])]
+            w.ue(1)
+        else:
+            parts = [((0, 0, 2, 4, "8x16_left"), entry[1]),
+                     ((2, 0, 2, 4, "8x16_right"), entry[2])]
+            w.ue(2)
+        for (px4, py4, w4, h4, shape), mv in parts:
+            p = H._mv_pred(mvg, refg, gx + px4, gy + py4, w4, h4, 0,
+                           shape)
+            w.se(mv[0] - p[0])
+            w.se(mv[1] - p[1])
+            mvg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = mv
+            refg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = 0
+        cbp = (res or {}).get("cbp", 0)
+        w.ue(H._CBP_INTER_INV[cbp])
+        if cbp:
+            w.se(0)  # mb_qp_delta
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        for bi, (bx, by) in enumerate(H._BLK_SCAN):
+            fx, fy = gx + bx, gy + by
+            if cbp_luma & (1 << (bi // 4)):
+                lv = (res.get("luma", {}) or {}).get(bi, [0] * 16)
+                tc = _write_residual(w, lv, nc(nzY, fx, fy))
+                nzY[fy, fx] = tc
+            else:
+                nzY[fy, fx] = 0
+        if cbp_chroma:
+            for c in (0, 1):
+                _write_residual(
+                    w, (res.get("cdc", {}) or {}).get(c, [0] * 4), -1)
+        for c in (0, 1):
+            for bi in range(4):
+                bx, by = bi % 2, bi // 2
+                fx, fy = mbx * 2 + bx, mby * 2 + by
+                if cbp_chroma == 2:
+                    lv = (res.get("cac", {}) or {}).get((c, bi), [0] * 15)
+                    tc = _write_residual(w, lv, nc(nzC[c], fx, fy))
+                    nzC[c][fy, fx] = tc
+                else:
+                    nzC[c][fy, fx] = 0
+    if run:
+        w.ue(run)
+    return w.rbsp(trailing=True)
+
+
+def test_p16_integer_mv_is_exact_shift():
+    rng = np.random.default_rng(21)
+    wmb, hmb = 3, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mvs = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            mvs[mby, mbx] = (4 * ((mbx + mby) % 5 - 2) * 2,
+                             4 * ((mbx * 2 + mby) % 3 - 1) * 2)
+    stream = H.encode_ip_stream(y, cb, cr, mvs)
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0][0], y)
+    f1y, f1cb, f1cr = frames[1]
+    Hh, Ww = y.shape
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            dx, dy = int(mvs[mby, mbx, 0]) // 4, int(mvs[mby, mbx, 1]) // 4
+            for yy in range(mby * 16, mby * 16 + 16):
+                for xx in range(mbx * 16, mbx * 16 + 16):
+                    sy = min(max(yy + dy, 0), Hh - 1)
+                    sx = min(max(xx + dx, 0), Ww - 1)
+                    assert f1y[yy, xx] == y[sy, sx], (yy, xx)
+            cyr = range(mby * 8, mby * 8 + 8)
+            for yy in cyr:
+                for xx in range(mbx * 8, mbx * 8 + 8):
+                    sy = min(max(yy + dy // 2, 0), Hh // 2 - 1)
+                    sx = min(max(xx + dx // 2, 0), Ww // 2 - 1)
+                    assert f1cb[yy, xx] == cb[sy, sx]
+                    assert f1cr[yy, xx] == cr[sy, sx]
+
+
+def test_pframe_fractional_mv_matches_scalar_mc():
+    rng = np.random.default_rng(22)
+    wmb, hmb = 2, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    sps_r, pps_r = _make_sps_pps(wmb, hmb, 26)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    mvs = [(-5, 3), (7, -6), (1, 2), (-9, -11)]
+    plan = [("16x16", mv, None) for mv in mvs]
+    rbsp = _encode_pframe(wmb, hmb, plan)
+    f1 = H.decode_p_frame(sps, pps, rbsp, (y, cb, cr))
+    yl = y.astype(np.int64)
+    for mb, mv in enumerate(mvs):
+        mbx, mby = mb % wmb, mb // wmb
+        want = scalar_mc_luma(yl, mbx * 16, mby * 16, 16, 16, *mv)
+        got = f1[0][mby * 16:mby * 16 + 16,
+                    mbx * 16:mbx * 16 + 16].astype(np.int64)
+        assert np.array_equal(got, want), (mb, mv)
+        wcb = scalar_mc_chroma(cb.astype(np.int64), mbx * 8, mby * 8,
+                               8, 8, *mv)
+        assert np.array_equal(
+            f1[1][mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8], wcb)
+
+
+def test_pframe_skip_runs_and_partitions_with_residual():
+    rng = np.random.default_rng(23)
+    wmb, hmb = 3, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    sps_r, pps_r = _make_sps_pps(wmb, hmb, 26)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    res = {"cbp": 0x2F,  # luma 8x8s 0..3 except #... (1111 low) + chroma DC+AC
+           "luma": {0: [3, 0, -1, 1, 0, 0, 1] + [0] * 9,
+                    5: [0, 2, 0, 0, -1] + [0] * 11},
+           "cdc": {0: [1, 0, -1, 0], 1: [0, 1, 0, 0]},
+           "cac": {(0, 0): [1] + [0] * 14, (1, 3): [-1, 1] + [0] * 13}}
+    pcm_y = rng.integers(0, 256, (16, 16))
+    pcm_cb = rng.integers(0, 256, (8, 8))
+    pcm_cr = rng.integers(0, 256, (8, 8))
+    plan = [("skip",),
+            ("16x8", (8, 4), (-4, 0), None),
+            ("ipcm", pcm_y, pcm_cb, pcm_cr),
+            ("8x16", (2, 2), (6, -2), res),
+            ("skip",), ("skip",)]
+    rbsp = _encode_pframe(wmb, hmb, plan)
+    f1y, f1cb, f1cr = H.decode_p_frame(sps, pps, rbsp, (y, cb, cr))
+    yl = y.astype(np.int64)
+    # MB0: skip at picture corner -> mv (0,0) -> copy
+    assert np.array_equal(f1y[0:16, 0:16], y[0:16, 0:16])
+    # MB1: 16x8 with explicit mvs, no residual
+    assert np.array_equal(
+        f1y[0:8, 16:32], scalar_mc_luma(yl, 16, 0, 16, 8, 8, 4))
+    assert np.array_equal(
+        f1y[8:16, 16:32], scalar_mc_luma(yl, 16, 8, 16, 8, -4, 0))
+    # MB2: I_PCM inside P
+    assert np.array_equal(f1y[0:16, 32:48], pcm_y)
+    assert np.array_equal(f1cb[0:8, 16:24], pcm_cb)
+    assert np.array_equal(f1cr[0:8, 16:24], pcm_cr)
+    # MB3 (mbx 0, mby 1): 8x16 + residual
+    scale, shift = H._dequant_scale(26), 26 // 6
+    pred = np.zeros((16, 16), dtype=np.int64)
+    pred[:, 0:8] = scalar_mc_luma(yl, 0, 16, 8, 16, 2, 2)
+    pred[:, 8:16] = scalar_mc_luma(yl, 8, 16, 8, 16, 6, -2)
+    want = pred.copy()
+    for bi, (bx, by) in enumerate(H._BLK_SCAN):
+        lv = res["luma"].get(bi, [0] * 16) if (res["cbp"] & 15) & (
+            1 << (bi // 4)) else [0] * 16
+        d = (H.zigzag_to_block(lv) * scale) << shift
+        r4 = H.idct4x4(d)
+        want[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = np.clip(
+            pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            + ((r4 + 32) >> 6), 0, 255)
+    assert np.array_equal(f1y[16:32, 0:16], want)
+    # MB4: skip AFTER a coded MB with nonzero left-neighbor MV ->
+    # median predictor, not forced zero... A=(6,-2) B unavail? mby=1 ->
+    # B is MB1 bottom (=(-4,0), ref 0, nonzero) and A=(6,-2): both
+    # nonzero -> predictor = median over A,B,C(D)
+    a = (6, -2)
+    b = (-4, 0)
+    cD = (8, 4)  # D substitution: above-left = MB1 top? no: C = above
+    # -right of MB4 = MB2 (intra) -> (0,0) ref -1; all refs: A=0,B=0,
+    # C=-1 -> two matches -> median of (6,-4,0) and (-2,0,0)
+    mvsk = (int(np.median([a[0], b[0], 0])), int(np.median([a[1], b[1], 0])))
+    assert np.array_equal(
+        f1y[16:32, 16:32],
+        scalar_mc_luma(yl, 16, 16, 16, 16, mvsk[0], mvsk[1]))
+    # MB5: trailing skip
+    prev = (mvsk[0], mvsk[1])
+    a2 = prev
+    # B for MB5 = MB2 intra -> zero/ref-1 -> skip mv rule: B not
+    # available-for-match but IS available (decoded) with ref -1 !=0 ->
+    # not the zero-forcing case; predictor: A=prev(ref0), B=(ref -1),
+    # C/D: D=MB1 bottom (-4,0) ref0? C = above-right of MB5 is out of
+    # picture -> D = above-left = MB1 bottom -> refs A=0,D... compute:
+    # matches = [A] and [D?] -> D ref==0 -> two matches -> median with
+    # B=(0,0): median(x of a2, -4, 0), median(y of a2, 0, 0)
+    mvsk2 = (int(np.median([a2[0], -4, 0])), int(np.median([a2[1], 0, 0])))
+    assert np.array_equal(
+        f1y[16:32, 32:48],
+        scalar_mc_luma(yl, 32, 16, 16, 16, mvsk2[0], mvsk2[1]))
