@@ -1485,6 +1485,16 @@ _CBP_INTER = [
 ]
 _CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
 
+# sub_mb_type (P slices, Table 7-17) → sub-partitions of an 8x8, as
+# (x4, y4, w4, h4) offsets in 4x4 units within the 8x8
+_SUB_PARTS = {
+    0: [(0, 0, 2, 2)],                                    # P_L0_8x8
+    1: [(0, 0, 2, 1), (0, 1, 2, 1)],                      # P_L0_8x4
+    2: [(0, 0, 1, 2), (1, 0, 1, 2)],                      # P_L0_4x8
+    3: [(0, 0, 1, 1), (1, 0, 1, 1),
+        (0, 1, 1, 1), (1, 1, 1, 1)],                      # P_L0_4x4
+}
+
 
 def interp_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
                 mvx: int, mvy: int) -> np.ndarray:
@@ -1638,10 +1648,11 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     (uncropped planes, as produced by decode_i_frame/decode_p_frame).
 
     Supported inter shapes: P_Skip (mb_skip_run), P_L0_16x16,
-    P_L0_L0_16x8, P_L0_L0_8x16, plus every intra MB type inside the
-    P slice (shared decoders). P_8x8 sub-partitions, multiple
-    reference frames, list reordering and weighted prediction gate
-    loudly as H264Unsupported."""
+    P_L0_L0_16x8, P_L0_L0_8x16, P_8x8/P_8x8ref0 with every
+    sub_mb_type (8x8/8x4/4x8/4x4), plus every intra MB type inside
+    the P slice (shared decoders). Multiple reference frames, list
+    reordering and weighted prediction gate loudly as
+    H264Unsupported."""
     refY = ref[0].astype(np.int64)
     refCb = ref[1].astype(np.int64)
     refCr = ref[2].astype(np.int64)
@@ -1708,9 +1719,17 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
             parts = [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")]
         elif mb_type == 2:
             parts = [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")]
+        elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (ref inferred 0)
+            subs = [r.ue() for _ in range(4)]
+            if any(s > 3 for s in subs):
+                raise H264Error(f"bad sub_mb_type {subs}")
+            parts = []
+            for i8, s in enumerate(subs):
+                bx, by = (i8 % 2) * 2, (i8 // 2) * 2
+                for (sx, sy, sw, sh) in _SUB_PARTS[s]:
+                    parts.append((bx + sx, by + sy, sw, sh, ""))
         else:
-            raise H264Unsupported(
-                "P_8x8 sub-macroblock partitions (mb_type 3/4)")
+            raise H264Error(f"bad P-slice mb_type {mb_type}")
         # single active reference: ref_idx_l0 not present, inferred 0
         mvs = []
         for (px4, py4, w4, h4, shape) in parts:

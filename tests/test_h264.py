@@ -1075,7 +1075,21 @@ def _encode_pframe(wmb, hmb, plan, qp=26, frame_num=1):
             continue
         kind = entry[0]
         res = entry[-1]
-        if kind == "16x16":
+        if kind == "8x8":
+            # ("8x8", [sub_mb_type x4], [mvs in part order], res)
+            _, subs, submvs, res = entry
+            w.ue(3)  # P_8x8
+            for s in subs:
+                w.ue(s)
+            parts = []
+            k = 0
+            for i8, s in enumerate(subs):
+                bx, by = (i8 % 2) * 2, (i8 // 2) * 2
+                for (sx, sy, sw, sh) in H._SUB_PARTS[s]:
+                    parts.append(((bx + sx, by + sy, sw, sh, ""),
+                                  submvs[k]))
+                    k += 1
+        elif kind == "16x16":
             parts = [((0, 0, 4, 4, ""), entry[1])]
             w.ue(0)
         elif kind == "16x8":
@@ -1261,3 +1275,40 @@ def test_pframe_skip_runs_and_partitions_with_residual():
     assert np.array_equal(
         f1y[16:32, 32:48],
         scalar_mc_luma(yl, 32, 16, 16, 16, mvsk2[0], mvsk2[1]))
+
+
+def test_p8x8_all_sub_partition_shapes():
+    rng = np.random.default_rng(24)
+    wmb, hmb = 2, 1
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    sps_r, pps_r = _make_sps_pps(wmb, hmb, 26)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    # MB0: sub types 8x8, 8x4, 4x8, 4x4 -> 1+2+2+4 = 9 sub-parts
+    submvs = [(-3, 2), (5, 5), (0, -7), (2, 1), (-6, 0),
+              (1, 1), (-1, 3), (4, -4), (0, 0)]
+    plan = [("8x8", [0, 1, 2, 3], submvs, None),
+            ("16x16", (0, 0), None)]
+    rbsp = _encode_pframe(wmb, hmb, plan)
+    f1y, f1cb, _ = H.decode_p_frame(sps, pps, rbsp, (y, cb, cr))
+    yl = y.astype(np.int64)
+    # reconstruct expected sub-partition layout
+    parts = []
+    k = 0
+    for i8, s in enumerate([0, 1, 2, 3]):
+        bx, by = (i8 % 2) * 2, (i8 // 2) * 2
+        for (sx, sy, sw, sh) in H._SUB_PARTS[s]:
+            parts.append(((bx + sx, by + sy, sw, sh), submvs[k]))
+            k += 1
+    assert k == 9
+    for (px4, py4, w4, h4), mv in parts:
+        got = f1y[py4 * 4:(py4 + h4) * 4, px4 * 4:(px4 + w4) * 4]
+        want = scalar_mc_luma(yl, px4 * 4, py4 * 4, w4 * 4, h4 * 4, *mv)
+        assert np.array_equal(got.astype(np.int64), want), (px4, py4, mv)
+        gotc = f1cb[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2]
+        wantc = scalar_mc_chroma(cb.astype(np.int64), px4 * 2, py4 * 2,
+                                 w4 * 2, h4 * 2, *mv)
+        assert np.array_equal(gotc.astype(np.int64), wantc), (px4, py4)
+    # MB1 (plain 16x16, mv 0): exact copy
+    assert np.array_equal(f1y[0:16, 16:32], y[0:16, 16:32])
