@@ -1115,6 +1115,65 @@ def q_h264_p_decode(spark, sf):
         " cb1_sum bigint, cr1_sum bigint")
 
 
+def q_video_gop_pixels(spark, sf):
+    """Container-to-pixels for a whole GOP (mp4.video_gop_features):
+    a 3-frame MP4 per doc — I_PCM keyframe then two residual-free
+    even-integer-MV P frames — demuxed from the real sample table and
+    decoded through the 1-frame DPB. Frame 2 references the DECODED
+    frame 1, so the oracle composes two edge-clamped shifts (the MB
+    of the second shift is chosen by the CLAMPED intermediate
+    coordinate). Plane sizes are powers of two, so the mean doubles
+    are exact in both engines."""
+    import pandas as pd
+
+    from montandon_etl_spark.operators import h264 as Hc
+    from montandon_etl_spark.operators.mp4 import (
+        build_mp4, make_avcc, video_gop_features)
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 16).distinct())
+
+    def batches(it):
+        import numpy as np
+        r32 = np.arange(32).reshape(32, 1)
+        c32 = np.arange(32).reshape(1, 32)
+        r16 = np.arange(16).reshape(16, 1)
+        c16 = np.arange(16).reshape(1, 16)
+
+        def lp(nal):
+            return len(nal).to_bytes(4, "big") + nal
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                y0 = ((d * 31 + r32 * 3 + c32) % 256).astype(np.uint8)
+                cb0 = ((d * 7 + r16 * 5 + c16 * 2) % 256).astype(np.uint8)
+                cr0 = ((d * 13 + r16 * 2 + c16 * 3) % 256).astype(np.uint8)
+                sps_nal, pps_nal, idr_nal = Hc.split_annexb(
+                    Hc.encode_ipcm_annexb(y0, cb0, cr0))
+                frames = [lp(idr_nal)]
+                for f in (1, 2):
+                    mvs = np.zeros((2, 2, 2), dtype=np.int64)
+                    for mby in range(2):
+                        for mbx in range(2):
+                            mvs[mby, mbx] = (
+                                8 * ((d + mbx + mby + f) % 3 - 1),
+                                8 * ((d + 2 * mbx + mby + f) % 3 - 1))
+                    frames.append(lp(Hc.encode_p16_rbsp(mvs,
+                                                        frame_num=f)))
+                mp4b = build_mp4(frames, width=32, height=32,
+                                 keyframes=[0],
+                                 avcc=make_avcc(sps_nal, pps_nal))
+                rows.append((d, mp4b))
+            yield pd.DataFrame(rows, columns=["doc_id", "mp4"])
+
+    assets = ids.mapInPandas(batches, "doc_id bigint, mp4 binary")
+    out = video_gop_features(assets, "doc_id", "mp4")
+    return out.select(F.col("asset_id").alias("doc_id"), "frame_idx",
+                      "is_key", "mean_y", "mean_cb", "mean_cr")
+
+
 def q_mv_source_extremes(spark, sf):
     """Incremental MIN/MAX view maintenance (lake/matview.py, VERDICT
     r4 Next #5): documents arrive as three CDC upsert batches, then a
@@ -2910,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "video_gop_pixels": q_video_gop_pixels,
         "h264_p_decode": q_h264_p_decode,
         "snapshot_diff": q_snapshot_diff,
         "incremental_token_shards": q_incremental_token_shards,
@@ -3601,6 +3661,86 @@ def oracle_sql() -> dict[str, str]:
                AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
                     OR a.b3 = b.b3))
             SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+        "video_gop_pixels": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 16),
+            yp AS (SELECT i.doc_id, r.range AS y, c.range AS x
+                   FROM ids i, range(32) r, range(32) c),
+            cp AS (SELECT i.doc_id, r.range AS y, c.range AS x
+                   FROM ids i, range(16) r, range(16) c),
+            y1c AS (
+              SELECT doc_id, y, x,
+                LEAST(GREATEST(x + 2*((doc_id + (x//16) + (y//16) + 1)
+                      % 3 - 1), 0), 31) AS cx,
+                LEAST(GREATEST(y + 2*((doc_id + 2*(x//16) + (y//16)
+                      + 1) % 3 - 1), 0), 31) AS cy
+              FROM yp),
+            y2a AS (
+              SELECT doc_id, y, x,
+                LEAST(GREATEST(x + 2*((doc_id + (x//16) + (y//16) + 2)
+                      % 3 - 1), 0), 31) AS cx2,
+                LEAST(GREATEST(y + 2*((doc_id + 2*(x//16) + (y//16)
+                      + 2) % 3 - 1), 0), 31) AS cy2
+              FROM yp),
+            y2c AS (
+              SELECT doc_id, y, x,
+                LEAST(GREATEST(cx2 + 2*((doc_id + (cx2//16) + (cy2//16)
+                      + 1) % 3 - 1), 0), 31) AS cx,
+                LEAST(GREATEST(cy2 + 2*((doc_id + 2*(cx2//16)
+                      + (cy2//16) + 1) % 3 - 1), 0), 31) AS cy
+              FROM y2a),
+            c1c AS (
+              SELECT doc_id, y, x,
+                LEAST(GREATEST(x + ((doc_id + (x//8) + (y//8) + 1)
+                      % 3 - 1), 0), 15) AS cx,
+                LEAST(GREATEST(y + ((doc_id + 2*(x//8) + (y//8) + 1)
+                      % 3 - 1), 0), 15) AS cy
+              FROM cp),
+            c2a AS (
+              SELECT doc_id, y, x,
+                LEAST(GREATEST(x + ((doc_id + (x//8) + (y//8) + 2)
+                      % 3 - 1), 0), 15) AS cx2,
+                LEAST(GREATEST(y + ((doc_id + 2*(x//8) + (y//8) + 2)
+                      % 3 - 1), 0), 15) AS cy2
+              FROM cp),
+            c2c AS (
+              SELECT doc_id, y, x,
+                LEAST(GREATEST(cx2 + ((doc_id + (cx2//8) + (cy2//8)
+                      + 1) % 3 - 1), 0), 15) AS cx,
+                LEAST(GREATEST(cy2 + ((doc_id + 2*(cx2//8) + (cy2//8)
+                      + 1) % 3 - 1), 0), 15) AS cy
+              FROM c2a),
+            ym AS (
+              SELECT doc_id, 0 AS f,
+                     SUM((doc_id*31 + y*3 + x) % 256)/1024.0 AS mean_y
+              FROM yp GROUP BY 1
+              UNION ALL
+              SELECT doc_id, 1,
+                     SUM((doc_id*31 + cy*3 + cx) % 256)/1024.0
+              FROM y1c GROUP BY 1
+              UNION ALL
+              SELECT doc_id, 2,
+                     SUM((doc_id*31 + cy*3 + cx) % 256)/1024.0
+              FROM y2c GROUP BY 1),
+            cm AS (
+              SELECT doc_id, 0 AS f,
+                     SUM((doc_id*7 + y*5 + x*2) % 256)/256.0 AS mean_cb,
+                     SUM((doc_id*13 + y*2 + x*3) % 256)/256.0 AS mean_cr
+              FROM cp GROUP BY 1
+              UNION ALL
+              SELECT doc_id, 1,
+                     SUM((doc_id*7 + cy*5 + cx*2) % 256)/256.0,
+                     SUM((doc_id*13 + cy*2 + cx*3) % 256)/256.0
+              FROM c1c GROUP BY 1
+              UNION ALL
+              SELECT doc_id, 2,
+                     SUM((doc_id*7 + cy*5 + cx*2) % 256)/256.0,
+                     SUM((doc_id*13 + cy*2 + cx*3) % 256)/256.0
+              FROM c2c GROUP BY 1)
+            SELECT y.doc_id, y.f::INT AS frame_idx,
+                   (y.f = 0) AS is_key, y.mean_y,
+                   c.mean_cb, c.mean_cr
+            FROM ym y JOIN cm c ON y.doc_id = c.doc_id AND y.f = c.f""",
         "h264_p_decode": """
             WITH ids AS (SELECT DISTINCT doc_id FROM documents
                          WHERE doc_id < 24),

@@ -546,3 +546,79 @@ def video_keyframe_features(df: DataFrame, id_col: str,
 
     return df.select(id_col, bin_col).mapInPandas(
         batches, schema=KEYFRAME_FEATURE_SCHEMA)
+
+
+GOP_FEATURE_SCHEMA = (
+    "asset_id bigint, frame_idx int, is_key boolean,"
+    " mean_y double, mean_cb double, mean_cr double"
+)
+
+
+def video_gop_features(df: DataFrame, id_col: str,
+                       bin_col: str) -> DataFrame:
+    """Decode EVERY frame of each asset's video track — I *and* P —
+    in decode order with a one-frame reference buffer, and emit
+    per-frame YCbCr channel means (plane dims are multiples of 16, so
+    the divisions are by powers of two — exact in binary floating
+    point, which keeps the SQL oracle value-identical). Assets that
+    don't parse, lack avcC, or hit out-of-subset tools (B slices,
+    CABAC, multi-ref ...) yield NULL feature rows — record-not-drop.
+    Arrow-batched, no shuffle; each asset decodes inside its own
+    batch, the DPB never leaves the worker."""
+    from montandon_etl_spark.operators import h264 as Hc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_idx", "is_key", "mean_y",
+                "mean_cb", "mean_cr"]
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    b = bytes(p)
+                    meta = parse_mp4(b)
+                    t = next(x for x in meta["tracks"]
+                             if x["handler"] == "vide")
+                    if t["avcc"] is None:
+                        raise ValueError("no avcC")
+                    sps_l, pps_l, ls = parse_avcc(t["avcc"])
+                    sps = Hc.parse_sps(Hc.strip_ep3b(sps_l[0]))
+                    pps = Hc.parse_pps(Hc.strip_ep3b(pps_l[0]))
+                    prev = None
+                    frames = []
+                    for idx, (off, size, _pts, _key) in enumerate(
+                            t["frames"]):
+                        payload = b[off:off + size]
+                        sl = None
+                        for nal in Hc.split_avcc(payload, ls):
+                            nt = nal[0] & 0x1F
+                            if nt == 7:
+                                sps = Hc.parse_sps(nal)
+                            elif nt == 8:
+                                pps = Hc.parse_pps(nal)
+                            elif nt in (1, 5) and sl is None:
+                                sl = nal
+                        if sl is None:
+                            raise ValueError(f"frame {idx}: no slice")
+                        _, sh = Hc.parse_slice_header(sl, sps, pps)
+                        if sh["type"] == "I":
+                            planes = Hc.decode_i_frame(sps, pps, sl)
+                        else:
+                            if prev is None:
+                                raise ValueError("P frame w/o reference")
+                            planes = Hc.decode_p_frame(sps, pps, sl,
+                                                       prev)
+                        prev = planes
+                        frames.append((idx, sh["type"] == "I", planes))
+                    for idx, is_key, (y, cb, cr) in frames:
+                        rows.append((
+                            int(aid), idx, is_key,
+                            float(y.astype("int64").sum()) / y.size,
+                            float(cb.astype("int64").sum()) / cb.size,
+                            float(cr.astype("int64").sum()) / cr.size))
+                except Exception:
+                    rows.append((int(aid), None, None, None, None,
+                                 None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, schema=GOP_FEATURE_SCHEMA)

@@ -135,3 +135,66 @@ def test_frame_slicing_via_builtin_substring(spark):
     )
     got = {r["frame_idx"]: bytes(r["frame"]) for r in sliced}
     assert got == {i: fr[i] for i in range(6)}
+
+
+def test_video_gop_features_ip_chain(spark):
+    """3-frame GOP (I_PCM + two residual-free even-integer-MV P
+    frames) through the real container: decoded means must equal the
+    numpy clamp-shift chain, and the divisions are by powers of two
+    so the doubles are exact."""
+    import numpy as np
+
+    from montandon_etl_spark.operators import h264 as Hc
+    from montandon_etl_spark.operators.mp4 import (
+        build_mp4, make_avcc, video_gop_features)
+
+    rng = np.random.default_rng(31)
+    y0 = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    cr0 = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    nals = Hc.split_annexb(Hc.encode_ipcm_annexb(y0, cb0, cr0))
+    sps_nal, pps_nal, idr_nal = nals
+
+    def lp(nal):
+        return len(nal).to_bytes(4, "big") + nal
+
+    mv1 = np.array([[[8, -8], [0, 8]], [[-8, 0], [8, 8]]])
+    mv2 = np.array([[[-8, 8], [8, 0]], [[0, -8], [-8, -8]]])
+    frames = [lp(idr_nal),
+              lp(Hc.encode_p16_rbsp(mv1, frame_num=1)),
+              lp(Hc.encode_p16_rbsp(mv2, frame_num=2))]
+    avcc = make_avcc(sps_nal, pps_nal)
+    mp4 = build_mp4(frames, width=32, height=32, keyframes=[0],
+                    avcc=avcc)
+    df = spark.createDataFrame([(1, bytearray(mp4)),
+                                (2, bytearray(b"junk"))],
+                               "asset_id bigint, payload binary")
+    out = {(r["asset_id"], r["frame_idx"]): r
+           for r in video_gop_features(df, "asset_id",
+                                       "payload").collect()}
+    assert out[(2, None)]["mean_y"] is None  # record-not-drop
+
+    def shift(plane, mvs, scale):
+        h, w = plane.shape
+        out_p = np.empty_like(plane)
+        for yy in range(h):
+            for xx in range(w):
+                mbx, mby = xx // (16 // scale), yy // (16 // scale)
+                dx = int(mvs[mby, mbx, 0]) // 4 // scale
+                dy = int(mvs[mby, mbx, 1]) // 4 // scale
+                sy = min(max(yy + dy, 0), h - 1)
+                sx = min(max(xx + dx, 0), w - 1)
+                out_p[yy, xx] = plane[sy, sx]
+        return out_p
+
+    y1 = shift(y0, mv1, 1)
+    y2 = shift(y1, mv2, 1)
+    cb1 = shift(cb0, mv1, 2)
+    cb2 = shift(cb1, mv2, 2)
+    assert out[(1, 0)]["is_key"] is True
+    assert out[(1, 1)]["is_key"] is False
+    assert out[(1, 0)]["mean_y"] == y0.astype(np.int64).sum() / 1024
+    assert out[(1, 1)]["mean_y"] == y1.astype(np.int64).sum() / 1024
+    assert out[(1, 2)]["mean_y"] == y2.astype(np.int64).sum() / 1024
+    assert out[(1, 2)]["mean_cb"] == cb2.astype(np.int64).sum() / 256
+    assert out[(1, 1)]["mean_cb"] == cb1.astype(np.int64).sum() / 256
