@@ -148,6 +148,14 @@ BENCH_QUERIES = [
     "range_join_windows",  # bucket-explode equi-join, no BNLJ
     "heavy_hitters",
     "kmv_distinct_users",
+    "wav_pcm_decode",  # RIFF/WAVE PCM16 container decode (audio arm)
+    "adpcm_roundtrip",  # IMA-ADPCM integer codec encode->decode
+    "audio_near_dup",  # energy-gradient fingerprint, banded Hamming join
+    "token_shards_roundtrip",  # trainer .bin/.idx export + re-read
+    "incremental_token_shards",  # manifest-diff-driven shard rewrites
+    "snapshot_diff",  # time-travel change feed, manifest-pruned
+    "h264_p_decode",  # H.264 inter (P-slice) MC decode round trip
+    "video_gop_pixels",  # whole-GOP container decode, chained P frames
     "q1_pricing_summary",
     "order_revenue",
     "region_revenue",
