@@ -164,3 +164,15 @@ class ShardExport:
     # ----------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:
         return tokbin.read_token_shards(spark, self.path)
+
+    # ------------------------------------------------------ streaming
+    def updater(self, table):
+        """A ``run_stream(derived_updaters=[...])`` hook: refresh the
+        export after every micro-batch commit, so the trainer shards
+        ride the live CDC stream like the other derived artifacts
+        (NearDupIndex, TextIndex, MaterializedAggregate). Idempotent
+        on redelivery: a re-run epoch commits no new snapshot, the
+        manifest diff is empty, and refresh is a no-op."""
+        def upd(spark: SparkSession, batch_df, epoch_id: int) -> None:
+            self.refresh(spark, table)
+        return upd

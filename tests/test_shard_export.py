@@ -144,3 +144,33 @@ def test_layout_guard():
     json.dump(st, open(p, "w"))
     with pytest.raises(ValueError):
         ShardExport(os.path.join(base, "e"))
+
+
+def test_shard_export_rides_the_stream(spark):
+    """run_stream(derived_updaters=[exp.updater(table)]) keeps the
+    trainer shards current per micro-batch, and a checkpoint re-run
+    leaves every file byte-identical (idempotent redelivery)."""
+    from montandon_etl_spark.sources import gen_changelog, write_changelog
+    from montandon_etl_spark.streaming import run_stream
+
+    base = tempfile.mkdtemp(prefix="shex_stream_")
+    log = gen_changelog(400, 120, seed=7, n_domains=10)
+    write_changelog(log, os.path.join(base, "log"), n_chunks=3)
+    table = SnapshotTable.create(os.path.join(base, "t"), n_buckets=8)
+    exp = ShardExport.create(os.path.join(base, "shards"),
+                             vocab_size=50000)
+    run_stream(spark, table, os.path.join(base, "log"),
+               os.path.join(base, "ckpt"),
+               derived_updaters=[exp.updater(table)]).awaitTermination(300)
+    want = _files(exp.path)
+    assert len(want) > 0
+    # full export of the final state must match byte-for-byte
+    full = ShardExport.create(os.path.join(base, "full"),
+                              vocab_size=50000)
+    full.refresh(spark, table)
+    assert _files(full.path) == want
+    # re-run on the same checkpoint: no redelivered work, same bytes
+    run_stream(spark, table, os.path.join(base, "log"),
+               os.path.join(base, "ckpt"),
+               derived_updaters=[exp.updater(table)]).awaitTermination(300)
+    assert _files(exp.path) == want
