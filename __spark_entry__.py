@@ -1115,6 +1115,17 @@ def q_h264_p_decode(spark, sf):
         " cb1_sum bigint, cr1_sum bigint")
 
 
+def q_corpus_report(spark, sf):
+    """Dataset-card rollup (textstats.corpus_report): every (lang,
+    source) granularity + marginals + grand total out of ONE scan and
+    ONE shuffle via CUBE grouping sets — integer metrics, SQL CUBE
+    oracle. The '<all>' marker distinguishes an aggregated-out
+    dimension from a data NULL."""
+    from montandon_etl_spark.operators.textstats import corpus_report
+
+    return corpus_report(_t(spark, sf, "documents"))
+
+
 def q_video_gop_pixels(spark, sf):
     """Container-to-pixels for a whole GOP (mp4.video_gop_features):
     a 3-frame MP4 per doc — I_PCM keyframe then two residual-free
@@ -2969,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "corpus_report": q_corpus_report,
         "video_gop_pixels": q_video_gop_pixels,
         "h264_p_decode": q_h264_p_decode,
         "snapshot_diff": q_snapshot_diff,
@@ -3661,6 +3673,13 @@ def oracle_sql() -> dict[str, str]:
                AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
                     OR a.b3 = b.b3))
             SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+        "corpus_report": f"""
+            SELECT COALESCE(lang, '<all>') AS lang,
+                   COALESCE(source, '<all>') AS source,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(length(text))::BIGINT AS sum_chars,
+                   SUM(len({_W}))::BIGINT AS sum_ws_tokens
+            FROM documents GROUP BY CUBE (lang, source)""",
         "video_gop_pixels": """
             WITH ids AS (SELECT DISTINCT doc_id FROM documents
                          WHERE doc_id < 16),

@@ -329,3 +329,31 @@ def curation_gate(df: DataFrame, id_col: str, text_col: str,
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
     )
+
+
+def corpus_report(df: DataFrame, dims: tuple[str, str] = ("lang", "source"),
+                  text_col: str = "text") -> DataFrame:
+    """Dataset-card rollup: ONE pass over the corpus producing every
+    granularity a mixture designer asks for — per (lang, source), per
+    lang, per source, and the grand total — via CUBE grouping sets
+    (Catalyst expands them inside a single shuffle with map-side
+    partial aggregation; no N scans for N breakdowns). Aggregated-out
+    dimensions surface as '<all>' so the marker can't collide with a
+    data NULL. Metrics are integers (docs, chars, whitespace tokens)
+    — value-exact against the SQL CUBE replay.
+
+    100-TB shape: this is the operator that replaces "run 4 GROUP BYs
+    over 100 TB" with one scan + one shuffle of ~|lang|x|source| rows.
+
+    Reference lineage: the reference's per-run summary reporting
+    (transform counts by source/hazard) as a first-class operator.
+    """
+    a, b = dims
+    return (df.cube(a, b)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length(F.col(text_col))).alias("sum_chars"),
+                 F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+                 .alias("sum_ws_tokens"))
+            .select(F.coalesce(F.col(a), F.lit("<all>")).alias(a),
+                    F.coalesce(F.col(b), F.lit("<all>")).alias(b),
+                    "n_docs", "sum_chars", "sum_ws_tokens"))

@@ -351,3 +351,18 @@ def test_shuffle_shards_single_exchange(spark):
     plan = _physical_plan(df)
     assert "SinglePartition" not in plan, plan[:1500]
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+
+
+def test_corpus_report_one_scan_one_exchange(spark):
+    """The CUBE expands grouping sets INSIDE one aggregation: one
+    parquet scan, an Expand node, and a single hash exchange between
+    partial and final aggregates — not four scans for four
+    granularities."""
+    import re
+
+    df = entry_mod.queries()["corpus_report"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "Join" not in plan, plan[:1500]
+    assert "Expand" in plan, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
