@@ -1115,6 +1115,39 @@ def q_h264_p_decode(spark, sf):
         " cb1_sum bigint, cr1_sum bigint")
 
 
+def q_robots_gate(spark, sf):
+    """robots.txt policy gate (sources/robots.py): the engine parses
+    REAL robots.txt text per host (user-agent groups, wildcards, $
+    anchors), pre-compiles rules once, broadcast-joins them and
+    decides longest-match-wins JVM-side. Hosts cycle through four
+    policy types (empty, prefix+longer-allow, anchored-wildcard+tmp,
+    deny-all-with-allow-carveout) plus one host with NO robots row;
+    the oracle states the hand-derived truth table."""
+    from montandon_etl_spark.sources import robots as R
+
+    docs = (_t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+            .select("doc_id", F.expr("""
+        concat('https://h', doc_id % 8, '.example.com',
+          CASE doc_id % 6
+            WHEN 0 THEN concat('/public/page', doc_id)
+            WHEN 1 THEN concat('/private/page', doc_id)
+            WHEN 2 THEN concat('/private/ok/', doc_id)
+            WHEN 3 THEN concat('/files/a', doc_id, '.php')
+            WHEN 4 THEN concat('/tmp/x', doc_id)
+            ELSE '/' END)""").alias("url")))
+    texts = {
+        0: "",
+        1: "User-agent: *\nDisallow: /private\nAllow: /private/ok\n",
+        2: "User-agent: *\nDisallow: /*.php$\nDisallow: /tmp\n",
+        3: "User-agent: *\nDisallow: /\nAllow: /public\n",
+    }
+    robots = spark.createDataFrame(
+        [(f"h{hi}.example.com", texts[hi % 4]) for hi in range(7)],
+        "host string, robots_txt string")
+    out = R.robots_gate(docs, R.build_rules(robots))
+    return out.select("doc_id", "url", "host", "allowed")
+
+
 def q_corpus_report(spark, sf):
     """Dataset-card rollup (textstats.corpus_report): every (lang,
     source) granularity + marginals + grand total out of ONE scan and
@@ -2980,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "robots_gate": q_robots_gate,
         "corpus_report": q_corpus_report,
         "video_gop_pixels": q_video_gop_pixels,
         "h264_p_decode": q_h264_p_decode,
@@ -3673,6 +3707,28 @@ def oracle_sql() -> dict[str, str]:
                AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
                     OR a.b3 = b.b3))
             SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+        "robots_gate": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 8 AS hi, doc_id % 6 AS pc,
+                CASE doc_id % 6
+                  WHEN 0 THEN '/public/page' || doc_id
+                  WHEN 1 THEN '/private/page' || doc_id
+                  WHEN 2 THEN '/private/ok/' || doc_id
+                  WHEN 3 THEN '/files/a' || doc_id || '.php'
+                  WHEN 4 THEN '/tmp/x' || doc_id
+                  ELSE '/' END AS path
+              FROM documents WHERE doc_id < 400)
+            SELECT doc_id,
+                   'https://h' || hi || '.example.com' || path AS url,
+                   'h' || hi || '.example.com' AS host,
+                   CASE
+                     WHEN hi = 7 THEN TRUE
+                     WHEN hi % 4 = 0 THEN TRUE
+                     WHEN hi % 4 = 1 THEN pc <> 1
+                     WHEN hi % 4 = 2 THEN pc NOT IN (3, 4)
+                     ELSE pc = 0
+                   END AS allowed
+            FROM d""",
         "corpus_report": f"""
             SELECT COALESCE(lang, '<all>') AS lang,
                    COALESCE(source, '<all>') AS source,
