@@ -1115,6 +1115,72 @@ def q_h264_p_decode(spark, sf):
         " cb1_sum bigint, cr1_sum bigint")
 
 
+def _hamming_band_expr(i, fresh=False):
+    """md5-derived 16-bit band, twin-perturbed for doc_id >= 12
+    (XOR one bit into band doc_id%4 → Hamming 1 from the family
+    original); 'fresh' variant breaks the family tie entirely."""
+    if fresh:
+        base = (f"CAST(conv(substring(md5(concat(doc_id, 'f', {i})),"
+                f" 1, 15), 16, 10) AS BIGINT) % 65536")
+        return F.expr(f"CAST({base} AS INT)")
+    base = (f"CAST(conv(substring(md5(concat(doc_id % 12, '-', {i})),"
+            f" 1, 15), 16, 10) AS BIGINT) % 65536")
+    return F.expr(
+        f"CAST(({base}) ^ (CASE WHEN doc_id >= 12 AND doc_id % 4 = {i}"
+        f" THEN shiftleft(1, CAST(doc_id % 16 AS INT)) ELSE 0 END)"
+        f" AS INT)")
+
+
+def q_incremental_image_near_dup(spark, sf):
+    """Incremental multimodal near-dup (operators/hamming_index.py):
+    64-bit perceptual fingerprints (the dHash / audio-fingerprint
+    band format) arrive as FOUR CDC batches into a banded-Hamming
+    index — originals, Hamming-1 twins (pairs appear), deletes of
+    every 6th original (their pairs retract), then a rewrite of every
+    5th twin to a fresh fingerprint (those pairs retract too). The
+    maintained pairs() must equal the oracle's brute-force over the
+    surviving state — banded blocking is EXACT at Hamming <= 3 by
+    pigeonhole, so this is value-equality, not recall."""
+    import tempfile
+
+    from montandon_etl_spark.operators.hamming_index import HammingIndex
+
+    idx = HammingIndex.create(tempfile.mkdtemp(prefix="hidx_"),
+                              n_buckets=8, n_pfx=16)
+    docs = (_t(spark, sf, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 24).distinct())
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    key = F.concat(F.lit("k"), F.lpad(F.col("doc_id").cast("string"),
+                                      3, "0")).alias("url")
+
+    def shape(df, seq_off, op, fresh=False):
+        bands = ([_hamming_band_expr(i, fresh).alias(f"b{i}")
+                  for i in range(4)] if op == "upsert"
+                 else [F.lit(None).cast("int").alias(f"b{i}")
+                       for i in range(4)])
+        return df.select(key, (F.col("doc_id") + seq_off).alias("seq"),
+                         ts.alias("warc_ts"), F.lit(op).alias("op"),
+                         *bands)
+
+    batches = [
+        shape(docs.filter(F.col("doc_id") < 12), 0, "upsert"),
+        shape(docs.filter(F.col("doc_id") >= 12), 0, "upsert"),
+        shape(docs.filter((F.col("doc_id") < 12)
+                          & (F.col("doc_id") % 6 == 0)), 100, "delete"),
+        shape(docs.filter((F.col("doc_id") >= 12)
+                          & (F.col("doc_id") % 5 == 0)), 200, "upsert",
+              fresh=True),
+    ]
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i, b in enumerate(batches):
+            idx.update(spark, b, batch_id=i)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    return idx.pairs(spark)
+
+
 def q_robots_gate(spark, sf):
     """robots.txt policy gate (sources/robots.py): the engine parses
     REAL robots.txt text per host (user-agent groups, wildcards, $
@@ -3013,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "incremental_image_near_dup": q_incremental_image_near_dup,
         "robots_gate": q_robots_gate,
         "corpus_report": q_corpus_report,
         "video_gop_pixels": q_video_gop_pixels,
@@ -3707,6 +3774,56 @@ def oracle_sql() -> dict[str, str]:
                AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
                     OR a.b3 = b.b3))
             SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+        "incremental_image_near_dup": """
+            WITH ids AS (SELECT DISTINCT doc_id AS d FROM documents
+                         WHERE doc_id < 24),
+            alive AS (SELECT d FROM ids
+                      WHERE NOT (d < 12 AND d % 6 = 0)),
+            fp AS (
+              SELECT d, 'k' || lpad(d::VARCHAR, 3, '0') AS id,
+                CASE WHEN d >= 12 AND d % 5 = 0
+                     THEN ('0x' || substr(md5(d || 'f0'), 1, 15)
+                          )::BIGINT % 65536
+                     ELSE xor(('0x' || substr(md5((d % 12) || '-0'),
+                               1, 15))::BIGINT % 65536,
+                          CASE WHEN d >= 12 AND d % 4 = 0
+                               THEN (1::BIGINT << (d % 16))
+                               ELSE 0 END) END AS b0,
+                CASE WHEN d >= 12 AND d % 5 = 0
+                     THEN ('0x' || substr(md5(d || 'f1'), 1, 15)
+                          )::BIGINT % 65536
+                     ELSE xor(('0x' || substr(md5((d % 12) || '-1'),
+                               1, 15))::BIGINT % 65536,
+                          CASE WHEN d >= 12 AND d % 4 = 1
+                               THEN (1::BIGINT << (d % 16))
+                               ELSE 0 END) END AS b1,
+                CASE WHEN d >= 12 AND d % 5 = 0
+                     THEN ('0x' || substr(md5(d || 'f2'), 1, 15)
+                          )::BIGINT % 65536
+                     ELSE xor(('0x' || substr(md5((d % 12) || '-2'),
+                               1, 15))::BIGINT % 65536,
+                          CASE WHEN d >= 12 AND d % 4 = 2
+                               THEN (1::BIGINT << (d % 16))
+                               ELSE 0 END) END AS b2,
+                CASE WHEN d >= 12 AND d % 5 = 0
+                     THEN ('0x' || substr(md5(d || 'f3'), 1, 15)
+                          )::BIGINT % 65536
+                     ELSE xor(('0x' || substr(md5((d % 12) || '-3'),
+                               1, 15))::BIGINT % 65536,
+                          CASE WHEN d >= 12 AND d % 4 = 3
+                               THEN (1::BIGINT << (d % 16))
+                               ELSE 0 END) END AS b3
+              FROM alive)
+            SELECT x.id AS id_a, y.id AS id_b,
+                   (bit_count(xor(x.b0, y.b0))
+                    + bit_count(xor(x.b1, y.b1))
+                    + bit_count(xor(x.b2, y.b2))
+                    + bit_count(xor(x.b3, y.b3)))::INT AS hamming
+            FROM fp x JOIN fp y ON x.id < y.id
+            WHERE (bit_count(xor(x.b0, y.b0))
+                   + bit_count(xor(x.b1, y.b1))
+                   + bit_count(xor(x.b2, y.b2))
+                   + bit_count(xor(x.b3, y.b3))) <= 3""",
         "robots_gate": """
             WITH d AS (
               SELECT doc_id, doc_id % 8 AS hi, doc_id % 6 AS pc,

@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "snapshot_diff",  # time-travel change feed, manifest-pruned
     "h264_p_decode",  # H.264 inter (P-slice) MC decode round trip
     "video_gop_pixels",  # whole-GOP container decode, chained P frames
+    "robots_gate",  # RFC 9309 parse + broadcast longest-match gate
+    "corpus_report",  # CUBE grouping sets, one scan one shuffle
+    "incremental_image_near_dup",  # CDC-maintained banded-Hamming index
     "q1_pricing_summary",
     "order_revenue",
     "region_revenue",
