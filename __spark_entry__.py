@@ -1052,6 +1052,19 @@ def q_incremental_token_shards(spark, sf):
                  F.sum(F.col("tok") * (F.col("ti") + 1)).alias("t_wsum")))
 
 
+def q_purge_time_travel(spark, sf):
+    """Right-to-erasure vs time travel (lake/table.purge_keys): after
+    purging every doc_id%9 key, reading the table AT AN OLD SNAPSHOT
+    (sid 2, before the rewrite/delete batches) returns the old state
+    minus the purged keys, with every bystander byte-identical — the
+    files and manifests were surgically rewritten across retained
+    history, not just tombstoned at HEAD. Physical-erasure and
+    idempotence are pytest-pinned (test_purge.py)."""
+    _, table = _cdc_text_table(spark, sf)
+    table.purge_keys(spark, [str(d) for d in range(0, 240, 9)])
+    return table.read(spark, snapshot_id=2).select("did", "text")
+
+
 def q_snapshot_diff(spark, sf):
     """Time-travel change feed (lake/table.diff): what changed
     between snapshot 2 (both upsert batches in) and HEAD of the
@@ -3079,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "purge_time_travel": q_purge_time_travel,
         "incremental_image_near_dup": q_incremental_image_near_dup,
         "robots_gate": q_robots_gate,
         "corpus_report": q_corpus_report,
@@ -3774,6 +3788,9 @@ def oracle_sql() -> dict[str, str]:
                AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
                     OR a.b3 = b.b3))
             SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+        "purge_time_travel": """
+            SELECT doc_id::VARCHAR AS did, text FROM documents
+            WHERE doc_id < 240 AND doc_id % 9 <> 0""",
         "incremental_image_near_dup": """
             WITH ids AS (SELECT DISTINCT doc_id AS d FROM documents
                          WHERE doc_id < 24),

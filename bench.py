@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "robots_gate",  # RFC 9309 parse + broadcast longest-match gate
     "corpus_report",  # CUBE grouping sets, one scan one shuffle
     "incremental_image_near_dup",  # CDC-maintained banded-Hamming index
+    "purge_time_travel",  # physical key erasure across retained history
     "q1_pricing_summary",
     "order_revenue",
     "region_revenue",

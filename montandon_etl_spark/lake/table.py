@@ -1196,6 +1196,161 @@ class SnapshotTable:
         )
 
     # --------------------------------------------------------------- lifecycle
+    def purge_keys(self, spark: SparkSession, keys: Iterable[str]) -> dict:
+        """Physically erase keys from EVERY retained snapshot — the
+        right-to-erasure escape hatch from time travel. A tombstone
+        delete hides a key at HEAD but its bytes stay readable at
+        older snapshots; compliance requires the bytes gone.
+
+        Under the commit lock (no concurrent writer):
+
+        1. the keys' buckets name the only manifests to open; per-file
+           key min/max stats then prune to the files that can contain
+           them (same pruning as a point lookup);
+        2. each affected data file is rewritten WITHOUT the keys' rows
+           (a file emptied entirely drops out), per that file's own
+           schema version — a key renamed by DDL is resolved by field
+           id, and MOR delta files lose the keys' tombstone rows too;
+        3. every manifest referencing a rewritten file gets a new
+           immutable manifest file; every retained snapshot json
+           pointing at an old manifest is atomically re-pointed (the
+           one sanctioned mutation of the snapshot log — history stays
+           time-travelable, minus the purged keys);
+        4. old data files and manifests are deleted LAST, so a crash
+           anywhere earlier leaves a consistent table and a re-run
+           converges (files already clean are left untouched).
+
+        Scope: this table's files. Upstream changelogs/WARCs and
+        crashed-commit orphan dirs (``vacuum_orphans``) are separate
+        cleanups. Batch-id ledger is untouched — a purged key can be
+        re-ingested later. Cost is O(files containing the keys), not
+        O(table).
+        """
+        import json as _json
+        import shutil
+        from uuid import uuid4
+
+        keyset = sorted({k for k in keys})
+        report = {"files_rewritten": 0, "files_dropped": 0,
+                  "rows_purged": 0, "snapshots_updated": 0}
+        if not keyset:
+            return report
+        props = self.properties
+        key_col = props["key_col"]
+        buckets = sorted({
+            r["b"] for r in spark.createDataFrame(
+                [(k,) for k in keyset], f"`{key_col}` string")
+            .select(self.bucket_expr(key_col).alias("b")).collect()})
+        fd = self.io._acquire_commit_lock()
+        try:
+            head_snap = self.io.read_snapshot()
+            key_id = next(f.id for f in self.current_fields(head_snap)
+                          if f.name == key_col)
+
+            def key_name(ver: int) -> str:
+                fields = TableMetadataIO.fields_from_json(
+                    head_snap["schemas"][str(ver)])
+                return next(f.name for f in fields if f.id == key_id)
+
+            snaps = self.history()
+            rel_entries: dict[str, list[dict]] = {}
+            for s in snaps:
+                for b_str, rel in s.get("manifest_files", {}).items():
+                    if int(b_str) in buckets and rel not in rel_entries:
+                        rel_entries[rel] = self.io.read_bucket_manifest(rel)
+            cand: dict[str, dict] = {}
+            for ents in rel_entries.values():
+                for e in ents:
+                    lo, hi = e.get("key_min"), e.get("key_max")
+                    if lo is not None and hi is not None and \
+                            not any(lo <= k <= hi for k in keyset):
+                        continue
+                    cand[e["path"]] = e
+            tok = uuid4().hex[:8]
+            out_dir = os.path.join(self.path, "data", f"purge-{tok}")
+            path_map: dict[str, tuple[str, int]] = {}
+            dropped: set[str] = set()
+            for i, (relp, e) in enumerate(sorted(cand.items())):
+                df = spark.read.parquet(os.path.join(self.path, relp))
+                kname = key_name(e.get("schema_version", 0))
+                bad = df.filter(F.col(kname).isin(keyset)).count()
+                if bad == 0:
+                    continue
+                report["rows_purged"] += bad
+                n_keep = e["rows"] - bad
+                if n_keep <= 0:
+                    dropped.add(relp)
+                    continue
+                os.makedirs(out_dir, exist_ok=True)
+                tmp = os.path.join(out_dir, f"_tmp-{i}")
+                (df.filter(~F.col(kname).isin(keyset))
+                 .coalesce(1).write.mode("overwrite").parquet(tmp))
+                part = next(f for f in sorted(os.listdir(tmp))
+                            if f.endswith(".parquet"))
+                newrel = os.path.join("data", f"purge-{tok}",
+                                      f"f-{i:05d}.parquet")
+                os.replace(os.path.join(tmp, part),
+                           os.path.join(self.path, newrel))
+                shutil.rmtree(tmp, ignore_errors=True)
+                path_map[relp] = (newrel, n_keep)
+            report["files_rewritten"] = len(path_map)
+            report["files_dropped"] = len(dropped)
+            if not path_map and not dropped:
+                return report
+            rel_map: dict[str, str] = {}
+            for j, (rel, ents) in enumerate(sorted(rel_entries.items())):
+                if not any(e["path"] in path_map or e["path"] in dropped
+                           for e in ents):
+                    continue
+                new_ents = []
+                for e in ents:
+                    if e["path"] in dropped:
+                        continue
+                    if e["path"] in path_map:
+                        newrel, n_keep = path_map[e["path"]]
+                        e2 = dict(e, path=newrel, rows=n_keep,
+                                  key_min=None, key_max=None)
+                        e2.pop("col_stats", None)
+                        new_ents.append(e2)
+                    else:
+                        new_ents.append(e)
+                bucket = ents[0]["bucket"] if ents else 0
+                rel_map[rel] = self.io.write_bucket_manifest(
+                    head_snap["snapshot_id"], bucket, new_ents,
+                    token=f"purge{tok}x{j}")
+            for s in snaps:
+                mf = s.get("manifest_files", {})
+                hit = {b: rel_map[r] for b, r in mf.items()
+                       if r in rel_map}
+                if not hit:
+                    continue
+                s2 = dict(s)
+                s2["manifest_files"] = {**mf, **hit}
+                p = self.io.snapshot_path(s["snapshot_id"])
+                with open(p + ".tmp", "w", encoding="utf-8") as f:
+                    _json.dump(s2, f, sort_keys=True)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(p + ".tmp", p)
+                report["snapshots_updated"] += 1
+            for relp in sorted(set(path_map) | dropped):
+                try:
+                    os.unlink(os.path.join(self.path, relp))
+                except OSError:
+                    pass
+            for rel in rel_map:
+                try:
+                    os.unlink(os.path.join(self.path, rel))
+                except OSError:
+                    pass
+            return report
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(os.path.join(self.io.meta_dir, "COMMIT.lock"))
+            except OSError:
+                pass
+
     def expire_snapshots(self, keep_n: int = 2) -> dict:
         """Expire snapshots older than the newest ``keep_n``: delete
         their snapshot jsons and every data file referenced ONLY by
