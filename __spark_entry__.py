@@ -818,6 +818,13 @@ def _wav_clip_df(spark, sf, max_id, kind):
                         raw = W.make_wav_pcm16(v(d, 600), 8000)
                 elif kind == "frames":
                     raw = W.make_wav_pcm16(v(d, 640), 16000)
+                elif kind == "seg":
+                    # amplitude-modulated: every 4th frame (shifted
+                    # per doc) is ~40x quieter -> VAD islands of 3
+                    p = np.arange(4096)
+                    base = ((d * _WAV_A + p * _WAV_B) % 200) - 100
+                    gain = np.where((p // 256 + d) % 4 == 0, 1, 40)
+                    raw = W.make_wav_pcm16(base * gain, 16000)
                 else:
                     raw = W.make_wav_adpcm(v(d, 600), 16000,
                                            block_samples=129)
@@ -852,6 +859,21 @@ def q_audio_frame_features(spark, sf):
     clips = _wav_clip_df(spark, sf, 16, "frames")
     return (W.audio_frame_features(clips, id_col="doc_id",
                                    bytes_col="wav", frame=256)
+            .withColumnRenamed("id", "doc_id"))
+
+
+def q_audio_segments(spark, sf):
+    """VAD segmentation (wav.audio_segments): amplitude-modulated
+    clips — every 4th frame ~40x quieter, shifted per doc — decode to
+    frame energies, then gaps-and-islands over the energy threshold
+    yields the voiced segments. All integer; the oracle replays the
+    same window program from the closed form."""
+    from montandon_etl_spark.operators import wav as W
+
+    clips = _wav_clip_df(spark, sf, 16, "seg")
+    fr = W.audio_frame_features(clips, id_col="doc_id",
+                                bytes_col="wav", frame=256)
+    return (W.audio_segments(fr, energy_thr=100_000_000)
             .withColumnRenamed("id", "doc_id"))
 
 
@@ -3103,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards_roundtrip": q_token_shards_roundtrip,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dup": q_audio_near_dup,
+        "audio_segments": q_audio_segments,
         "adpcm_roundtrip": q_adpcm_roundtrip,
         "wav_pcm_decode": q_wav_pcm_decode,
         "audio_frame_features": q_audio_frame_features,
@@ -4164,6 +4187,40 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN p % 256 <> 0 AND pv*v < 0
                             THEN 1 ELSE 0 END)::BIGINT AS zero_cross
             FROM lagd GROUP BY doc_id, frame""",
+        "audio_segments": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 16),
+            pos AS (
+              SELECT i.doc_id, r.range AS p,
+                     (((i.doc_id*9176 + r.range*40503) % 200) - 100)
+                     * (CASE WHEN (r.range//256 + i.doc_id) % 4 = 0
+                             THEN 1 ELSE 40 END) AS v
+              FROM ids i, range(4096) r),
+            frames AS (
+              SELECT doc_id, p // 256 AS frame,
+                     SUM(v*v)::BIGINT AS energy
+              FROM pos GROUP BY 1, 2),
+            voiced AS (SELECT * FROM frames
+                       WHERE energy >= 100000000),
+            runs AS (
+              SELECT doc_id, frame, energy,
+                     frame - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY frame) AS grp
+              FROM voiced),
+            segs AS (
+              SELECT doc_id, grp, MIN(frame) AS start_frame,
+                     MAX(frame) AS end_frame,
+                     COUNT(*)::BIGINT AS n_frames,
+                     SUM(energy)::BIGINT AS energy_sum
+              FROM runs GROUP BY 1, 2)
+            SELECT doc_id,
+                   (row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY start_frame) - 1
+                   )::INT AS seg,
+                   start_frame::BIGINT AS start_frame,
+                   end_frame::BIGINT AS end_frame,
+                   n_frames, energy_sum
+            FROM segs""",
         "adpcm_roundtrip": """
             WITH RECURSIVE
             ids AS MATERIALIZED (

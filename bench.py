@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "wav_pcm_decode",  # RIFF/WAVE PCM16 container decode (audio arm)
     "adpcm_roundtrip",  # IMA-ADPCM integer codec encode->decode
     "audio_near_dup",  # energy-gradient fingerprint, banded Hamming join
+    "audio_segments",  # VAD gaps-and-islands over frame energies
     "token_shards_roundtrip",  # trainer .bin/.idx export + re-read
     "incremental_token_shards",  # manifest-diff-driven shard rewrites
     "snapshot_diff",  # time-travel change feed, manifest-pruned

@@ -46,6 +46,7 @@ import struct
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # --- IMA ADPCM tables (public: IMA ADPCM spec / multimedia dv) ------
 
@@ -388,3 +389,38 @@ def audio_frame_features(df: DataFrame, id_col: str = "id",
                 "s_sum": out_sum, "energy": out_en, "peak": out_pk,
                 "zero_cross": out_zc})
     return df.mapInPandas(run, _FRAME_SCHEMA)
+
+
+def audio_segments(frames: DataFrame, id_col: str = "id",
+                   energy_thr: int = 0,
+                   min_frames: int = 1) -> DataFrame:
+    """VAD-style segmentation over ``audio_frame_features`` output:
+    contiguous runs of frames with ``energy >= energy_thr`` become
+    segments (gaps-and-islands: run id = frame - dense rank among
+    voiced frames — two window functions, no UDF, no extra scan).
+    Emits (id, seg, start_frame, end_frame, n_frames, energy_sum);
+    runs shorter than ``min_frames`` are dropped. Integer-exact, so
+    the oracle replays it from the fixture's closed form.
+
+    100-TB shape: windows partition by clip id — the shuffle key is
+    the natural data layout, segments are tiny, and the heavy decode
+    stays in the one Arrow pass that produced the frames."""
+    from pyspark.sql.window import Window
+
+    voiced = frames.filter(F.col("energy") >= F.lit(energy_thr))
+    w = Window.partitionBy(id_col).orderBy("frame")
+    runs = voiced.withColumn(
+        "_grp", F.col("frame") - F.row_number().over(w))
+    return (runs.groupBy(id_col, "_grp")
+            .agg(F.min("frame").alias("start_frame"),
+                 F.max("frame").alias("end_frame"),
+                 F.count(F.lit(1)).alias("n_frames"),
+                 F.sum("energy").alias("energy_sum"))
+            .filter(F.col("n_frames") >= min_frames)
+            .withColumn(
+                "seg",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("start_frame"))
+                - 1)
+            .select(id_col, "seg", "start_frame", "end_frame",
+                    "n_frames", "energy_sum"))

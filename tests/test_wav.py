@@ -217,3 +217,31 @@ def test_audio_frame_features_spark(spark):
     # frame partition covers every sample exactly once
     n = w["n_samples"]
     assert int(mine["n"].sum()) == n
+
+
+def test_audio_segments_islands(spark):
+    rows = []
+    # doc 1: frames energies 5,100,120,3,90,95,96,2 with thr 50 ->
+    # islands [1,2], [4,6]
+    for f, e in enumerate([5, 100, 120, 3, 90, 95, 96, 2]):
+        rows.append((1, f, 10, 0, e, 1, 0))
+    # doc 2: all quiet -> no segments
+    for f in range(4):
+        rows.append((2, f, 10, 0, 7, 1, 0))
+    fr = spark.createDataFrame(
+        rows, "id bigint, frame bigint, n int, s_sum bigint,"
+        " energy bigint, peak bigint, zero_cross bigint")
+    segs = {(r["id"], r["seg"]): r for r in
+            W.audio_segments(fr, energy_thr=50).collect()}
+    assert set(segs) == {(1, 0), (1, 1)}
+    s0, s1 = segs[(1, 0)], segs[(1, 1)]
+    assert (s0["start_frame"], s0["end_frame"], s0["n_frames"],
+            s0["energy_sum"]) == (1, 2, 2, 220)
+    assert (s1["start_frame"], s1["end_frame"], s1["n_frames"],
+            s1["energy_sum"]) == (4, 6, 3, 281)
+    # min_frames filter keeps numbering dense
+    segs3 = {r["seg"]: r for r in
+             W.audio_segments(fr, energy_thr=50,
+                              min_frames=3).collect()}
+    assert list(segs3) == [0]
+    assert segs3[0]["start_frame"] == 4
