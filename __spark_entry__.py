@@ -1813,6 +1813,21 @@ def q_ann_topk_ivfpq(spark, sf):
                                nprobe=2, m_subspaces=8, n_codewords=16)
 
 
+def q_ann_topk_pq_rerank(spark, sf):
+    """Two-stage retrieval (similarity.cosine_topk_pq_rerank): the
+    IVF-PQ ADC scan shortlists 20 candidates per query, then ONLY the
+    shortlist re-scores against raw vectors (exact cosine) — the
+    standard compressed-scan + full-precision-rerank composition. The
+    oracle nests the full IVF-PQ replay as stage 1 and re-ranks with
+    the exact-cosine expression, so both stages are value-pinned."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    return S.cosine_topk_pq_rerank(emb, queries, dim=64, k=5,
+                                   shortlist=20)
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-dup pairs, label-blocked (training-data
     dedup family, scale path = LSH blocking)."""
@@ -3114,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "ann_topk_pq_rerank": q_ann_topk_pq_rerank,
         "purge_time_travel": q_purge_time_travel,
         "incremental_image_near_dup": q_incremental_image_near_dup,
         "robots_gate": q_robots_gate,
@@ -4679,6 +4695,23 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5""",
         "ann_topk_pq": _pq_oracle_sql(),
         "ann_topk_ivfpq": _ivfpq_oracle_sql(),
+        "ann_topk_pq_rerank": f"""
+            WITH cand AS (
+              SELECT query_id, neighbor_id
+              FROM ( {_ivfpq_oracle_sql(k=20)} ) s),
+            rer AS (
+              SELECT cd.query_id, cd.neighbor_id, {_COS} AS cosine
+              FROM cand cd
+              JOIN embeddings c ON c.vec_id = cd.neighbor_id
+              JOIN embeddings q ON q.vec_id = cd.query_id),
+            rranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM rer)
+            SELECT query_id, neighbor_id,
+                   floor(cosine * 1000000 + 0.5) / 1000000 AS cosine,
+                   rank
+            FROM rranked WHERE rank <= 5""",
         "embedding_near_dup": f"""
             WITH p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "sequence_pack_stats",  # cross-doc greedy packing + per-sequence utilization
     "mixture_resample",  # per-stratum corpus reweighting (down/up-sample)
     "ann_topk_ivfpq",  # coarse-cell prune + product-quantization scoring
+    "ann_topk_pq_rerank",  # ADC shortlist + exact-cosine rerank (two-stage)
     "incremental_ann_topk_pq",  # CDC-maintained PQ-code postings
     "bm25_topk",  # one-shot lexical BM25, broadcast query vocabulary
     "incremental_bm25_topk",  # CDC-maintained inverted index, pruned probes

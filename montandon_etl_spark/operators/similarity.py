@@ -772,3 +772,41 @@ def semdedup_keep(assigned: DataFrame, threshold: float) -> DataFrame:
             stable_round6("_maxsim").alias("max_dup_sim"),
         )
     )
+
+
+def cosine_topk_pq_rerank(embeddings: DataFrame, queries: DataFrame,
+                          dim: int, k: int = 5, shortlist: int = 20,
+                          n_centroids: int = 8, nprobe: int = 2,
+                          m_subspaces: int = 8, n_codewords: int = 16,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          qid_col: str = "query_id",
+                          qvec_col: str = "qvec") -> DataFrame:
+    """Two-stage retrieval — the production shape of PQ search:
+    stage 1 shortlists ``shortlist`` candidates per query with the
+    compressed IVF-PQ ADC scan (touches ~nprobe/C of the corpus, M
+    code bytes per candidate), stage 2 re-scores ONLY the shortlist
+    against the raw vectors (exact cosine) and emits the true top-k
+    of the shortlist. The expensive full-precision read is a
+    broadcast semi-join of |queries|·shortlist ids — never a second
+    corpus-wide score. Ranks/scores are engine-exact (stable 1e-6
+    rounding), so the composed SQL oracle reproduces both stages."""
+    cand = cosine_topk_ivfpq(
+        embeddings, queries, dim, k=shortlist, n_centroids=n_centroids,
+        nprobe=nprobe, m_subspaces=m_subspaces, n_codewords=n_codewords,
+        id_col=id_col, vec_col=vec_col, qid_col=qid_col,
+        qvec_col=qvec_col)
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("qvec"))
+    exact = (c.join(F.broadcast(cand.select("query_id", "neighbor_id")),
+                    "neighbor_id")
+             .join(F.broadcast(q), "query_id")
+             .withColumn("cosine", cosine_similarity_col("qvec", "cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    stable_round6("cosine").alias("cosine"), "rank"))
