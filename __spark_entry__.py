@@ -1813,6 +1813,32 @@ def q_ann_topk_ivfpq(spark, sf):
                                nprobe=2, m_subspaces=8, n_codewords=16)
 
 
+def q_hash_split_report(spark, sf):
+    """Deterministic train/val/test split (operators/splits.py):
+    hash60 on the integer 2^60 grid against exact integer thresholds
+    — reproducible, growth-stable (a doc's split never moves), no RNG
+    state, scan-local. The report is the per-split census."""
+    from montandon_etl_spark.operators.splits import hash_split, split_report
+
+    return split_report(hash_split(_t(spark, sf, "documents"), "doc_id"))
+
+
+def q_split_leakage(spark, sf):
+    """Cross-split contamination audit (splits.split_leakage): each
+    text is planted twice (doc and doc+10000 share content), splits
+    assigned by hash — near-dup pairs whose endpoints land in
+    different splits are exactly the leakage an eval pipeline must
+    catch. Oracle composes the minhash-LSH replay with the same
+    integer split thresholds."""
+    from montandon_etl_spark.operators.splits import hash_split, split_leakage
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    twins = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    corpus = hash_split(docs.select("doc_id", "text").unionByName(twins),
+                        "doc_id")
+    return split_leakage(corpus, "doc_id", "text")
+
+
 def q_ann_topk_pq_rerank(spark, sf):
     """Two-stage retrieval (similarity.cosine_topk_pq_rerank): the
     IVF-PQ ADC scan shortlists 20 candidates per query, then ONLY the
@@ -2343,12 +2369,13 @@ def q_video_frame_index(spark, sf):
 
 
 # ================================================================ oracles ====
-def _oracle_shingle_cte(n: int, block: bool = False) -> str:
+def _oracle_shingle_cte(n: int, block: bool = False,
+                        source: str = "documents") -> str:
     blk = ", source AS blk" if block else ""
     return f"""
 toks AS (
   SELECT doc_id AS id{blk}, unnest({_sql_word_shingles(n)}) AS sh
-  FROM documents
+  FROM {source}
 )"""
 
 
@@ -2399,7 +2426,8 @@ FROM hp_t GROUP BY id
 
 
 def _oracle_minhash_lsh(n: int = 2, k: int = 8, bands: int = 4,
-                        max_bucket: int | None = 500) -> str:
+                        max_bucket: int | None = 500,
+                        source: str = "documents") -> str:
     r = k // bands
     band_selects = []
     for b in range(bands):
@@ -2410,7 +2438,7 @@ def _oracle_minhash_lsh(n: int = 2, k: int = 8, bands: int = 4,
               else "count(*) >= 2")
     # ok-bucket CTE mirrors the Spark-side pathological-bucket cap
     return f"""
-WITH {_oracle_shingle_cte(n)},
+WITH {_oracle_shingle_cte(n, source=source)},
 {_hp_cte()},
 sig AS (
   SELECT id AS doc_id,
@@ -3129,6 +3157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "hash_split_report": q_hash_split_report,
+        "split_leakage": q_split_leakage,
         "ann_topk_pq_rerank": q_ann_topk_pq_rerank,
         "purge_time_travel": q_purge_time_travel,
         "incremental_image_near_dup": q_incremental_image_near_dup,
@@ -4695,6 +4725,37 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5""",
         "ann_topk_pq": _pq_oracle_sql(),
         "ann_topk_ivfpq": _ivfpq_oracle_sql(),
+        "hash_split_report": f"""
+            SELECT split, COUNT(*)::BIGINT AS n_docs FROM (
+              SELECT CASE WHEN h < {(1 << 60) * 8 // 10} THEN 'train'
+                          WHEN h < {(1 << 60) * 9 // 10} THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT ('0x' || substr(md5('split|' || doc_id),
+                            1, 15))::BIGINT AS h FROM documents))
+            GROUP BY split""",
+        "split_leakage": f"""
+            WITH spl AS (
+              SELECT doc_id AS id,
+                     CASE WHEN h < {(1 << 60) * 8 // 10} THEN 'train'
+                          WHEN h < {(1 << 60) * 9 // 10} THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5('split|' || doc_id), 1, 15)
+                       )::BIGINT AS h
+                FROM (SELECT doc_id FROM documents WHERE doc_id < 400
+                      UNION ALL
+                      SELECT doc_id + 10000 FROM documents
+                      WHERE doc_id < 400) u))
+            SELECT p.id_a, p.id_b, sa.split AS split_a,
+                   sb.split AS split_b
+            FROM ( {_oracle_minhash_lsh(source=(
+                "(SELECT doc_id, text FROM documents WHERE doc_id < 400"
+                " UNION ALL SELECT doc_id + 10000 AS doc_id, text"
+                " FROM documents WHERE doc_id < 400) corp"))} ) p
+            JOIN spl sa ON sa.id = p.id_a
+            JOIN spl sb ON sb.id = p.id_b
+            WHERE sa.split <> sb.split""",
         "ann_topk_pq_rerank": f"""
             WITH cand AS (
               SELECT query_id, neighbor_id

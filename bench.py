@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "corpus_report",  # CUBE grouping sets, one scan one shuffle
     "incremental_image_near_dup",  # CDC-maintained banded-Hamming index
     "purge_time_travel",  # physical key erasure across retained history
+    "split_leakage",  # cross-split near-dup contamination audit
+    "hash_split_report",  # deterministic integer-grid split census
     "q1_pricing_summary",
     "order_revenue",
     "region_revenue",
