@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "minhash_lsh_candidates",
     "incremental_neardup_pairs_capped",  # 3-batch CDC-maintained LSH index
     "mv_source_stats",  # CDF-maintained materialized aggregate
+    "mv_distinct_users",  # CDF-maintained HLL distinct-count view
     "video_frame_index",  # MP4 sample-table demux, per-frame rows
     "image_near_dup",  # PNG decode -> dHash -> banded Hamming pairs
     "image_near_dup_jpeg",  # same pipeline across the lossy baseline-JPEG path

@@ -69,6 +69,35 @@ from montandon_etl_spark.operators.dedup import hash60
 _DEC = "decimal(28,6)"
 
 
+def _canonical_gp(names: list[str], types: list[str],
+                  n_parts: int) -> F.Column:
+    """Deterministic state partition of a group tuple — hashed over a
+    CANONICAL encoding, not ``to_json`` (whose output shifts with
+    ``spark.sql.session.timeZone`` for timestamp groups and with
+    ``spark.sql.jsonGenerator.ignoreNullFields`` for NULLs — a refresh
+    under a different session config would then miss the group's
+    existing state row and write a duplicate; ADVICE r4). Encoding:
+    per field, ``n|`` for NULL else ``v<len>|<value>`` (length prefix
+    kills boundary ambiguity between fields); timestamps render as
+    ``unix_micros`` epoch integers (session-timezone-immune), every
+    other type as its CAST-to-string, which is config-independent in
+    Spark. Field order is pinned by position so a rename DDL never
+    migrates groups. Shared by every CDF-maintained view in this
+    module."""
+    parts = []
+    for c, t in zip(names, types):
+        col = F.col(c)
+        if t.lower() == "timestamp":
+            s = F.unix_micros(col).cast("string")
+        else:
+            s = col.cast("string")
+        parts.append(
+            F.when(col.isNull(), F.lit("n|")).otherwise(
+                F.concat(F.lit("v"), F.length(s).cast("string"),
+                         F.lit("|"), s)))
+    return F.pmod(hash60(F.concat(*parts)), F.lit(n_parts)).cast("int")
+
+
 class MaterializedAggregate:
     """CDF-maintained ``GROUP BY group_cols`` view with ``n_rows`` and
     ``sum_<col>`` for each measure column. See module docstring."""
@@ -187,31 +216,10 @@ class MaterializedAggregate:
         )
 
     def _gp(self, names: list[str]) -> F.Column:
-        """Deterministic state partition of a group tuple — hashed over
-        a CANONICAL encoding, not ``to_json`` (whose output shifts with
-        ``spark.sql.session.timeZone`` for timestamp groups and with
-        ``spark.sql.jsonGenerator.ignoreNullFields`` for NULLs — a
-        refresh under a different session config would then miss the
-        group's existing state row and write a duplicate; ADVICE r4).
-        Encoding: per field, ``n|`` for NULL else ``v<len>|<value>``
-        (length prefix kills boundary ambiguity between fields);
-        timestamps render as ``unix_micros`` epoch integers (session-
-        timezone-immune), every other type as its CAST-to-string,
-        which is config-independent in Spark. Field order is pinned by
-        position so a rename DDL never migrates groups."""
-        parts = []
-        for c, t in zip(names, self._group_types()):
-            col = F.col(c)
-            if t.lower() == "timestamp":
-                s = F.unix_micros(col).cast("string")
-            else:
-                s = col.cast("string")
-            parts.append(
-                F.when(col.isNull(), F.lit("n|")).otherwise(
-                    F.concat(F.lit("v"), F.length(s).cast("string"),
-                             F.lit("|"), s)))
-        return F.pmod(hash60(F.concat(*parts)),
-                      F.lit(self.n_state_parts)).cast("int")
+        """See ``_canonical_gp`` — session-config-independent group
+        partition hash (ADVICE r4)."""
+        return _canonical_gp(names, self._group_types(),
+                             self.n_state_parts)
 
     def _positional(self, df: DataFrame) -> DataFrame:
         """(group..., n_rows, sum_..., min_..., max_...) under current
@@ -374,6 +382,256 @@ class MaterializedAggregate:
             )
         else:
             merged = merged.drop("_rescan")
+        self.store.write(spark, self._positional(merged), head, gp_parts,
+                         self._state_schema())
+        self.store.gc()
+        return head
+
+
+class DistinctCountView:
+    """CDF-maintained per-group APPROX-DISTINCT view — the aggregate
+    ``MaterializedAggregate`` cannot express (COUNT DISTINCT is not
+    self-inverting under deletes, and exact per-group value sets are
+    O(data) state). State = the deterministic-HLL register table
+    ``(group..., j, mj)`` from ``operators/sketches.hll_registers``:
+    m = 2^p rows per group REGARDLESS of data volume, partitioned by
+    the same canonical group hash as ``MaterializedAggregate`` so a
+    refresh reads/rewrites only the partitions its delta's groups hash
+    into.
+
+    Maintenance semantics (the sketch-IVM split production systems
+    use — HLL unions are exact, retractions are not):
+
+    - insert of (group, value) → per-register MAX-merge of the value's
+      (j, rank) cell: EXACT (register state after any insert sequence
+      ≡ recompute, by max's commutativity/idempotence).
+    - delete → a register max cannot be un-maxed without knowing
+      whether another LIVE value still achieves it, so a retraction
+      whose (j, rank) TIES the stored register max flags the group and
+      a second pass rebuilds ONLY flagged groups' registers from their
+      live rows (a group-list join against the table — the same
+      bounded fallback ``MaterializedAggregate`` uses for MIN/MAX).
+      A retraction strictly below the stored max provably cannot
+      change the register and is skipped. A (group, j, rank) cell that
+      ALSO has an insert in the same batch is guaranteed live at head
+      (the CDF is a state diff), so it never flags — value-unchanged
+      updates and same-batch re-inserts cost nothing.
+    - update → retraction under the old (group, value) + insert under
+      the new one, so group migrations stay exact.
+
+    After ANY batch sequence the register table is bit-identical to
+    ``hll_registers`` recomputed over the live table (tested), hence
+    ``estimate()`` is bit-identical to a from-scratch
+    ``hll_distinct`` — the view is oracle-checkable end to end.
+
+    Exactly-once / crash-retry / rename-proofing follow
+    ``MaterializedAggregate``: versions keyed by the reflected
+    snapshot id, reads resolve strictly below the target version,
+    group and value columns pinned by FIELD ID, positional state
+    column names.
+
+    Reference lineage: the reference's monitoring counts distinct
+    dimensions with exact SQL per run (apps/etl/models.py); at 10^10
+    rows per-group distinct users/domains become a maintained sketch.
+    """
+
+    GP_ALGO = 2
+
+    def __init__(self, path: str, table: SnapshotTable):
+        self.path = path
+        self.table = table
+        with open(os.path.join(path, "dv.json")) as f:
+            cfg = json.load(f)
+        algo = cfg.get("gp_algo", 1)
+        if algo != self.GP_ALGO:
+            raise ValueError(
+                f"distinct-count view at {path} was partitioned with "
+                f"group-hash algo {algo}, this build uses "
+                f"{self.GP_ALGO} — drop and re-create() the view")
+        self.group_ids: list[int] = cfg["group_ids"]
+        self.value_id: int = cfg["value_id"]
+        self.p: int = cfg["p"]
+        self.n_state_parts: int = cfg.get("n_state_parts", 16)
+        self.store = VersionedPartitionStore(
+            os.path.join(path, "state"), "gp", self.n_state_parts)
+
+    def _names(self, ids: list[int]) -> list[str]:
+        by_id = {f.id: f.name for f in self.table.user_fields()}
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise ValueError(
+                f"distinct-count view at {self.path} pins field id(s) "
+                f"{missing} that no longer resolve against the table's "
+                f"current schema — drop and re-create() the view")
+        return [by_id[i] for i in ids]
+
+    @property
+    def group_cols(self) -> list[str]:
+        return self._names(self.group_ids)
+
+    @property
+    def value_col(self) -> str:
+        return self._names([self.value_id])[0]
+
+    def _group_types(self) -> list[str]:
+        by_id = {f.id: f.type for f in self.table.user_fields()}
+        return [by_id[i] for i in self.group_ids]
+
+    def _gp(self, names: list[str]) -> F.Column:
+        return _canonical_gp(names, self._group_types(),
+                             self.n_state_parts)
+
+    def _state_schema(self) -> str:
+        return ", ".join(
+            [f"g{i} {t}" for i, t in enumerate(self._group_types())]
+            + ["j int", "mj int", "gp int"])
+
+    def _positional(self, reg: DataFrame) -> DataFrame:
+        gs = self.group_cols
+        return reg.select(
+            *[F.col(g).alias(f"g{i}") for i, g in enumerate(gs)],
+            "j", "mj", self._gp(gs).alias("gp"))
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(cls, path: str, spark: SparkSession, table: SnapshotTable,
+               group_cols: list[str], value_col: str, p: int = 6,
+               n_state_parts: int = 16) -> "DistinctCountView":
+        """Bootstrap: one ``hll_registers`` pass over the table's
+        CURRENT snapshot, stored as version v{head}; everything after
+        is incremental."""
+        from montandon_etl_spark.operators.sketches import (
+            _hll_dims, hll_registers)
+
+        _hll_dims(p)  # validate
+        os.makedirs(os.path.join(path, "state"), exist_ok=True)
+        by_name = {f.name: f.id for f in table.user_fields()}
+        with open(os.path.join(path, "dv.json"), "w") as f:
+            json.dump({"gp_algo": cls.GP_ALGO,
+                       "group_ids": [by_name[c] for c in group_cols],
+                       "value_id": by_name[value_col], "p": p,
+                       "n_state_parts": n_state_parts}, f)
+        dv = cls(path, table)
+        head = table.io.head_snapshot_id()
+        full = dv._positional(hll_registers(
+            table.read(spark), group_cols, value_col, p))
+        touched = {r["gp"] for r in full.select("gp").distinct().collect()}
+        dv.store.write(spark, full, head, touched, dv._state_schema())
+        return dv
+
+    def applied_snapshot_id(self) -> int:
+        vs = self.store.versions()
+        if not vs:
+            raise ValueError("distinct-count view has no state — "
+                             "create() it")
+        return vs[-1]
+
+    def state(self, spark: SparkSession,
+              part_filter: set[int] | None = None,
+              below_version: int | None = None) -> DataFrame:
+        """The register table as of ``applied_snapshot_id()``, state
+        columns mapped to the pinned field ids' CURRENT names."""
+        gs = self.group_cols
+        raw = self.store.read(spark, self._state_schema(),
+                              part_filter=part_filter,
+                              below_version=below_version)
+        return raw.select(
+            *[F.col(f"g{i}").alias(g) for i, g in enumerate(gs)],
+            "j", "mj")
+
+    def estimate(self, spark: SparkSession) -> DataFrame:
+        """(group..., est_distinct) from the maintained registers —
+        bit-identical to ``hll_distinct`` over the live table."""
+        from montandon_etl_spark.operators.sketches import hll_estimate
+
+        return hll_estimate(self.state(spark), self.group_cols, self.p)
+
+    # --------------------------------------------------------------- refresh
+    def refresh(self, spark: SparkSession) -> int:
+        """Advance the view to the table's head snapshot; returns the
+        snapshot id the state now reflects. No-op when already there.
+        Reads and rewrites ONLY the state partitions the delta's
+        groups hash into; rebuilds registers ONLY for groups where a
+        retraction tied a stored register max."""
+        from montandon_etl_spark.operators.sketches import (
+            _hll_dims, hll_registers)
+
+        applied = self.applied_snapshot_id()
+        head = self.table.io.head_snapshot_id()
+        if head == applied or head in self.store.versions():
+            return head
+        cdf = self.table.changes(spark, from_snapshot_id=applied,
+                                 to_snapshot_id=head,
+                                 include_old_values=True)
+        gs = self.group_cols
+        vc = self.value_col
+        m, kmax, _ = _hll_dims(self.p)
+
+        def side(prefix: str, types: list[str], sign: int) -> DataFrame:
+            return cdf.filter(F.col("change_type").isin(*types)).select(
+                *[F.col(f"{prefix}_{g}").alias(g) for g in gs],
+                F.col(f"{prefix}_{vc}").alias("_v"),
+                F.lit(sign).alias("_sign"))
+
+        rows = (side("old", ["delete", "update"], -1)
+                .unionByName(side("new", ["insert", "update"], 1))
+                .filter(F.col("_v").isNotNull()))
+        w = F.expr(f"h div {m}")
+        cells = (rows
+                 .select(*gs, "_sign",
+                         hash60(F.col("_v").cast("string")).alias("h"))
+                 .select(*gs, "_sign",
+                         F.pmod(F.col("h"), F.lit(m)).cast("int")
+                         .alias("j"),
+                         F.when(w == 0, F.lit(kmax))
+                         .otherwise(F.lit(kmax) - F.length(F.bin(w)))
+                         .cast("int").alias("mjc"))
+                 .groupBy(*gs, "j", "mjc")
+                 .agg(F.max(F.col("_sign") == 1).alias("any_ins"),
+                      F.max(F.col("_sign") == -1).alias("any_del"))
+                 .localCheckpoint())
+        # the delta's state partitions: bounded driver metadata
+        # (≤ n_state_parts ints) — everything else stays untouched
+        gp_parts = {r["gp"] for r in
+                    cells.select(self._gp(gs).alias("gp"))
+                    .distinct().collect()}
+        cur = self.state(spark, part_filter=gp_parts, below_version=head)
+        ins = (cells.filter(F.col("any_ins"))
+               .groupBy(*gs, "j").agg(F.max("mjc").alias("imj")))
+        cond = None
+        for g in gs:  # null-safe: a NULL group is a group like any other
+            eq = cur[g].eqNullSafe(ins[g])
+            cond = eq if cond is None else (cond & eq)
+        cond = (cond & (cur["j"] == ins["j"])) if cond is not None \
+            else (cur["j"] == ins["j"])
+        merged = cur.join(ins, cond, "full_outer").select(
+            *[F.coalesce(cur[g], ins[g]).alias(g) for g in gs],
+            F.coalesce(cur["j"], ins["j"]).alias("j"),
+            F.greatest(cur["mj"], ins["imj"]).alias("mj"))
+        # retractions that TIE a stored register max flag the group;
+        # delete-only cells strictly below the stored max are skipped
+        rem = cells.filter(F.col("any_del") & ~F.col("any_ins"))
+        jc = None
+        for g in gs:
+            eq = cur[g].eqNullSafe(rem[g])
+            jc = eq if jc is None else (jc & eq)
+        jc = jc & (cur["j"] == rem["j"]) & (cur["mj"] == rem["mjc"])
+        flagged = (rem.join(cur, jc, "leftsemi")
+                   .select(*gs).distinct().localCheckpoint())
+        if flagged.limit(1).count() > 0:
+            live = self.table.read(spark)
+            fc = None
+            for g in gs:
+                eq = live[g].eqNullSafe(flagged[g])
+                fc = eq if fc is None else (fc & eq)
+            rebuilt = hll_registers(
+                live.join(flagged, fc, "leftsemi"), gs, vc, self.p)
+            ac = None
+            for g in gs:
+                eq = merged[g].eqNullSafe(flagged[g])
+                ac = eq if ac is None else (ac & eq)
+            merged = (merged.join(flagged, ac, "leftanti")
+                      .unionByName(rebuilt))
         self.store.write(spark, self._positional(merged), head, gp_parts,
                          self._state_schema())
         self.store.gc()

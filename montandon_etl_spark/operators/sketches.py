@@ -275,28 +275,34 @@ def _hll_dims(p: int) -> tuple[int, int, float]:
     return m, 61 - p, alpha
 
 
-def hll_registers(df: DataFrame, group_col: str, value_col: str,
+def _gcols(group_col: str | list[str]) -> list[str]:
+    return [group_col] if isinstance(group_col, str) else list(group_col)
+
+
+def hll_registers(df: DataFrame, group_col: str | list[str], value_col: str,
                   p: int = 6) -> DataFrame:
-    """Per-group HLL register table ``(group, j, mj)`` — the mergeable
-    sketch state (union = groupBy(group, j).max(mj); see
+    """Per-group HLL register table ``(group..., j, mj)`` — the
+    mergeable sketch state (union = groupBy(group, j).max(mj); see
     ``hll_merge``). Register index is the hash's low p bits
     (``h % m``), the rank is leading-zeros+1 of the remaining
     ``Kmax−1`` bits, computed EXACTLY via the binary-string length
     (``bin``) both engines share — no float log anywhere. NULL values
-    are ignored, as in every distinct count."""
+    are ignored, as in every distinct count. ``group_col`` may be a
+    list for composite groups (the incremental view uses this)."""
     m, kmax, _ = _hll_dims(p)
+    gs = _gcols(group_col)
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(
-            F.col(group_col),
+            *[F.col(g) for g in gs],
             hash60(F.col(value_col).cast("string")).alias("h"),
         )
         .select(
-            group_col,
+            *gs,
             F.pmod(F.col("h"), F.lit(m)).cast("int").alias("j"),
             F.expr(f"h div {m}").alias("w"),
         )
-        .groupBy(group_col, "j")
+        .groupBy(*gs, "j")
         .agg(F.max(
             F.when(F.col("w") == 0, F.lit(kmax))
             .otherwise(F.lit(kmax) - F.length(F.bin(F.col("w"))))
@@ -304,13 +310,15 @@ def hll_registers(df: DataFrame, group_col: str, value_col: str,
     )
 
 
-def hll_merge(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_col: str | list[str]) -> DataFrame:
     """Sketch of the union of the two sketches' underlying sets."""
-    return (a.unionByName(b).groupBy(group_col, "j")
+    return (a.unionByName(b).groupBy(*_gcols(group_col), "j")
             .agg(F.max("mj").alias("mj")))
 
 
-def hll_estimate(reg: DataFrame, group_col: str, p: int = 6) -> DataFrame:
+def hll_estimate(reg: DataFrame, group_col: str | list[str],
+                 p: int = 6) -> DataFrame:
     """(group, est_distinct) from a register table. The raw estimate
     is ``α·m²·2^Kmax / S`` with ``S = Σ 2^(Kmax−M_j)`` an exact
     BIGINT (absent registers contribute 2^Kmax); the standard
@@ -322,13 +330,14 @@ def hll_estimate(reg: DataFrame, group_col: str, p: int = 6) -> DataFrame:
     from montandon_etl_spark.operators.util import stable_round6
 
     m, kmax, alpha = _hll_dims(p)
+    gs = _gcols(group_col)
     numer = alpha * m * m * float(1 << kmax)  # exact parse both engines
-    agg = reg.groupBy(group_col).agg(
+    agg = reg.groupBy(*gs).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.expr(f"(cast(1 as bigint) << ({kmax} - mj))"))
         .alias("s_present"),
     ).select(
-        group_col,
+        *gs,
         (F.col("s_present")
          + (F.lit(m) - F.col("cnt")) * F.lit(1 << kmax)).alias("s"),
         (F.lit(m) - F.col("cnt")).alias("v"),
@@ -338,7 +347,7 @@ def hll_estimate(reg: DataFrame, group_col: str, p: int = 6) -> DataFrame:
         (e_raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
     ).otherwise(e_raw)
-    return agg.select(group_col, stable_round6(est).alias("est_distinct"))
+    return agg.select(*gs, stable_round6(est).alias("est_distinct"))
 
 
 def hll_distinct(df: DataFrame, group_col: str, value_col: str,

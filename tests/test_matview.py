@@ -372,3 +372,199 @@ def test_minmax_rescan_touches_same_partitions(spark, tmp_path):
                 F.min("n_chars").alias("mn"),
                 F.max("n_chars").alias("mx")).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DistinctCountView: CDF-maintained per-group HLL distinct sketch
+# ---------------------------------------------------------------------------
+
+DV_FIELDS = [
+    Field(1, "url", "string", False),
+    Field(2, "warc_ts", "timestamp", False),
+    Field(10, "source", "string", True),
+    Field(11, "author", "string", True),
+]
+
+
+def _dv_batch(spark, rows):
+    """rows: (seq, url, op, source, author)"""
+    data = [(s, u, TS.to_pydatetime(), op, src, a)
+            for (s, u, op, src, a) in rows]
+    return spark.createDataFrame(
+        data,
+        "seq bigint, url string, warc_ts timestamp, op string,"
+        " source string, author string",
+    )
+
+
+def _dv_check(dv, spark, table, p):
+    """Maintained registers AND the estimate must be bit-identical to
+    a from-scratch recompute over the live table."""
+    from montandon_etl_spark.operators.sketches import (
+        hll_distinct, hll_registers)
+
+    got = {(r["source"], r["j"], r["mj"])
+           for r in dv.state(spark).collect()}
+    want = {(r["source"], r["j"], r["mj"]) for r in hll_registers(
+        table.read(spark), ["source"], "author", p).collect()}
+    assert got == want
+    ge = {(r["source"],): r["est_distinct"]
+          for r in dv.estimate(spark).collect()}
+    we = {(r["source"],): r["est_distinct"] for r in hll_distinct(
+        table.read(spark), "source", "author", p).collect()}
+    assert ge == we
+
+
+def _rank_of(value: str, p: int) -> tuple[int, int]:
+    """Python twin of the register mapping: (j, rank)."""
+    import hashlib
+
+    m = 1 << p
+    kmax = 61 - p
+    h = int(hashlib.md5(value.encode()).hexdigest()[:15], 16)
+    w = h // m
+    return h % m, (kmax if w == 0 else kmax - w.bit_length())
+
+
+def test_distinct_view_tracks_live_table(spark, tmp_path):
+    """After ANY batch sequence — duplicate values, champion and
+    non-champion deletes, group migration, NULL group, NULL value,
+    value-changing updates — the register state equals hll_registers
+    recomputed over the live table, and the estimate equals
+    hll_distinct."""
+    from montandon_etl_spark.lake.matview import DistinctCountView
+
+    p = 4
+    table = SnapshotTable.create(str(tmp_path / "t"), fields=DV_FIELDS,
+                                 key_col="url", n_buckets=4)
+    table.merge(spark, _dv_batch(spark, [
+        (1, "u1", "upsert", "web", "alice"),
+        (2, "u2", "upsert", "web", "bob"),
+        (3, "u3", "upsert", "web", "alice"),   # duplicate value
+        (4, "u4", "upsert", "pdf", "carol"),
+        (5, "u5", "upsert", None, "dave"),     # NULL group is a group
+        (6, "u6", "upsert", "pdf", None),      # NULL value ignored
+    ]), batch_id=0)
+    dv = DistinctCountView.create(str(tmp_path / "dv"), spark, table,
+                                  group_cols=["source"],
+                                  value_col="author", p=p)
+    _dv_check(dv, spark, table, p)
+
+    batches = [
+        # new values + same-batch delete/re-insert of one value
+        [(7, "u7", "upsert", "web", "erin"),
+         (8, "u3", "delete", None, None),       # alice still on u1
+         (9, "u8", "upsert", "pdf", "frank")],
+        # delete the only holder of a value (register may retract)
+        [(10, "u2", "delete", None, None)],
+        # group migration: carol moves pdf→web
+        [(11, "u4", "upsert", "web", "carol")],
+        # value-changing update on an existing key
+        [(12, "u1", "upsert", "web", "grace")],
+        # empty a whole group: pdf loses its last valued row
+        [(13, "u8", "delete", None, None)],
+    ]
+    for i, rows in enumerate(batches, start=1):
+        table.merge(spark, _dv_batch(spark, rows), batch_id=i)
+        dv.refresh(spark)
+        _dv_check(dv, spark, table, p)
+    # the emptied group carries no register rows
+    srcs = {r["source"] for r in dv.state(spark).collect()}
+    live_pdf = table.read(spark).filter(
+        (F.col("source") == "pdf") & F.col("author").isNotNull()).count()
+    assert live_pdf == 0 and "pdf" not in srcs
+
+
+def test_distinct_view_below_max_delete_skips_rescan(spark, tmp_path):
+    """A retraction whose (register, rank) sits STRICTLY BELOW the
+    stored register max provably cannot change the sketch — refresh
+    must not touch the live table at all (the bounded-fallback read
+    only fires on a tie)."""
+    from montandon_etl_spark.lake.matview import DistinctCountView
+
+    p = 4
+    # find two values in the same register with different ranks
+    vals = [f"v{i}" for i in range(4000)]
+    by_j = {}
+    lo = hi = None
+    for v in vals:
+        j, r = _rank_of(v, p)
+        if j in by_j and by_j[j][1] != r:
+            (v0, r0) = by_j[j]
+            lo, hi = ((v, v0) if r < r0 else (v0, v))
+            break
+        by_j.setdefault(j, (v, r))
+    assert lo is not None
+    table = SnapshotTable.create(str(tmp_path / "t"), fields=DV_FIELDS,
+                                 key_col="url", n_buckets=4)
+    table.merge(spark, _dv_batch(spark, [
+        (1, "u1", "upsert", "web", lo),
+        (2, "u2", "upsert", "web", hi),
+    ]), batch_id=0)
+    dv = DistinctCountView.create(str(tmp_path / "dv"), spark, table,
+                                  group_cols=["source"],
+                                  value_col="author", p=p)
+    table.merge(spark, _dv_batch(spark, [(3, "u1", "delete", None, None)]),
+                batch_id=1)
+
+    # the rebuild path is the only caller of hll_registers inside
+    # refresh() — spy on it (table.read can't be the probe: changes()
+    # legitimately reads both snapshots to build the CDF)
+    import montandon_etl_spark.operators.sketches as sk
+
+    orig_reg = sk.hll_registers
+    calls = {"n": 0}
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig_reg(*a, **kw)
+
+    try:
+        sk.hll_registers = spy
+        dv.refresh(spark)
+    finally:
+        sk.hll_registers = orig_reg
+    assert calls["n"] == 0, "below-max retraction must not rescan"
+    _dv_check(dv, spark, table, p)
+
+    # and the tie case DOES rescan (delete the champion)
+    table.merge(spark, _dv_batch(spark, [(4, "u2", "delete", None, None)]),
+                batch_id=2)
+    try:
+        sk.hll_registers = spy
+        dv.refresh(spark)
+    finally:
+        sk.hll_registers = orig_reg
+    assert calls["n"] > 0, "champion retraction must rescan its group"
+    _dv_check(dv, spark, table, p)
+
+
+def test_distinct_view_partition_pruning_and_idempotency(spark, tmp_path):
+    """A one-group delta rewrites a strict subset of state partitions;
+    a refresh at head is a no-op; a crashed-retry (version already
+    committed) is a no-op."""
+    from montandon_etl_spark.lake.matview import DistinctCountView
+
+    p = 4
+    table = SnapshotTable.create(str(tmp_path / "t"), fields=DV_FIELDS,
+                                 key_col="url", n_buckets=4)
+    seed = [(i, f"u{i}", "upsert", f"s{i % 12}", f"a{i % 37}")
+            for i in range(1, 80)]
+    table.merge(spark, _dv_batch(spark, seed), batch_id=0)
+    dv = DistinctCountView.create(str(tmp_path / "dv"), spark, table,
+                                  group_cols=["source"],
+                                  value_col="author", p=p,
+                                  n_state_parts=16)
+    head0 = dv.applied_snapshot_id()
+    full0 = set(dv.store._pmap(head0))
+    table.merge(spark, _dv_batch(spark,
+                                 [(100, "u100", "upsert", "s3", "zz")]),
+                batch_id=1)
+    head = dv.refresh(spark)
+    touched = set(dv.store._pmap(head))
+    assert 0 < len(touched) < len(full0), (touched, full0)
+    _dv_check(dv, spark, table, p)
+    assert dv.refresh(spark) == head  # at head → no-op
+    # duplicate delivery: the committed version short-circuits
+    assert head in dv.store.versions()
+    assert dv.refresh(spark) == head
