@@ -417,6 +417,20 @@ def q_mv_source_stats(spark, sf):
     )
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023
+    shape): hashed-ngram likelihood ratio of the English subset vs the
+    whole corpus, every document scored by an exact integer sum of
+    micro-snapped per-bucket log ratios, top-150 kept (ties → smaller
+    id). The only float is one ln per bucket — snapped, so the oracle
+    replays the full model bit-for-bit."""
+    from montandon_etl_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    return dsir_select(spark, docs.filter(F.col("lang") == "en"),
+                       docs, "doc_id", "text", n_buckets=2048, k=150)
+
+
 def q_mv_distinct_users(spark, sf):
     """Incremental DISTINCT-count view (lake/matview.DistinctCountView):
     the aggregate COUNT+SUM IVM cannot express — per-group approx
@@ -3218,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "dsir_select": q_dsir_select,
         "mv_distinct_users": q_mv_distinct_users,
         "hash_split_report": q_hash_split_report,
         "split_leakage": q_split_leakage,
@@ -3876,6 +3891,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))), 0)
                         AS DOUBLE) AS sum_n_chars
             FROM documents GROUP BY 1""",
+        # DSIR: the full hashed-ngram model replayed — target/raw
+        # bucket counts, one micro-snapped ln per bucket, exact BIGINT
+        # doc scores, deterministic top-k (every fractional literal
+        # ::DOUBLE so DuckDB stays on the IEEE path)
+        "dsir_select": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, {_W} AS w FROM documents),
+            feats AS MATERIALIZED (
+              SELECT doc_id, u % 2048 AS bucket FROM (
+                SELECT doc_id, unnest(list_concat(
+                  list_transform(w, x -> {_H60.format(x="x")}),
+                  CASE WHEN len(w) >= 2 THEN
+                    list_transform(generate_series(1, len(w) - 1),
+                      i -> {_H60.format(x="w[i] || '_' || w[i+1]")})
+                  ELSE [] END)) AS u
+                FROM toks)),
+            tfeats AS MATERIALIZED (
+              SELECT f.doc_id, f.bucket FROM feats f
+              JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+            tc AS (SELECT bucket, count(*) AS ct FROM tfeats GROUP BY 1),
+            rc AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM tfeats) AS nt,
+                           (SELECT count(*) FROM feats) AS nr),
+            lr AS MATERIALIZED (
+              SELECT b.bucket,
+                     CAST(floor(ln(
+                         ((coalesce(ct, 0) + 1)::DOUBLE
+                          * (nr + 2048)::DOUBLE)
+                         / ((coalesce(cr, 0) + 1)::DOUBLE
+                            * (nt + 2048)::DOUBLE))
+                       * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+                       AS lr_micro
+              FROM (SELECT unnest(generate_series(0, 2047)) AS bucket) b
+              LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+              CROSS JOIN tot),
+            sc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_feats,
+                     sum(lr_micro)::BIGINT AS lr_score
+              FROM feats JOIN lr USING (bucket) GROUP BY doc_id)
+            SELECT doc_id, n_feats, lr_score FROM sc
+            ORDER BY lr_score DESC, doc_id LIMIT 150""",
         # the incremental distinct view's fixture replayed analytically:
         # survivors = docs minus the deleted slice, group/value = the
         # migrated-or-original (source, author), then the exact HLL
