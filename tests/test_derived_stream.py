@@ -7,7 +7,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from montandon_etl_spark.lake.matview import MaterializedAggregate
+from montandon_etl_spark.lake.matview import (
+    DistinctCountView, MaterializedAggregate)
+from montandon_etl_spark.operators.sketches import hll_registers
 from montandon_etl_spark.lake.table import SnapshotTable
 from montandon_etl_spark.functions.extract import extract_text_udf
 from montandon_etl_spark.operators.dedup import minhash_lsh_pairs
@@ -25,13 +27,17 @@ def test_stream_maintains_derived_artifacts(spark, tmp_path):
     idx = NearDupIndex.create(str(tmp_path / "ndi"), n_pfx=16, **PARAMS)
     mv = MaterializedAggregate.create(str(tmp_path / "mv"), spark, table,
                                       group_cols=["lang"], sum_cols=[])
+    dv = DistinctCountView.create(str(tmp_path / "dv"), spark, table,
+                                  group_cols=["lang"], value_col="text",
+                                  p=4)
 
     def update_index(s, df, epoch_id):
         # index over the SAME extracted text the pipeline itself merges
         idx.update(s, df.withColumn("text", extract_text_udf(F.col("html")).text),
                    batch_id=epoch_id)
 
-    updaters = [update_index, lambda s, df, e: mv.refresh(s)]
+    updaters = [update_index, lambda s, df, e: mv.refresh(s),
+                lambda s, df, e: dv.refresh(s)]
     run_stream(spark, table, str(tmp_path / "chg"), str(tmp_path / "ckpt"),
                derived_updaters=updaters).awaitTermination(300)
 
@@ -56,6 +62,13 @@ def test_stream_maintains_derived_artifacts(spark, tmp_path):
     assert got_mv == want_mv
     assert mv.applied_snapshot_id() == table.io.head_snapshot_id()
 
+    # distinct-count view ≡ hll_registers recompute over the live table
+    want_dv = {(r["lang"], r["j"], r["mj"]) for r in
+               hll_registers(live, ["lang"], "text", 4).collect()}
+    got_dv = {(r["lang"], r["j"], r["mj"]) for r in dv.state(spark).collect()}
+    assert got_dv == want_dv and want_dv
+    assert dv.applied_snapshot_id() == table.io.head_snapshot_id()
+
     # checkpoint re-run: everything is exactly-once, nothing moves
     head = table.io.head_snapshot_id()
     run_stream(spark, table, str(tmp_path / "chg"), str(tmp_path / "ckpt"),
@@ -63,6 +76,8 @@ def test_stream_maintains_derived_artifacts(spark, tmp_path):
     assert table.io.head_snapshot_id() == head
     assert {(r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()} == want
     assert {(r["lang"], r["n_rows"]) for r in mv.state(spark).collect()} == want_mv
+    assert {(r["lang"], r["j"], r["mj"])
+            for r in dv.state(spark).collect()} == want_dv
 
 
 def test_stream_maintains_bloom_index(spark, tmp_path):
