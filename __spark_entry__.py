@@ -417,6 +417,31 @@ def q_mv_source_stats(spark, sf):
     )
 
 
+def q_semantic_contamination(spark, sf):
+    """Embedding-space benchmark decontamination (operators/similarity.
+    semantic_contamination): the leak n-gram gates can't see. Benchmark
+    = every 13th vector; corpus = the rest PLUS planted 2x-scaled
+    copies of a benchmark slice (scaling by a power of two keeps every
+    float exact, so the plant's cosine is the engine-exact 1.0-ish
+    maximum and its cell assignment is bit-identical to its source —
+    guaranteed contaminated rows at any scale). Centroids train frozen
+    on the ORIGINAL table, benchmark rows probe their 2 nearest cells
+    and broadcast; the corpus never shuffles."""
+    from montandon_etl_spark.operators.similarity import (
+        semantic_contamination)
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 13 == 0)
+    planted = bench.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x * cast(2.0 as float)"
+               " as float))").alias("embedding"))
+    corpus = emb.filter(F.col("vec_id") % 13 != 0).unionByName(planted)
+    return semantic_contamination(corpus, bench, n_centroids=8,
+                                  threshold=0.4, nprobe=2,
+                                  centroid_source=emb)
+
+
 def q_dsir_select(spark, sf):
     """DSIR importance resampling (operators/dsir.py, Xie et al. 2023
     shape): hashed-ngram likelihood ratio of the English subset vs the
@@ -3232,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "semantic_contamination": q_semantic_contamination,
         "dsir_select": q_dsir_select,
         "mv_distinct_users": q_mv_distinct_users,
         "hash_split_report": q_hash_split_report,
@@ -3891,6 +3917,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CAST(n_chars AS DECIMAL(28,6))), 0)
                         AS DOUBLE) AS sum_n_chars
             FROM documents GROUP BY 1""",
+        # embedding-space decontamination: frozen k-means cells over the
+        # ORIGINAL table, corpus (incl. the exact-direction plants) at
+        # top-1, benchmark at top-2 probe cells, strict-fold cosines,
+        # min-id tiebreak on the nearest benchmark hit
+        "semantic_contamination": f"""
+            WITH {_oracle_kmeans_cents(n_centroids=8)},
+            allv AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(embedding,
+                       x -> CAST(CAST(x * 2.0::FLOAT AS FLOAT) AS DOUBLE))
+              FROM embeddings
+              WHERE vec_id % 13 = 0 AND vec_id % 3 = 0),
+            csc AS (
+              SELECT a.vec_id, c.cid,
+                     list_reduce(list_transform(list_zip(a.v, c.cvec),
+                       x -> x[1] * x[2]), (p, q) -> p + q)
+                     / (sqrt(list_reduce(list_transform(c.cvec,
+                          x -> x * x), (p, q) -> p + q))
+                        * sqrt(list_reduce(list_transform(a.v,
+                          x -> x * x), (p, q) -> p + q))) AS cos
+              FROM allv a CROSS JOIN cents c),
+            cassign AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid ASC) AS rn
+              FROM csc),
+            corc AS (
+              SELECT vec_id AS id, cid::INT AS cell FROM cassign
+              WHERE rn = 1 AND (vec_id % 13 <> 0 OR vec_id >= 1000000)),
+            benc AS (
+              SELECT vec_id AS bid, cid::INT AS cell FROM cassign
+              WHERE rn <= 2 AND vec_id % 13 = 0 AND vec_id < 1000000),
+            pairs AS (
+              SELECT corc.id, benc.bid,
+                     list_reduce(list_transform(list_zip(a.v, b.v),
+                       x -> x[1] * x[2]), (p, q) -> p + q)
+                     / (sqrt(list_reduce(list_transform(a.v,
+                          x -> x * x), (p, q) -> p + q))
+                        * sqrt(list_reduce(list_transform(b.v,
+                          x -> x * x), (p, q) -> p + q))) AS cos
+              FROM corc JOIN benc USING (cell)
+              JOIN allv a ON a.vec_id = corc.id
+              JOIN allv b ON b.vec_id = benc.bid),
+            st AS (
+              SELECT id, max(cos) AS mx,
+                     sum(CASE WHEN cos >= 0.4::DOUBLE THEN 1
+                              ELSE 0 END)::BIGINT AS n_bench_hits
+              FROM pairs GROUP BY id),
+            nr AS (
+              SELECT p.id, min(p.bid) AS nearest_bench_id
+              FROM pairs p JOIN st ON st.id = p.id AND p.cos = st.mx
+              GROUP BY p.id)
+            SELECT c.id AS vec_id, c.cell,
+                   coalesce(st.mx >= 0.4::DOUBLE, FALSE) AS contaminated,
+                   floor(st.mx * 1000000 + 0.5) / 1000000 AS max_bench_sim,
+                   coalesce(st.n_bench_hits, 0) AS n_bench_hits,
+                   nr.nearest_bench_id
+            FROM corc c LEFT JOIN st ON st.id = c.id
+            LEFT JOIN nr ON nr.id = c.id""",
         # DSIR: the full hashed-ngram model replayed — target/raw
         # bucket counts, one micro-snapped ln per bucket, exact BIGINT
         # doc scores, deterministic top-k (every fractional literal

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "sequence_pack_stats",  # cross-doc greedy packing + per-sequence utilization
     "mixture_resample",  # per-stratum corpus reweighting (down/up-sample)
     "dsir_select",  # hashed-ngram importance resampling (DSIR top-k)
+    "semantic_contamination",  # embedding-space benchmark leakage gate
     "ann_topk_ivfpq",  # coarse-cell prune + product-quantization scoring
     "ann_topk_pq_rerank",  # ADC shortlist + exact-cosine rerank (two-stage)
     "incremental_ann_topk_pq",  # CDC-maintained PQ-code postings

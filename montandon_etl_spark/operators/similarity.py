@@ -705,6 +705,76 @@ def cosine_topk_ivfpq(embeddings: DataFrame, queries: DataFrame, dim: int,
     return _pq_rank(scored, books, dim, k)
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    centroid_source: DataFrame | None = None,
+    sample_size: int = 64,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose cosine to SOME benchmark/eval vector reaches
+    ``threshold`` — the semantic leak the n-gram and minhash
+    decontamination gates cannot see (a paraphrased eval question
+    shares no 8-gram with its source).
+
+    Returns one row per corpus vector:
+    ``(id, cell, contaminated, max_bench_sim, n_bench_hits,
+    nearest_bench_id)`` — ``max_bench_sim`` micro-snapped,
+    ``nearest_bench_id`` the smallest benchmark id achieving it
+    (NULLs / 0 when no benchmark vector shares a probe cell).
+
+    100-TB shape: the seeded k-means quantizer blocks the comparison —
+    corpus rows take their top-1 cell scan-locally, benchmark rows
+    (small by nature: eval sets are 10³–10⁵ rows) probe their
+    ``nprobe`` nearest cells and BROADCAST, so the corpus never
+    shuffles and per-row work is |bench ∩ probe cells|, not |bench|.
+    Recall dial is IVF's: a contaminated pair is missed only when the
+    corpus row's cell is outside the benchmark row's nprobe nearest —
+    ``nprobe=n_centroids`` makes the gate exhaustive. Determinism:
+    the shared seeded-k-means + strict-fold cosine contracts, so a
+    SQL oracle replays cells, similarities, flags, and tie-broken
+    nearest ids exactly."""
+    bid = bench_id_col or id_col
+    base = centroid_source if centroid_source is not None else \
+        corpus.select(F.col(id_col), F.col(vec_col)).unionByName(
+            benchmark.select(F.col(bid).alias(id_col), F.col(vec_col)))
+    cents = kmeans_centroids(base, n_centroids=n_centroids,
+                             sample_size=sample_size, n_iters=n_iters,
+                             id_col=id_col, vec_col=vec_col)
+    cor = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.element_at(_top_cells(cents, vec_col, 1), 1).alias("cell"))
+    ben = benchmark.select(
+        F.col(bid).alias("bid"), F.col(vec_col).alias("vb"),
+        F.explode(_top_cells(cents, vec_col, nprobe)).alias("cell"))
+    pairs = (cor.join(F.broadcast(ben), "cell")
+             .withColumn("cos", cosine_similarity_col("v", "vb")))
+    stats = pairs.groupBy("id").agg(
+        F.max("cos").alias("_mx"),
+        F.sum(F.when(F.col("cos") >= F.lit(threshold), 1).otherwise(0))
+        .alias("n_bench_hits"))
+    near = (pairs.join(stats.select("id", "_mx"), "id")
+            .filter(F.col("cos") == F.col("_mx"))
+            .groupBy("id").agg(F.min("bid").alias("nearest_bench_id")))
+    return (cor.select("id", "cell")
+            .join(stats, "id", "left").join(near, "id", "left")
+            .select(
+                F.col("id").alias(id_col), "cell",
+                F.coalesce(F.col("_mx") >= F.lit(threshold), F.lit(False))
+                .alias("contaminated"),
+                stable_round6(F.col("_mx")).alias("max_bench_sim"),
+                F.coalesce(F.col("n_bench_hits"), F.lit(0))
+                .alias("n_bench_hits"),
+                "nearest_bench_id"))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_centroids: int = 8,

@@ -379,3 +379,61 @@ def test_curation_gate_semantics(spark):
     got2 = {r["doc_id"]: r["reject_reason"] for r in
             curation_gate(df2, "doc_id", "text").collect()}
     assert got2[10] == "not_en" and got2[11] == "duplicate"
+
+
+def test_semantic_contamination_flags_and_recall(spark):
+    """Benchmark decontamination: an exact-direction copy of a
+    benchmark vector is always flagged (its scaled twin shares the
+    cell bit-for-bit), clean vectors are not, per-row hit counts and
+    min-id nearest tiebreaks hold, and nprobe=n_centroids makes the
+    gate exhaustive (= brute-force verdicts)."""
+    from pyspark.sql import functions as F
+
+    from montandon_etl_spark.operators.similarity import (
+        cosine_similarity_col, semantic_contamination)
+
+    bench_rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (101, [0.0, 1.0, 0.0, 0.0]),
+        (102, [0.70710678, 0.70710678, 0.0, 0.0]),
+    ]
+    corpus_rows = [
+        (1, [2.0, 0.0, 0.0, 0.0]),        # scaled copy of bench 100
+        (2, [0.0, 0.0, 1.0, 0.0]),        # orthogonal to every bench
+        (3, [0.9, 0.1, 0.0, 0.0]),        # near 100 AND 102
+        (4, [0.0, 0.0, 0.0, 1.0]),        # orthogonal
+    ]
+    bench = spark.createDataFrame(
+        bench_rows, "vec_id bigint, embedding array<float>")
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_contamination(
+        corpus, bench, n_centroids=3, threshold=0.9,
+        nprobe=3).collect()}
+    assert len(out) == 4
+    assert out[1]["contaminated"] and out[1]["max_bench_sim"] >= 0.999999
+    assert out[1]["nearest_bench_id"] == 100
+    assert not out[2]["contaminated"] and out[2]["n_bench_hits"] == 0
+    assert out[3]["contaminated"]  # cos(0.9,0.1 ; 1,0) ≈ 0.994
+    assert out[3]["n_bench_hits"] >= 1
+    assert not out[4]["contaminated"]
+
+    # exhaustive probe == brute force verdicts
+    bf = (corpus.alias("c").crossJoin(bench.alias("b"))
+          .select(F.col("c.vec_id").alias("id"),
+                  cosine_similarity_col("c.embedding", "b.embedding")
+                  .alias("cos"))
+          .groupBy("id").agg(F.max("cos").alias("mx")).collect())
+    want = {r["id"]: r["mx"] >= 0.9 for r in bf}
+    got = {i: r["contaminated"] for i, r in out.items()}
+    assert got == want
+
+    # layout invariance
+    out2 = {r["vec_id"]: (r["contaminated"], r["max_bench_sim"],
+                          r["n_bench_hits"], r["nearest_bench_id"])
+            for r in semantic_contamination(
+                corpus.repartition(5), bench, n_centroids=3,
+                threshold=0.9, nprobe=3).collect()}
+    assert out2 == {i: (r["contaminated"], r["max_bench_sim"],
+                        r["n_bench_hits"], r["nearest_bench_id"])
+                    for i, r in out.items()}
