@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "ngram_contamination",
     "bloom_decontamination",  # sketch-compressed blocklist, join-free probe
     "bpe_tokenize",  # BPE train (distinct-word table) + broadcast encode
+    "wordpiece_encode",  # greedy longest-match vs a fixed vocab (BERT shape)
     "chunk_documents",  # token-budget packing over the same vocab
     "pps_sample",  # two-phase bucketed PPS cumsum (no global sort)
     "zorder_pruned_scan",  # CDC merges -> z-clustered compact -> pruned range read
