@@ -417,6 +417,18 @@ def q_mv_source_stats(spark, sf):
     )
 
 
+def q_perplexity_buckets(spark, sf):
+    """CCNet perplexity bucketing (operators/textstats.
+    perplexity_buckets): self-trained char-trigram LM scores split
+    into head/middle/tail terciles; cutoffs from a hash-ordered
+    512-doc sample by exact multiset rank (no interpolation), bucket
+    assignment scan-side against two literals."""
+    from montandon_etl_spark.operators.textstats import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf, "documents"),
+                              "doc_id", "text", n=3, sample_size=512)
+
+
 def q_wordpiece_encode(spark, sf):
     """WordPiece greedy longest-match encoding (operators/wordpiece.py,
     the BERT tokenizer's inference algorithm) against a data-derived
@@ -3303,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "perplexity_buckets": q_perplexity_buckets,
         "wordpiece_encode": q_wordpiece_encode,
         "semantic_contamination": q_semantic_contamination,
         "dsir_select": q_dsir_select,
@@ -4949,6 +4962,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_ngrams,
                    floor(sum(micro) / count(*) + 0.5) / 1000000 AS lm_score
             FROM sc GROUP BY 1""",
+        # CCNet terciles: the LM replay above + hash-ordered sample,
+        # cutoffs by exact multiset rank (ceil(k/3), ceil(2k/3)), no
+        # interpolation anywhere
+        "perplexity_buckets": f"""
+            WITH pos AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, length(text) - 1),
+                            i -> substr(text, i::INT, 3))) AS ng
+              FROM documents WHERE length(text) >= 3),
+            ngc AS (SELECT ng, count(*) AS ngc FROM pos GROUP BY 1),
+            pfc AS (SELECT substr(ng, 1, 2) AS pf, sum(ngc) AS pfc
+                    FROM ngc GROUP BY 1),
+            sc AS (
+              SELECT p.doc_id,
+                     CAST(floor(n.ngc / f.pfc * 1000000 + 0.5) AS BIGINT)
+                       AS micro
+              FROM pos p
+              JOIN ngc n USING (ng)
+              JOIN pfc f ON substr(p.ng, 1, 2) = f.pf),
+            scores AS MATERIALIZED (
+              SELECT doc_id, count(*) AS n_ngrams,
+                     floor(sum(micro) / count(*) + 0.5) / 1000000
+                       AS lm_score
+              FROM sc GROUP BY 1),
+            samp AS MATERIALIZED (
+              SELECT lm_score FROM scores
+              ORDER BY {_H60.format(x="CAST(doc_id AS VARCHAR)")}, doc_id
+              LIMIT 512),
+            ranked AS (
+              SELECT lm_score,
+                     row_number() OVER (ORDER BY lm_score) AS rn,
+                     count(*) OVER () AS k
+              FROM samp),
+            thr AS (
+              SELECT max(CASE WHEN rn = CAST(ceil(k / 3.0::DOUBLE)
+                                            AS BIGINT)
+                              THEN lm_score END) AS t1,
+                     max(CASE WHEN rn = CAST(ceil(2 * k / 3.0::DOUBLE)
+                                             AS BIGINT)
+                              THEN lm_score END) AS t2
+              FROM ranked)
+            SELECT s.doc_id, s.n_ngrams, s.lm_score,
+                   CASE WHEN s.lm_score <= thr.t1 THEN 'tail'
+                        WHEN s.lm_score <= thr.t2 THEN 'middle'
+                        ELSE 'head' END AS ppl_bucket
+            FROM scores s CROSS JOIN thr""",
         "quality_score": f"""
             WITH b AS (
               SELECT doc_id, length(text) AS n_chars,

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "token_stats",
     "quality_score",
     "ngram_lm_score",  # self-trained char-trigram LM fluency scoring
+    "perplexity_buckets",  # CCNet head/middle/tail fluency terciles
     "redact_pii",
     "dedup_paragraphs",
     "dup_spans",  # ExactSubstr: corpus-wide duplicated k-token spans

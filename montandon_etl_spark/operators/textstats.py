@@ -219,6 +219,50 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, sample_size: int = 512) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the self-trained n-gram LM, then split the
+    corpus into head / middle / tail terciles of fluency — the
+    partition CCNet feeds to downstream mixing (keep head, down-weight
+    tail). Returns ``(id, n_ngrams, lm_score, ppl_bucket)``.
+
+    Thresholds come from a HASH-ORDERED SAMPLE exactly as CCNet
+    computes its percentile cutoffs from a sample: the bottom
+    ``sample_size`` docs by (hash60(id), id) — a bounded TakeOrdered,
+    never a global sort — are collected, and the tercile cutoffs are
+    the ceil(k/3)-th and ceil(2k/3)-th smallest sampled scores
+    (multiset rank over the SNAPPED score values, so ties cannot make
+    the cutoff ambiguous). Bucket assignment is then a scan-side
+    comparison against two literals. Deterministic end to end: the LM
+    score is already integer-micro-snapped, the sample is a pure
+    function of ids, and rank selection has no interpolation — a SQL
+    oracle replays thresholds and buckets exactly.
+
+    Docs shorter than ``n`` chars carry no LM evidence and are
+    excluded, as in ``ngram_lm_score``."""
+    import math
+
+    from montandon_etl_spark.operators.dedup import hash60
+
+    scores = ngram_lm_score(df, id_col, text_col, n).localCheckpoint()
+    samp = (scores
+            .orderBy(hash60(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(sample_size).select("lm_score").collect())
+    s = sorted(r["lm_score"] for r in samp)
+    k = len(s)
+    if k == 0:
+        return scores.withColumn("ppl_bucket",
+                                 F.lit(None).cast("string"))
+    t1 = s[math.ceil(k / 3.0) - 1]
+    t2 = s[math.ceil(2 * k / 3.0) - 1]
+    return scores.select(
+        id_col, "n_ngrams", "lm_score",
+        F.when(F.col("lm_score") <= F.lit(t1), "tail")
+        .when(F.col("lm_score") <= F.lit(t2), "middle")
+        .otherwise("head").alias("ppl_bucket"))
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
     """Rolling-shingle fingerprint: min md5 over word 4-grams — one
     stable 32-hex token per document (winnowing with window = whole

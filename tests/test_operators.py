@@ -437,3 +437,31 @@ def test_semantic_contamination_flags_and_recall(spark):
     assert out2 == {i: (r["contaminated"], r["max_bench_sim"],
                         r["n_bench_hits"], r["nearest_bench_id"])
                     for i, r in out.items()}
+
+
+def test_perplexity_buckets_terciles(spark):
+    """CCNet bucketing: cutoffs are exact multiset ranks of the
+    sampled (snapped) scores, buckets partition the scored corpus into
+    roughly equal thirds when the sample IS the corpus, and the
+    assignment is layout-independent."""
+    from montandon_etl_spark.operators.textstats import perplexity_buckets
+
+    rows = [(i, ("the quick brown fox " * (1 + i % 5))
+             + ("zzqx" * (i % 7))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = perplexity_buckets(docs, "doc_id", "text",
+                             sample_size=512).collect()
+    assert len(out) == 60
+    by = {}
+    for r in out:
+        by.setdefault(r["ppl_bucket"], []).append(r["lm_score"])
+    assert set(by) == {"head", "middle", "tail"}
+    # ordering invariant: every tail score <= every middle <= every head
+    assert max(by["tail"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["head"])
+    # sample == corpus → tercile sizes within rank-tie slack
+    assert 10 <= len(by["tail"]) <= 30
+    assert 10 <= len(by["head"]) <= 30
+    out2 = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(
+        docs.repartition(7), "doc_id", "text", sample_size=512).collect()}
+    assert out2 == {r["doc_id"]: r["ppl_bucket"] for r in out}
