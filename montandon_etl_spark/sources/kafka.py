@@ -14,12 +14,16 @@ the row path), so the SAME expression tree runs on
 DataFrame in tests: swapping the source changes one line, not the
 pipeline.
 
-Two envelope dialects:
+Three envelope dialects:
 - ``decode_json_changelog``: flat JSON values (the engine's native
   producer format);
 - ``decode_debezium``: the Debezium CDC envelope (op codes c/u/r→
   upsert, d→delete; payload under ``after``, deleted key under
-  ``before``) — the de-facto standard binlog/WAL tail.
+  ``before``) — the de-facto standard binlog/WAL tail;
+- ``decode_wal2json``: raw Postgres logical decoding (wal2json
+  format-version=2, one JSON per change; LSN → seq, I/U/D actions,
+  DDL via ``pg_logical_emit_message`` frames) — the wire format the
+  reference's own Postgres WAL speaks, without a Debezium hop.
 
 Malformed frames follow the engine's record-not-drop policy: they come
 back with ``decode_ok=false`` and NULL fields so the caller can route
@@ -315,6 +319,140 @@ def decode_debezium(kafka_df: DataFrame, value_col: str = "value",
     return out.select(*cols)
 
 
+WAL2JSON_VALUE_SCHEMA = (
+    "action string, lsn string, xid bigint, timestamp string,"
+    " prefix string, content string,"
+    " columns array<struct<name: string, type: string, value: string>>,"
+    " identity array<struct<name: string, type: string, value: string>>"
+)
+
+_W2J_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSSx"  # include-timestamp format
+
+
+def _w2j_val(arr: F.Column, name: str) -> F.Column:
+    """Value of the named column in a wal2json columns/identity array
+    (NULL when absent). from_json coerces non-string JSON scalars to
+    their text for string targets, so numeric/bool values arrive as
+    castable strings. try_element_at, not element_at: under ANSI mode
+    an absent column (empty filter result) must be NULL → quarantine,
+    not an exception that aborts the whole micro-batch."""
+    return F.try_element_at(
+        F.filter(arr, lambda c: c["name"] == F.lit(name)),
+        F.lit(1))["value"]
+
+
+def decode_wal2json(kafka_df: DataFrame, value_col: str = "value",
+                    keep_raw: bool = True) -> DataFrame:
+    """Postgres logical-decoding frames (wal2json, format-version=2 —
+    one JSON document per CHANGE, the shape a Kafka relay of
+    ``pg_recvlogical`` emits) → changelog rows (+ ``decode_ok``). The
+    third source dialect next to the native JSON producer and
+    Debezium: the reference's upstream database IS Postgres, so this
+    is the wire format its WAL actually speaks.
+
+    Mapping:
+    - ``action`` I/U → upsert (payload under ``columns``), D → delete
+      (key under ``identity`` — the REPLICA IDENTITY columns);
+    - ``seq`` = the 64-bit LSN decoded from the ``X/Y`` hex pair —
+      Postgres's own monotone position, exactly the MERGE tie-break
+      contract;
+    - event time: I/U take the payload's ``warc_ts_us`` column (table
+      semantics, as the other dialects do); D has no payload, so the
+      frame's ``timestamp`` (the commit time ``include-timestamp``
+      stamps) is parsed — a delete must never carry an epoch-0 time
+      or it would lose every LWW race against stale upserts;
+    - B/C frames (transaction begin/commit) carry no row facts and are
+      FILTERED, not quarantined — they are framing, not data; the LSN
+      already orders events without them;
+    - M frames with ``prefix='ddl'`` are in-band schema changes — the
+      standard Postgres workaround for logical decoding's DDL
+      blindness is an event trigger writing into
+      ``pg_logical_emit_message``; ``content`` carries the engine's
+      DDL spec JSON ``{"op": ..., "field": ..., ...}`` and decodes to
+      the same in-band DDL rows as the other dialects. M frames with
+      any other prefix are application messages: filtered.
+    - T (truncate) and unknown actions fail ``decode_ok`` and
+      quarantine loudly — record-not-drop, never a silently emptied
+      table.
+    """
+    v = _parse(value_col, WAL2JSON_VALUE_SCHEMA)
+    out = kafka_df.withColumn("_v", v).filter(
+        # framing and foreign app messages carry no facts; everything
+        # else flows on — the coalesce keeps NULL-predicate frames
+        # (tombstones, corrupt JSON) on the quarantine path instead of
+        # silently dropping them
+        ~F.coalesce(
+            F.col("_v._corrupt").isNull()
+            & (F.col("_v.action").isin("B", "C")
+               | ((F.col("_v.action") == "M")
+                  & (F.coalesce(F.col("_v.prefix"), F.lit("")) != "ddl"))),
+            F.lit(False))
+    )
+    act = F.col("_v.action")
+    is_del = act == "D"
+    is_ddl = (act == "M") & (F.col("_v.prefix") == "ddl")
+    seq = (
+        F.expr("cast(conv(split_part(_v.lsn, '/', 1), 16, 10) as bigint)")
+        * F.lit(4294967296).cast("bigint")
+        + F.expr("cast(conv(split_part(_v.lsn, '/', 2), 16, 10) as bigint)")
+    )
+    # a malformed LSN ('' / non-hex) must fail decode_ok, not become
+    # seq 0: conv('',16,10) is 0, so require the hex shape first
+    lsn_ok = F.col("_v.lsn").rlike(r"^[0-9A-Fa-f]+/[0-9A-Fa-f]+$")
+    seq = F.when(lsn_ok, seq)
+    url_iu = _w2j_val(F.col("_v.columns"), "url")
+    url_d = _w2j_val(F.col("_v.identity"), "url")
+    ts_us = _w2j_val(F.col("_v.columns"), "warc_ts_us").try_cast("bigint")
+    del_ts = F.try_to_timestamp(F.col("_v.timestamp"), F.lit(_W2J_TS_FMT))
+    html = F.try_to_binary(_w2j_val(F.col("_v.columns"), "html_b64"),
+                           F.lit("base64"))
+    ddl_spec = F.from_json(
+        F.col("_v.content"),
+        "op string, " + DDL_SPEC_SCHEMA + ", _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"})
+    ddl_op = F.when(is_ddl, ddl_spec["op"])
+    ddl_json = F.to_json(F.struct(
+        ddl_spec["field"].alias("field"),
+        ddl_spec["new_name"].alias("new_name"),
+        ddl_spec["dtype"].alias("dtype")))
+    ok = (
+        F.col(value_col).isNotNull()
+        & F.col("_v._corrupt").isNull()
+        & lsn_ok
+        & F.when(is_ddl,
+                 ddl_spec.isNotNull() & ddl_spec["_corrupt"].isNull()
+                 & F.coalesce(ddl_op.isin(*DDL_OPS), F.lit(False))
+                 & _ddl_spec_ok(ddl_json, ddl_op))
+        .when(is_del, url_d.isNotNull() & del_ts.isNotNull())
+        .when(act.isin("I", "U"),
+              url_iu.isNotNull() & ts_us.isNotNull()
+              & (_w2j_val(F.col("_v.columns"), "html_b64").isNull()
+                 | html.isNotNull()))
+        .otherwise(F.lit(False))  # T / unknown action → quarantine
+    )
+    op = (F.when(is_ddl, ddl_op)
+          .when(is_del, F.lit("delete"))
+          .when(act.isin("I", "U"), F.lit("upsert")))
+    cols = [
+        seq.alias("seq"),
+        F.coalesce(
+            F.when(is_ddl, F.concat(F.lit("ddl:"), seq.cast("string")))
+            .when(is_del, url_d).otherwise(url_iu),
+            F.concat(F.lit("bad:"), F.coalesce(seq.cast("string"),
+                                               F.lit("?")))).alias("url"),
+        F.coalesce(
+            F.when(is_del, del_ts).otherwise(F.timestamp_micros(ts_us)),
+            F.timestamp_micros(F.lit(0))).alias("warc_ts"),
+        op.alias("op"),
+        F.when(act.isin("I", "U"), html).alias("html"),
+        F.when(is_ddl & ok, ddl_json).alias("ddl"),
+        ok.alias("decode_ok"),
+    ]
+    if keep_raw:
+        cols.append(F.col(value_col).alias("_raw"))
+    return out.select(*cols)
+
+
 def split_quarantine(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good changelog rows, quarantined frames). Good rows carry
     exactly the changelog schema the MERGE expects (plus the in-band
@@ -338,7 +476,8 @@ KAFKA_FRAME_SCHEMA = (
     " offset bigint, timestamp timestamp"
 )
 
-_DIALECTS = {"json": decode_json_changelog, "debezium": decode_debezium}
+_DIALECTS = {"json": decode_json_changelog, "debezium": decode_debezium,
+             "wal2json": decode_wal2json}
 
 
 def _decode_kwargs(dialect: str, schema_change_topic: str | None) -> dict:

@@ -189,3 +189,129 @@ def test_decode_debezium_schema_change_statements(spark):
             assert spec.get("field") == field
             assert spec.get("new_name") == new_name
             assert spec.get("dtype") == dtype
+
+
+# ------------------------------------------------------------- wal2json --
+def _w2j_lsn(seq: int) -> str:
+    return f"{seq >> 32:X}/{seq & 0xFFFFFFFF:X}"
+
+
+def _w2j_value(seq, url, ts, action, html: bytes | None = None,
+               **extra) -> bytes:
+    body = {"action": action, "lsn": _w2j_lsn(seq), "xid": 7,
+            "timestamp": ts.strftime("%Y-%m-%d %H:%M:%S.%f") + "+00"}
+    if action in ("I", "U"):
+        body["columns"] = [
+            {"name": "url", "type": "text", "value": url},
+            {"name": "warc_ts_us", "type": "bigint", "value": _us(ts)},
+        ]
+        if html is not None:
+            body["columns"].append(
+                {"name": "html_b64", "type": "text",
+                 "value": base64.b64encode(html).decode()})
+    elif action == "D":
+        body["identity"] = [{"name": "url", "type": "text", "value": url}]
+    body.update(extra)
+    return json.dumps(body).encode()
+
+
+def test_decode_wal2json_truth_table(spark):
+    from montandon_etl_spark.sources.kafka import decode_wal2json
+
+    t2 = TS + pd.Timedelta(hours=2)
+    ddl_ok = json.dumps({"action": "M", "lsn": _w2j_lsn(7), "xid": 7,
+                         "prefix": "ddl",
+                         "content": json.dumps({"op": "add_column",
+                                                "field": "rank",
+                                                "dtype": "int"})}).encode()
+    ddl_bad = json.dumps({"action": "M", "lsn": _w2j_lsn(8), "xid": 7,
+                          "prefix": "ddl",
+                          "content": json.dumps(
+                              {"op": "rename_column",
+                               "field": "x"})}).encode()  # no new_name
+    frames = [
+        _frame("w/1", _w2j_value(1, "w/1", TS, "I", b"<p>a</p>"), 0),
+        _frame("w/1", _w2j_value(2, "w/1", TS, "U", b"<p>b</p>"), 1),
+        _frame("w/1", _w2j_value(3, "w/1", t2, "D"), 2),
+        # transaction framing and app messages: filtered, not rows
+        _frame("", json.dumps({"action": "B", "lsn": _w2j_lsn(4),
+                               "xid": 7}).encode(), 3),
+        _frame("", json.dumps({"action": "C", "lsn": _w2j_lsn(5),
+                               "xid": 7}).encode(), 4),
+        _frame("", json.dumps({"action": "M", "lsn": _w2j_lsn(6),
+                               "prefix": "app",
+                               "content": "x"}).encode(), 5),
+        # in-band DDL message (pg_logical_emit_message with prefix=ddl)
+        _frame("", ddl_ok, 6),
+        # poison DDL: spec missing its op's required field → quarantine
+        _frame("", ddl_bad, 7),
+        # truncate is unsupported and must surface loudly
+        _frame("", json.dumps({"action": "T", "lsn": _w2j_lsn(9),
+                               "xid": 7}).encode(), 8),
+        # malformed LSN must not become seq 0
+        _frame("w/z", json.dumps({"action": "I", "lsn": "zz",
+                                  "columns": [
+                                      {"name": "url", "value": "w/z"},
+                                      {"name": "warc_ts_us",
+                                       "value": _us(TS)}]}).encode(), 9),
+        # bad base64 payload
+        _frame("w/y", json.dumps({"action": "I", "lsn": _w2j_lsn(11),
+                                  "columns": [
+                                      {"name": "url", "value": "w/y"},
+                                      {"name": "warc_ts_us",
+                                       "value": _us(TS)},
+                                      {"name": "html_b64",
+                                       "value": "%%%"}]}).encode(), 10),
+        _frame("w/x", b"not json", 11),
+        _frame("w/t", None, 12),  # Kafka tombstone: quarantined
+        # I frame missing its key column
+        _frame("w/u", json.dumps({"action": "I", "lsn": _w2j_lsn(13),
+                                  "columns": [
+                                      {"name": "warc_ts_us",
+                                       "value": _us(TS)}]}).encode(), 13),
+    ]
+    good, bad = split_quarantine(decode_wal2json(_kafka_df(spark, frames)))
+    g = {r["seq"]: r for r in good.collect()}
+    assert set(g) == {1, 2, 3, 7}
+    assert g[1]["op"] == "upsert" and g[1]["html"] == b"<p>a</p>"
+    assert g[2]["html"] == b"<p>b</p>"
+    assert g[3]["op"] == "delete" and g[3]["url"] == "w/1"
+    # the delete's event time comes from the frame's commit timestamp
+    assert g[3]["warc_ts"] == t2.tz_localize(None).to_pydatetime()
+    assert g[7]["op"] == "add_column"
+    assert json.loads(g[7]["ddl"])["field"] == "rank"
+    assert g[7]["url"] == "ddl:7"
+    # B/C/M-app filtered; the 7 malformed/unsupported frames (poison
+    # DDL, truncate, bad LSN, bad base64, non-JSON, tombstone,
+    # missing key column) quarantined
+    assert bad.count() == 7
+    raws = {bytes(r["_raw"]) if r["_raw"] is not None else None
+            for r in bad.collect()}
+    assert ddl_bad in raws and b"not json" in raws and None in raws
+
+
+def test_wal2json_decode_merge_matches_oracle(spark, tmp_path):
+    """wal2json feed → decode → enrich → MERGE replays to the same
+    table state as the plain changelog oracle (LSN is the seq)."""
+    from montandon_etl_spark.sources.kafka import decode_wal2json
+
+    events = [
+        (1, "https://w/1", TS, "upsert", b"<p>one</p>"),
+        (2, "https://w/2", TS, "upsert", b"<p>two</p>"),
+        (3, "https://w/1", TS + pd.Timedelta(hours=1), "upsert",
+         b"<p>one v2</p>"),
+        (4, "https://w/2", TS + pd.Timedelta(hours=1), "delete", None),
+    ]
+    act = {"upsert": "I", "delete": "D"}
+    frames = [_frame(u, _w2j_value(s, u, t, act[op], h), i)
+              for i, (s, u, t, op, h) in enumerate(events)]
+    good, bad = split_quarantine(decode_wal2json(_kafka_df(spark, frames)))
+    assert bad.count() == 0
+    table = SnapshotTable.create(str(tmp_path / "w2j"), n_buckets=4)
+    table.merge(spark, enrich_batch(good.drop("ddl")), batch_id=0)
+    got = table.read(spark).toPandas()
+    pdf = pd.DataFrame(
+        [(s, u, t.tz_localize(None), op, h) for s, u, t, op, h in events],
+        columns=["seq", "url", "warc_ts", "op", "html"],
+    )
+    assert_state_equals_oracle(got, replay_oracle(pdf))
