@@ -366,3 +366,42 @@ def test_corpus_report_one_scan_one_exchange(spark):
     assert "Expand" in plan, plan[:1500]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:1500]
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+
+
+def test_dsir_is_broadcast_scored_takeordered(spark):
+    """DSIR: the log-ratio table (bounded by B buckets) must BROADCAST
+    into the scoring join — the corpus never shuffles for scoring —
+    and top-k selection must plan TakeOrderedAndProject (per-partition
+    heaps), never a global Sort."""
+    df = entry_mod.queries()["dsir_select"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan, "corpus-sized shuffle join crept in"
+
+
+def test_semantic_contamination_probe_broadcasts(spark):
+    """The benchmark probe join must broadcast (eval sets are small by
+    nature); the only SortMergeJoins allowed are the id-keyed result
+    joins (big-big on the corpus key — the correct plan); never a
+    cartesian."""
+    df = entry_mod.queries()["semantic_contamination"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the pair comparison itself is the broadcast join on 'cell' —
+    # assert no SMJ consumes the benchmark side
+    import re
+    smj_keys = re.findall(r"SortMergeJoin \[([a-z_]+)", plan)
+    assert all(k == "id" for k in smj_keys), smj_keys
+
+
+def test_wordpiece_word_table_broadcasts(spark):
+    """WordPiece: distinct words encode in ONE Arrow pass
+    (MapInPandas) and the word→tokens table broadcasts back into the
+    corpus — document text never shuffles through a join."""
+    df = entry_mod.queries()["wordpiece_encode"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

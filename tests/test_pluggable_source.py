@@ -343,3 +343,95 @@ def test_debezium_stream_with_schema_change_topic(spark, tmp_path):
     assert len(raws) == 2
     assert any("CREATE INDEX" in r for r in raws)
     assert any("hyperloglog" in r for r in raws)
+
+
+# ------------------------------------------------------------- wal2json --
+def _w2j_frame(row, offset: int) -> tuple:
+    ts = pd.Timestamp(row.warc_ts)
+    ts_us = int(ts.value // 1000)
+    lsn = f"{int(row.seq) >> 32:X}/{int(row.seq) & 0xFFFFFFFF:X}"
+    body = {"action": "D" if row.op == "delete" else "I", "lsn": lsn,
+            "xid": 1, "timestamp": ts.strftime("%Y-%m-%d %H:%M:%S.%f") + "+00"}
+    if row.op == "delete":
+        body["identity"] = [{"name": "url", "type": "text",
+                             "value": row.url}]
+    else:
+        body["columns"] = [
+            {"name": "url", "type": "text", "value": row.url},
+            {"name": "warc_ts_us", "type": "bigint", "value": ts_us},
+            {"name": "html_b64", "type": "text",
+             "value": base64.b64encode(row.html).decode()},
+        ]
+    return (row.url.encode(), json.dumps(body).encode(), "wal", 0, offset,
+            ts)
+
+
+def test_wal2json_stream_end_to_end_with_ddl(spark, tmp_path):
+    """Raw Postgres logical-decoding frames through the pluggable
+    source: B/C transaction framing interleaved (filtered as framing),
+    a pg_logical_emit_message DDL frame applies in-band, poison frames
+    (truncate, non-JSON, bad base64) quarantine without aborting a
+    batch, and the final state ≡ the replay oracle under the evolved
+    schema."""
+    from montandon_etl_spark.sources.kafka import DDL_OPS  # noqa: F401
+
+    log = gen_changelog(300, 110, seed=11, n_domains=10)
+    max_seq = int(log.seq.max())
+    frames, n_poison = [], 0
+    for i, row in enumerate(log.itertuples()):
+        # begin/commit framing around every 25th event
+        if i % 25 == 0:
+            frames.append((b"", json.dumps(
+                {"action": "B", "lsn": "A/0", "xid": i}).encode(),
+                "wal", 0, 500_000 + i, pd.Timestamp(row.warc_ts)))
+        frames.append(_w2j_frame(row, i))
+        if i % 60 == 59:
+            kind = n_poison % 3
+            bad = (json.dumps({"action": "T", "lsn": "B/1",
+                               "xid": i}).encode() if kind == 0
+                   else b"{{{" if kind == 1
+                   else json.dumps({"action": "I", "lsn": "C/2",
+                                    "columns": [
+                                        {"name": "url", "value": "p"},
+                                        {"name": "warc_ts_us",
+                                         "value": 1},
+                                        {"name": "html_b64",
+                                         "value": "%%%"}]}).encode())
+            frames.append((b"poison", bad, "wal", 0, 600_000 + i,
+                           pd.Timestamp(row.warc_ts)))
+            n_poison += 1
+    # trailing in-band DDL rides a logical-decoding message frame
+    frames.append((b"", json.dumps(
+        {"action": "M", "lsn": f"0/{max_seq + 5:X}", "xid": 99,
+         "prefix": "ddl",
+         "content": json.dumps({"op": "add_column", "field": "rank",
+                                "dtype": "int"})}).encode(),
+        "wal", 0, 700_000, pd.Timestamp(log.warc_ts.iloc[-1])))
+
+    frames_dir = str(tmp_path / "frames")
+    os.makedirs(frames_dir, exist_ok=True)
+    n_chunks = 4
+    bounds = [len(frames) * k // n_chunks for k in range(n_chunks + 1)]
+    for k in range(n_chunks):
+        part = frames[bounds[k]:bounds[k + 1]]
+        cols = list(zip(*part))
+        t = pa.Table.from_arrays([pa.array(c, type=f.type)
+                                  for c, f in zip(cols, KAFKA_PA_SCHEMA)],
+                                 schema=KAFKA_PA_SCHEMA)
+        pq.write_table(t, os.path.join(frames_dir, f"frames-{k:05d}.parquet"),
+                       row_group_size=4096)
+
+    qdir = str(tmp_path / "quarantine")
+    table = SnapshotTable.create(str(tmp_path / "pages"), n_buckets=8)
+    q = run_stream(spark, table, None, str(tmp_path / "ckpt"),
+                   source=kafka_frames_dir_source(frames_dir,
+                                                  dialect="wal2json"),
+                   quarantine_dir=qdir)
+    q.awaitTermination(300)
+
+    got = table.read(spark).toPandas()
+    assert "rank" in got.columns and got["rank"].isna().all()
+    assert_state_equals_oracle(got.drop(columns=["rank"]),
+                               replay_oracle(log))
+    bad = spark.read.parquet(*glob.glob(os.path.join(qdir, "epoch=*")))
+    assert bad.count() == n_poison
