@@ -237,3 +237,61 @@ def bucketed_range_join(points: DataFrame, intervals: DataFrame,
             .filter((F.col(point_col) >= F.col(start_col))
                     & (F.col(point_col) < F.col(end_col)))
             .drop("_bk"))
+
+
+def gapfill_locf(df: DataFrame, key_col: str, ts_col: str,
+                 value_col: str, step_us: int,
+                 order_col: str | None = None) -> DataFrame:
+    """Time-series resample to a regular grid with last-observation-
+    carried-forward — the metrics/monitoring shape (the reference
+    plots per-source event counts over time from irregular rows,
+    apps/etl/models.py; at scale the grid materializes once in-engine).
+
+    Per key: slots of ``step_us`` microseconds spanning the key's OWN
+    observed [min, max] range (nothing fabricated beyond the data's
+    span). Each slot's representative observation is the LAST one
+    inside it (ties on the timestamp break by ``order_col`` — pass the
+    event id for full determinism); empty slots carry the previous
+    slot's value forward and are flagged ``filled=true``. The first
+    slot of every key is observed by construction, so no leading NULLs
+    exist.
+
+    Returns ``(key, grid_ts, value, filled)``.
+
+    100-TB shape: ONE partial-agged groupBy to the (key, slot) grain
+    (max_by struct — the LWW idiom), a bounded per-key sequence explode
+    for the grid (grid size = span/step, a config choice, never row
+    count), one left join on (key, slot), and ONE window partitioned
+    by key for the carry-forward — a single shuffle on the key. A
+    key's whole grid sorts in one task: fine for metrics grids (10^4-
+    10^6 slots); a multi-year-span key at second resolution needs a
+    coarser step or a key split, which is the same capacity planning
+    every gap-fill engine asks for.
+
+    Determinism: slot arithmetic is integer division of unix_micros,
+    the per-slot winner is a struct max, and LOCF is a pure function
+    of slot order — bit-identical on any layout, so a SQL oracle
+    (DuckDB ``last_value(... IGNORE NULLS)``) replays it exactly."""
+    if step_us <= 0:
+        raise ValueError("gapfill_locf: step_us must be positive")
+    oc = F.col(order_col) if order_col else F.lit(0)
+    slot = F.expr(f"unix_micros(cast({ts_col} as timestamp)) "
+                  f"div {int(step_us)}")
+    obs = (df.select(F.col(key_col).alias("k"), slot.alias("slot"),
+                     F.struct(F.col(ts_col).cast("timestamp").alias("t"),
+                              oc.alias("o"),
+                              F.col(value_col).alias("v")).alias("s"))
+           .groupBy("k", "slot")
+           .agg(F.max("s")["v"].alias("obs_value")))
+    grid = (obs.groupBy("k")
+            .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+            .select("k", F.explode(F.sequence("lo", "hi")).alias("slot")))
+    joined = grid.join(obs, ["k", "slot"], "left")
+    w = (Window.partitionBy("k").orderBy("slot")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.timestamp_micros(F.col("slot") * F.lit(int(step_us)))
+        .alias("grid_ts"),
+        F.last("obs_value", ignorenulls=True).over(w).alias(value_col),
+        F.col("obs_value").isNull().alias("filled"))

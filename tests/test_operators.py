@@ -465,3 +465,48 @@ def test_perplexity_buckets_terciles(spark):
     out2 = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(
         docs.repartition(7), "doc_id", "text", sample_size=512).collect()}
     assert out2 == {r["doc_id"]: r["ppl_bucket"] for r in out}
+
+
+def test_gapfill_locf_semantics(spark):
+    """Gap-fill invariants on a hand-built series: per-key grid spans
+    ONLY the key's own range, empty slots carry the previous slot's
+    value with filled=true, the slot winner is the LAST observation
+    (ts, then order_col) inside the slot, and output is
+    layout-independent."""
+    from datetime import datetime
+
+    from montandon_etl_spark.operators.relational import gapfill_locf
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # key "a": slots 0,1 observed, 2-3 empty, 4 observed; slot 1
+        # has two obs in the same slot (later ts wins) plus an
+        # order_col tie at the same ts (higher id wins)
+        ("a", t(0, 10), 10.0, 1),
+        ("a", t(1, 5), 20.0, 2),
+        ("a", t(1, 50), 30.0, 3),
+        ("a", t(1, 50), 31.0, 4),
+        ("a", t(4, 0), 50.0, 5),
+        # key "b": single slot → single-row grid, nothing fabricated
+        ("b", t(2, 30), 7.0, 6),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, eid bigint")
+    out = gapfill_locf(df, "k", "ts", "v", step_us=3_600_000_000,
+                       order_col="eid")
+    got = {(r["k"], r["grid_ts"].hour): (r["v"], r["filled"])
+           for r in out.collect()}
+    assert got == {
+        ("a", 0): (10.0, False),
+        ("a", 1): (31.0, False),   # last-in-slot, tie broken by eid
+        ("a", 2): (31.0, True),
+        ("a", 3): (31.0, True),
+        ("a", 4): (50.0, False),
+        ("b", 2): (7.0, False),
+    }
+    got2 = {(r["k"], r["grid_ts"].hour): (r["v"], r["filled"])
+            for r in gapfill_locf(df.repartition(5), "k", "ts", "v",
+                                  step_us=3_600_000_000,
+                                  order_col="eid").collect()}
+    assert got2 == got
