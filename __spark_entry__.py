@@ -191,6 +191,16 @@ def q_tumbling_window_agg(spark, sf):
     )
 
 
+def q_fim_transform(spark, sf):
+    """Fill-in-the-middle objective construction over documents
+    (operators/packing.py:fim_transform) — pure-projection string
+    arithmetic, hash-deterministic apply/mode/cut decisions."""
+    from montandon_etl_spark.operators.packing import fim_transform
+
+    docs = _t(spark, sf, "documents")
+    return fim_transform(docs, "doc_id", "text", rate=0.5, spm_rate=0.5)
+
+
 def q_gapfill_locf(spark, sf):
     """Regular 6-hour grid per user over the events stream, empty
     slots carried forward (reference plots per-source counts over
@@ -3325,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "fim_transform": q_fim_transform,
         "gapfill_locf": q_gapfill_locf,
         "perplexity_buckets": q_perplexity_buckets,
         "wordpiece_encode": q_wordpiece_encode,
@@ -3941,6 +3952,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
                    {_dec_sum('value')} AS sum_value
             FROM events GROUP BY 1, 2""",
+        # FIM: apply/mode/cuts are domain-separated hash60 tests on the
+        # 2^60 int grid; cuts uniform on [0,len]; substr arithmetic is
+        # codepoint-identical in both engines
+        "fim_transform": f"""
+            WITH c AS (
+              SELECT doc_id, text, length(text) AS ln,
+                     {_H60.format(x="CAST(doc_id AS VARCHAR) || '|fim'")} AS hf,
+                     {_H60.format(x="CAST(doc_id AS VARCHAR) || '|spm'")} AS hs,
+                     {_H60.format(x="CAST(doc_id AS VARCHAR) || '|c1'")} AS h1,
+                     {_H60.format(x="CAST(doc_id AS VARCHAR) || '|c2'")} AS h2
+              FROM documents),
+            p AS (
+              SELECT doc_id, text, ln,
+                     (ln >= 2 AND hf < {1 << 59}) AS applied,
+                     hs < {1 << 59} AS spm,
+                     least(h1 % (ln + 1), h2 % (ln + 1)) AS i,
+                     greatest(h1 % (ln + 1), h2 % (ln + 1)) AS j
+              FROM c)
+            SELECT doc_id,
+                   CASE WHEN NOT applied THEN 'none'
+                        WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+                   CASE WHEN NOT applied THEN text
+                        WHEN spm THEN
+                          '<|fim_suf|>' || substr(text, CAST(j + 1 AS INT), CAST(ln - j AS INT))
+                          || '<|fim_pre|>' || substr(text, 1, CAST(i AS INT))
+                          || '<|fim_mid|>' || substr(text, CAST(i + 1 AS INT), CAST(j - i AS INT))
+                        ELSE
+                          '<|fim_pre|>' || substr(text, 1, CAST(i AS INT))
+                          || '<|fim_suf|>' || substr(text, CAST(j + 1 AS INT), CAST(ln - j AS INT))
+                          || '<|fim_mid|>' || substr(text, CAST(i + 1 AS INT), CAST(j - i AS INT))
+                   END AS fim_text
+            FROM p""",
         # LOCF gap-fill: slot winner = last (ts, event_id) in slot,
         # grid spans each key's own [min,max] slot, carry via
         # last_value IGNORE NULLS — pure slot arithmetic, value-exact

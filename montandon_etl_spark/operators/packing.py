@@ -102,3 +102,76 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
             F.expr(f"(sum(n_toks) * 100) div {budget}").cast("bigint"),
         ).alias("fill_ratio_pct"),
     )
+
+
+# the keep/mode-test grid shared with mixing.py: hash60 is uniform on
+# [0, 2^60); thresholds precompute to integers so both engines compare
+# exact ints, never floats
+HASH_SPACE = 1 << 60
+
+FIM_PRE = "<|fim_pre|>"
+FIM_MID = "<|fim_mid|>"
+FIM_SUF = "<|fim_suf|>"
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.5,
+    spm_rate: float = 0.5,
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022):
+    rewrite a ``rate`` fraction of documents so the model learns to
+    infill — split the text at two uniform cut points into
+    (prefix, middle, suffix) and emit sentinel-delimited
+
+      PSM:  <|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle
+      SPM:  <|fim_suf|>suffix<|fim_pre|>prefix<|fim_mid|>middle
+
+    with an ``spm_rate`` fraction of the transformed docs using SPM.
+    Untransformed docs pass through verbatim with ``fim_mode='none'``.
+
+    Determinism contract: apply/mode decisions and both cut points are
+    pure functions of the document key via domain-separated hash60
+    calls (key||'|fim', '|spm', '|c1', '|c2'), compared on the integer
+    HASH_SPACE grid — the same doc transforms identically on any
+    engine and any partition layout, and a DuckDB oracle replays it
+    with the same md5 arithmetic. Cut points are uniform on [0, len]
+    (middle and either flank may be empty, matching the paper's
+    character-level splitting).
+
+    100-TB shape: a pure projection — zero shuffles, zero joins, zero
+    Python; whole-stage-codegen string arithmetic riding whatever scan
+    produced the rows. Returns (id, fim_mode, fim_text).
+
+    Reference analogue: none — the reference's unit is one event doc
+    end-to-end (apps/etl/transform.py); this covers the trainer-facing
+    objective-construction gap alongside sequence_pack.
+    """
+    if not (0.0 <= rate <= 1.0 and 0.0 <= spm_rate <= 1.0):
+        raise ValueError("fim_transform: rates must be in [0, 1]")
+    kid = F.col(id_col).cast("string")
+    apply_thr = int(round(rate * HASH_SPACE))
+    spm_thr = int(round(spm_rate * HASH_SPACE))
+    text = F.col(text_col)
+    ln = F.length(text)
+    applied = (ln >= F.lit(2)) & (hash60(F.concat(kid, F.lit("|fim")))
+                                  < F.lit(apply_thr))
+    u1 = F.pmod(hash60(F.concat(kid, F.lit("|c1"))), ln + F.lit(1))
+    u2 = F.pmod(hash60(F.concat(kid, F.lit("|c2"))), ln + F.lit(1))
+    i, j = F.least(u1, u2), F.greatest(u1, u2)
+    pre = text.substr(F.lit(1), i)
+    mid = text.substr(i + F.lit(1), j - i)
+    suf = text.substr(j + F.lit(1), ln - j)
+    spm = hash60(F.concat(kid, F.lit("|spm"))) < F.lit(spm_thr)
+    psm_text = F.concat(F.lit(FIM_PRE), pre, F.lit(FIM_SUF), suf,
+                        F.lit(FIM_MID), mid)
+    spm_text = F.concat(F.lit(FIM_SUF), suf, F.lit(FIM_PRE), pre,
+                        F.lit(FIM_MID), mid)
+    return df.select(
+        F.col(id_col),
+        F.when(~applied, F.lit("none"))
+         .when(spm, F.lit("spm")).otherwise(F.lit("psm")).alias("fim_mode"),
+        F.when(~applied, text)
+         .when(spm, spm_text).otherwise(psm_text).alias("fim_text"))

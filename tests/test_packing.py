@@ -94,3 +94,57 @@ def test_pack_stats_utilization(spark):
     assert got.d == 400
     assert got.t == sum(n for _, n in _rows())
     assert got.mx <= 100
+
+
+def test_fim_transform_invariants(spark):
+    """FIM contract: applied docs reconstruct to the original text
+    from their sentinel-delimited parts, mode/apply rates land near
+    their targets, and output is layout-independent."""
+    from montandon_etl_spark.operators.packing import (
+        FIM_MID, FIM_PRE, FIM_SUF, fim_transform)
+
+    rows = [(i, f"doc {i} body " + "abcdefghij" * (1 + i % 4))
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: (r["fim_mode"], r["fim_text"])
+           for r in fim_transform(docs, "doc_id", "text",
+                                  rate=0.5, spm_rate=0.5).collect()}
+    orig = dict(rows)
+    modes = {"none": 0, "psm": 0, "spm": 0}
+    for did, (mode, ft) in out.items():
+        modes[mode] += 1
+        if mode == "none":
+            assert ft == orig[did]
+        elif mode == "psm":
+            body = ft.removeprefix(FIM_PRE)
+            pre, rest = body.split(FIM_SUF, 1)
+            suf, mid = rest.split(FIM_MID, 1)
+            assert pre + mid + suf == orig[did]
+        else:
+            body = ft.removeprefix(FIM_SUF)
+            suf, rest = body.split(FIM_PRE, 1)
+            pre, mid = rest.split(FIM_MID, 1)
+            assert pre + mid + suf == orig[did]
+    assert 140 <= modes["none"] <= 260          # rate=0.5 of 400
+    assert modes["psm"] > 30 and modes["spm"] > 30
+    out2 = {r["doc_id"]: (r["fim_mode"], r["fim_text"])
+            for r in fim_transform(docs.repartition(7), "doc_id",
+                                   "text", rate=0.5,
+                                   spm_rate=0.5).collect()}
+    assert out2 == out
+
+
+def test_fim_transform_rate_edges(spark):
+    """rate=0 passes everything through; rate=1 transforms every doc
+    with len >= 2; 1-char docs always pass through."""
+    from montandon_etl_spark.operators.packing import fim_transform
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "xy"), (3, "hello world")],
+        "doc_id bigint, text string")
+    all_none = fim_transform(docs, "doc_id", "text", rate=0.0).collect()
+    assert all(r["fim_mode"] == "none" for r in all_none)
+    full = {r["doc_id"]: r["fim_mode"]
+            for r in fim_transform(docs, "doc_id", "text",
+                                   rate=1.0).collect()}
+    assert full[1] == "none" and full[2] != "none" and full[3] != "none"
