@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "bloom_decontamination",  # sketch-compressed blocklist, join-free probe
     "bpe_tokenize",  # BPE train (distinct-word table) + broadcast encode
     "wordpiece_encode",  # greedy longest-match vs a fixed vocab (BERT shape)
+    "unigram_encode",  # SentencePiece Viterbi vs derived scored vocab
+    "fim_transform",  # fill-in-middle objective, pure projection
+    "gapfill_locf",  # per-key regular grid + carry-forward
     "chunk_documents",  # token-budget packing over the same vocab
     "pps_sample",  # two-phase bucketed PPS cumsum (no global sort)
     "zorder_pruned_scan",  # CDC merges -> z-clustered compact -> pruned range read
