@@ -65,6 +65,8 @@ class SnapshotTable:
         order_cols: tuple[str, str] = ("warc_ts", "seq"),
         write_mode: str = "mor",
         compact_threshold: int = 8,
+        key_bloom_bits: int = 0,
+        key_bloom_hashes: int = 4,
     ) -> "SnapshotTable":
         """Create an empty table: snapshot 0 with schema, no data files.
 
@@ -76,6 +78,17 @@ class SnapshotTable:
           the right default for a 10^10-event ingest firehose);
         - ``"cow"`` (copy-on-write): MERGE rewrites affected buckets to
           exactly one resolved row per key — read-optimized.
+
+        ``key_bloom_bits`` (opt-in, 0 = off): every commit additionally
+        stamps a per-data-file Bloom filter over the key column into
+        its manifest entries (``key_bloom_hashes`` Kirsch–Mitzenmacher
+        probes into a ``key_bloom_bits``-bit filter of 60-bit words).
+        ``read(point_lookup=key)`` then skips files whose filter proves
+        the key absent — the data-skipping min/max stats can't give for
+        UN-compacted MOR deltas, whose key ranges are essentially the
+        whole keyspace. Cost: one extra key-column-only Spark job per
+        commit (breaks the one-job-per-batch MOR property — that's why
+        it's opt-in; enable it on tables serving point reads).
         """
         if write_mode not in ("mor", "cow"):
             raise ValueError(f"write_mode must be mor|cow, got {write_mode}")
@@ -99,6 +112,9 @@ class SnapshotTable:
                 "write_mode": write_mode,
                 "compact_threshold": compact_threshold,
                 "extractor_version": EXTRACTOR_VERSION,
+                **({"key_bloom_bits": int(key_bloom_bits),
+                    "key_bloom_hashes": int(key_bloom_hashes)}
+                   if key_bloom_bits else {}),
             },
             "offsets": None,
             "metrics": {"rows_written": 0, "buckets_rewritten": 0},
@@ -294,11 +310,29 @@ class SnapshotTable:
         bset = set(buckets) if buckets is not None else None
         manifest = self.io.load_manifest(snap, buckets=bset)
         if point_lookup is not None:
-            manifest = [
-                m for m in manifest
-                if m.get("key_min") is None or m.get("key_max") is None
-                or (m["key_min"] <= point_lookup <= m["key_max"])
-            ]
+            from montandon_etl_spark.operators.sketches import bloom_test_sparse
+
+            def _maybe_has_key(m: dict) -> bool:
+                # min/max range test (sorted/compacted files), then the
+                # per-file key Bloom (un-compacted MOR deltas, whose
+                # ranges span the keyspace). Either proof of absence
+                # skips the file; a file with neither stat is kept.
+                # Safe under MOR without the one-commit guard: a pruned
+                # file provably holds ZERO rows of this key (tombstones
+                # included), so LWW over the remainder is unchanged.
+                if (m.get("key_min") is not None
+                        and m.get("key_max") is not None
+                        and not (m["key_min"] <= point_lookup
+                                 <= m["key_max"])):
+                    return False
+                kb = m.get("key_bloom")
+                if kb:
+                    return bloom_test_sparse(
+                        dict((int(w), int(bits)) for w, bits in kb["w"]),
+                        int(kb["m"]), int(kb["k"]), point_lookup)
+                return True
+
+            manifest = [m for m in manifest if _maybe_has_key(m)]
         if range_filters:
             norm = {
                 c: (self._stat_norm(lo), self._stat_norm(hi))
@@ -658,6 +692,7 @@ class SnapshotTable:
             new_entries = self._scan_commit_dir(
                 next_sid, snap["schema_version"], token=token
             )
+            self._harvest_key_blooms(spark, new_entries)
             manifest_files, bucket_sizes = self._commit_manifests(
                 next_sid, snap, new_entries, token=token
             )
@@ -741,6 +776,7 @@ class SnapshotTable:
             new_entries = self._scan_commit_dir(
                 next_sid, snap["schema_version"], token=token
             )
+            self._harvest_key_blooms(spark, new_entries)
             manifest_files, bucket_sizes = self._commit_manifests(
                 next_sid, snap, new_entries, replaced_buckets=affected,
                 token=token,
@@ -909,6 +945,7 @@ class SnapshotTable:
             stats_cols=list(cluster_by) if cluster_by else None,
             token=token,
         )
+        self._harvest_key_blooms(spark, new_entries)
         manifest_files, _ = self._commit_manifests(
             next_sid, snap, new_entries, replaced_buckets=buckets, token=token
         )
@@ -1100,6 +1137,68 @@ class SnapshotTable:
 
         with ThreadPoolExecutor(max_workers=16) as ex:
             return [e for e in ex.map(entry, paths) if e is not None]
+
+    def _harvest_key_blooms(self, spark: SparkSession,
+                            new_entries: list[dict]) -> None:
+        """Stamp a per-file key Bloom into each new manifest entry
+        (mutates in place; no-op unless the table's ``key_bloom_bits``
+        property is set). ONE distributed job over the just-written
+        files' KEY COLUMN ONLY (columnar scan — ~1% of bytes for a
+        payload-heavy table): per file, explode the Kirsch–Mitzenmacher
+        positions and bit_or into 60-bit words; the collect is bounded
+        by files × m_bits/60 words, configuration × file count, never
+        row count. Runs before the manifest commit, so the filter is
+        atomic with the entry (a crash mid-harvest = no commit).
+
+        The filter uses the same portable md5-prefix layout as
+        ``operators/sketches.bloom_build``, so the driver-side pruning
+        probe (``bloom_test_sparse``) can never see a false negative.
+        """
+        m_bits = int(self.properties.get("key_bloom_bits", 0) or 0)
+        if not m_bits or not new_entries:
+            return
+        from montandon_etl_spark.operators.sketches import (
+            _BLOOM_WORD, _bit_mask, _bloom_positions)
+
+        n_hashes = int(self.properties.get("key_bloom_hashes", 4))
+        key_col = self.properties["key_col"]
+
+        def tail(p: str) -> str:
+            return "/".join(p.replace("\\", "/").split("/")[-3:])
+
+        by_tail = {tail(e["path"]): e for e in new_entries}
+        paths = [os.path.join(self.path, e["path"]) for e in new_entries]
+        df = spark.read.parquet(*paths).select(
+            F.col(key_col).cast("string").alias("_k"),
+            F.input_file_name().alias("_f"))
+        pos = F.explode(F.array(
+            *_bloom_positions("_k", m_bits, n_hashes))).alias("pos")
+        rows = (df.select("_f", pos)
+                .select("_f",
+                        (F.col("pos") / _BLOOM_WORD).cast("bigint")
+                        .alias("w"),
+                        _bit_mask(F.pmod(F.col("pos"),
+                                         F.lit(_BLOOM_WORD)).cast("int"))
+                        .alias("m"))
+                .groupBy("_f", "w")
+                .agg(F.bit_or("m").alias("bits"))
+                .collect())
+        from urllib.parse import unquote
+
+        sparse: dict[str, dict[int, int]] = {}
+        for r in rows:
+            sparse.setdefault(tail(unquote(r["_f"])), {})[int(r["w"])] = \
+                int(r["bits"])
+        for t, e in by_tail.items():
+            # a tail with no harvested words means the URI didn't match
+            # the entry path — leave the entry unstamped (conservative
+            # keep at read time) rather than stamp an always-False
+            # filter that would prune a live file
+            if t in sparse:
+                e["key_bloom"] = {
+                    "m": m_bits, "k": n_hashes,
+                    "w": sorted(sparse[t].items()),
+                }
 
     # ------------------------------------------------------------- change feed
     def changes(

@@ -359,3 +359,28 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
     sketch a 100-TB scan reduces to is KBs."""
     return hll_estimate(
         hll_registers(df, group_col, value_col, p), group_col, p)
+
+
+def py_hash60(s: str) -> int:
+    """Driver-side mirror of :func:`hash60` for plain strings: md5 hex
+    prefix → int. Bit-identical to the Spark/DuckDB column form, so
+    metadata-level probes (manifest Bloom pruning) agree with filters
+    the engines built."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def bloom_test_sparse(wmap: dict, m_bits: int, n_hashes: int,
+                      value: str) -> bool:
+    """Driver-side membership test against a SPARSE word map
+    ({word_idx: bits}) built by :func:`bloom_build`'s layout — same
+    Kirsch–Mitzenmacher positions, same 60-bit words. False negatives
+    never (the guarantee pruning correctness rests on)."""
+    h1 = py_hash60(value + "#a")
+    h2 = py_hash60(value + "#b")
+    for i in range(n_hashes):
+        p = (h1 + i * h2) % m_bits
+        if not (int(wmap.get(p // _BLOOM_WORD, 0)) >> (p % _BLOOM_WORD)) & 1:
+            return False
+    return True
