@@ -3369,7 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "incremental_token_shards": q_incremental_token_shards,
         "token_shards_roundtrip": q_token_shards_roundtrip,
-        "audio_fingerprint": q_audio_fingerprint,
+        "bpe_merges": q_bpe_merges,
         "audio_near_dup": q_audio_near_dup,
         "audio_segments": q_audio_segments,
         "adpcm_roundtrip": q_adpcm_roundtrip,
@@ -3384,11 +3384,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_classifier": q_train_quality_classifier,
         "mixture_resample": q_mixture_resample,
         "mixture_report": q_mixture_report,
-        "sequence_pack": q_sequence_pack,
+        "bpe_tokenize": q_bpe_tokenize,
         "sequence_pack_stats": q_sequence_pack_stats,
-        "zorder_cells": q_zorder_cells,
+        "chunk_documents": q_chunk_documents,
         "zorder_pruned_scan": q_zorder_pruned_scan,
-        "dup_spans": q_dup_spans,
+        "range_join_windows": q_range_join_windows,
         "strip_dup_spans": q_strip_dup_spans,
         "classifier_score": q_classifier_score,
         "countmin_freq": q_countmin_freq,
@@ -3396,23 +3396,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup_jpeg": q_image_near_dup_jpeg,
         "incremental_ann_topk_pq": q_incremental_ann_topk_pq,
         "mv_source_extremes": q_mv_source_extremes,
-        "h264_pcm_decode": q_h264_pcm_decode,
+        "value_percentiles_approx": q_value_percentiles_approx,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
-        "range_join_windows": q_range_join_windows,
+        "dup_spans": q_dup_spans,
         "video_keyframe_pixels": q_video_keyframe_pixels,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokenize": q_bpe_tokenize,
-        "chunk_documents": q_chunk_documents,
-        # 52 never-sampled > 50 sample slots: the two bumped past the
-        # prefix are the ones whose operator family already has green
-        # driver rows (exact value_percentiles; ann_topk_ivfpq/_rerank
-        # cover the PQ scoring path) — both stay pytest-parity-exact.
+        "audio_fingerprint": q_audio_fingerprint,
+        "sequence_pack": q_sequence_pack,
+        "zorder_cells": q_zorder_cells,
+        # 60 never-sampled > 50 sample slots: the ten bumped past the
+        # prefix each have a SAME-FAMILY winner inside it
+        # (image_dhash/image_near_dup/video_keyframe_pixels ↔ the jpeg
+        # + incremental image rows and video_gop_pixels; ann_topk_pq/
+        # _ivfpq ↔ pq_rerank + incremental_ann_topk_pq;
+        # audio_fingerprint ↔ audio_near_dup; h264_pcm_decode ↔
+        # h264_p_decode; zorder_cells ↔ zorder_pruned_scan;
+        # sequence_pack ↔ sequence_pack_stats; dup_spans ↔
+        # strip_dup_spans) — all stay pytest-parity-exact.
         "ann_topk_pq": q_ann_topk_pq,
-        "value_percentiles_approx": q_value_percentiles_approx,
+        "h264_pcm_decode": q_h264_pcm_decode,
         "simplify_polygons": q_simplify_polygons,
         "warc_roundtrip": q_warc_roundtrip,
         "image_features_png": q_image_features_png,
