@@ -67,6 +67,8 @@ class SnapshotTable:
         compact_threshold: int = 8,
         key_bloom_bits: int = 0,
         key_bloom_hashes: int = 4,
+        ndv_cols: list[str] | None = None,
+        ndv_p: int = 8,
     ) -> "SnapshotTable":
         """Create an empty table: snapshot 0 with schema, no data files.
 
@@ -89,6 +91,13 @@ class SnapshotTable:
         whole keyspace. Cost: one extra key-column-only Spark job per
         commit (breaks the one-job-per-batch MOR property — that's why
         it's opt-in; enable it on tables serving point reads).
+
+        ``ndv_cols`` (opt-in): per-file deterministic-HLL registers
+        (precision ``ndv_p``) over the listed columns land in the
+        manifest — the ANALYZE-style distinct-count statistic beside
+        min/max and the key Bloom. ``column_ndv(col)`` then estimates
+        a column's NDV metadata-only (registers are max-mergeable
+        across files). Same opt-in cost shape as the key Bloom.
         """
         if write_mode not in ("mor", "cow"):
             raise ValueError(f"write_mode must be mor|cow, got {write_mode}")
@@ -115,6 +124,8 @@ class SnapshotTable:
                 **({"key_bloom_bits": int(key_bloom_bits),
                     "key_bloom_hashes": int(key_bloom_hashes)}
                    if key_bloom_bits else {}),
+                **({"ndv_cols": list(ndv_cols), "ndv_p": int(ndv_p)}
+                   if ndv_cols else {}),
             },
             "offsets": None,
             "metrics": {"rows_written": 0, "buckets_rewritten": 0},
@@ -693,6 +704,7 @@ class SnapshotTable:
                 next_sid, snap["schema_version"], token=token
             )
             self._harvest_key_blooms(spark, new_entries)
+            self._harvest_ndv_regs(spark, new_entries)
             manifest_files, bucket_sizes = self._commit_manifests(
                 next_sid, snap, new_entries, token=token
             )
@@ -777,6 +789,7 @@ class SnapshotTable:
                 next_sid, snap["schema_version"], token=token
             )
             self._harvest_key_blooms(spark, new_entries)
+            self._harvest_ndv_regs(spark, new_entries)
             manifest_files, bucket_sizes = self._commit_manifests(
                 next_sid, snap, new_entries, replaced_buckets=affected,
                 token=token,
@@ -946,6 +959,7 @@ class SnapshotTable:
             token=token,
         )
         self._harvest_key_blooms(spark, new_entries)
+        self._harvest_ndv_regs(spark, new_entries)
         manifest_files, _ = self._commit_manifests(
             next_sid, snap, new_entries, replaced_buckets=buckets, token=token
         )
@@ -1199,6 +1213,103 @@ class SnapshotTable:
                     "m": m_bits, "k": n_hashes,
                     "w": sorted(sparse[t].items()),
                 }
+
+    def _harvest_ndv_regs(self, spark: SparkSession,
+                          new_entries: list[dict]) -> None:
+        """Stamp per-file HLL registers for the table's ``ndv_cols``
+        into each new manifest entry (mutates in place; no-op unless
+        the property is set). ONE job over the just-written files
+        reading ONLY the tracked columns: each row explodes to one
+        (col, value-string) pair per tracked column, hashes with the
+        portable md5-prefix, and max-aggregates ranks to the
+        (file, col, register) grain — exactly
+        ``operators/sketches.hll_registers``' arithmetic, so registers
+        merged across any file subset are bit-identical to a one-shot
+        sketch of those files' rows. Collect is bounded by
+        files × cols × 2^p rows — configuration, never data."""
+        cols = list(self.properties.get("ndv_cols", []) or [])
+        if not cols or not new_entries:
+            return
+        from urllib.parse import unquote
+
+        from montandon_etl_spark.operators.dedup import hash60
+
+        p = int(self.properties.get("ndv_p", 8))
+        m, kmax = 1 << p, 61 - p
+
+        def tail(pth: str) -> str:
+            return "/".join(pth.replace("\\", "/").split("/")[-3:])
+
+        paths = [os.path.join(self.path, e["path"]) for e in new_entries]
+        pairs = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.col(c).cast("string").alias("v")) for c in cols
+        ])).alias("cv")
+        rows = (spark.read.parquet(*paths)
+                .select(F.input_file_name().alias("_f"), pairs)
+                .select("_f", F.col("cv.c").alias("c"),
+                        hash60(F.col("cv.v")).alias("h"))
+                .filter(F.col("h").isNotNull())
+                .select("_f", "c",
+                        F.pmod(F.col("h"), F.lit(m)).cast("int").alias("j"),
+                        F.expr(f"h div {m}").alias("w"))
+                .groupBy("_f", "c", "j")
+                .agg(F.max(
+                    F.when(F.col("w") == 0, F.lit(kmax))
+                    .otherwise(F.lit(kmax) - F.length(F.bin(F.col("w"))))
+                ).cast("int").alias("mj"))
+                .collect())
+        regs: dict[str, dict[str, dict[int, int]]] = {}
+        for r in rows:
+            regs.setdefault(tail(unquote(r["_f"])), {}) \
+                .setdefault(r["c"], {})[int(r["j"])] = int(r["mj"])
+        for e in new_entries:
+            t = tail(e["path"])
+            if t in regs:
+                e["ndv"] = {"p": p,
+                            "r": {c: sorted(jm.items())
+                                  for c, jm in regs[t].items()}}
+
+    def column_ndv(self, col: str,
+                   snapshot_id: int | str | None = None) -> float | None:
+        """Metadata-only NDV estimate for a tracked column: max-merge
+        the per-file registers across the snapshot's manifest and run
+        the standard HLL estimator (exact-integer denominator,
+        micro-snapped result — the ``sketches.hll_estimate`` math).
+        Returns None when no file carries registers for the column.
+
+        Caveat (same as Iceberg's NDV stats): registers cover every
+        row in every live FILE — in a MOR table that includes
+        superseded versions and tombstones, so this upper-bounds the
+        live-state NDV; after a full compaction it is the state's NDV.
+        """
+        import math
+
+        snap = self.snapshot(snapshot_id)
+        merged: dict[int, int] = {}
+        p = None
+        for e in self.io.load_manifest(snap):
+            nd = e.get("ndv")
+            if not nd or col not in nd["r"]:
+                continue
+            p = int(nd["p"])
+            for j, mj in nd["r"][col]:
+                j, mj = int(j), int(mj)
+                if mj > merged.get(j, 0):
+                    merged[j] = mj
+        if p is None:
+            return None
+        m, kmax = 1 << p, 61 - p
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+            m, 0.7213 / (1 + 1.079 / m))
+        cnt = len(merged)
+        s = sum(1 << (kmax - mj) for mj in merged.values()) \
+            + (m - cnt) * (1 << kmax)
+        v = m - cnt
+        e_raw = (alpha * m * m * float(1 << kmax)) / float(s)
+        est = (float(m) * math.log(float(m) / v)
+               if (e_raw <= 2.5 * m and v > 0) else e_raw)
+        return math.floor(est * 1_000_000 + 0.5) / 1_000_000
 
     # ------------------------------------------------------------- change feed
     def changes(
