@@ -405,3 +405,67 @@ def test_wordpiece_word_table_broadcasts(spark):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fim_transform_is_pure_projection(spark):
+    """FIM must stay a scan-side projection: zero exchanges, zero
+    joins, zero windows — the whole transform rides whole-stage
+    codegen on the scan that produced the rows."""
+    import re
+
+    df = entry_mod.queries()["fim_transform"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]
+
+
+def test_gapfill_no_global_sort(spark):
+    """The LOCF carry-forward window must be PARTITIONED by key — a
+    key's grid sorts in one task, never the whole table."""
+    df = entry_mod.queries()["gapfill_locf"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "SinglePartition" not in plan, plan[:1500]
+    assert "Window" in plan
+
+
+def test_sequence_gap_audit_no_global_sort(spark):
+    """Adjacency via the two-phase range buckets: the lead() window is
+    partitioned by bucket; the ≤n_buckets boundary pairs were closed
+    driver-side during the build — no single-task sort anywhere."""
+    df = entry_mod.queries()["sequence_gap_audit"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_bucket_checksums_two_exchanges_max(spark):
+    """LWW reduce + checksum groupBy: two hash exchanges, nothing
+    single-partition — replica comparison stays a linear scan shape."""
+    import re
+
+    df = entry_mod.queries()["bucket_checksums"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "SinglePartition" not in plan, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:2000]
+
+
+def test_debounce_single_key_exchange(spark):
+    """Greedy debounce = ONE shuffle to the key grain feeding the
+    Arrow group map — no second exchange, no sort-by-everything."""
+    import re
+
+    df = entry_mod.queries()["debounce_events"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_unigram_word_table_broadcasts(spark):
+    """Unigram encoding must join documents' words against the
+    segmented DISTINCT-word table by BROADCAST — document text never
+    shuffles (the vocab-derivation ranking runs eagerly during the
+    build over the bounded substring table and is not in this plan)."""
+    df = entry_mod.queries()["unigram_encode"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:1500]
