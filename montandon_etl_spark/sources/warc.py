@@ -100,6 +100,8 @@ def parse_warc(b: bytes) -> list[dict]:
             "record_id": headers.get("warc-record-id"),
             "uri": headers.get("warc-target-uri"),
             "date": headers.get("warc-date"),
+            "refers_to": headers.get("warc-refers-to"),
+            "content_type": headers.get("content-type"),
             "payload": payload,
         })
         pos = body + length + 4
@@ -108,7 +110,8 @@ def parse_warc(b: bytes) -> list[dict]:
 
 WARC_RECORD_SCHEMA = (
     "asset_id bigint, rec_idx int, warc_type string, record_id string,"
-    " uri string, warc_date string, content_length int, payload binary"
+    " uri string, warc_date string, refers_to string,"
+    " content_type string, content_length int, payload binary"
 )
 
 
@@ -117,17 +120,20 @@ def warc_records(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["asset_id", "rec_idx", "warc_type", "record_id", "uri",
-                "warc_date", "content_length", "payload"]
+                "warc_date", "refers_to", "content_type",
+                "content_length", "payload"]
         for pdf in it:
             rows = []
             for aid, p in zip(pdf[id_col], pdf[bin_col]):
                 try:
                     for i, r in enumerate(parse_warc(bytes(p))):
                         rows.append((aid, i, r["warc_type"], r["record_id"],
-                                     r["uri"], r["date"],
+                                     r["uri"], r["date"], r["refers_to"],
+                                     r["content_type"],
                                      len(r["payload"]), r["payload"]))
                 except Exception:
-                    rows.append((aid, None, None, None, None, None, None, None))
+                    rows.append((aid, None, None, None, None, None, None,
+                                 None, None, None))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(batches, schema=WARC_RECORD_SCHEMA)
