@@ -266,6 +266,34 @@ def q_wat_links(spark, sf):
         F.element_at(meta["Links"], 1)["url"].alias("first_link"))
 
 
+def q_incremental_wet_export(spark, sf):
+    """Incremental WET sidecar (sources/wet_export.py): refreshed
+    after every commit of the shared CDC fixture; manifest diffs name
+    the shards to rewrite and the product is byte-identical to a
+    from-scratch export (pytest-pinned). The oracle recomputes every
+    framing field from the CASE-expressible final state."""
+    from montandon_etl_spark.sources.wet_export import WetExport
+
+    holder = {}
+
+    def on_batch(table, i):
+        if "exp" not in holder:
+            holder["exp"] = WetExport.create(
+                os.path.join(holder["base"], "wet"))
+        holder["exp"].refresh(spark, table)
+
+    import tempfile
+
+    holder["base"] = tempfile.mkdtemp(prefix="iwet_")
+    _cdc_text_table(spark, sf, on_batch=on_batch)
+    recs = holder["exp"].read(spark)
+    return recs.select(
+        F.col("uri").cast("bigint").alias("doc_id"),
+        "content_length",
+        F.sha2("payload", 256).alias("content_sha"),
+        "refers_to")
+
+
 def q_sequence_gap_audit(spark, sf):
     """WAL/binlog offset-continuity audit (operators/cdc_audit.py):
     holes in the event_id sequence after a deterministic hash drop —
@@ -3462,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "incremental_wet_export": q_incremental_wet_export,
         "wet_export": q_wet_export,
         "wat_links": q_wat_links,
         "sequence_gap_audit": q_sequence_gap_audit,
@@ -3498,7 +3527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "train_quality_classifier": q_train_quality_classifier,
         "mixture_resample": q_mixture_resample,
-        "mixture_report": q_mixture_report,
         "bpe_tokenize": q_bpe_tokenize,
         "sequence_pack_stats": q_sequence_pack_stats,
         "chunk_documents": q_chunk_documents,
@@ -3512,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_source_extremes": q_mv_source_extremes,
         "value_percentiles_approx": q_value_percentiles_approx,
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
+        "mixture_report": q_mixture_report,
         "hll_distinct_users": q_hll_distinct_users,
         "classifier_score": q_classifier_score,
         "semantic_dedup": q_semantic_dedup,
@@ -3526,7 +3555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "zorder_cells": q_zorder_cells,
         # (also: hll_distinct_users ↔ mv_distinct_users;
-        # classifier_score ↔ train_quality_classifier)
+        # classifier_score ↔ train_quality_classifier;
+        # mixture_report ↔ mixture_resample)
         # 65 never-sampled > 50 sample slots: every entry bumped past
         # the prefix has a SAME-FAMILY green row inside it or in a
         # prior round (image_dhash/image_near_dup/video_keyframe_pixels
@@ -4094,6 +4124,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
                    {_dec_sum('value')} AS sum_value
             FROM events GROUP BY 1, 2""",
+        # Incremental WET: the CASE-expressible final state of the CDC
+        # fixture, every framing field recomputed (refers-to = the
+        # original response record's sha id over the SURVIVING text)
+        "incremental_wet_export": """
+            WITH fin AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 40)
+                          ELSE text END AS text
+              FROM documents
+              WHERE doc_id < 240 AND doc_id % 5 <> 0)
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT)
+                     AS content_length,
+                   sha256(text) AS content_sha,
+                   '<urn:sha256:' || sha256(
+                     CAST(doc_id AS VARCHAR)
+                     || '|2024-01-01T00:00:00Z|' || text) || '>'
+                     AS refers_to
+            FROM fin""",
         # WET sidecar: framing fields + payload sha + the sha-derived
         # WARC-Refers-To lineage id, all recomputed from source text
         "wet_export": """

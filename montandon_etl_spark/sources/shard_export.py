@@ -52,6 +52,25 @@ STATE_FILE = "export.json"
 LAYOUT = 1
 
 
+def changed_buckets(table, head: dict, last_sid) -> set[int] | None:
+    """Buckets whose manifest file moved between ``last_sid`` and
+    ``head`` — the ONLY shards an incremental export can need to
+    rewrite. None means "everything" (first export, or the baseline
+    snapshot expired past retention). Shared by every bucket-aligned
+    exporter (tokbin shards here, WET sidecars in wet_export.py)."""
+    if last_sid is None:
+        return None
+    if last_sid == head["snapshot_id"]:
+        return set()
+    try:
+        old = table.io.read_snapshot(last_sid)
+    except FileNotFoundError:
+        return None  # expired past the retention window
+    a = old.get("manifest_files", {})
+    b = head.get("manifest_files", {})
+    return {int(k) for k in set(a) | set(b) if a.get(k) != b.get(k)}
+
+
 def default_token_sql(text_col: str = "text", vocab: int = 50000) -> str:
     """The md5-word tokenizer used by the oracle-replayable queries."""
     return (f"transform(split(trim(coalesce({text_col}, '')), '\\\\s+'),"
@@ -97,20 +116,7 @@ class ShardExport:
 
     # -------------------------------------------------------- refresh
     def _changed_buckets(self, table, head: dict) -> set[int] | None:
-        """Buckets whose manifest file differs since last_sid; None
-        means "everything" (first export or expired baseline)."""
-        last = self.state["last_sid"]
-        if last is None:
-            return None
-        if last == head["snapshot_id"]:
-            return set()
-        try:
-            old = table.io.read_snapshot(last)
-        except FileNotFoundError:
-            return None  # expired past the retention window
-        a = old.get("manifest_files", {})
-        b = head.get("manifest_files", {})
-        return {int(k) for k in set(a) | set(b) if a.get(k) != b.get(k)}
+        return changed_buckets(table, head, self.state["last_sid"])
 
     def refresh(self, spark: SparkSession, table,
                 snapshot_id: int | None = None) -> list[dict]:
