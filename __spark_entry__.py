@@ -266,6 +266,37 @@ def q_wat_links(spark, sf):
         F.element_at(meta["Links"], 1)["url"].alias("first_link"))
 
 
+def q_cdx_index(spark, sf):
+    """CDXJ capture-index lines (sources/cdx.py): adversarial URLs
+    (mixed case, default/explicit ports, www, fragments) reduce to
+    SURT keys + byte-identical index lines; the oracle replays the
+    whole canonicalization with the same string functions."""
+    from montandon_etl_spark.sources.cdx import cdx_lines
+
+    docs = _t(spark, sf, "documents")
+    url = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit("HTTPS://WWW.Example.COM:443/P/"),
+                           F.col("doc_id"), F.lit("?Q="),
+                           F.col("doc_id")))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(F.lit("http://sub.Example.com:80/p/"),
+                          F.col("doc_id"), F.lit("#frag")))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(F.lit("https://EXAMPLE.org:8080/x/"),
+                          F.col("doc_id")))
+           .otherwise(F.concat(F.lit("http://a.B.example.NET/p/"),
+                               F.col("doc_id"))))
+    src = docs.select(
+        "doc_id", url.alias("url"),
+        F.to_timestamp(F.lit("2024-03-05 06:07:08")).alias("cap_ts"),
+        F.encode("text", "utf-8").alias("payload"))
+    out = cdx_lines(src, "url", "cap_ts", "payload")
+    return out.select(
+        F.regexp_extract("surt_key", r"/(?:p|x)/(\d+)", 1)
+        .cast("bigint").alias("doc_id"),
+        "surt_key", "ts14", "digest", "length", "line")
+
+
 def q_incremental_wet_export(spark, sf):
     """Incremental WET sidecar (sources/wet_export.py): refreshed
     after every commit of the shared CDC fixture; manifest diffs name
@@ -3490,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "cdx_index": q_cdx_index,
         "incremental_wet_export": q_incremental_wet_export,
         "wet_export": q_wet_export,
         "wat_links": q_wat_links,
@@ -3516,7 +3548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_token_shards": q_incremental_token_shards,
         "bpe_merges": q_bpe_merges,
         "audio_near_dup": q_audio_near_dup,
-        "audio_segments": q_audio_segments,
         "adpcm_roundtrip": q_adpcm_roundtrip,
         "wav_pcm_decode": q_wav_pcm_decode,
         "audio_frame_features": q_audio_frame_features,
@@ -3540,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_source_extremes": q_mv_source_extremes,
         "value_percentiles_approx": q_value_percentiles_approx,
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
+        "audio_segments": q_audio_segments,
         "mixture_report": q_mixture_report,
         "hll_distinct_users": q_hll_distinct_users,
         "classifier_score": q_classifier_score,
@@ -3556,7 +3588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cells": q_zorder_cells,
         # (also: hll_distinct_users ↔ mv_distinct_users;
         # classifier_score ↔ train_quality_classifier;
-        # mixture_report ↔ mixture_resample)
+        # mixture_report ↔ mixture_resample; audio_segments ↔
+        # audio_frame_features — same frame-energy core)
         # 65 never-sampled > 50 sample slots: every entry bumped past
         # the prefix has a SAME-FAMILY green row inside it or in a
         # prior round (image_dhash/image_near_dup/video_keyframe_pixels
@@ -4124,6 +4157,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
                    {_dec_sum('value')} AS sum_value
             FROM events GROUP BY 1, 2""",
+        # CDXJ index: the full SURT canonicalization replayed with the
+        # same string functions (scheme/default-port/fragment rules,
+        # www strip, label reversal, port suffix), line assembled by
+        # the identical concat
+        "cdx_index": """
+            WITH u AS (
+              SELECT doc_id, text,
+                     CASE WHEN doc_id % 4 = 0 THEN
+                            'HTTPS://WWW.Example.COM:443/P/' || doc_id
+                            || '?Q=' || doc_id
+                          WHEN doc_id % 4 = 1 THEN
+                            'http://sub.Example.com:80/p/' || doc_id
+                            || '#frag'
+                          WHEN doc_id % 4 = 2 THEN
+                            'https://EXAMPLE.org:8080/x/' || doc_id
+                          ELSE 'http://a.B.example.NET/p/' || doc_id
+                     END AS url
+              FROM documents),
+            n AS (
+              SELECT doc_id, text, url,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                       AS hostport,
+                     regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                       AS rest
+              FROM u),
+            n2 AS (
+              SELECT doc_id, text, url,
+                     CASE WHEN scheme = 'http'
+                               AND hostport LIKE '%:80'
+                            THEN regexp_replace(hostport, ':80$', '')
+                          WHEN scheme = 'https'
+                               AND hostport LIKE '%:443'
+                            THEN regexp_replace(hostport, ':443$', '')
+                          ELSE hostport END AS host,
+                     CASE WHEN rest = '' THEN '/'
+                          WHEN rest LIKE '?%' THEN '/' || rest
+                          ELSE rest END AS path
+              FROM n),
+            n3 AS (
+              SELECT doc_id, text, url, path,
+                     regexp_replace(host, '^www\\.', '') AS h2
+              FROM n2),
+            k AS (
+              SELECT doc_id, text, url,
+                     array_to_string(list_reverse(string_split(
+                       regexp_replace(h2, ':\\d+$', ''), '.')), ',')
+                     || CASE WHEN regexp_extract(h2, ':(\\d+)$', 1)
+                                  = '' THEN ''
+                             ELSE ':' || regexp_extract(h2,
+                                                        ':(\\d+)$', 1)
+                        END
+                     || ')' || lower(path) AS surt_key
+              FROM n3)
+            SELECT doc_id, surt_key,
+                   '20240305060708' AS ts14,
+                   sha256(text) AS digest,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                     AS length,
+                   surt_key || ' 20240305060708 {"digest":"sha256:'
+                   || sha256(text) || '","length":'
+                   || octet_length(encode(text))
+                   || ',"url":"' || url || '"}' AS line
+            FROM k""",
         # Incremental WET: the CASE-expressible final state of the CDC
         # fixture, every framing field recomputed (refers-to = the
         # original response record's sha id over the SURVIVING text)

@@ -51,3 +51,37 @@ def normalize_url(col) -> F.Column:
     return F.when(
         scheme == "", c  # not an absolute URL: pass through
     ).otherwise(F.concat(scheme, F.lit("://"), host, path))
+
+
+def surt(col) -> F.Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the form
+    Common Crawl's URL index sorts by (public cdx/surt convention):
+    normalize (port/fragment/path rules above), then drop the scheme,
+    strip a leading ``www.``, reverse the host labels comma-joined,
+    and append ``)`` + the lowercased path?query:
+
+      ``HTTPS://WWW.Example.COM:443/A/B?Q=1`` → ``com,example)/a/b?q=1``
+
+    Host reversal makes one domain's pages (and its subdomains)
+    CONTIGUOUS under a plain string sort — the property that lets a
+    sorted index range-scan a domain, and exactly what a Z-order/range
+    read wants as its clustering key. Lowercasing the query is part of
+    the standard SURT canonicalization (aggressive, documented).
+    Non-absolute input → NULL (not a keyable URL). A non-default port
+    stays on the key after the reversed labels
+    (``com,example:8080)/...``), matching the cdx convention. Pure
+    column program: regexes + a split-reverse-join — scan-local."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = normalize_url(c)
+    host = F.regexp_extract(norm, r"^https?://([^/]*)", 1)
+    rest = F.lower(F.regexp_extract(norm, r"^https?://[^/]*(.*)$", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(host, r":(\d+)$", 1)
+    hostname = F.regexp_replace(host, r":\d+$", "")
+    rev = F.array_join(F.reverse(F.split(hostname, r"\.")), ",")
+    key = F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"),
+                                                         port)),
+        F.lit(")"), rest)
+    return F.when(hostname == "", F.lit(None).cast("string")).otherwise(key)
