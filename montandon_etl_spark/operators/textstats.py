@@ -401,3 +401,52 @@ def corpus_report(df: DataFrame, dims: tuple[str, str] = ("lang", "source"),
             .select(F.coalesce(F.col(a), F.lit("<all>")).alias(a),
                     F.coalesce(F.col(b), F.lit("<all>")).alias(b),
                     "n_docs", "sum_chars", "sum_ws_tokens"))
+
+
+def c4_clean(df: DataFrame, id_col: str, text_col: str,
+             min_words: int = 3, min_lines: int = 1,
+             badwords: list[str] | None = None) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2, public): line
+    level — keep a line only if it ends in terminal punctuation
+    (``.!?"``), has at least ``min_words`` words, and does not mention
+    "javascript"; page level — drop the whole page when it contains
+    "lorem ipsum", a curly brace, any ``badwords`` entry, or fewer
+    than ``min_lines`` surviving lines. Returns one row per input page
+    ``(id, page_kept, reject_reason, n_lines_total, n_lines_kept,
+    clean_text)`` with ORDERED reject reasons (lorem_ipsum >
+    curly_brace > bad_word > too_few_lines — first match wins, the
+    ``curation_gate`` determinism convention) and ``clean_text`` the
+    surviving lines newline-joined (NULL for rejected pages).
+
+    Pure column program — split/filter/join lambdas inside whole-stage
+    codegen, zero shuffles, zero Python; a SQL oracle replays every
+    rule with the same string functions. The paper's corpus-level
+    three-sentence-span dedup is the separate ``dup_spans`` /
+    ``strip_dup_spans`` operator pair (same §2.2 pipeline)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    keep = lambda x: (  # noqa: E731
+        F.substring(F.rtrim(x), -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= min_words)
+        & (F.trim(x) != "")
+        & ~F.lower(x).contains("javascript"))
+    kept = F.filter(lines, keep)
+    low = F.lower(text)
+    bad = None
+    for w in (badwords or []):
+        c = low.contains(w.lower())
+        bad = c if bad is None else (bad | c)
+    reason = (F.when(low.contains("lorem ipsum"), F.lit("lorem_ipsum"))
+              .when(text.contains("{"), F.lit("curly_brace")))
+    if bad is not None:
+        reason = reason.when(bad, F.lit("bad_word"))
+    reason = reason.when(F.size(kept) < min_lines,
+                         F.lit("too_few_lines"))
+    return df.select(
+        F.col(id_col),
+        reason.isNull().alias("page_kept"),
+        reason.alias("reject_reason"),
+        F.size(lines).alias("n_lines_total"),
+        F.size(kept).alias("n_lines_kept"),
+        F.when(reason.isNull(), F.array_join(kept, "\n"))
+        .alias("clean_text"))

@@ -41,3 +41,36 @@ def test_cdx_line_roundtrip(spark):
     assert parsed["url"] == "http://www.E.com/a"
     assert parsed["length"] == 4
     assert parsed["digest"] == "sha256:" + r["digest"]
+
+
+def test_c4_clean_rules(spark):
+    """Each C4 rule pinned on a hand-built page set."""
+    from montandon_etl_spark.operators.textstats import c4_clean
+
+    pages = [
+        (1, "good line here.\nshort.\nno punctuation at all\nalso fine indeed!"),
+        (2, "enable javascript now please.\nreal content line here."),
+        (3, "lorem ipsum dolor sit amet.\nperfectly good line."),
+        (4, "brace { inside }.\ngood line either way."),
+        (5, "nothing survives here\nshort."),
+        (6, 'quoted line ends well."'),
+        (7, "bad words appear here today.\nclean line follows after."),
+    ]
+    df = spark.createDataFrame(pages, "doc_id bigint, page string")
+    out = {r["doc_id"]: r for r in c4_clean(
+        df, "doc_id", "page", min_words=3,
+        badwords=["bad words"]).collect()}
+    assert out[1]["page_kept"] and out[1]["clean_text"] == \
+        "good line here.\nalso fine indeed!"
+    assert out[1]["n_lines_total"] == 4 and out[1]["n_lines_kept"] == 2
+    # javascript drops the LINE, not the page
+    assert out[2]["page_kept"] and out[2]["clean_text"] == \
+        "real content line here."
+    assert out[3]["reject_reason"] == "lorem_ipsum"
+    assert out[4]["reject_reason"] == "curly_brace"
+    assert out[5]["reject_reason"] == "too_few_lines"
+    assert out[5]["n_lines_kept"] == 0
+    assert out[6]["page_kept"]          # terminal quote counts
+    assert out[7]["reject_reason"] == "bad_word"
+    assert all(out[d]["clean_text"] is None
+               for d in (3, 4, 5, 7))
