@@ -39,10 +39,23 @@ from pyspark.sql import functions as F
 _CRLF = b"\r\n"
 
 
+def gz_member(data: bytes) -> bytes:
+    """One deterministic gzip member (level 6, mtime 0 — zlib's gzip
+    writer stamps no clock), the Common Crawl .warc.gz layout: one
+    member PER RECORD, so a reader can seek to any record's byte
+    offset and inflate just that member (record-level random access in
+    an archive file). ``parse_warc`` already inflates concatenated
+    members transparently."""
+    co = zlib.compressobj(level=6, wbits=31)
+    return co.compress(data) + co.flush()
+
+
 def build_warc(records: list[tuple[str, str, bytes]],
-               warc_type: str = "response") -> bytes:
+               warc_type: str = "response",
+               gzip_members: bool = False) -> bytes:
     """records: (target_uri, iso8601_date, payload). Deterministic:
-    no clocks, no uuids."""
+    no clocks, no uuids. ``gzip_members``: emit one gzip member per
+    record (the distribution layout) — still byte-deterministic."""
     out = []
     for uri, date, payload in records:
         digest = hashlib.sha256(
@@ -56,7 +69,8 @@ def build_warc(records: list[tuple[str, str, bytes]],
             + b"WARC-Target-URI: " + uri.encode() + _CRLF
             + b"Content-Length: " + str(len(payload)).encode() + _CRLF
         )
-        out.append(headers + _CRLF + payload + _CRLF + _CRLF)
+        rec = headers + _CRLF + payload + _CRLF + _CRLF
+        out.append(gz_member(rec) if gzip_members else rec)
     return b"".join(out)
 
 
@@ -158,7 +172,8 @@ def warc_to_changelog(records: DataFrame) -> DataFrame:
 
 
 def to_warc_shards(df: DataFrame, url_col: str, ts_col: str,
-                   payload_col: str, n_shards: int = 16) -> DataFrame:
+                   payload_col: str, n_shards: int = 16,
+                   gzip_members: bool = False) -> DataFrame:
     """Export sink: deterministic shard = xxhash(url) % n_shards; each
     shard muxes its rows (url-sorted, so output bytes are independent
     of partitioning) into ONE WARC blob via applyInPandas. Returns
@@ -171,7 +186,8 @@ def to_warc_shards(df: DataFrame, url_col: str, ts_col: str,
             for u, t, p in zip(pdf[url_col], pdf[ts_col], pdf[payload_col])
         ]
         return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
-                             "warc": [build_warc(recs)]})
+                             "warc": [build_warc(
+                                 recs, gzip_members=gzip_members)]})
 
     shards = df.select(
         url_col, ts_col, payload_col,

@@ -53,7 +53,8 @@ def response_record_id(uri: str, date: str, payload: bytes) -> str:
     return f"<urn:sha256:{digest}>"
 
 
-def _build_derived(records, warc_type: str, content_type: str) -> bytes:
+def _build_derived(records, warc_type: str, content_type: str,
+                   gzip_members: bool = False) -> bytes:
     """records: (uri, date, refers_to, payload bytes). WARC framing
     with the derived-record headers; record ids sha-derived like
     ``build_warc`` (deterministic re-exports)."""
@@ -72,16 +73,21 @@ def _build_derived(records, warc_type: str, content_type: str) -> bytes:
             + b"Content-Type: " + content_type.encode() + _CRLF
             + b"Content-Length: " + str(len(payload)).encode() + _CRLF
         )
-        out.append(headers + _CRLF + payload + _CRLF + _CRLF)
+        rec = headers + _CRLF + payload + _CRLF + _CRLF
+        if gzip_members:
+            from montandon_etl_spark.sources.warc import gz_member
+            rec = gz_member(rec)
+        out.append(rec)
     return b"".join(out)
 
 
-def build_wet(records) -> bytes:
+def build_wet(records, gzip_members: bool = False) -> bytes:
     """records: (uri, date, refers_to, text str) → WET bytes
-    (``conversion`` records, text/plain payloads)."""
+    (``conversion`` records, text/plain payloads). ``gzip_members``:
+    one deterministic gzip member per record (the .wet.gz layout)."""
     return _build_derived(
         [(u, d, r, t.encode("utf-8")) for u, d, r, t in records],
-        "conversion", "text/plain")
+        "conversion", "text/plain", gzip_members=gzip_members)
 
 
 def html_meta(html: bytes) -> dict:

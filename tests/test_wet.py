@@ -93,3 +93,37 @@ def test_shards_byte_identical_any_layout(spark):
     hm = env["Envelope"]["Payload-Metadata"]["HTML-Metadata"]
     assert hm["Head"]["Title"] == "T"
     assert hm["Links"] == [{"url": "http://l/1"}]
+
+
+def test_gzip_members_roundtrip_and_random_access():
+    """Per-record gzip members (the .warc.gz distribution layout):
+    deterministic bytes, transparent multi-member parse, and a single
+    member inflates standalone (record-level random access)."""
+    import zlib
+
+    from montandon_etl_spark.sources.warc import gz_member
+
+    recs = [(f"http://g.org/{i}", "2024-01-01T00:00:00Z",
+             f"payload {i}".encode()) for i in range(5)]
+    gz = build_warc(recs, gzip_members=True)
+    assert gz[:2] == b"\x1f\x8b"
+    assert gz == build_warc(recs, gzip_members=True)   # deterministic
+    parsed = parse_warc(gz)
+    plain = parse_warc(build_warc(recs))
+    assert [(r["uri"], r["payload"]) for r in parsed] == \
+        [(r["uri"], r["payload"]) for r in plain]
+    # random access: the SECOND member alone inflates to record 2
+    plain_recs = [gz_member(b) for b in _split_records(recs)]
+    off = len(plain_recs[0])
+    ln = len(plain_recs[1])
+    assert gz[off:off + ln] == plain_recs[1]
+    one = zlib.decompress(gz[off:off + ln], wbits=31)
+    assert parse_warc(one)[0]["uri"] == "http://g.org/1"
+    # WET flavor too
+    wet = build_wet([("http://g.org/1", "2024-01-01T00:00:00Z",
+                      "<urn:r>", "hello")], gzip_members=True)
+    assert parse_warc(wet)[0]["payload"] == b"hello"
+
+
+def _split_records(recs):
+    return [build_warc([r]) for r in recs]
