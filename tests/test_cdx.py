@@ -105,3 +105,49 @@ def test_point_in_polygon_concave_and_blocking(spark):
         df.repartition(5), polys, "pid", "px", "py", "region_id",
         "ring", cell=2.5).collect())
     assert got2 == got                      # cell size can't change truth
+
+
+def test_write_cdx_sorted_shards_and_lookup(spark, tmp_path):
+    """Sorted-shard CDX artifact: shard files are internally sorted,
+    boundaries respected, cluster.idx covers every line, lookups read
+    one shard, and the artifact is byte-identical on any layout."""
+    import os
+    from datetime import datetime, timedelta
+
+    from montandon_etl_spark.sources.cdx import cdx_lookup, write_cdx
+
+    rows = []
+    for i in range(80):
+        dom = ["alpha.com", "beta.net", "gamma.org"][i % 3]
+        rows.append((f"http://www.{dom}/p/{i:03d}",
+                     datetime(2024, 1, 1) + timedelta(hours=i),
+                     f"body {i}".encode()))
+    # two captures of the SAME url → lookup returns both, time-ordered
+    rows.append(("http://www.alpha.com/p/000",
+                 datetime(2024, 6, 1), b"recrawl"))
+    df = spark.createDataFrame(rows, "url string, ts timestamp, payload binary")
+    out = str(tmp_path / "cdx")
+    bounds = ["net,beta)/", "org,gamma)/"]
+    man = write_cdx(df, out, bounds)
+    assert [r["shard"] for r in man] == [0, 1, 2]
+    # boundaries respected + files sorted
+    for r in man:
+        lines = open(os.path.join(out, f"cdx-{r['shard']:05d}")
+                     ).read().splitlines()
+        assert lines == sorted(lines) and len(lines) == r["n_lines"]
+        assert lines[0].split(" ")[0] == r["first_key"]
+        assert lines[-1].split(" ")[0] == r["last_key"]
+    assert sum(r["n_lines"] for r in man) == len(rows)
+    assert man[0]["last_key"] < bounds[0]
+    assert bounds[0] <= man[1]["first_key"] < bounds[1]
+    assert man[2]["first_key"] >= bounds[1]
+
+    hits = cdx_lookup(out, "com,alpha)/p/000")
+    assert [h["ts14"] for h in hits] == ["20240101000000", "20240601000000"]
+    assert cdx_lookup(out, "com,alpha)/p/999") == []
+
+    out2 = str(tmp_path / "cdx2")
+    write_cdx(df.repartition(7), out2, bounds)
+    for f in os.listdir(out):
+        assert open(os.path.join(out, f)).read() == \
+            open(os.path.join(out2, f)).read(), f
