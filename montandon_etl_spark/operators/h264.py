@@ -217,9 +217,9 @@ def parse_pps(rbsp: bytes) -> dict:
     if r.ue() != 0:  # num_slice_groups_minus1
         raise H264Unsupported("slice groups (FMO)")
     num_ref_l0 = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
-    r.ue()  # num_ref_idx_l1_default_active_minus1
+    num_ref_l1 = r.ue() + 1  # num_ref_idx_l1_default_active_minus1
     weighted_pred = r.u(1)  # weighted_pred_flag
-    r.u(2)  # weighted_bipred_idc
+    weighted_bipred_idc = r.u(2)
     pic_init_qp = r.se() + 26
     r.se()  # pic_init_qs
     chroma_qp_index_offset = r.se()
@@ -236,7 +236,9 @@ def parse_pps(rbsp: bytes) -> dict:
         "bottom_field_poc_present": bottom_field_poc_present,
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
         "num_ref_idx_l0_default": num_ref_l0,
+        "num_ref_idx_l1_default": num_ref_l1,
         "weighted_pred": weighted_pred,
+        "weighted_bipred_idc": weighted_bipred_idc,
     }
 
 
@@ -791,12 +793,12 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     first_mb = r.ue()
     slice_type = r.ue()
     st = slice_type % 5
-    if st not in (0, 2):
+    if st not in (0, 1, 2):
         raise H264Unsupported(
-            f"slice_type {slice_type} (only I and P slices)")
-    is_p = st == 0
-    if is_p and idr:
-        raise H264Error("P slice inside an IDR NAL")
+            f"slice_type {slice_type} (only I, P and B slices)")
+    is_p, is_b = st == 0, st == 1
+    if (is_p or is_b) and idr:
+        raise H264Error("inter slice inside an IDR NAL")
     if first_mb != 0:
         raise H264Unsupported("multi-slice pictures")
     r.ue()  # pps_id
@@ -809,17 +811,26 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             r.se()
     if pps["redundant_pic_cnt_present"]:
         r.ue()
-    if is_p:
-        n_ref = pps["num_ref_idx_l0_default"]
+    if is_b:
+        r.u(1)  # direct_spatial_mv_pred_flag (direct MBs gate later)
+    if is_p or is_b:
+        n_l0 = pps["num_ref_idx_l0_default"]
+        n_l1 = pps["num_ref_idx_l1_default"]
         if r.u(1):  # num_ref_idx_active_override_flag
-            n_ref = r.ue() + 1
-        if n_ref != 1:
+            n_l0 = r.ue() + 1
+            if is_b:
+                n_l1 = r.ue() + 1
+        if n_l0 != 1 or (is_b and n_l1 != 1):
             raise H264Unsupported(
-                f"{n_ref} L0 reference frames (single-ref P only)")
+                f"{n_l0}/{n_l1} active references (single-ref lists only)")
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise H264Unsupported("ref pic list modification")
-        if pps["weighted_pred"]:
+        if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
+            raise H264Unsupported("ref pic list modification (L1)")
+        if is_p and pps["weighted_pred"]:
             raise H264Unsupported("weighted prediction")
+        if is_b and pps["weighted_bipred_idc"] != 0:
+            raise H264Unsupported("weighted bi-prediction")
     if nal_ref_idc != 0:
         if idr:
             r.u(1)  # no_output_of_prior_pics
@@ -837,7 +848,8 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     else:
         raise H264Unsupported(
             "in-loop deblocking filter (PPS does not allow disabling)")
-    return r, {"qp": qp, "idr": idr, "type": "P" if is_p else "I",
+    return r, {"qp": qp, "idr": idr,
+               "type": "P" if is_p else ("B" if is_b else "I"),
                "frame_num": frame_num}
 
 
@@ -1113,15 +1125,12 @@ def _ep3b_escape(b: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_ipcm_annexb(y: np.ndarray, cb: np.ndarray,
-                       cr: np.ndarray) -> bytes:
-    """Encode YUV420 planes (dims multiples of 16/8) as a one-frame
-    Annex-B H.264 stream of I_PCM macroblocks with in-band SPS/PPS —
-    lossless by construction; ``decode_keyframe`` returns exactly
-    these planes (through yuv420_to_rgb)."""
-    hmb, wmb = y.shape[0] // 16, y.shape[1] // 16
-    if y.shape != (hmb * 16, wmb * 16) or cb.shape != (hmb * 8, wmb * 8):
-        raise ValueError("plane dims must be multiples of 16 (luma)")
+def _seq_header_rbsps(wmb: int, hmb: int, max_ref: int = 1,
+                      poc_type: int = 2) -> tuple[bytes, bytes]:
+    """SPS + PPS RBSPs for the in-package test encoders. poc_type 0
+    (log2_max_poc_lsb = 4) is what the B streams use — a B picture
+    sits between its anchors in output order, which poc_type 2
+    (decode order == output order) cannot express."""
     w = _BitWriter()
     w.u(0x67, 8)
     w.u(66, 8)  # baseline
@@ -1129,8 +1138,10 @@ def encode_ipcm_annexb(y: np.ndarray, cb: np.ndarray,
     w.u(30, 8)
     w.ue(0)  # sps_id
     w.ue(0)  # log2_max_frame_num_minus4
-    w.ue(2)  # poc type 2
-    w.ue(1)  # max_num_ref_frames
+    w.ue(poc_type)
+    if poc_type == 0:
+        w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4 -> 4 bits
+    w.ue(max_ref)
     w.u(0, 1)
     w.ue(wmb - 1)
     w.ue(hmb - 1)
@@ -1157,8 +1168,12 @@ def encode_ipcm_annexb(y: np.ndarray, cb: np.ndarray,
     w.u(1, 1)  # deblocking control present
     w.u(0, 1)
     w.u(0, 1)
-    pps = w.rbsp()
+    return sps, w.rbsp()
 
+
+def _ipcm_slice_rbsp(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     poc_lsb: int | None = None) -> bytes:
+    hmb, wmb = y.shape[0] // 16, y.shape[1] // 16
     w = _BitWriter()
     w.u(0x65, 8)  # IDR
     w.ue(0)  # first_mb
@@ -1166,6 +1181,8 @@ def encode_ipcm_annexb(y: np.ndarray, cb: np.ndarray,
     w.ue(0)  # pps_id
     w.u(0, 4)  # frame_num
     w.ue(0)  # idr_pic_id
+    if poc_lsb is not None:
+        w.u(poc_lsb & 15, 4)  # pic_order_cnt_lsb
     w.u(1, 1)
     w.u(0, 1)
     w.se(0)  # slice_qp_delta
@@ -1181,7 +1198,20 @@ def encode_ipcm_annexb(y: np.ndarray, cb: np.ndarray,
                 for yy in range(8):
                     for xx in range(8):
                         w.u(int(plane[mby * 8 + yy, mbx * 8 + xx]), 8)
-    sl = w.rbsp()
+    return w.rbsp()
+
+
+def encode_ipcm_annexb(y: np.ndarray, cb: np.ndarray,
+                       cr: np.ndarray) -> bytes:
+    """Encode YUV420 planes (dims multiples of 16/8) as a one-frame
+    Annex-B H.264 stream of I_PCM macroblocks with in-band SPS/PPS —
+    lossless by construction; ``decode_keyframe`` returns exactly
+    these planes (through yuv420_to_rgb)."""
+    hmb, wmb = y.shape[0] // 16, y.shape[1] // 16
+    if y.shape != (hmb * 16, wmb * 16) or cb.shape != (hmb * 8, wmb * 8):
+        raise ValueError("plane dims must be multiples of 16 (luma)")
+    sps, pps = _seq_header_rbsps(wmb, hmb)
+    sl = _ipcm_slice_rbsp(y, cb, cr)
     sc = b"\x00\x00\x00\x01"
     return sc + _ep3b_escape(sps) + sc + _ep3b_escape(pps) \
         + sc + _ep3b_escape(sl)
@@ -1739,43 +1769,6 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
             mvs.append(mv)
             mvg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = mv
             refg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = 0
-        cn = r.ue()
-        if cn >= 48:
-            raise H264Error("bad coded_block_pattern")
-        cbp = _CBP_INTER[cn]
-        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-        if cbp:
-            qp = (qp + r.se() + 52) % 52
-        qpc = qp_chroma(qp, pps["chroma_qp_index_offset"])
-        # residual parse: plain 16-coeff luma blocks gated per 8x8
-        blocks = {}
-        for bi, (bx, by) in enumerate(_BLK_SCAN):
-            fx, fy = gx + bx, gy + by
-            if cbp_luma & (1 << (bi // 4)):
-                lv, tc = read_residual_block(r, _nc_from(nzY, fx, fy), 16)
-                blocks[bi] = lv
-                nzY[fy, fx] = tc
-            else:
-                blocks[bi] = [0] * 16
-                nzY[fy, fx] = 0
-        cdc = {}
-        cac = {}
-        for c in (0, 1):
-            cdc[c] = read_residual_block(r, -1, 4)[0] if cbp_chroma \
-                else [0, 0, 0, 0]
-        for c in (0, 1):
-            for bi in range(4):
-                bx, by = bi % 2, bi // 2
-                fx, fy = mbx * 2 + bx, mby * 2 + by
-                if cbp_chroma == 2:
-                    lv, tc = read_residual_block(
-                        r, _nc_from(nzC[c], fx, fy), 15)
-                    cac[(c, bi)] = lv
-                    nzC[c][fy, fx] = tc
-                else:
-                    cac[(c, bi)] = [0] * 15
-                    nzC[c][fy, fx] = 0
-        # ------------------------------------------------ luma recon
         pred = np.zeros((16, 16), dtype=np.int64)
         cpredb = np.zeros((8, 8), dtype=np.int64)
         cpredr = np.zeros((8, 8), dtype=np.int64)
@@ -1789,32 +1782,240 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
             cpredr[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = \
                 interp_chroma(refCr, cx + px4 * 2, cy + py4 * 2,
                               w4 * 2, h4 * 2, mv[0], mv[1])
-        scale = _dequant_scale(qp)
-        shift = qp // 6
-        for bi, (bx, by) in enumerate(_BLK_SCAN):
-            d = (zigzag_to_block(blocks[bi]) * scale) << shift
-            res = idct4x4(d)
-            py, px = oy + by * 4, ox + bx * 4
-            blk = pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
-            Y[py:py + 4, px:px + 4] = np.clip(blk + ((res + 32) >> 6),
-                                              0, 255)
-        _add_chroma_residual(r, Cb, cpredb, 0, cx, cy, cbp_chroma,
-                             nzC, mbx, mby, qpc, cdc[0],
-                             [cac[(0, bi)] for bi in range(4)])
-        _add_chroma_residual(r, Cr, cpredr, 1, cx, cy, cbp_chroma,
-                             nzC, mbx, mby, qpc, cdc[1],
-                             [cac[(1, bi)] for bi in range(4)])
+        qp = _inter_mb_residual(r, pps, qp, mbx, mby, gx, gy, ox, oy,
+                                cx, cy, pred, cpredb, cpredr,
+                                Y, Cb, Cr, nzY, nzC)
+
+    return (Y.astype(np.uint8), Cb.astype(np.uint8), Cr.astype(np.uint8))
+
+
+def _inter_mb_residual(r, pps, qp, mbx, mby, gx, gy, ox, oy, cx, cy,
+                       pred, cpredb, cpredr, Y, Cb, Cr, nzY, nzC):
+    """Shared inter-MB tail (P and B slices): parse the coded block
+    pattern + residual levels and reconstruct the macroblock from the
+    given motion-compensated prediction arrays. Returns the (possibly
+    delta-updated) slice QP. Bit order per 7.3.5: cbp, qp_delta,
+    residual — prediction arrays consume no bits, so callers build
+    them first."""
+    cn = r.ue()
+    if cn >= 48:
+        raise H264Error("bad coded_block_pattern")
+    cbp = _CBP_INTER[cn]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = (qp + r.se() + 52) % 52
+    qpc = qp_chroma(qp, pps["chroma_qp_index_offset"])
+    # residual parse: plain 16-coeff luma blocks gated per 8x8
+    blocks = {}
+    for bi, (bx, by) in enumerate(_BLK_SCAN):
+        fx, fy = gx + bx, gy + by
+        if cbp_luma & (1 << (bi // 4)):
+            lv, tc = read_residual_block(r, _nc_from(nzY, fx, fy), 16)
+            blocks[bi] = lv
+            nzY[fy, fx] = tc
+        else:
+            blocks[bi] = [0] * 16
+            nzY[fy, fx] = 0
+    cdc = {}
+    cac = {}
+    for c in (0, 1):
+        cdc[c] = read_residual_block(r, -1, 4)[0] if cbp_chroma \
+            else [0, 0, 0, 0]
+    for c in (0, 1):
+        for bi in range(4):
+            bx, by = bi % 2, bi // 2
+            fx, fy = mbx * 2 + bx, mby * 2 + by
+            if cbp_chroma == 2:
+                lv, tc = read_residual_block(
+                    r, _nc_from(nzC[c], fx, fy), 15)
+                cac[(c, bi)] = lv
+                nzC[c][fy, fx] = tc
+            else:
+                cac[(c, bi)] = [0] * 15
+                nzC[c][fy, fx] = 0
+    scale = _dequant_scale(qp)
+    shift = qp // 6
+    for bi, (bx, by) in enumerate(_BLK_SCAN):
+        d = (zigzag_to_block(blocks[bi]) * scale) << shift
+        res = idct4x4(d)
+        py, px = oy + by * 4, ox + bx * 4
+        blk = pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+        Y[py:py + 4, px:px + 4] = np.clip(blk + ((res + 32) >> 6),
+                                          0, 255)
+    _add_chroma_residual(r, Cb, cpredb, 0, cx, cy, cbp_chroma,
+                         nzC, mbx, mby, qpc, cdc[0],
+                         [cac[(0, bi)] for bi in range(4)])
+    _add_chroma_residual(r, Cr, cpredr, 1, cx, cy, cbp_chroma,
+                         nzC, mbx, mby, qpc, cdc[1],
+                         [cac[(1, bi)] for bi in range(4)])
+    return qp
+
+
+# Table 7-14 (CAVLC B mb_type 1..21): partition shape + the
+# reference list set each partition predicts from ({0}=L0, {1}=L1,
+# {0,1}=bi). 0 = B_Direct_16x16 and 22 = B_8x8 gate as unsupported.
+_B_MB = {
+    1: ("16x16", [{0}]), 2: ("16x16", [{1}]), 3: ("16x16", [{0, 1}]),
+    4: ("16x8", [{0}, {0}]), 5: ("8x16", [{0}, {0}]),
+    6: ("16x8", [{1}, {1}]), 7: ("8x16", [{1}, {1}]),
+    8: ("16x8", [{0}, {1}]), 9: ("8x16", [{0}, {1}]),
+    10: ("16x8", [{1}, {0}]), 11: ("8x16", [{1}, {0}]),
+    12: ("16x8", [{0}, {0, 1}]), 13: ("8x16", [{0}, {0, 1}]),
+    14: ("16x8", [{1}, {0, 1}]), 15: ("8x16", [{1}, {0, 1}]),
+    16: ("16x8", [{0, 1}, {0}]), 17: ("8x16", [{0, 1}, {0}]),
+    18: ("16x8", [{0, 1}, {1}]), 19: ("8x16", [{0, 1}, {1}]),
+    20: ("16x8", [{0, 1}, {0, 1}]), 21: ("8x16", [{0, 1}, {0, 1}]),
+}
+
+_B_GEOM = {
+    "16x16": [(0, 0, 4, 4, "")],
+    "16x8": [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")],
+    "8x16": [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
+}
+
+
+def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
+                   ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+                   ref1: tuple[np.ndarray, np.ndarray, np.ndarray]
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one B slice NAL against two single-entry reference
+    lists: ``ref0`` = RefPicList0[0] (the temporally previous
+    reference), ``ref1`` = RefPicList1[0] (the following one — decoded
+    earlier, displayed later). Explicit-MV macroblock types 1..21
+    (16x16 / 16x8 / 8x16 in every L0/L1/Bi combination, Table 7-14)
+    plus every intra type; bi-prediction is the default unweighted
+    average ``(predL0 + predL1 + 1) >> 1`` (8.4.2.3.2). MV prediction
+    runs per list over per-list (mv, refIdx) grids — partitions not
+    using a list contribute refIdx −1 / mv 0 to neighbors exactly as
+    8.4.1.3 requires. B_Direct_16x16, B_Skip (both need the direct-MV
+    derivation) and B_8x8 gate loudly as H264Unsupported."""
+    r0 = tuple(pl.astype(np.int64) for pl in ref0)
+    r1 = tuple(pl.astype(np.int64) for pl in ref1)
+    r, sh = parse_slice_header(slice_rbsp, sps, pps)
+    if sh["type"] != "B":
+        raise H264Error("decode_b_frame on a non-B slice")
+    wmb, hmb = sps["width_mbs"], sps["height_mbs"]
+    W, H = wmb * 16, hmb * 16
+    if r0[0].shape != (H, W) or r1[0].shape != (H, W):
+        raise H264Error("reference frame dims do not match SPS")
+    Y = np.zeros((H, W), dtype=np.int64)
+    Cb = np.zeros((H // 2, W // 2), dtype=np.int64)
+    Cr = np.zeros((H // 2, W // 2), dtype=np.int64)
+    nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
+    nzC = {0: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64),
+           1: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64)}
+    i4m = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
+    mvg = {0: np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64),
+           1: np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)}
+    refg = {0: np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64),
+            1: np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)}
+    qp = sh["qp"]
+
+    for mb in range(wmb * hmb):
+        mbx, mby = mb % wmb, mb // wmb
+        ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+        gx, gy = mbx * 4, mby * 4
+        if r.ue() != 0:  # mb_skip_run
+            raise H264Unsupported("B_Skip (direct-MV derivation)")
+        mb_type = r.ue()
+        if mb_type >= 23:  # ----------------------- intra inside B
+            it = mb_type - 23
+            for lx in (0, 1):
+                refg[lx][gy:gy + 4, gx:gx + 4] = -1
+            if it == 25:
+                _decode_ipcm_mb(r, mbx, mby, Y, Cb, Cr, nzY, nzC)
+            elif it == 0:
+                _decode_i4x4_mb(r, mb, mbx, mby, wmb, Y, Cb, Cr,
+                                nzY, nzC, i4m, qp_box := [qp], pps)
+                qp = qp_box[0]
+            elif it <= 24:
+                qp = _decode_i16_mb(r, it, mbx, mby, Y, Cb, Cr,
+                                    nzY, nzC, qp, pps)
+            else:
+                raise H264Error(f"bad B-slice mb_type {mb_type}")
+            continue
+        if mb_type == 0:
+            raise H264Unsupported("B_Direct_16x16 (direct-MV derivation)")
+        if mb_type == 22:
+            raise H264Unsupported("B_8x8 sub-macroblock partitions")
+        if mb_type not in _B_MB:
+            raise H264Error(f"bad B-slice mb_type {mb_type}")
+        shape, lists = _B_MB[mb_type]
+        parts = _B_GEOM[shape]
+        # mark the lists each partition does NOT use up front: those
+        # areas read as (available, refIdx −1, mv 0) for later
+        # partitions' predictors — legal because partition 0 only ever
+        # reads neighbors OUTSIDE the macroblock
+        for (px4, py4, w4, h4, _), used in zip(parts, lists):
+            for lx in (0, 1):
+                if lx not in used:
+                    refg[lx][gy + py4:gy + py4 + h4,
+                             gx + px4:gx + px4 + w4] = -1
+                    mvg[lx][gy + py4:gy + py4 + h4,
+                            gx + px4:gx + px4 + w4] = 0
+        # bit order per 7.3.5.1: all mvd_l0 (partition order), then
+        # all mvd_l1 — MVs resolve in that same order
+        mvs: dict[tuple[int, int], tuple[int, int]] = {}
+        for lx in (0, 1):
+            for pi, ((px4, py4, w4, h4, shp), used) in enumerate(
+                    zip(parts, lists)):
+                if lx not in used:
+                    continue
+                mvd = (r.se(), r.se())
+                pred_mv = _mv_pred(mvg[lx], refg[lx], gx + px4,
+                                   gy + py4, w4, h4, 0, shp)
+                mv = (pred_mv[0] + mvd[0], pred_mv[1] + mvd[1])
+                mvs[(pi, lx)] = mv
+                mvg[lx][gy + py4:gy + py4 + h4,
+                        gx + px4:gx + px4 + w4] = mv
+                refg[lx][gy + py4:gy + py4 + h4,
+                         gx + px4:gx + px4 + w4] = 0
+        pred = np.zeros((16, 16), dtype=np.int64)
+        cpredb = np.zeros((8, 8), dtype=np.int64)
+        cpredr = np.zeros((8, 8), dtype=np.int64)
+        for pi, ((px4, py4, w4, h4, _), used) in enumerate(
+                zip(parts, lists)):
+            acc = []
+            for lx in sorted(used):
+                ref = r0 if lx == 0 else r1
+                mv = mvs[(pi, lx)]
+                acc.append((
+                    interp_luma(ref[0], ox + px4 * 4, oy + py4 * 4,
+                                w4 * 4, h4 * 4, mv[0], mv[1]),
+                    interp_chroma(ref[1], cx + px4 * 2, cy + py4 * 2,
+                                  w4 * 2, h4 * 2, mv[0], mv[1]),
+                    interp_chroma(ref[2], cx + px4 * 2, cy + py4 * 2,
+                                  w4 * 2, h4 * 2, mv[0], mv[1])))
+            if len(acc) == 1:
+                py_, pb_, pr_ = acc[0]
+            else:  # default bi: average of the two clipped predictions
+                py_ = (acc[0][0] + acc[1][0] + 1) >> 1
+                pb_ = (acc[0][1] + acc[1][1] + 1) >> 1
+                pr_ = (acc[0][2] + acc[1][2] + 1) >> 1
+            pred[py4 * 4:(py4 + h4) * 4, px4 * 4:(px4 + w4) * 4] = py_
+            cpredb[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = pb_
+            cpredr[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = pr_
+        qp = _inter_mb_residual(r, pps, qp, mbx, mby, gx, gy, ox, oy,
+                                cx, cy, pred, cpredb, cpredr,
+                                Y, Cb, Cr, nzY, nzC)
 
     return (Y.astype(np.uint8), Cb.astype(np.uint8), Cr.astype(np.uint8))
 
 
 def decode_annexb_video(stream: bytes) -> list[
         tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Decode an Annex-B I/P sequence (single reference frame — the
-    previous decoded picture, which is what max_num_ref_frames=1
-    baseline streams use) into uncropped (Y, Cb, Cr) plane tuples."""
+    """Decode an Annex-B I/P/B sequence into uncropped (Y, Cb, Cr)
+    plane tuples, in DECODE order (no output reordering — callers
+    wanting display order reorder by their own timestamps). Reference
+    bookkeeping: NALs with nal_ref_idc > 0 enter a 2-picture sliding
+    window; P predicts from the most recent reference, B from the two
+    most recent (RefPicList0[0] = the older, RefPicList1[0] = the
+    newer — the IbP pattern where the B sits between its two anchors).
+    Non-reference B frames never enter the window, so a following P
+    still predicts from its true anchor."""
     sps = pps = None
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    refs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for nal in split_annexb(stream):
         t = nal[0] & 0x1F
         if t == 7:
@@ -1826,16 +2027,24 @@ def decode_annexb_video(stream: bytes) -> list[
                 raise H264Error("slice before SPS/PPS")
             _, sh = parse_slice_header(nal, sps, pps)
             if sh["type"] == "I":
-                frames.append(decode_i_frame(sps, pps, nal))
-            else:
-                if not frames:
+                f = decode_i_frame(sps, pps, nal)
+            elif sh["type"] == "P":
+                if not refs:
                     raise H264Error("P slice with no reference frame")
-                frames.append(decode_p_frame(sps, pps, nal, frames[-1]))
+                f = decode_p_frame(sps, pps, nal, refs[-1])
+            else:
+                if len(refs) < 2:
+                    raise H264Error("B slice needs two reference frames")
+                f = decode_b_frame(sps, pps, nal, refs[-2], refs[-1])
+            frames.append(f)
+            if (nal[0] >> 5) & 3:
+                refs = (refs + [f])[-2:]
     return frames
 
 
 def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
-                    qp_delta: int = 0) -> bytes:
+                    qp_delta: int = 0,
+                    poc_lsb: int | None = None) -> bytes:
     """Encode one P slice of explicit P_L0_16x16 macroblocks with the
     given quarter-pel MVs (shape (hmb, wmb, 2)) and no residual —
     the in-package inter analogue of ``encode_ipcm_annexb``: motion
@@ -1850,6 +2059,8 @@ def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
     w.ue(0)  # slice_type P
     w.ue(0)  # pps_id
     w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
+    if poc_lsb is not None:
+        w.u(poc_lsb & 15, 4)  # pic_order_cnt_lsb (poc_type 0 streams)
     w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # dec_ref_pic_marking: adaptive_mode = 0
@@ -1870,6 +2081,97 @@ def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
             mvg[gy:gy + 4, gx:gx + 4] = mv
             refg[gy:gy + 4, gx:gx + 4] = 0
     return w.rbsp()
+
+
+_B_MB_INV = {(shape, tuple(frozenset(u) for u in lists)): t
+             for t, (shape, lists) in _B_MB.items()}
+
+
+def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
+                  frame_num: int = 2, poc_lsb: int | None = None
+                  ) -> bytes:
+    """Encode one non-reference B slice (nal_ref_idc = 0) of explicit-
+    MV macroblocks, residual-free. ``mb_specs``: one entry per MB in
+    raster order — ``(shape, parts)`` with shape in
+    {"16x16","16x8","8x16"} and ``parts`` a list of
+    ``(lists, mv_l0, mv_l1)`` (lists ⊆ {0,1}; unused list's mv is
+    ignored). MV prediction mirrors the decoder's per-list grids, so
+    the written mvd round-trips bit-exactly. Every decoded sample is a
+    pure function of the two reference frames (MC resample, or their
+    rounded average for bi) — the SQL-oracle slice of the B path."""
+    if len(mb_specs) != wmb * hmb:
+        raise ValueError("mb_specs length must be wmb*hmb")
+    w = _BitWriter()
+    w.u(0x01, 8)  # nal_ref_idc=0, non-IDR slice
+    w.ue(0)  # first_mb
+    w.ue(1)  # slice_type B
+    w.ue(0)  # pps_id
+    w.u(frame_num & 15, 4)
+    if poc_lsb is not None:
+        w.u(poc_lsb & 15, 4)
+    w.u(0, 1)  # direct_spatial_mv_pred_flag (no direct MBs emitted)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # ref_pic_list_modification_flag_l1
+    # nal_ref_idc == 0: no dec_ref_pic_marking
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc
+    mvg = {lx: np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
+           for lx in (0, 1)}
+    refg = {lx: np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)
+            for lx in (0, 1)}
+    for mb, (shape, pspec) in enumerate(mb_specs):
+        mbx, mby = mb % wmb, mb // wmb
+        gx, gy = mbx * 4, mby * 4
+        lists = tuple(frozenset(u) for (u, _, _) in pspec)
+        mb_type = _B_MB_INV.get((shape, lists))
+        if mb_type is None:
+            raise ValueError(f"no B mb_type for {shape} {lists}")
+        w.ue(0)  # mb_skip_run
+        w.ue(mb_type)
+        parts = _B_GEOM[shape]
+        for (px4, py4, w4, h4, _), (used, _, _) in zip(parts, pspec):
+            for lx in (0, 1):
+                if lx not in used:
+                    refg[lx][gy + py4:gy + py4 + h4,
+                             gx + px4:gx + px4 + w4] = -1
+                    mvg[lx][gy + py4:gy + py4 + h4,
+                            gx + px4:gx + px4 + w4] = 0
+        for lx in (0, 1):
+            for (px4, py4, w4, h4, shp), (used, mv0, mv1) in zip(
+                    parts, pspec):
+                if lx not in used:
+                    continue
+                mv = tuple(int(v) for v in (mv0 if lx == 0 else mv1))
+                pred_mv = _mv_pred(mvg[lx], refg[lx], gx + px4,
+                                   gy + py4, w4, h4, 0, shp)
+                w.se(mv[0] - pred_mv[0])
+                w.se(mv[1] - pred_mv[1])
+                mvg[lx][gy + py4:gy + py4 + h4,
+                        gx + px4:gx + px4 + w4] = mv
+                refg[lx][gy + py4:gy + py4 + h4,
+                         gx + px4:gx + px4 + w4] = 0
+        w.ue(_CBP_INTER_INV[0])  # coded_block_pattern = 0
+    return w.rbsp()
+
+
+def encode_ipb_stream(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                      mvs_p_qpel: np.ndarray,
+                      b_specs: list) -> bytes:
+    """I_PCM anchor + residual-free P anchor + one non-reference B
+    frame between them (the IbP pattern in decode order I, P, B):
+    a three-frame Annex-B stream, poc_type 0 (I poc 0, B poc 2,
+    P poc 4) so the output order is expressible. Every B sample is a
+    closed-form function of the two losslessly-known anchors."""
+    hmb, wmb = y.shape[0] // 16, y.shape[1] // 16
+    sps, pps = _seq_header_rbsps(wmb, hmb, max_ref=2, poc_type=0)
+    sc = b"\x00\x00\x00\x01"
+    return (sc + _ep3b_escape(sps) + sc + _ep3b_escape(pps)
+            + sc + _ep3b_escape(_ipcm_slice_rbsp(y, cb, cr, poc_lsb=0))
+            + sc + _ep3b_escape(encode_p16_rbsp(mvs_p_qpel, frame_num=1,
+                                                poc_lsb=4))
+            + sc + _ep3b_escape(encode_b_rbsp(b_specs, wmb, hmb,
+                                              frame_num=2, poc_lsb=2)))
 
 
 def encode_ip_stream(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,

@@ -713,11 +713,11 @@ def test_unsupported_paths_gate_loudly():
     w.u(1, 1)  # entropy_coding_mode = CABAC
     with pytest.raises(H.H264Unsupported, match="CABAC"):
         H.parse_pps(w.rbsp(trailing=True))
-    # B slice (P is supported now; B still gates)
+    # SP slice (I, P and B are supported now; SP/SI still gate)
     w = BitWriter()
     w.u(0x61, 8)  # non-IDR slice
     w.ue(0)  # first_mb
-    w.ue(1)  # slice_type B
+    w.ue(3)  # slice_type SP
     with pytest.raises(H.H264Unsupported, match="slice_type"):
         H.parse_slice_header(w.rbsp(trailing=True), H.parse_sps(sps),
                              H.parse_pps(pps))
@@ -730,7 +730,7 @@ def test_unsupported_paths_gate_loudly():
     w.u(0, 4)  # frame_num
     w.u(1, 1)  # num_ref_idx_active_override
     w.ue(1)  # num_ref_idx_l0_active_minus1 = 1 -> 2 refs
-    with pytest.raises(H.H264Unsupported, match="reference frames"):
+    with pytest.raises(H.H264Unsupported, match="active references"):
         H.parse_slice_header(w.rbsp(trailing=True), H.parse_sps(sps),
                              H.parse_pps(pps))
     # deblocking filter left enabled
@@ -1312,3 +1312,134 @@ def test_p8x8_all_sub_partition_shapes():
         assert np.array_equal(gotc.astype(np.int64), wantc), (px4, py4)
     # MB1 (plain 16x16, mv 0): exact copy
     assert np.array_equal(f1y[0:16, 16:32], y[0:16, 16:32])
+
+
+# ------------------------------------------------------------ B slices
+def _b_expected_part(refs, used, mv0, mv1, x0, y0, w, h, chroma=False):
+    """Expected B prediction via the INDEPENDENT scalar interpolator:
+    single-list = the scalar MC; bi = rounded average of both."""
+    mc = scalar_mc_chroma if chroma else scalar_mc_luma
+    acc = []
+    if 0 in used:
+        acc.append(mc(refs[0], x0, y0, w, h, *mv0))
+    if 1 in used:
+        acc.append(mc(refs[1], x0, y0, w, h, *mv1))
+    if len(acc) == 1:
+        return acc[0]
+    return (acc[0] + acc[1] + 1) >> 1
+
+
+def test_b_frame_all_types_match_scalar_mc():
+    """Every supported B mb_type family (16x16/16x8/8x16 × L0/L1/Bi
+    combos) with fractional MVs, decoded through the full IPB stream,
+    vs the independent scalar interpolator over the two anchors."""
+    rng = np.random.default_rng(31)
+    wmb, hmb = 4, 3
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mvs_p = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            mvs_p[mby, mbx] = ((mbx * 3 + mby) % 7 - 3,
+                               (mbx - mby * 2) % 5 - 2)
+    shapes = ["16x16", "16x8", "8x16"]
+    combos = [{0}, {1}, {0, 1}]
+    specs = []
+    k = 0
+    for mb in range(wmb * hmb):
+        shape = shapes[mb % 3]
+        nparts = 1 if shape == "16x16" else 2
+        parts = []
+        for _ in range(nparts):
+            used = combos[k % 3]
+            mv0 = ((k * 5) % 13 - 6, (k * 7) % 11 - 5)
+            mv1 = ((k * 3) % 9 - 4, (k * 11) % 15 - 7)
+            parts.append((used, mv0, mv1))
+            k += 1
+        specs.append((shape, parts))
+    stream = H.encode_ipb_stream(y, cb, cr, mvs_p, specs)
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 3
+    assert np.array_equal(frames[0][0], y)
+    ref0 = tuple(pl.astype(np.int64) for pl in frames[0])
+    ref1 = tuple(pl.astype(np.int64) for pl in frames[1])
+    fy, fcb, fcr = (pl.astype(np.int64) for pl in frames[2])
+    geom = {"16x16": [(0, 0, 16, 16)],
+            "16x8": [(0, 0, 16, 8), (0, 8, 16, 8)],
+            "8x16": [(0, 0, 8, 16), (8, 0, 8, 16)]}
+    for mb, (shape, parts) in enumerate(specs):
+        mbx, mby = mb % wmb, mb // wmb
+        for (px, py, w, h), (used, mv0, mv1) in zip(geom[shape], parts):
+            x0, y0 = mbx * 16 + px, mby * 16 + py
+            want = _b_expected_part((ref0[0], ref1[0]), used, mv0, mv1,
+                                    x0, y0, w, h)
+            got = fy[y0:y0 + h, x0:x0 + w]
+            assert np.array_equal(got, want), (mb, shape, used)
+            cx0, cy0, cw, ch = x0 // 2, y0 // 2, w // 2, h // 2
+            wantb = _b_expected_part((ref0[1], ref1[1]), used, mv0,
+                                     mv1, cx0, cy0, cw, ch, chroma=True)
+            wantr = _b_expected_part((ref0[2], ref1[2]), used, mv0,
+                                     mv1, cx0, cy0, cw, ch, chroma=True)
+            assert np.array_equal(fcb[cy0:cy0 + ch, cx0:cx0 + cw], wantb)
+            assert np.array_equal(fcr[cy0:cy0 + ch, cx0:cx0 + cw], wantr)
+
+
+def test_b_frame_nonref_does_not_shift_p_reference():
+    """A non-reference B between two anchors must NOT become a
+    reference: a second P after the B still predicts from the P
+    anchor, not the B."""
+    rng = np.random.default_rng(32)
+    wmb, hmb = 2, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mvs0 = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    specs = [("16x16", [({0, 1}, (4, 0), (0, 4))])] * (wmb * hmb)
+    stream = H.encode_ipb_stream(y, cb, cr, mvs0, specs)
+    # append another residual-free P (frame_num 2) — ref must be the
+    # FIRST P (identical to I since mvs0 = 0), giving back the planes
+    sc = b"\x00\x00\x00\x01"
+    stream += sc + H._ep3b_escape(H.encode_p16_rbsp(
+        np.zeros((hmb, wmb, 2), dtype=np.int64), frame_num=2,
+        poc_lsb=8))
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 4
+    assert np.array_equal(frames[3][0], frames[1][0])
+    assert np.array_equal(frames[3][0], y)
+
+
+def test_b_gates_direct_skip_and_8x8():
+    rng = np.random.default_rng(33)
+    wmb, hmb = 1, 1
+    y = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    cbp = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=2, poc_type=0)
+    sps, pps = H.parse_sps(b"\x00" * 0 + sps_r), H.parse_pps(pps_r)
+    ref = (y, cbp, cbp)
+
+    def bslice(skip_run, mb_type):
+        w = BitWriter()
+        w.u(0x01, 8)
+        w.ue(0)
+        w.ue(1)  # B
+        w.ue(0)
+        w.u(2, 4)  # frame_num
+        w.u(2, 4)  # poc_lsb
+        w.u(0, 1)  # direct_spatial
+        w.u(0, 1)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.se(0)
+        w.ue(1)
+        w.ue(skip_run)
+        if mb_type is not None:
+            w.ue(mb_type)
+        return w.rbsp(trailing=True)
+
+    with pytest.raises(H.H264Unsupported, match="B_Skip"):
+        H.decode_b_frame(sps, pps, bslice(1, None), ref, ref)
+    with pytest.raises(H.H264Unsupported, match="B_Direct"):
+        H.decode_b_frame(sps, pps, bslice(0, 0), ref, ref)
+    with pytest.raises(H.H264Unsupported, match="B_8x8"):
+        H.decode_b_frame(sps, pps, bslice(0, 22), ref, ref)
