@@ -827,10 +827,26 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             raise H264Unsupported("ref pic list modification")
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
             raise H264Unsupported("ref pic list modification (L1)")
-        if is_p and pps["weighted_pred"]:
-            raise H264Unsupported("weighted prediction")
         if is_b and pps["weighted_bipred_idc"] != 0:
             raise H264Unsupported("weighted bi-prediction")
+    wp = None
+    if (is_p and pps["weighted_pred"]) or \
+            (is_b and pps["weighted_bipred_idc"] == 1):
+        if is_b:
+            raise H264Unsupported("explicit weighted bi-prediction")
+        # pred_weight_table (7.3.3.2), single L0 reference
+        log_y = r.ue()   # luma_log2_weight_denom
+        log_c = r.ue()   # chroma_log2_weight_denom
+        wy, oy = 1 << log_y, 0
+        wc = [1 << log_c, 1 << log_c]
+        oc = [0, 0]
+        if r.u(1):  # luma_weight_l0_flag
+            wy, oy = r.se(), r.se()
+        if r.u(1):  # chroma_weight_l0_flag
+            for c in (0, 1):
+                wc[c], oc[c] = r.se(), r.se()
+        wp = {"log_y": log_y, "wy": wy, "oy": oy,
+              "log_c": log_c, "wc": wc, "oc": oc}
     if nal_ref_idc != 0:
         if idr:
             r.u(1)  # no_output_of_prior_pics
@@ -850,7 +866,7 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             "in-loop deblocking filter (PPS does not allow disabling)")
     return r, {"qp": qp, "idr": idr,
                "type": "P" if is_p else ("B" if is_b else "I"),
-               "frame_num": frame_num}
+               "frame_num": frame_num, "wp": wp}
 
 
 def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
@@ -1126,7 +1142,9 @@ def _ep3b_escape(b: bytes) -> bytes:
 
 
 def _seq_header_rbsps(wmb: int, hmb: int, max_ref: int = 1,
-                      poc_type: int = 2) -> tuple[bytes, bytes]:
+                      poc_type: int = 2,
+                      weighted_pred: bool = False
+                      ) -> tuple[bytes, bytes]:
     """SPS + PPS RBSPs for the in-package test encoders. poc_type 0
     (log2_max_poc_lsb = 4) is what the B streams use — a B picture
     sits between its anchors in output order, which poc_type 2
@@ -1160,7 +1178,7 @@ def _seq_header_rbsps(wmb: int, hmb: int, max_ref: int = 1,
     w.ue(0)
     w.ue(0)
     w.ue(0)
-    w.u(0, 1)
+    w.u(1 if weighted_pred else 0, 1)  # weighted_pred_flag
     w.u(0, 2)
     w.se(0)  # pic_init_qp 26
     w.se(0)
@@ -1671,6 +1689,19 @@ def _add_chroma_residual(r, plane, cpred, c, cx, cy, cbp_chroma,
             + ((res + 32) >> 6), 0, 255)
 
 
+def _weight(pred: np.ndarray, logwd: int, w: int, o: int
+            ) -> np.ndarray:
+    """Explicit weighted prediction (8.4.2.3.3, single-list): the
+    clipped interpolation scales by w with rounding shift logwd and
+    adds offset o — pure integers, so the weighted decode keeps an
+    exact SQL form."""
+    if logwd >= 1:
+        v = ((pred * w + (1 << (logwd - 1))) >> logwd) + o
+    else:
+        v = pred * w + o
+    return np.clip(v, 0, 255)
+
+
 def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                    ref: tuple[np.ndarray, np.ndarray, np.ndarray]
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1703,6 +1734,15 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     mvg = np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
     refg = np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)
     qp = sh["qp"]
+    wp = sh.get("wp")
+    if wp is None:
+        _wy = _wcb = _wcr = lambda p: p
+    else:
+        _wy = lambda p: _weight(p, wp["log_y"], wp["wy"], wp["oy"])
+        _wcb = lambda p: _weight(p, wp["log_c"], wp["wc"][0],
+                                 wp["oc"][0])
+        _wcr = lambda p: _weight(p, wp["log_c"], wp["wc"][1],
+                                 wp["oc"][1])
     pending: int | None = None
 
     for mb in range(wmb * hmb):
@@ -1714,12 +1754,12 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
         if pending > 0:  # ---------------------------------- P_Skip
             pending -= 1
             mv = _pskip_mv(mvg, refg, gx, gy)
-            Y[oy:oy + 16, ox:ox + 16] = interp_luma(
-                refY, ox, oy, 16, 16, mv[0], mv[1])
-            Cb[cy:cy + 8, cx:cx + 8] = interp_chroma(
-                refCb, cx, cy, 8, 8, mv[0], mv[1])
-            Cr[cy:cy + 8, cx:cx + 8] = interp_chroma(
-                refCr, cx, cy, 8, 8, mv[0], mv[1])
+            Y[oy:oy + 16, ox:ox + 16] = _wy(interp_luma(
+                refY, ox, oy, 16, 16, mv[0], mv[1]))
+            Cb[cy:cy + 8, cx:cx + 8] = _wcb(interp_chroma(
+                refCb, cx, cy, 8, 8, mv[0], mv[1]))
+            Cr[cy:cy + 8, cx:cx + 8] = _wcr(interp_chroma(
+                refCr, cx, cy, 8, 8, mv[0], mv[1]))
             nzY[gy:gy + 4, gx:gx + 4] = 0
             for c in (0, 1):
                 nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
@@ -1774,14 +1814,14 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
         cpredr = np.zeros((8, 8), dtype=np.int64)
         for (px4, py4, w4, h4, _), mv in zip(parts, mvs):
             pred[py4 * 4:(py4 + h4) * 4, px4 * 4:(px4 + w4) * 4] = \
-                interp_luma(refY, ox + px4 * 4, oy + py4 * 4,
-                            w4 * 4, h4 * 4, mv[0], mv[1])
+                _wy(interp_luma(refY, ox + px4 * 4, oy + py4 * 4,
+                                w4 * 4, h4 * 4, mv[0], mv[1]))
             cpredb[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = \
-                interp_chroma(refCb, cx + px4 * 2, cy + py4 * 2,
-                              w4 * 2, h4 * 2, mv[0], mv[1])
+                _wcb(interp_chroma(refCb, cx + px4 * 2, cy + py4 * 2,
+                                   w4 * 2, h4 * 2, mv[0], mv[1]))
             cpredr[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = \
-                interp_chroma(refCr, cx + px4 * 2, cy + py4 * 2,
-                              w4 * 2, h4 * 2, mv[0], mv[1])
+                _wcr(interp_chroma(refCr, cx + px4 * 2, cy + py4 * 2,
+                                   w4 * 2, h4 * 2, mv[0], mv[1]))
         qp = _inter_mb_residual(r, pps, qp, mbx, mby, gx, gy, ox, oy,
                                 cx, cy, pred, cpredb, cpredr,
                                 Y, Cb, Cr, nzY, nzC)
@@ -2044,7 +2084,8 @@ def decode_annexb_video(stream: bytes) -> list[
 
 def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
                     qp_delta: int = 0,
-                    poc_lsb: int | None = None) -> bytes:
+                    poc_lsb: int | None = None,
+                    wp: dict | None = None) -> bytes:
     """Encode one P slice of explicit P_L0_16x16 macroblocks with the
     given quarter-pel MVs (shape (hmb, wmb, 2)) and no residual —
     the in-package inter analogue of ``encode_ipcm_annexb``: motion
@@ -2063,6 +2104,16 @@ def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
         w.u(poc_lsb & 15, 4)  # pic_order_cnt_lsb (poc_type 0 streams)
     w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    if wp is not None:  # pred_weight_table (PPS weighted_pred_flag=1)
+        w.ue(wp["log_y"])
+        w.ue(wp["log_c"])
+        w.u(1, 1)
+        w.se(wp["wy"])
+        w.se(wp["oy"])
+        w.u(1, 1)
+        for c in (0, 1):
+            w.se(wp["wc"][c])
+            w.se(wp["oc"][c])
     w.u(0, 1)  # dec_ref_pic_marking: adaptive_mode = 0
     w.se(qp_delta)  # slice_qp_delta
     w.ue(1)  # disable_deblocking_filter_idc

@@ -1443,3 +1443,48 @@ def test_b_gates_direct_skip_and_8x8():
         H.decode_b_frame(sps, pps, bslice(0, 0), ref, ref)
     with pytest.raises(H.H264Unsupported, match="B_8x8"):
         H.decode_b_frame(sps, pps, bslice(0, 22), ref, ref)
+
+
+def test_weighted_prediction_explicit_p():
+    """Explicit WP (8.4.2.3.3) on a residual-free P frame with zero
+    MVs: every sample must equal the closed form
+    clip(((p*w + 2^(logWD-1)) >> logWD) + o), checked per plane with
+    distinct weights, plus the logWD=0 path and the identity default
+    when the per-ref flags are off."""
+    rng = np.random.default_rng(41)
+    wmb, hmb = 2, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, weighted_pred=True)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    mv0 = np.zeros((hmb, wmb, 2), dtype=np.int64)
+
+    def dec(wp):
+        rbsp = H.encode_p16_rbsp(mv0, wp=wp)
+        return H.decode_p_frame(sps, pps, rbsp, (y, cb, cr))
+
+    wp = {"log_y": 5, "wy": 48, "oy": -10,
+          "log_c": 2, "wc": [3, 9], "oc": [7, -128]}
+    fy, fcb, fcr = dec(wp)
+
+    def wexp(p, l, w, o):
+        p = p.astype(np.int64)
+        v = ((p * w + (1 << (l - 1))) >> l) + o if l >= 1 else p * w + o
+        return np.clip(v, 0, 255)
+
+    assert np.array_equal(fy, wexp(y, 5, 48, -10))
+    assert np.array_equal(fcb, wexp(cb, 2, 3, 7))
+    assert np.array_equal(fcr, wexp(cr, 2, 9, -128))
+    # logWD = 0 (no rounding shift)
+    wp0 = {"log_y": 0, "wy": 2, "oy": 3,
+           "log_c": 0, "wc": [1, 1], "oc": [0, 0]}
+    fy0, fcb0, fcr0 = dec(wp0)
+    assert np.array_equal(fy0, wexp(y, 0, 2, 3))
+    assert np.array_equal(fcb0, cb) and np.array_equal(fcr0, cr)
+    # default weights (w = 2^logWD, o = 0) are the identity
+    wpid = {"log_y": 3, "wy": 8, "oy": 0,
+            "log_c": 1, "wc": [2, 2], "oc": [0, 0]}
+    fyi, fcbi, fcri = dec(wpid)
+    assert np.array_equal(fyi, y)
+    assert np.array_equal(fcbi, cb) and np.array_equal(fcri, cr)
