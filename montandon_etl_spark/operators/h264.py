@@ -811,8 +811,9 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             r.se()
     if pps["redundant_pic_cnt_present"]:
         r.ue()
+    direct_spatial = None
     if is_b:
-        r.u(1)  # direct_spatial_mv_pred_flag (direct MBs gate later)
+        direct_spatial = r.u(1)  # temporal direct gates at use
     if is_p or is_b:
         n_l0 = pps["num_ref_idx_l0_default"]
         n_l1 = pps["num_ref_idx_l1_default"]
@@ -866,7 +867,8 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             "in-loop deblocking filter (PPS does not allow disabling)")
     return r, {"qp": qp, "idr": idr,
                "type": "P" if is_p else ("B" if is_b else "I"),
-               "frame_num": frame_num, "wp": wp}
+               "frame_num": frame_num, "wp": wp,
+               "direct_spatial": direct_spatial}
 
 
 def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
@@ -1703,8 +1705,8 @@ def _weight(pred: np.ndarray, logwd: int, w: int, o: int
 
 
 def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
-                   ref: tuple[np.ndarray, np.ndarray, np.ndarray]
-                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                   ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+                   return_motion: bool = False):
     """Decode one P slice NAL against a single reference frame
     (uncropped planes, as produced by decode_i_frame/decode_p_frame).
 
@@ -1826,7 +1828,9 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                                 cx, cy, pred, cpredb, cpredr,
                                 Y, Cb, Cr, nzY, nzC)
 
-    return (Y.astype(np.uint8), Cb.astype(np.uint8), Cr.astype(np.uint8))
+    planes = (Y.astype(np.uint8), Cb.astype(np.uint8),
+              Cr.astype(np.uint8))
+    return (planes, (mvg, refg)) if return_motion else planes
 
 
 def _inter_mb_residual(r, pps, qp, mbx, mby, gx, gy, ox, oy, cx, cy,
@@ -1914,9 +1918,56 @@ _B_GEOM = {
 }
 
 
+def _spatial_direct(mvg, refg, col, gx, gy):
+    """Spatial direct-mode derivation for one 16x16 macroblock
+    (8.4.1.2.2, single-entry lists, direct_8x8_inference_flag = 0 so
+    the colocated granularity is the 4x4 block). Per list X:
+    refIdxLX = 0 iff any of neighbors A/B/C (with the D substitution)
+    predicts from list X, else −1; the MV candidate is the standard
+    8.4.1.3 median over the B picture's own grids. Per 4x4 block,
+    colZeroFlag — the colocated block in RefPicList1[0] is inter with
+    refIdx 0 and |mv| ≤ 1 quarter-pel on both axes — zeroes the block's
+    MV for every list with refIdxLX = 0. Both lists unused → zero-MV
+    bi-prediction with refIdx 0 (directZeroPredictionFlag).
+
+    Returns (used_lists, mv4) with mv4[lx] a (4, 4, 2) per-4x4 MV
+    array. ``col`` is (mv_grid, ref_grid) of RefPicList1[0], or None
+    when the anchor carries no motion (an I picture: every colocated
+    block is intra, colZeroFlag false everywhere)."""
+    use = {}
+    cand = {}
+    for lx in (0, 1):
+        A = _mv_nb(mvg[lx], refg[lx], gx - 1, gy)
+        B = _mv_nb(mvg[lx], refg[lx], gx, gy - 1)
+        C = _mv_nb(mvg[lx], refg[lx], gx + 4, gy - 1)
+        if not C[0]:
+            C = _mv_nb(mvg[lx], refg[lx], gx - 1, gy - 1)
+        use[lx] = any(n[1] == 0 for n in (A, B, C))
+        cand[lx] = _mv_pred(mvg[lx], refg[lx], gx, gy, 4, 4, 0) \
+            if use[lx] else (0, 0)
+    if not use[0] and not use[1]:  # directZeroPredictionFlag
+        use = {0: True, 1: True}
+        cand = {0: (0, 0), 1: (0, 0)}
+        col = None  # MVs are zero already; colZero cannot change them
+    mv4 = {lx: np.zeros((4, 4, 2), dtype=np.int64) for lx in (0, 1)}
+    for by in range(4):
+        for bx in range(4):
+            cz = False
+            if col is not None:
+                cmv, cref = col
+                cz = (cref[gy + by, gx + bx] == 0
+                      and abs(int(cmv[gy + by, gx + bx, 0])) <= 1
+                      and abs(int(cmv[gy + by, gx + bx, 1])) <= 1)
+            for lx in (0, 1):
+                if use[lx]:
+                    mv4[lx][by, bx] = (0, 0) if cz else cand[lx]
+    return {lx for lx in (0, 1) if use[lx]}, mv4
+
+
 def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                    ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
-                   ref1: tuple[np.ndarray, np.ndarray, np.ndarray]
+                   ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+                   col_motion="absent"
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one B slice NAL against two single-entry reference
     lists: ``ref0`` = RefPicList0[0] (the temporally previous
@@ -1927,8 +1978,12 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     average ``(predL0 + predL1 + 1) >> 1`` (8.4.2.3.2). MV prediction
     runs per list over per-list (mv, refIdx) grids — partitions not
     using a list contribute refIdx −1 / mv 0 to neighbors exactly as
-    8.4.1.3 requires. B_Direct_16x16, B_Skip (both need the direct-MV
-    derivation) and B_8x8 gate loudly as H264Unsupported."""
+    8.4.1.3 requires. B_Skip and B_Direct_16x16 use the SPATIAL
+    direct derivation (_spatial_direct) against ``col_motion`` — the
+    (mv, refIdx) grids of RefPicList1[0] (None = an intra anchor:
+    colZeroFlag false everywhere; the default "absent" sentinel makes
+    direct MBs gate loudly when the caller supplied no motion).
+    B_8x8 gates as H264Unsupported."""
     r0 = tuple(pl.astype(np.int64) for pl in ref0)
     r1 = tuple(pl.astype(np.int64) for pl in ref1)
     r, sh = parse_slice_header(slice_rbsp, sps, pps)
@@ -1950,13 +2005,74 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     refg = {0: np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64),
             1: np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)}
     qp = sh["qp"]
+    pending: int | None = None
+
+    def _direct_pred(gx, gy, ox, oy, cx, cy, used, mv4):
+        """Per-4x4 MC for a direct-mode MB; writes the per-list
+        grids and returns the (clipped) luma/chroma predictions."""
+        for lx in (0, 1):
+            if lx in used:
+                mvg[lx][gy:gy + 4, gx:gx + 4] = mv4[lx]
+                refg[lx][gy:gy + 4, gx:gx + 4] = 0
+            else:
+                mvg[lx][gy:gy + 4, gx:gx + 4] = 0
+                refg[lx][gy:gy + 4, gx:gx + 4] = -1
+        pred = np.zeros((16, 16), dtype=np.int64)
+        cpredb = np.zeros((8, 8), dtype=np.int64)
+        cpredr = np.zeros((8, 8), dtype=np.int64)
+        for by in range(4):
+            for bx in range(4):
+                acc = []
+                for lx in sorted(used):
+                    ref = r0 if lx == 0 else r1
+                    mv = tuple(int(v) for v in mv4[lx][by, bx])
+                    acc.append((
+                        interp_luma(ref[0], ox + bx * 4, oy + by * 4,
+                                    4, 4, mv[0], mv[1]),
+                        interp_chroma(ref[1], cx + bx * 2, cy + by * 2,
+                                      2, 2, mv[0], mv[1]),
+                        interp_chroma(ref[2], cx + bx * 2, cy + by * 2,
+                                      2, 2, mv[0], mv[1])))
+                if len(acc) == 1:
+                    py_, pb_, pr_ = acc[0]
+                else:
+                    py_ = (acc[0][0] + acc[1][0] + 1) >> 1
+                    pb_ = (acc[0][1] + acc[1][1] + 1) >> 1
+                    pr_ = (acc[0][2] + acc[1][2] + 1) >> 1
+                pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = py_
+                cpredb[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pb_
+                cpredr[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pr_
+        return pred, cpredb, cpredr
+
+    def _direct_derive(gx, gy):
+        if not sh["direct_spatial"]:
+            raise H264Unsupported(
+                "temporal direct mode (direct_spatial_mv_pred_flag=0)")
+        if isinstance(col_motion, str):
+            raise H264Unsupported(
+                "B direct mode without colocated motion (pass "
+                "col_motion=... — the RefPicList1[0] motion grids)")
+        return _spatial_direct(mvg, refg, col_motion, gx, gy)
 
     for mb in range(wmb * hmb):
         mbx, mby = mb % wmb, mb // wmb
         ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
         gx, gy = mbx * 4, mby * 4
-        if r.ue() != 0:  # mb_skip_run
-            raise H264Unsupported("B_Skip (direct-MV derivation)")
+        if pending is None:
+            pending = r.ue()  # mb_skip_run
+        if pending > 0:  # --------------------- B_Skip: direct, no residual
+            pending -= 1
+            used, mv4 = _direct_derive(gx, gy)
+            pred, cpredb, cpredr = _direct_pred(gx, gy, ox, oy, cx, cy,
+                                                used, mv4)
+            Y[oy:oy + 16, ox:ox + 16] = pred
+            Cb[cy:cy + 8, cx:cx + 8] = cpredb
+            Cr[cy:cy + 8, cx:cx + 8] = cpredr
+            nzY[gy:gy + 4, gx:gx + 4] = 0
+            for c in (0, 1):
+                nzC[c][mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            continue
+        pending = None
         mb_type = r.ue()
         if mb_type >= 23:  # ----------------------- intra inside B
             it = mb_type - 23
@@ -1974,8 +2090,14 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
             else:
                 raise H264Error(f"bad B-slice mb_type {mb_type}")
             continue
-        if mb_type == 0:
-            raise H264Unsupported("B_Direct_16x16 (direct-MV derivation)")
+        if mb_type == 0:  # ------------- B_Direct_16x16 (+ residual)
+            used, mv4 = _direct_derive(gx, gy)
+            pred, cpredb, cpredr = _direct_pred(gx, gy, ox, oy, cx, cy,
+                                                used, mv4)
+            qp = _inter_mb_residual(r, pps, qp, mbx, mby, gx, gy, ox,
+                                    oy, cx, cy, pred, cpredb, cpredr,
+                                    Y, Cb, Cr, nzY, nzC)
+            continue
         if mb_type == 22:
             raise H264Unsupported("B_8x8 sub-macroblock partitions")
         if mb_type not in _B_MB:
@@ -2055,7 +2177,7 @@ def decode_annexb_video(stream: bytes) -> list[
     still predicts from its true anchor."""
     sps = pps = None
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-    refs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    refs: list[tuple] = []  # (planes, motion | None | "absent")
     for nal in split_annexb(stream):
         t = nal[0] & 0x1F
         if t == 7:
@@ -2068,17 +2190,22 @@ def decode_annexb_video(stream: bytes) -> list[
             _, sh = parse_slice_header(nal, sps, pps)
             if sh["type"] == "I":
                 f = decode_i_frame(sps, pps, nal)
+                motion = None  # intra anchor: colZeroFlag false
             elif sh["type"] == "P":
                 if not refs:
                     raise H264Error("P slice with no reference frame")
-                f = decode_p_frame(sps, pps, nal, refs[-1])
+                f, motion = decode_p_frame(sps, pps, nal, refs[-1][0],
+                                           return_motion=True)
             else:
                 if len(refs) < 2:
                     raise H264Error("B slice needs two reference frames")
-                f = decode_b_frame(sps, pps, nal, refs[-2], refs[-1])
+                f = decode_b_frame(sps, pps, nal, refs[-2][0],
+                                   refs[-1][0],
+                                   col_motion=refs[-1][1])
+                motion = "absent"  # a B used as colocated would gate
             frames.append(f)
             if (nal[0] >> 5) & 3:
-                refs = (refs + [f])[-2:]
+                refs = (refs + [(f, motion)])[-2:]
     return frames
 
 

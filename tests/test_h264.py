@@ -1426,7 +1426,7 @@ def test_b_gates_direct_skip_and_8x8():
         w.ue(0)
         w.u(2, 4)  # frame_num
         w.u(2, 4)  # poc_lsb
-        w.u(0, 1)  # direct_spatial
+        w.u(1, 1)  # direct_spatial (temporal gates separately)
         w.u(0, 1)
         w.u(0, 1)
         w.u(0, 1)
@@ -1437,12 +1437,36 @@ def test_b_gates_direct_skip_and_8x8():
             w.ue(mb_type)
         return w.rbsp(trailing=True)
 
-    with pytest.raises(H.H264Unsupported, match="B_Skip"):
+    # direct modes decode only when the caller supplies the
+    # colocated motion — the default sentinel gates loudly
+    with pytest.raises(H.H264Unsupported, match="colocated motion"):
         H.decode_b_frame(sps, pps, bslice(1, None), ref, ref)
-    with pytest.raises(H.H264Unsupported, match="B_Direct"):
+    with pytest.raises(H.H264Unsupported, match="colocated motion"):
         H.decode_b_frame(sps, pps, bslice(0, 0), ref, ref)
     with pytest.raises(H.H264Unsupported, match="B_8x8"):
         H.decode_b_frame(sps, pps, bslice(0, 22), ref, ref)
+
+    # temporal direct (direct_spatial_mv_pred_flag = 0) gates even
+    # WITH colocated motion supplied
+    w = BitWriter()
+    w.u(0x01, 8)
+    w.ue(0)
+    w.ue(1)
+    w.ue(0)
+    w.u(2, 4)
+    w.u(2, 4)
+    w.u(0, 1)  # temporal direct
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(1)
+    w.ue(1)  # skip run 1
+    mv0 = np.zeros((4, 4, 2), dtype=np.int64)
+    rf0 = np.zeros((4, 4), dtype=np.int64)
+    with pytest.raises(H.H264Unsupported, match="temporal direct"):
+        H.decode_b_frame(sps, pps, w.rbsp(trailing=True), ref, ref,
+                         col_motion=(mv0, rf0))
 
 
 def test_weighted_prediction_explicit_p():
@@ -1488,3 +1512,135 @@ def test_weighted_prediction_explicit_p():
     fyi, fcbi, fcri = dec(wpid)
     assert np.array_equal(fyi, y)
     assert np.array_equal(fcbi, cb) and np.array_equal(fcri, cr)
+
+
+def _encode_b_direct_slice(wmb, hmb, plan, frame_num=2, poc_lsb=2):
+    """Minimal B-slice writer for direct-mode tests: plan entries are
+    ("skip",), ("direct",), or ("l0"/"l1"/"bi", mv0, mv1) 16x16 MBs.
+    Residual-free. Mirrors the decoder's grids for explicit mvds only
+    (direct MBs consume no MV bits)."""
+    w = BitWriter()
+    w.u(0x01, 8)
+    w.ue(0)
+    w.ue(1)  # B
+    w.ue(0)
+    w.u(frame_num & 15, 4)
+    w.u(poc_lsb & 15, 4)
+    w.u(1, 1)  # direct_spatial_mv_pred_flag = 1 (spatial)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(1)
+    mvg = {lx: np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
+           for lx in (0, 1)}
+    refg = {lx: np.full((hmb * 4, wmb * 4), H._NOT_DECODED,
+                        dtype=np.int64) for lx in (0, 1)}
+    run = 0
+    for mb, spec in enumerate(plan):
+        mbx, mby = mb % wmb, mb // wmb
+        gx, gy = mbx * 4, mby * 4
+        if spec[0] == "skip":
+            run += 1
+            used, mv4 = H._spatial_direct(mvg, refg, None, gx, gy)
+            for lx in (0, 1):
+                if lx in used:
+                    mvg[lx][gy:gy + 4, gx:gx + 4] = mv4[lx]
+                    refg[lx][gy:gy + 4, gx:gx + 4] = 0
+                else:
+                    refg[lx][gy:gy + 4, gx:gx + 4] = -1
+            continue
+        w.ue(run)
+        run = 0
+        if spec[0] == "direct":
+            w.ue(0)  # B_Direct_16x16
+            used, mv4 = H._spatial_direct(mvg, refg, None, gx, gy)
+            for lx in (0, 1):
+                if lx in used:
+                    mvg[lx][gy:gy + 4, gx:gx + 4] = mv4[lx]
+                    refg[lx][gy:gy + 4, gx:gx + 4] = 0
+                else:
+                    refg[lx][gy:gy + 4, gx:gx + 4] = -1
+            w.ue(H._CBP_INTER_INV[0])
+            continue
+        mode, mv0, mv1 = spec
+        used = {"l0": {0}, "l1": {1}, "bi": {0, 1}}[mode]
+        w.ue({"l0": 1, "l1": 2, "bi": 3}[used == {0} and "l0"
+                                         or (used == {1} and "l1")
+                                         or "bi"])
+        for lx in (0, 1):
+            if lx not in used:
+                refg[lx][gy:gy + 4, gx:gx + 4] = -1
+                mvg[lx][gy:gy + 4, gx:gx + 4] = 0
+        for lx in (0, 1):
+            if lx not in used:
+                continue
+            mv = mv0 if lx == 0 else mv1
+            pmv = H._mv_pred(mvg[lx], refg[lx], gx, gy, 4, 4, 0)
+            w.se(mv[0] - pmv[0])
+            w.se(mv[1] - pmv[1])
+            mvg[lx][gy:gy + 4, gx:gx + 4] = mv
+            refg[lx][gy:gy + 4, gx:gx + 4] = 0
+        w.ue(H._CBP_INTER_INV[0])
+    if run:
+        w.ue(run)
+    return w.rbsp()
+
+
+def test_b_spatial_direct_and_skip():
+    """Spatial direct on hand-computable cases: (1) a first-MB B_Skip
+    has no neighbors → zero-MV bi (average of the anchors in place);
+    (2) a direct MB whose only neighbor is an L0 MB inherits L0-only
+    prediction with the neighbor's MV as candidate; (3) colZeroFlag —
+    colocated P blocks with refIdx 0 and |mv| ≤ 1 qpel — zeroes the
+    candidate, larger colocated MVs keep it."""
+    rng = np.random.default_rng(51)
+    wmb, hmb = 3, 1
+    y = rng.integers(0, 256, (16, wmb * 16)).astype(np.uint8)
+    cbp = rng.integers(0, 256, (8, wmb * 8)).astype(np.uint8)
+    crp = rng.integers(0, 256, (8, wmb * 8)).astype(np.uint8)
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=2, poc_type=0)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    # P anchor: MB0 mv (0,0) [colZero true], MB1 mv (8,4) [false],
+    # MB2 mv (0,1) [|mv|<=1 qpel → colZero true]
+    mvs_p = np.array([[[0, 0], [8, 4], [0, 1]]], dtype=np.int64)
+    p_rbsp = H.encode_p16_rbsp(mvs_p, frame_num=1, poc_lsb=4)
+    ref0 = (y, cbp, crp)
+    f1, col = H.decode_p_frame(sps, pps, p_rbsp, ref0,
+                               return_motion=True)
+
+    # B: MB0 = skip (no neighbors → zero-MV bi);
+    #    MB1 = explicit L0 with mv (4,0);
+    #    MB2 = direct (neighbor A = MB1: L0-only, candidate (4,0);
+    #          colocated P MB2 has colZero TRUE → mv zeroed → copy f0)
+    plan = [("skip",), ("l0", (4, 0), None), ("direct",)]
+    rbsp = _encode_b_direct_slice(wmb, hmb, plan)
+    fb = H.decode_b_frame(sps, pps, rbsp, ref0, f1, col_motion=col)
+
+    y0 = y.astype(np.int64)
+    f1y = f1[0].astype(np.int64)
+    # MB0: zero-MV bi = rounded average of the two anchors in place
+    want0 = (y0[:, :16] + f1y[:, :16] + 1) >> 1
+    assert np.array_equal(fb[0][:, :16].astype(np.int64), want0)
+    # MB2: direct L0-only, colZero zeroes the MV → copy of ref0
+    assert np.array_equal(fb[0][:, 32:48], y[:, 32:48])
+
+    # flip the colocated condition: P MB2 mv large → candidate kept
+    mvs_p2 = np.array([[[0, 0], [8, 4], [16, 0]]], dtype=np.int64)
+    p2 = H.encode_p16_rbsp(mvs_p2, frame_num=1, poc_lsb=4)
+    f1b, col2 = H.decode_p_frame(sps, pps, p2, ref0,
+                                 return_motion=True)
+    fb2 = H.decode_b_frame(sps, pps, rbsp, ref0, f1b, col_motion=col2)
+    # candidate (4,0) = full-pel (1,0) shift of ref0, edge-clamped
+    want2 = scalar_mc_luma(y0, 32, 0, 16, 16, 4, 0)
+    assert np.array_equal(fb2[0][:, 32:48].astype(np.int64), want2)
+
+    # end-to-end through the stream decoder (motion rides the refs)
+    stream = H.encode_ipb_stream(
+        y, cbp, crp, mvs_p,
+        [("16x16", [({0, 1}, (0, 0), (0, 0))])] * wmb)
+    sc = b"\x00\x00\x00\x01"
+    stream += sc + H._ep3b_escape(rbsp)
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 4
+    assert np.array_equal(frames[3][0], fb[0])
