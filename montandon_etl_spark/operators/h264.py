@@ -1917,6 +1917,17 @@ _B_GEOM = {
     "8x16": [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")],
 }
 
+# Table 7-18 (B sub_mb_type, CAVLC): list set + sub-partition shape
+# index into _SUB_PARTS (0=8x8, 1=8x4, 2=4x8, 3=4x4). 0 =
+# B_Direct_8x8 gates (direct derivation at sub-MB granularity).
+_B_SUB = {
+    1: ({0}, 0), 2: ({1}, 0), 3: ({0, 1}, 0),
+    4: ({0}, 1), 5: ({0}, 2), 6: ({1}, 1), 7: ({1}, 2),
+    8: ({0, 1}, 1), 9: ({0, 1}, 2),
+    10: ({0}, 3), 11: ({1}, 3), 12: ({0, 1}, 3),
+}
+_B_SUB_INV = {(frozenset(u), sh): t for t, (u, sh) in _B_SUB.items()}
+
 
 def _spatial_direct(mvg, refg, col, gx, gy):
     """Spatial direct-mode derivation for one 16x16 macroblock
@@ -2098,12 +2109,24 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                                     oy, cx, cy, pred, cpredb, cpredr,
                                     Y, Cb, Cr, nzY, nzC)
             continue
-        if mb_type == 22:
-            raise H264Unsupported("B_8x8 sub-macroblock partitions")
-        if mb_type not in _B_MB:
+        if mb_type == 22:  # ------------------------------- B_8x8
+            subs = [r.ue() for _ in range(4)]
+            if any(t == 0 for t in subs):
+                raise H264Unsupported("B_Direct_8x8 (sub-MB direct)")
+            if any(t not in _B_SUB for t in subs):
+                raise H264Error(f"bad B sub_mb_type {subs}")
+            parts, lists = [], []
+            for i8, t in enumerate(subs):
+                bx, by = (i8 % 2) * 2, (i8 // 2) * 2
+                used, shi = _B_SUB[t]
+                for (sx, sy, sw, shh) in _SUB_PARTS[shi]:
+                    parts.append((bx + sx, by + sy, sw, shh, ""))
+                    lists.append(used)
+        elif mb_type not in _B_MB:
             raise H264Error(f"bad B-slice mb_type {mb_type}")
-        shape, lists = _B_MB[mb_type]
-        parts = _B_GEOM[shape]
+        else:
+            shape, lists = _B_MB[mb_type]
+            parts = _B_GEOM[shape]
         # mark the lists each partition does NOT use up front: those
         # areas read as (available, refIdx −1, mv 0) for later
         # partitions' predictors — legal because partition 0 only ever
@@ -2301,13 +2324,26 @@ def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
     for mb, (shape, pspec) in enumerate(mb_specs):
         mbx, mby = mb % wmb, mb // wmb
         gx, gy = mbx * 4, mby * 4
-        lists = tuple(frozenset(u) for (u, _, _) in pspec)
-        mb_type = _B_MB_INV.get((shape, lists))
-        if mb_type is None:
-            raise ValueError(f"no B mb_type for {shape} {lists}")
         w.ue(0)  # mb_skip_run
-        w.ue(mb_type)
-        parts = _B_GEOM[shape]
+        if shape == "8x8":
+            # pspec: 4 × (used, sub_shape_idx, [(mv0, mv1) per part])
+            w.ue(22)
+            parts, flat = [], []
+            for i8, (used, shi, mvs8) in enumerate(pspec):
+                w.ue(_B_SUB_INV[(frozenset(used), shi)])
+                bx, by = (i8 % 2) * 2, (i8 // 2) * 2
+                for (sx, sy, sw, shh), (mv0, mv1) in zip(
+                        _SUB_PARTS[shi], mvs8):
+                    parts.append((bx + sx, by + sy, sw, shh, ""))
+                    flat.append((used, mv0, mv1))
+            pspec = flat
+        else:
+            lists = tuple(frozenset(u) for (u, _, _) in pspec)
+            mb_type = _B_MB_INV.get((shape, lists))
+            if mb_type is None:
+                raise ValueError(f"no B mb_type for {shape} {lists}")
+            w.ue(mb_type)
+            parts = _B_GEOM[shape]
         for (px4, py4, w4, h4, _), (used, _, _) in zip(parts, pspec):
             for lx in (0, 1):
                 if lx not in used:

@@ -1443,8 +1443,8 @@ def test_b_gates_direct_skip_and_8x8():
         H.decode_b_frame(sps, pps, bslice(1, None), ref, ref)
     with pytest.raises(H.H264Unsupported, match="colocated motion"):
         H.decode_b_frame(sps, pps, bslice(0, 0), ref, ref)
-    with pytest.raises(H.H264Unsupported, match="B_8x8"):
-        H.decode_b_frame(sps, pps, bslice(0, 22), ref, ref)
+    # (B_8x8 is decoded now — its remaining gate, B_Direct_8x8, is
+    # pinned in test_b_8x8_sub_partitions_match_scalar_mc)
 
     # temporal direct (direct_spatial_mv_pred_flag = 0) gates even
     # WITH colocated motion supplied
@@ -1644,3 +1644,80 @@ def test_b_spatial_direct_and_skip():
     frames = H.decode_annexb_video(stream)
     assert len(frames) == 4
     assert np.array_equal(frames[3][0], fb[0])
+
+
+def test_b_8x8_sub_partitions_match_scalar_mc():
+    """B_8x8 with every sub shape (8x8/8x4/4x8/4x4) across L0/L1/Bi,
+    fractional MVs, vs the independent scalar interpolator."""
+    rng = np.random.default_rng(61)
+    wmb, hmb = 2, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mvs_p = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    mvs_p[:, :] = (6, -3)
+    combos = [{0}, {1}, {0, 1}]
+    specs = []
+    k = 0
+    for mb in range(wmb * hmb):
+        sub = []
+        for i8 in range(4):
+            shi = (mb + i8) % 4
+            used = combos[k % 3]
+            nparts = len(H._SUB_PARTS[shi])
+            mvs8 = []
+            for _ in range(nparts):
+                mvs8.append((((k * 5) % 13 - 6, (k * 7) % 11 - 5),
+                             ((k * 3) % 9 - 4, (k * 11) % 15 - 7)))
+                k += 1
+            sub.append((used, shi, mvs8))
+        specs.append(("8x8", sub))
+    stream = H.encode_ipb_stream(y, cb, cr, mvs_p, specs)
+    frames = H.decode_annexb_video(stream)
+    ref0 = tuple(pl.astype(np.int64) for pl in frames[0])
+    ref1 = tuple(pl.astype(np.int64) for pl in frames[1])
+    fy = frames[2][0].astype(np.int64)
+    fcb = frames[2][1].astype(np.int64)
+    for mb, (_, sub) in enumerate(specs):
+        mbx, mby = mb % wmb, mb // wmb
+        for i8, (used, shi, mvs8) in enumerate(sub):
+            bx0, by0 = (i8 % 2) * 8, (i8 // 2) * 8
+            for (sx, sy, sw, sh), (mv0, mv1) in zip(
+                    H._SUB_PARTS[shi], mvs8):
+                x0 = mbx * 16 + bx0 + sx * 4
+                y0 = mby * 16 + by0 + sy * 4
+                want = _b_expected_part(
+                    (ref0[0], ref1[0]), used, mv0, mv1,
+                    x0, y0, sw * 4, sh * 4)
+                got = fy[y0:y0 + sh * 4, x0:x0 + sw * 4]
+                assert np.array_equal(got, want), (mb, i8, shi, used)
+                wantc = _b_expected_part(
+                    (ref0[1], ref1[1]), used, mv0, mv1,
+                    x0 // 2, y0 // 2, sw * 2, sh * 2, chroma=True)
+                assert np.array_equal(
+                    fcb[y0 // 2:y0 // 2 + sh * 2,
+                        x0 // 2:x0 // 2 + sw * 2], wantc)
+
+    # sub-MB direct still gates
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=2, poc_type=0)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    w = BitWriter()
+    w.u(0x01, 8)
+    w.ue(0)
+    w.ue(1)
+    w.ue(0)
+    w.u(2, 4)
+    w.u(2, 4)
+    w.u(1, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(1)
+    w.ue(0)   # skip run
+    w.ue(22)  # B_8x8
+    for _ in range(4):
+        w.ue(0)  # sub_mb_type B_Direct_8x8
+    with pytest.raises(H.H264Unsupported, match="B_Direct_8x8"):
+        H.decode_b_frame(sps, pps, w.rbsp(trailing=True),
+                         (y, cb, cr), (y, cb, cr))
