@@ -2018,21 +2018,24 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     qp = sh["qp"]
     pending: int | None = None
 
-    def _direct_pred(gx, gy, ox, oy, cx, cy, used, mv4):
-        """Per-4x4 MC for a direct-mode MB; writes the per-list
-        grids and returns the (clipped) luma/chroma predictions."""
-        for lx in (0, 1):
-            if lx in used:
-                mvg[lx][gy:gy + 4, gx:gx + 4] = mv4[lx]
-                refg[lx][gy:gy + 4, gx:gx + 4] = 0
-            else:
-                mvg[lx][gy:gy + 4, gx:gx + 4] = 0
-                refg[lx][gy:gy + 4, gx:gx + 4] = -1
-        pred = np.zeros((16, 16), dtype=np.int64)
-        cpredb = np.zeros((8, 8), dtype=np.int64)
-        cpredr = np.zeros((8, 8), dtype=np.int64)
-        for by in range(4):
-            for bx in range(4):
+    def _direct_pred(gx, gy, ox, oy, cx, cy, used, mv4,
+                     pred, cpredb, cpredr, blocks=None):
+        """Per-4x4 MC for direct-mode blocks: writes the per-list
+        grids and fills the given prediction arrays — ``blocks``
+        restricts to a subset of the MB's 4x4 positions (B_Direct_8x8
+        quadrants); None = the whole macroblock."""
+        blocks = blocks if blocks is not None else [
+            (by, bx) for by in range(4) for bx in range(4)]
+        for (by, bx) in blocks:
+            for lx in (0, 1):
+                if lx in used:
+                    mvg[lx][gy + by, gx + bx] = mv4[lx][by, bx]
+                    refg[lx][gy + by, gx + bx] = 0
+                else:
+                    mvg[lx][gy + by, gx + bx] = 0
+                    refg[lx][gy + by, gx + bx] = -1
+        for (by, bx) in blocks:
+            if True:
                 acc = []
                 for lx in sorted(used):
                     ref = r0 if lx == 0 else r1
@@ -2053,7 +2056,6 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                 pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = py_
                 cpredb[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pb_
                 cpredr[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pr_
-        return pred, cpredb, cpredr
 
     def _direct_derive(gx, gy):
         if not sh["direct_spatial"]:
@@ -2074,8 +2076,11 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
         if pending > 0:  # --------------------- B_Skip: direct, no residual
             pending -= 1
             used, mv4 = _direct_derive(gx, gy)
-            pred, cpredb, cpredr = _direct_pred(gx, gy, ox, oy, cx, cy,
-                                                used, mv4)
+            pred = np.zeros((16, 16), dtype=np.int64)
+            cpredb = np.zeros((8, 8), dtype=np.int64)
+            cpredr = np.zeros((8, 8), dtype=np.int64)
+            _direct_pred(gx, gy, ox, oy, cx, cy, used, mv4,
+                         pred, cpredb, cpredr)
             Y[oy:oy + 16, ox:ox + 16] = pred
             Cb[cy:cy + 8, cx:cx + 8] = cpredb
             Cr[cy:cy + 8, cx:cx + 8] = cpredr
@@ -2103,20 +2108,48 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
             continue
         if mb_type == 0:  # ------------- B_Direct_16x16 (+ residual)
             used, mv4 = _direct_derive(gx, gy)
-            pred, cpredb, cpredr = _direct_pred(gx, gy, ox, oy, cx, cy,
-                                                used, mv4)
+            pred = np.zeros((16, 16), dtype=np.int64)
+            cpredb = np.zeros((8, 8), dtype=np.int64)
+            cpredr = np.zeros((8, 8), dtype=np.int64)
+            _direct_pred(gx, gy, ox, oy, cx, cy, used, mv4,
+                         pred, cpredb, cpredr)
             qp = _inter_mb_residual(r, pps, qp, mbx, mby, gx, gy, ox,
                                     oy, cx, cy, pred, cpredb, cpredr,
                                     Y, Cb, Cr, nzY, nzC)
             continue
         if mb_type == 22:  # ------------------------------- B_8x8
             subs = [r.ue() for _ in range(4)]
-            if any(t == 0 for t in subs):
-                raise H264Unsupported("B_Direct_8x8 (sub-MB direct)")
-            if any(t not in _B_SUB for t in subs):
+            if any(t != 0 and t not in _B_SUB for t in subs):
                 raise H264Error(f"bad B sub_mb_type {subs}")
+            direct_quads = [i for i, t in enumerate(subs) if t == 0]
+            direct_fill = None
+            if direct_quads:
+                # B_Direct_8x8: the spatial derivation is MACROBLOCK-
+                # level (candidate from the MB's outside neighbors, so
+                # it commutes with the explicit quads' later mvd
+                # parsing); colZero stays per 4x4. Grids for the
+                # direct quads land NOW — raster order means only
+                # LATER quads' predictors can see them, as 8.4.1.3
+                # requires.
+                used_d, mv4_d = _direct_derive(gx, gy)
+                dblocks = [(qy * 2 + sy, qx * 2 + sx)
+                           for i in direct_quads
+                           for qy in [i // 2] for qx in [i % 2]
+                           for sy in range(2) for sx in range(2)]
+                for (dby, dbx) in dblocks:
+                    for lx in (0, 1):
+                        if lx in used_d:
+                            mvg[lx][gy + dby, gx + dbx] = \
+                                mv4_d[lx][dby, dbx]
+                            refg[lx][gy + dby, gx + dbx] = 0
+                        else:
+                            mvg[lx][gy + dby, gx + dbx] = 0
+                            refg[lx][gy + dby, gx + dbx] = -1
+                direct_fill = (used_d, mv4_d, dblocks)
             parts, lists = [], []
             for i8, t in enumerate(subs):
+                if t == 0:
+                    continue
                 bx, by = (i8 % 2) * 2, (i8 // 2) * 2
                 used, shi = _B_SUB[t]
                 for (sx, sy, sw, shh) in _SUB_PARTS[shi]:
@@ -2127,6 +2160,7 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
         else:
             shape, lists = _B_MB[mb_type]
             parts = _B_GEOM[shape]
+            direct_fill = None
         # mark the lists each partition does NOT use up front: those
         # areas read as (available, refIdx −1, mv 0) for later
         # partitions' predictors — legal because partition 0 only ever
@@ -2158,6 +2192,10 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
         pred = np.zeros((16, 16), dtype=np.int64)
         cpredb = np.zeros((8, 8), dtype=np.int64)
         cpredr = np.zeros((8, 8), dtype=np.int64)
+        if direct_fill is not None:
+            used_d, mv4_d, dblocks = direct_fill
+            _direct_pred(gx, gy, ox, oy, cx, cy, used_d, mv4_d,
+                         pred, cpredb, cpredr, blocks=dblocks)
         for pi, ((px4, py4, w4, h4, _), used) in enumerate(
                 zip(parts, lists)):
             acc = []

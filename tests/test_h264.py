@@ -1718,6 +1718,118 @@ def test_b_8x8_sub_partitions_match_scalar_mc():
     w.ue(22)  # B_8x8
     for _ in range(4):
         w.ue(0)  # sub_mb_type B_Direct_8x8
-    with pytest.raises(H.H264Unsupported, match="B_Direct_8x8"):
+    # sub-MB direct decodes only with colocated motion supplied
+    with pytest.raises(H.H264Unsupported, match="colocated motion"):
         H.decode_b_frame(sps, pps, w.rbsp(trailing=True),
                          (y, cb, cr), (y, cb, cr))
+
+
+def test_b_direct_8x8_mixed_quadrants():
+    """B_8x8 with two B_Direct_8x8 quadrants and two explicit ones:
+    the MB-level spatial derivation feeds the direct quads (colZero
+    per 4x4 against the P anchor), explicit quads parse mvds whose
+    predictors SEE the direct quads' grids (raster neighbors)."""
+    rng = np.random.default_rng(71)
+    wmb, hmb = 2, 1
+    y = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+    cbp = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    crp = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=2, poc_type=0)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    ref0 = (y, cbp, crp)
+
+    def build_and_check(p_mv_mb1, want_direct_from):
+        mvs_p = np.array([[[0, 0], list(p_mv_mb1)]], dtype=np.int64)
+        f1, col = H.decode_p_frame(
+            sps, pps, H.encode_p16_rbsp(mvs_p, frame_num=1, poc_lsb=4),
+            ref0, return_motion=True)
+        # hand-write: MB0 = B_L0_16x16 mv (4,0); MB1 = B_8x8 with
+        # subs [direct, L1_8x8, direct, Bi_8x8]
+        w = BitWriter()
+        w.u(0x01, 8)
+        w.ue(0)
+        w.ue(1)
+        w.ue(0)
+        w.u(2, 4)
+        w.u(2, 4)
+        w.u(1, 1)  # spatial direct
+        w.u(0, 1)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.se(0)
+        w.ue(1)
+        mvg = {lx: np.zeros((4, 8, 2), dtype=np.int64) for lx in (0, 1)}
+        refg = {lx: np.full((4, 8), H._NOT_DECODED, dtype=np.int64)
+                for lx in (0, 1)}
+        # MB0 explicit L0 (4,0)
+        w.ue(0)
+        w.ue(1)
+        w.se(4 - 0)
+        w.se(0 - 0)
+        mvg[0][0:4, 0:4] = (4, 0)
+        refg[0][0:4, 0:4] = 0
+        refg[1][0:4, 0:4] = -1
+        w.ue(H._CBP_INTER_INV[0])
+        # MB1: B_8x8
+        gx = 4
+        w.ue(0)
+        w.ue(22)
+        for t in (0, 2, 0, 3):
+            w.ue(t)
+        used_d, mv4_d = H._spatial_direct(mvg, refg, col, gx, 0)
+        assert used_d == {0}            # only-A neighbor is L0-only
+        for i8 in (0, 2):               # direct quads: write grids
+            qx, qy = (i8 % 2) * 2, (i8 // 2) * 2
+            for sy in range(2):
+                for sx in range(2):
+                    mvg[0][qy + sy, gx + qx + sx] = \
+                        mv4_d[0][qy + sy, qx + sx]
+                    refg[0][qy + sy, gx + qx + sx] = 0
+                    refg[1][qy + sy, gx + qx + sx] = -1
+        # pre-mark explicit quads' unused lists
+        refg[0][0:2, gx + 2:gx + 4] = -1   # quad1 = L1 only
+        mvg[0][0:2, gx + 2:gx + 4] = 0
+        # quad3 = bi: uses both
+        # mvd_l0 pass: only quad3
+        mv3_l0 = (6, -2)
+        p = H._mv_pred(mvg[0], refg[0], gx + 2, 2, 2, 2, 0)
+        w.se(mv3_l0[0] - p[0])
+        w.se(mv3_l0[1] - p[1])
+        mvg[0][2:4, gx + 2:gx + 4] = mv3_l0
+        refg[0][2:4, gx + 2:gx + 4] = 0
+        # mvd_l1 pass: quad1 then quad3
+        mv1_l1 = (-3, 5)
+        p = H._mv_pred(mvg[1], refg[1], gx + 2, 0, 2, 2, 0)
+        w.se(mv1_l1[0] - p[0])
+        w.se(mv1_l1[1] - p[1])
+        mvg[1][0:2, gx + 2:gx + 4] = mv1_l1
+        refg[1][0:2, gx + 2:gx + 4] = 0
+        mv3_l1 = (2, 7)
+        p = H._mv_pred(mvg[1], refg[1], gx + 2, 2, 2, 2, 0)
+        w.se(mv3_l1[0] - p[0])
+        w.se(mv3_l1[1] - p[1])
+        mvg[1][2:4, gx + 2:gx + 4] = mv3_l1
+        refg[1][2:4, gx + 2:gx + 4] = 0
+        w.ue(H._CBP_INTER_INV[0])
+        fb = H.decode_b_frame(sps, pps, w.rbsp(), ref0, f1,
+                              col_motion=col)
+        y0 = y.astype(np.int64)
+        f1y = f1[0].astype(np.int64)
+        # direct quads (MB1 quad0 @ (16,0) 8x8, quad2 @ (16,8))
+        for (qx0, qy0) in ((16, 0), (16, 8)):
+            if want_direct_from == "zero":   # colZero → copy ref0
+                want = y0[qy0:qy0 + 8, qx0:qx0 + 8]
+            else:                            # candidate (4,0) kept
+                want = scalar_mc_luma(y0, qx0, qy0, 8, 8, 4, 0)
+            assert np.array_equal(
+                fb[0][qy0:qy0 + 8, qx0:qx0 + 8].astype(np.int64),
+                want), (p_mv_mb1, qx0, qy0)
+        # explicit quads
+        w1 = scalar_mc_luma(f1y, 24, 0, 8, 8, *mv1_l1)
+        assert np.array_equal(fb[0][0:8, 24:32].astype(np.int64), w1)
+        w3 = (scalar_mc_luma(y0, 24, 8, 8, 8, *mv3_l0)
+              + scalar_mc_luma(f1y, 24, 8, 8, 8, *mv3_l1) + 1) >> 1
+        assert np.array_equal(fb[0][8:16, 24:32].astype(np.int64), w3)
+
+    build_and_check((0, 0), "zero")     # colZero true → zeroed MVs
+    build_and_check((16, 0), "cand")    # large col MV → candidate kept
