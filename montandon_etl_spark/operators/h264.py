@@ -8,8 +8,12 @@ I_16x16 (all four luma prediction modes: Vertical / Horizontal / DC /
 Plane, all four chroma modes), I_NxN (Intra_4x4 — all NINE 4x4
 prediction modes, most-probable-mode coding, Table 9-4 CBP, per-8x8
 residual gating, above-right substitution) and I_PCM. frame_mbs_only,
-4:2:0, 8-bit — i.e. a complete constrained-baseline INTRA decoder.
-Loudly gated (``H264Unsupported``): P/B slices, CABAC, interlace,
+4:2:0, 8-bit — i.e. a complete constrained-baseline INTRA decoder,
+extended with single-reference P and B slice decode (every explicit
+partition shape, spatial direct / skip, explicit weighted prediction
+for P and — ``weighted_bipred_idc = 1`` — for B).
+Loudly gated (``H264Unsupported``): CABAC, multi-reference lists,
+temporal direct, implicit weighted bi-prediction, interlace,
 high-profile tools, and the in-loop deblocking filter (decode
 requires streams signalling ``disable_deblocking_filter_idc = 1`` —
 with the filter enabled the pre-filter reconstruction would silently
@@ -828,26 +832,33 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             raise H264Unsupported("ref pic list modification")
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
             raise H264Unsupported("ref pic list modification (L1)")
-        if is_b and pps["weighted_bipred_idc"] != 0:
-            raise H264Unsupported("weighted bi-prediction")
+        if is_b and pps["weighted_bipred_idc"] == 2:
+            raise H264Unsupported("implicit weighted bi-prediction")
     wp = None
     if (is_p and pps["weighted_pred"]) or \
             (is_b and pps["weighted_bipred_idc"] == 1):
-        if is_b:
-            raise H264Unsupported("explicit weighted bi-prediction")
-        # pred_weight_table (7.3.3.2), single L0 reference
+        # pred_weight_table (7.3.3.2), single reference per list —
+        # a P slice carries L0 entries only, a B slice L0 then L1
         log_y = r.ue()   # luma_log2_weight_denom
         log_c = r.ue()   # chroma_log2_weight_denom
-        wy, oy = 1 << log_y, 0
-        wc = [1 << log_c, 1 << log_c]
-        oc = [0, 0]
-        if r.u(1):  # luma_weight_l0_flag
-            wy, oy = r.se(), r.se()
-        if r.u(1):  # chroma_weight_l0_flag
-            for c in (0, 1):
-                wc[c], oc[c] = r.se(), r.se()
-        wp = {"log_y": log_y, "wy": wy, "oy": oy,
-              "log_c": log_c, "wc": wc, "oc": oc}
+
+        def _wp_list() -> dict:
+            wy, oy = 1 << log_y, 0
+            wc = [1 << log_c, 1 << log_c]
+            oc = [0, 0]
+            if r.u(1):  # luma_weight_lX_flag
+                wy, oy = r.se(), r.se()
+            if r.u(1):  # chroma_weight_lX_flag
+                for c in (0, 1):
+                    wc[c], oc[c] = r.se(), r.se()
+            return {"wy": wy, "oy": oy, "wc": wc, "oc": oc}
+
+        l0 = _wp_list()
+        l1 = _wp_list() if is_b else None
+        # flat L0 aliases keep the single-list P decode path unchanged
+        wp = {"log_y": log_y, "log_c": log_c, "l": (l0, l1),
+              "wy": l0["wy"], "oy": l0["oy"],
+              "wc": l0["wc"], "oc": l0["oc"]}
     if nal_ref_idc != 0:
         if idr:
             r.u(1)  # no_output_of_prior_pics
@@ -1145,7 +1156,8 @@ def _ep3b_escape(b: bytes) -> bytes:
 
 def _seq_header_rbsps(wmb: int, hmb: int, max_ref: int = 1,
                       poc_type: int = 2,
-                      weighted_pred: bool = False
+                      weighted_pred: bool = False,
+                      weighted_bipred_idc: int = 0
                       ) -> tuple[bytes, bytes]:
     """SPS + PPS RBSPs for the in-package test encoders. poc_type 0
     (log2_max_poc_lsb = 4) is what the B streams use — a B picture
@@ -1181,7 +1193,7 @@ def _seq_header_rbsps(wmb: int, hmb: int, max_ref: int = 1,
     w.ue(0)
     w.ue(0)
     w.u(1 if weighted_pred else 0, 1)  # weighted_pred_flag
-    w.u(0, 2)
+    w.u(weighted_bipred_idc, 2)
     w.se(0)  # pic_init_qp 26
     w.se(0)
     w.se(0)
@@ -1986,7 +1998,10 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     earlier, displayed later). Explicit-MV macroblock types 1..21
     (16x16 / 16x8 / 8x16 in every L0/L1/Bi combination, Table 7-14)
     plus every intra type; bi-prediction is the default unweighted
-    average ``(predL0 + predL1 + 1) >> 1`` (8.4.2.3.2). MV prediction
+    average ``(predL0 + predL1 + 1) >> 1``, or — when the PPS sets
+    ``weighted_bipred_idc = 1`` — the explicit weighted combination
+    of 8.4.2.3.2 eq. 8-274 (uni parts weight by their own list's
+    entry, exactly as P slices do). MV prediction
     runs per list over per-list (mv, refIdx) grids — partitions not
     using a list contribute refIdx −1 / mv 0 to neighbors exactly as
     8.4.1.3 requires. B_Skip and B_Direct_16x16 use the SPATIAL
@@ -2016,7 +2031,39 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     refg = {0: np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64),
             1: np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)}
     qp = sh["qp"]
+    wp = sh.get("wp")
     pending: int | None = None
+
+    def _combine(used_sorted, acc):
+        """Sample combination per 8.4.2.3.2: the default bi average,
+        or — when the PPS set ``weighted_bipred_idc = 1`` — explicit
+        weighted prediction (uni parts weight by their list's (w, o)
+        via the shared `_weight`; bi combines both lists at logWD+1
+        with the rounded offset average, eq. 8-274)."""
+        if wp is None:
+            if len(acc) == 1:
+                return acc[0]
+            return tuple((a + b + 1) >> 1
+                         for a, b in zip(acc[0], acc[1]))
+        if len(acc) == 1:
+            d = wp["l"][used_sorted[0]]
+            return (_weight(acc[0][0], wp["log_y"], d["wy"], d["oy"]),
+                    _weight(acc[0][1], wp["log_c"], d["wc"][0],
+                            d["oc"][0]),
+                    _weight(acc[0][2], wp["log_c"], d["wc"][1],
+                            d["oc"][1]))
+        d0, d1 = wp["l"]
+        planes = (
+            (wp["log_y"], d0["wy"], d1["wy"], d0["oy"], d1["oy"]),
+            (wp["log_c"], d0["wc"][0], d1["wc"][0],
+             d0["oc"][0], d1["oc"][0]),
+            (wp["log_c"], d0["wc"][1], d1["wc"][1],
+             d0["oc"][1], d1["oc"][1]))
+        return tuple(
+            np.clip(((acc[0][k] * w0 + acc[1][k] * w1
+                      + (1 << logwd)) >> (logwd + 1))
+                    + ((o0 + o1 + 1) >> 1), 0, 255)
+            for k, (logwd, w0, w1, o0, o1) in enumerate(planes))
 
     def _direct_pred(gx, gy, ox, oy, cx, cy, used, mv4,
                      pred, cpredb, cpredr, blocks=None):
@@ -2047,12 +2094,7 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                                       2, 2, mv[0], mv[1]),
                         interp_chroma(ref[2], cx + bx * 2, cy + by * 2,
                                       2, 2, mv[0], mv[1])))
-                if len(acc) == 1:
-                    py_, pb_, pr_ = acc[0]
-                else:
-                    py_ = (acc[0][0] + acc[1][0] + 1) >> 1
-                    pb_ = (acc[0][1] + acc[1][1] + 1) >> 1
-                    pr_ = (acc[0][2] + acc[1][2] + 1) >> 1
+                py_, pb_, pr_ = _combine(sorted(used), acc)
                 pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = py_
                 cpredb[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pb_
                 cpredr[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pr_
@@ -2209,12 +2251,7 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                                   w4 * 2, h4 * 2, mv[0], mv[1]),
                     interp_chroma(ref[2], cx + px4 * 2, cy + py4 * 2,
                                   w4 * 2, h4 * 2, mv[0], mv[1])))
-            if len(acc) == 1:
-                py_, pb_, pr_ = acc[0]
-            else:  # default bi: average of the two clipped predictions
-                py_ = (acc[0][0] + acc[1][0] + 1) >> 1
-                pb_ = (acc[0][1] + acc[1][1] + 1) >> 1
-                pr_ = (acc[0][2] + acc[1][2] + 1) >> 1
+            py_, pb_, pr_ = _combine(sorted(used), acc)
             pred[py4 * 4:(py4 + h4) * 4, px4 * 4:(px4 + w4) * 4] = py_
             cpredb[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = pb_
             cpredr[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = pr_
@@ -2327,8 +2364,8 @@ _B_MB_INV = {(shape, tuple(frozenset(u) for u in lists)): t
 
 
 def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
-                  frame_num: int = 2, poc_lsb: int | None = None
-                  ) -> bytes:
+                  frame_num: int = 2, poc_lsb: int | None = None,
+                  wp: dict | None = None) -> bytes:
     """Encode one non-reference B slice (nal_ref_idc = 0) of explicit-
     MV macroblocks, residual-free. ``mb_specs``: one entry per MB in
     raster order — ``(shape, parts)`` with shape in
@@ -2352,6 +2389,17 @@ def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
     w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # ref_pic_list_modification_flag_l1
+    if wp is not None:  # pred_weight_table (weighted_bipred_idc = 1)
+        w.ue(wp["log_y"])
+        w.ue(wp["log_c"])
+        for d in wp["l"]:
+            w.u(1, 1)
+            w.se(d["wy"])
+            w.se(d["oy"])
+            w.u(1, 1)
+            for c in (0, 1):
+                w.se(d["wc"][c])
+                w.se(d["oc"][c])
     # nal_ref_idc == 0: no dec_ref_pic_marking
     w.se(0)  # slice_qp_delta
     w.ue(1)  # disable_deblocking_filter_idc
@@ -2409,21 +2457,25 @@ def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
 
 def encode_ipb_stream(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                       mvs_p_qpel: np.ndarray,
-                      b_specs: list) -> bytes:
+                      b_specs: list,
+                      b_wp: dict | None = None) -> bytes:
     """I_PCM anchor + residual-free P anchor + one non-reference B
     frame between them (the IbP pattern in decode order I, P, B):
     a three-frame Annex-B stream, poc_type 0 (I poc 0, B poc 2,
     P poc 4) so the output order is expressible. Every B sample is a
     closed-form function of the two losslessly-known anchors."""
     hmb, wmb = y.shape[0] // 16, y.shape[1] // 16
-    sps, pps = _seq_header_rbsps(wmb, hmb, max_ref=2, poc_type=0)
+    sps, pps = _seq_header_rbsps(
+        wmb, hmb, max_ref=2, poc_type=0,
+        weighted_bipred_idc=1 if b_wp is not None else 0)
     sc = b"\x00\x00\x00\x01"
     return (sc + _ep3b_escape(sps) + sc + _ep3b_escape(pps)
             + sc + _ep3b_escape(_ipcm_slice_rbsp(y, cb, cr, poc_lsb=0))
             + sc + _ep3b_escape(encode_p16_rbsp(mvs_p_qpel, frame_num=1,
                                                 poc_lsb=4))
             + sc + _ep3b_escape(encode_b_rbsp(b_specs, wmb, hmb,
-                                              frame_num=2, poc_lsb=2)))
+                                              frame_num=2, poc_lsb=2,
+                                              wp=b_wp)))
 
 
 def encode_ip_stream(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,

@@ -1514,6 +1514,179 @@ def test_weighted_prediction_explicit_p():
     assert np.array_equal(fcbi, cb) and np.array_equal(fcri, cr)
 
 
+def _b_weighted_expected(refs, used, mv0, mv1, x0, y0, w, h, wp,
+                         plane, chroma=False):
+    """Expected explicit-weighted B prediction via the INDEPENDENT
+    scalar interpolator: uni = ((p*w + 2^(logWD-1)) >> logWD) + o
+    (logWD >= 1; p*w + o at 0), bi = ((p0*w0 + p1*w1 + 2^logWD) >>
+    (logWD+1)) + ((o0+o1+1) >> 1), clipped. ``plane`` selects the
+    (logWD, w, o) tuple: 0 = luma, 1 = Cb, 2 = Cr."""
+    mc = scalar_mc_chroma if chroma else scalar_mc_luma
+
+    def _wo(d):
+        if plane == 0:
+            return d["wy"], d["oy"]
+        return d["wc"][plane - 1], d["oc"][plane - 1]
+
+    logwd = wp["log_y"] if plane == 0 else wp["log_c"]
+    acc, wos = [], []
+    if 0 in used:
+        acc.append(mc(refs[0], x0, y0, w, h, *mv0))
+        wos.append(_wo(wp["l"][0]))
+    if 1 in used:
+        acc.append(mc(refs[1], x0, y0, w, h, *mv1))
+        wos.append(_wo(wp["l"][1]))
+    if len(acc) == 1:
+        (ww, oo), p = wos[0], acc[0]
+        v = ((p * ww + (1 << (logwd - 1))) >> logwd) + oo \
+            if logwd >= 1 else p * ww + oo
+        return np.clip(v, 0, 255)
+    (w0, o0), (w1, o1) = wos
+    v = ((acc[0] * w0 + acc[1] * w1 + (1 << logwd)) >> (logwd + 1)) \
+        + ((o0 + o1 + 1) >> 1)
+    return np.clip(v, 0, 255)
+
+
+def test_weighted_biprediction_explicit_b():
+    """Explicit weighted bi-prediction (PPS weighted_bipred_idc = 1,
+    8.4.2.3.2 eq. 8-274) through the full IPB stream: uni-L0 / uni-L1
+    parts weight by their own list's entry exactly like a weighted P,
+    bi parts combine at logWD+1 with the rounded offset average —
+    per plane with distinct weights, fractional MVs, vs the
+    independent scalar interpolator."""
+    rng = np.random.default_rng(47)
+    wmb, hmb = 3, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mvs_p = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            mvs_p[mby, mbx] = ((mbx * 5 - mby) % 7 - 3,
+                               (mby * 3 + mbx) % 5 - 2)
+    combos = [{0}, {1}, {0, 1}]
+    specs = []
+    for mb in range(wmb * hmb):
+        used = combos[mb % 3]
+        mv0 = ((mb * 5) % 13 - 6, (mb * 7) % 11 - 5)
+        mv1 = ((mb * 3) % 9 - 4, (mb * 11) % 15 - 7)
+        specs.append(("16x16", [(used, mv0, mv1)]))
+    wp = {"log_y": 5, "log_c": 2,
+          "l": ({"wy": 40, "oy": -6, "wc": [3, 9], "oc": [5, -8]},
+                {"wy": 20, "oy": 12, "wc": [5, 2], "oc": [-3, 4]})}
+    stream = H.encode_ipb_stream(y, cb, cr, mvs_p, specs, b_wp=wp)
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 3
+    ref0 = tuple(pl.astype(np.int64) for pl in frames[0])
+    ref1 = tuple(pl.astype(np.int64) for pl in frames[1])
+    fpl = [pl.astype(np.int64) for pl in frames[2]]
+    for mb, (_, [(used, mv0, mv1)]) in enumerate(specs):
+        mbx, mby = mb % wmb, mb // wmb
+        x0, y0 = mbx * 16, mby * 16
+        want = _b_weighted_expected((ref0[0], ref1[0]), used, mv0,
+                                    mv1, x0, y0, 16, 16, wp, 0)
+        assert np.array_equal(fpl[0][y0:y0 + 16, x0:x0 + 16], want), \
+            (mb, used)
+        for plane in (1, 2):
+            wantc = _b_weighted_expected(
+                (ref0[plane], ref1[plane]), used, mv0, mv1,
+                x0 // 2, y0 // 2, 8, 8, wp, plane, chroma=True)
+            got = fpl[plane][y0 // 2:y0 // 2 + 8, x0 // 2:x0 // 2 + 8]
+            assert np.array_equal(got, wantc), (mb, used, plane)
+    # identity weights (w = 2^logWD, o = 0 on both lists) must
+    # reproduce the unweighted decode bit-exactly — eq. 8-274 with
+    # identity weights reduces to the default rounded average
+    wid = {"log_y": 3, "log_c": 1,
+           "l": ({"wy": 8, "oy": 0, "wc": [2, 2], "oc": [0, 0]},
+                 {"wy": 8, "oy": 0, "wc": [2, 2], "oc": [0, 0]})}
+    f_id = H.decode_annexb_video(
+        H.encode_ipb_stream(y, cb, cr, mvs_p, specs, b_wp=wid))[2]
+    f_un = H.decode_annexb_video(
+        H.encode_ipb_stream(y, cb, cr, mvs_p, specs))[2]
+    for a, b in zip(f_id, f_un):
+        assert np.array_equal(a, b)
+    # logWD = 0 bi path: ((p0*w0 + p1*w1 + 1) >> 1) + offsets
+    w0 = {"log_y": 0, "log_c": 0,
+          "l": ({"wy": 1, "oy": 4, "wc": [1, 2], "oc": [0, -5]},
+                {"wy": 2, "oy": -3, "wc": [1, 0], "oc": [6, 1]})}
+    f0 = H.decode_annexb_video(
+        H.encode_ipb_stream(y, cb, cr, mvs_p, specs, b_wp=w0))[2]
+    fpl0 = [pl.astype(np.int64) for pl in f0]
+    for mb, (_, [(used, mv0, mv1)]) in enumerate(specs):
+        mbx, mby = mb % wmb, mb // wmb
+        x0, y0 = mbx * 16, mby * 16
+        want = _b_weighted_expected((ref0[0], ref1[0]), used, mv0,
+                                    mv1, x0, y0, 16, 16, w0, 0)
+        assert np.array_equal(fpl0[0][y0:y0 + 16, x0:x0 + 16], want)
+
+
+def test_weighted_b_direct_and_skip():
+    """Weights apply to B_Skip prediction too: a direct-zero-
+    prediction MB (no usable neighbours ⇒ zero-MV bi with refIdx 0 on
+    both lists) under explicit weights must equal the weighted bi
+    combination of the two colocated reference blocks."""
+    rng = np.random.default_rng(48)
+    wmb, hmb = 2, 1
+    y = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+    cb = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    cr = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=2,
+                                       poc_type=0,
+                                       weighted_bipred_idc=1)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    wp = {"log_y": 4, "log_c": 3,
+          "l": ({"wy": 24, "oy": 2, "wc": [8, 4], "oc": [1, 0]},
+                {"wy": 8, "oy": -4, "wc": [8, 16], "oc": [0, 3]})}
+    # hand-write a B slice of two skips with the weight table present
+    w = BitWriter()
+    w.u(0x01, 8)
+    w.ue(0)
+    w.ue(1)  # slice_type B
+    w.ue(0)
+    w.u(2, 4)  # frame_num
+    w.u(2, 4)  # poc_lsb
+    w.u(1, 1)  # spatial direct
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.ue(wp["log_y"])
+    w.ue(wp["log_c"])
+    for d in wp["l"]:
+        w.u(1, 1)
+        w.se(d["wy"])
+        w.se(d["oy"])
+        w.u(1, 1)
+        for c in (0, 1):
+            w.se(d["wc"][c])
+            w.se(d["oc"][c])
+    w.se(0)  # qp delta
+    w.ue(1)  # disable deblocking
+    w.ue(2)  # mb_skip_run = 2 (both MBs skip)
+    rbsp = w.rbsp()
+    ref0 = (y, cb, cr)
+    y1 = (y.astype(np.int64) // 2).astype(np.uint8)
+    ref1 = (y1, cb, cr)
+    fy, fcb, fcr = H.decode_b_frame(
+        sps, pps, rbsp, ref0, ref1,
+        col_motion=None)  # intra-style anchor: colZero false
+    d0, d1 = wp["l"]
+
+    def bi(a, b, logwd, w0_, w1_, o0, o1):
+        a, b = a.astype(np.int64), b.astype(np.int64)
+        return np.clip(((a * w0_ + b * w1_ + (1 << logwd))
+                        >> (logwd + 1)) + ((o0 + o1 + 1) >> 1), 0, 255)
+
+    assert np.array_equal(fy, bi(y, y1, wp["log_y"],
+                                 d0["wy"], d1["wy"],
+                                 d0["oy"], d1["oy"]))
+    assert np.array_equal(fcb, bi(cb, cb, wp["log_c"],
+                                  d0["wc"][0], d1["wc"][0],
+                                  d0["oc"][0], d1["oc"][0]))
+    assert np.array_equal(fcr, bi(cr, cr, wp["log_c"],
+                                  d0["wc"][1], d1["wc"][1],
+                                  d0["oc"][1], d1["oc"][1]))
+
+
 def _encode_b_direct_slice(wmb, hmb, plan, frame_num=2, poc_lsb=2):
     """Minimal B-slice writer for direct-mode tests: plan entries are
     ("skip",), ("direct",), or ("l0"/"l1"/"bi", mv0, mv1) 16x16 MBs.
