@@ -323,6 +323,59 @@ def q_h264_b_decode(spark, sf):
         " bcb_sum bigint, bcr_sum bigint")
 
 
+def q_h264_b_temporal(spark, sf):
+    """H.264 TEMPORAL direct mode decode (operators/h264.py,
+    direct_spatial_mv_pred_flag = 0): per doc an IbP stream whose B
+    frame is entirely B_Skip — every MV comes from the spec scaling
+    of the colocated P motion by the picture-order-count distances
+    (tb=2, td=4 ⇒ DistScaleFactor 128, so mvL0 = mvCol/2 and mvL1 =
+    −mvCol/2). P MVs are multiples of 4 full-pel, keeping both
+    derived MVs integer in luma AND chroma, so every B sample is the
+    rounded average of an edge-clamped shift of the I anchor and a
+    COMPOSED double shift through the P anchor — DuckDB replays the
+    whole derivation analytically. Fractional-MV temporal paths and
+    the POC wrap recursion are pinned in tests/test_h264.py."""
+    import pandas as pd
+
+    from montandon_etl_spark.operators import h264 as Hc
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 24).distinct())
+
+    def batches(it):
+        import numpy as np
+        r32 = np.arange(32).reshape(32, 1)
+        c32 = np.arange(32).reshape(1, 32)
+        r16 = np.arange(16).reshape(16, 1)
+        c16 = np.arange(16).reshape(1, 16)
+        wy = (r32 * 32 + c32 + 1).astype(np.int64)
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                y0 = ((d * 31 + r32 * 3 + c32) % 256).astype(np.uint8)
+                cb0 = ((d * 7 + r16 * 5 + c16 * 2) % 256).astype(np.uint8)
+                cr0 = ((d * 13 + r16 * 2 + c16 * 3) % 256).astype(np.uint8)
+                mvs = np.zeros((2, 2, 2), dtype=np.int64)
+                for mby in range(2):
+                    for mbx in range(2):
+                        gx = (d + mbx + mby) % 3 - 1
+                        gy = (d + 2 * mbx + mby) % 3 - 1
+                        mvs[mby, mbx] = (16 * gx, 16 * gy)
+                frames = Hc.decode_annexb_video(
+                    Hc.encode_ipb_direct_stream(y0, cb0, cr0, mvs,
+                                                spatial=False))
+                yb, cbb, crb = [p.astype(np.int64) for p in frames[2]]
+                rows.append((d, int(yb.sum()), int((yb * wy).sum()),
+                             int(cbb.sum()), int(crb.sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "by_sum", "by_wsum", "bcb_sum", "bcr_sum"])
+
+    return ids.mapInPandas(
+        batches, "doc_id bigint, by_sum bigint, by_wsum bigint,"
+        " bcb_sum bigint, bcr_sum bigint")
+
+
 def q_h264_b_weighted(spark, sf):
     """H.264 EXPLICIT WEIGHTED bi-prediction decode
     (operators/h264.py, PPS weighted_bipred_idc = 1): the same IbP
@@ -3692,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "h264_b_temporal": q_h264_b_temporal,
         "h264_b_weighted": q_h264_b_weighted,
         "h264_b_decode": q_h264_b_decode,
         "point_in_polygon": q_point_in_polygon,
@@ -4340,6 +4394,78 @@ def oracle_sql() -> dict[str, str]:
         # frame 0; L1 = a COMPOSED double shift through the P anchor
         # (pixel-dependent P MV of the landing macroblock); Bi = the
         # rounded average. All integer.
+        # Temporal direct: every B MV is the POC scaling of the
+        # colocated P MV (DSF = 128 here: mvL0 = mvCol/2, mvL1 =
+        # -mvCol/2; P MVs are 4g full-pel so luma shifts are 2g and
+        # chroma shifts g, all integer). s0 = clamped shift of the I
+        # anchor; s1 = COMPOSED double shift through the P anchor
+        # (the inner shift read at the L1 position's own macroblock)
+        "h264_b_temporal": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 24),
+            yb AS (
+              SELECT i.doc_id AS d, r.range AS y, c.range AS x,
+                     ((i.doc_id + (c.range // 16) + (r.range // 16))
+                       % 3 - 1) AS g_x,
+                     ((i.doc_id + 2 * (c.range // 16)
+                       + (r.range // 16)) % 3 - 1) AS g_y
+              FROM ids i, range(32) r, range(32) c),
+            y1 AS (
+              SELECT d, y, x,
+                     ((d * 31 + LEAST(GREATEST(y + 2 * g_y, 0), 31) * 3
+                       + LEAST(GREATEST(x + 2 * g_x, 0), 31)) % 256)
+                       AS s0,
+                     LEAST(GREATEST(y - 2 * g_y, 0), 31) AS v,
+                     LEAST(GREATEST(x - 2 * g_x, 0), 31) AS u
+              FROM yb),
+            y2 AS (
+              SELECT d, y, x, s0,
+                     ((d * 31
+                       + LEAST(GREATEST(v + 4 * ((d + 2 * (u // 16)
+                           + (v // 16)) % 3 - 1), 0), 31) * 3
+                       + LEAST(GREATEST(u + 4 * ((d + (u // 16)
+                           + (v // 16)) % 3 - 1), 0), 31)) % 256)
+                       AS s1
+              FROM y1),
+            ysum AS (
+              SELECT d, SUM((s0 + s1 + 1) // 2)::BIGINT AS by_sum,
+                     SUM(((s0 + s1 + 1) // 2)
+                         * (y * 32 + x + 1))::BIGINT AS by_wsum
+              FROM y2 GROUP BY d),
+            cbb AS (
+              SELECT i.doc_id AS d, r.range AS y, c.range AS x,
+                     ((i.doc_id + (c.range // 8) + (r.range // 8))
+                       % 3 - 1) AS g_x,
+                     ((i.doc_id + 2 * (c.range // 8)
+                       + (r.range // 8)) % 3 - 1) AS g_y
+              FROM ids i, range(16) r, range(16) c),
+            c1 AS (
+              SELECT d, y, x,
+                     LEAST(GREATEST(y + g_y, 0), 15) AS r0,
+                     LEAST(GREATEST(x + g_x, 0), 15) AS q0,
+                     LEAST(GREATEST(y - g_y, 0), 15) AS v,
+                     LEAST(GREATEST(x - g_x, 0), 15) AS u
+              FROM cbb),
+            c2 AS (
+              SELECT d, y, x, r0, q0,
+                     LEAST(GREATEST(v + 2 * ((d + 2 * (u // 8)
+                         + (v // 8)) % 3 - 1), 0), 15) AS r1,
+                     LEAST(GREATEST(u + 2 * ((d + (u // 8)
+                         + (v // 8)) % 3 - 1), 0), 15) AS q1
+              FROM c1),
+            csum AS (
+              SELECT d,
+                     SUM(((d * 7 + r0 * 5 + q0 * 2) % 256
+                          + (d * 7 + r1 * 5 + q1 * 2) % 256
+                          + 1) // 2)::BIGINT AS bcb_sum,
+                     SUM(((d * 13 + r0 * 2 + q0 * 3) % 256
+                          + (d * 13 + r1 * 2 + q1 * 3) % 256
+                          + 1) // 2)::BIGINT AS bcr_sum
+              FROM c2 GROUP BY d)
+            SELECT i.doc_id, y.by_sum, y.by_wsum, s.bcb_sum, s.bcr_sum
+            FROM ids i
+            JOIN ysum y ON y.d = i.doc_id
+            JOIN csum s ON s.d = i.doc_id""",
         # Same clamped-shift sample mapping as h264_b_decode, with the
         # explicit weight arithmetic on top (weights/offsets are
         # fixture constants: luma logWD 5, L0 (40,-6), L1 (20,12);

@@ -809,8 +809,9 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     frame_num = r.u(sps["log2_max_frame_num"])
     if idr:
         r.ue()  # idr_pic_id
+    poc_lsb = None
     if sps["poc"]["type"] == 0:
-        r.u(sps["poc"]["log2_max_poc_lsb"])
+        poc_lsb = r.u(sps["poc"]["log2_max_poc_lsb"])
         if pps["bottom_field_poc_present"]:
             r.se()
     if pps["redundant_pic_cnt_present"]:
@@ -879,7 +880,8 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     return r, {"qp": qp, "idr": idr,
                "type": "P" if is_p else ("B" if is_b else "I"),
                "frame_num": frame_num, "wp": wp,
-               "direct_spatial": direct_spatial}
+               "direct_spatial": direct_spatial,
+               "poc_lsb": poc_lsb}
 
 
 def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
@@ -1987,10 +1989,60 @@ def _spatial_direct(mvg, refg, col, gx, gy):
     return {lx for lx in (0, 1) if use[lx]}, mv4
 
 
+def _temporal_direct(col, gx, gy, pocs):
+    """Temporal direct-mode derivation for one 16x16 macroblock
+    (8.4.1.2.3, single-entry short-term lists, 4x4 colocated
+    granularity): both lists predict with refIdx 0; per 4x4 block,
+    mvCol is the colocated block's L0 motion in RefPicList1[0]
+    (zero when the colocated block is intra), and
+
+        mvL0 = (DistScaleFactor * mvCol + 128) >> 8
+        mvL1 = mvL0 - mvCol
+
+    with DistScaleFactor from the POC distances tb = poc(curr) −
+    poc(RefPicList0[0]), td = poc(RefPicList1[0]) − poc(RefPicList0[0])
+    (both clipped to [−128, 127]; tx = (16384 + |td/2|) / td with
+    truncating division, DSF = clip3(−1024, 1023, (tb·tx + 32) >> 6)).
+    td = 0 (coincident anchors) takes the spec fallback mvL0 = mvCol,
+    mvL1 = 0. ``col`` None (an intra colocated picture) means mvCol = 0
+    everywhere — zero-MV bi prediction."""
+    poc_c, poc0, poc1 = pocs
+    tb = min(127, max(-128, poc_c - poc0))
+    td = min(127, max(-128, poc1 - poc0))
+    if td == 0:
+        dsf = None
+    else:
+        q = 16384 + (abs(td) >> 1)
+        tx = q // td if td > 0 else -(q // (-td))
+        dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+    mv4 = {lx: np.zeros((4, 4, 2), dtype=np.int64) for lx in (0, 1)}
+    for by in range(4):
+        for bx in range(4):
+            if col is None:
+                mvc = (0, 0)
+            else:
+                cmv, cref = col
+                if cref[gy + by, gx + bx] < 0:  # intra colocated
+                    mvc = (0, 0)
+                else:
+                    mvc = (int(cmv[gy + by, gx + bx, 0]),
+                           int(cmv[gy + by, gx + bx, 1]))
+            if dsf is None:
+                l0, l1 = mvc, (0, 0)
+            else:
+                l0 = ((dsf * mvc[0] + 128) >> 8,
+                      (dsf * mvc[1] + 128) >> 8)
+                l1 = (l0[0] - mvc[0], l0[1] - mvc[1])
+            mv4[0][by, bx] = l0
+            mv4[1][by, bx] = l1
+    return {0, 1}, mv4
+
+
 def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                    ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
                    ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
-                   col_motion="absent"
+                   col_motion="absent",
+                   pocs: tuple | None = None
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one B slice NAL against two single-entry reference
     lists: ``ref0`` = RefPicList0[0] (the temporally previous
@@ -2004,12 +2056,15 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     entry, exactly as P slices do). MV prediction
     runs per list over per-list (mv, refIdx) grids — partitions not
     using a list contribute refIdx −1 / mv 0 to neighbors exactly as
-    8.4.1.3 requires. B_Skip and B_Direct_16x16 use the SPATIAL
-    direct derivation (_spatial_direct) against ``col_motion`` — the
+    8.4.1.3 requires. B_Skip and B_Direct_16x16 use the direct
+    derivation selected by the slice header — SPATIAL
+    (_spatial_direct) or, with ``direct_spatial_mv_pred_flag = 0``,
+    TEMPORAL (_temporal_direct, which additionally needs ``pocs`` =
+    (poc_curr, poc_ref0, poc_ref1)) — against ``col_motion``, the
     (mv, refIdx) grids of RefPicList1[0] (None = an intra anchor:
-    colZeroFlag false everywhere; the default "absent" sentinel makes
-    direct MBs gate loudly when the caller supplied no motion).
-    B_8x8 gates as H264Unsupported."""
+    colZeroFlag false / mvCol zero everywhere; the default "absent"
+    sentinel makes direct MBs gate loudly when the caller supplied
+    no motion)."""
     r0 = tuple(pl.astype(np.int64) for pl in ref0)
     r1 = tuple(pl.astype(np.int64) for pl in ref1)
     r, sh = parse_slice_header(slice_rbsp, sps, pps)
@@ -2100,14 +2155,17 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                 cpredr[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pr_
 
     def _direct_derive(gx, gy):
-        if not sh["direct_spatial"]:
-            raise H264Unsupported(
-                "temporal direct mode (direct_spatial_mv_pred_flag=0)")
         if isinstance(col_motion, str):
             raise H264Unsupported(
                 "B direct mode without colocated motion (pass "
                 "col_motion=... — the RefPicList1[0] motion grids)")
-        return _spatial_direct(mvg, refg, col_motion, gx, gy)
+        if sh["direct_spatial"]:
+            return _spatial_direct(mvg, refg, col_motion, gx, gy)
+        if pocs is None or any(p is None for p in pocs):
+            raise H264Unsupported(
+                "temporal direct mode without picture order counts "
+                "(pass pocs=(curr, ref0, ref1))")
+        return _temporal_direct(col_motion, gx, gy, pocs)
 
     for mb in range(wmb * hmb):
         mbx, mby = mb % wmb, mb // wmb
@@ -2272,10 +2330,15 @@ def decode_annexb_video(stream: bytes) -> list[
     most recent (RefPicList0[0] = the older, RefPicList1[0] = the
     newer — the IbP pattern where the B sits between its two anchors).
     Non-reference B frames never enter the window, so a following P
-    still predicts from its true anchor."""
+    still predicts from its true anchor. Picture order counts are
+    tracked per 8.2.1 (poc_type 0 with the MSB wrap recursion off the
+    previous REFERENCE picture, reset at IDR; poc_type 2 = 2·frame_num
+    − 1 for non-references) and threaded to B decoding so temporal
+    direct mode has its POC distances."""
     sps = pps = None
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-    refs: list[tuple] = []  # (planes, motion | None | "absent")
+    refs: list[tuple] = []  # (planes, motion | None | "absent", poc)
+    prev_msb = prev_lsb = 0  # poc_type 0 state (8.2.1.1)
     for nal in split_annexb(stream):
         t = nal[0] & 0x1F
         if t == 7:
@@ -2286,6 +2349,26 @@ def decode_annexb_video(stream: bytes) -> list[
             if sps is None or pps is None:
                 raise H264Error("slice before SPS/PPS")
             _, sh = parse_slice_header(nal, sps, pps)
+            is_ref = bool((nal[0] >> 5) & 3)
+            pt = sps["poc"]["type"]
+            if pt == 0:
+                max_lsb = 1 << sps["poc"]["log2_max_poc_lsb"]
+                lsb = sh["poc_lsb"]
+                if sh["idr"]:
+                    prev_msb = prev_lsb = 0
+                if lsb < prev_lsb and (prev_lsb - lsb) >= max_lsb // 2:
+                    msb = prev_msb + max_lsb
+                elif lsb > prev_lsb and (lsb - prev_lsb) > max_lsb // 2:
+                    msb = prev_msb - max_lsb
+                else:
+                    msb = prev_msb
+                poc = msb + lsb
+                if is_ref:
+                    prev_msb, prev_lsb = msb, lsb
+            elif pt == 2:
+                poc = 2 * sh["frame_num"] - (0 if is_ref else 1)
+            else:
+                poc = None  # poc_type 1: direct-mode use would gate
             if sh["type"] == "I":
                 f = decode_i_frame(sps, pps, nal)
                 motion = None  # intra anchor: colZeroFlag false
@@ -2299,11 +2382,12 @@ def decode_annexb_video(stream: bytes) -> list[
                     raise H264Error("B slice needs two reference frames")
                 f = decode_b_frame(sps, pps, nal, refs[-2][0],
                                    refs[-1][0],
-                                   col_motion=refs[-1][1])
+                                   col_motion=refs[-1][1],
+                                   pocs=(poc, refs[-2][2], refs[-1][2]))
                 motion = "absent"  # a B used as colocated would gate
             frames.append(f)
-            if (nal[0] >> 5) & 3:
-                refs = (refs + [(f, motion)])[-2:]
+            if is_ref:
+                refs = (refs + [(f, motion, poc)])[-2:]
     return frames
 
 
@@ -2363,6 +2447,79 @@ _B_MB_INV = {(shape, tuple(frozenset(u) for u in lists)): t
              for t, (shape, lists) in _B_MB.items()}
 
 
+def _write_wp_table(w, wp: dict) -> None:
+    """Write a two-list pred_weight_table (7.3.3.2, single reference
+    per list, every per-ref flag set)."""
+    w.ue(wp["log_y"])
+    w.ue(wp["log_c"])
+    for d in wp["l"]:
+        w.u(1, 1)
+        w.se(d["wy"])
+        w.se(d["oy"])
+        w.u(1, 1)
+        for c in (0, 1):
+            w.se(d["wc"][c])
+            w.se(d["oc"][c])
+
+
+def encode_b_skip_rbsp(wmb: int, hmb: int, spatial: bool = True,
+                       frame_num: int = 2, poc_lsb: int | None = 2,
+                       wp: dict | None = None) -> bytes:
+    """Encode one non-reference B slice that is a single mb_skip_run
+    covering the whole picture — every macroblock B_Skip, so the
+    entire frame reconstructs through the direct derivation selected
+    by ``spatial`` (True = spatial 8.4.1.2.2, False = temporal
+    8.4.1.2.3) with no residual. The temporal form is the closed-form
+    stream for the SQL oracle: with even-full-pel colocated MVs the
+    derived (mvL0, mvL1) = (mvCol/2, −mvCol/2) stay full-pel."""
+    w = _BitWriter()
+    w.u(0x01, 8)  # nal_ref_idc=0, non-IDR slice
+    w.ue(0)  # first_mb
+    w.ue(1)  # slice_type B
+    w.ue(0)  # pps_id
+    w.u(frame_num & 15, 4)
+    if poc_lsb is not None:
+        w.u(poc_lsb & 15, 4)
+    w.u(1 if spatial else 0, 1)  # direct_spatial_mv_pred_flag
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # ref_pic_list_modification_flag_l1
+    if wp is not None:
+        _write_wp_table(w, wp)
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc
+    w.ue(wmb * hmb)  # mb_skip_run = whole picture
+    return w.rbsp()
+
+
+def encode_ipb_direct_stream(y: np.ndarray, cb: np.ndarray,
+                             cr: np.ndarray, mvs_p_qpel: np.ndarray,
+                             spatial: bool = False,
+                             b_wp: dict | None = None) -> bytes:
+    """I_PCM anchor + residual-free P anchor + one all-B_Skip
+    non-reference B between them (decode order I, P, B; poc_type 0
+    with I poc 0, B poc 2, P poc 4) — the direct-mode analogue of
+    ``encode_ipb_stream``. With ``spatial=False`` the B frame
+    exercises TEMPORAL direct: tb = 2, td = 4 ⇒ DistScaleFactor = 128,
+    so each 4x4's (mvL0, mvL1) = ((mvCol + 1) >> 1, mvL0 − mvCol) —
+    for even-full-pel P MVs both stay full-pel and every B sample is
+    a closed form over the two anchors."""
+    hmb, wmb = y.shape[0] // 16, y.shape[1] // 16
+    sps, pps = _seq_header_rbsps(
+        wmb, hmb, max_ref=2, poc_type=0,
+        weighted_bipred_idc=1 if b_wp is not None else 0)
+    sc = b"\x00\x00\x00\x01"
+    return (sc + _ep3b_escape(sps) + sc + _ep3b_escape(pps)
+            + sc + _ep3b_escape(_ipcm_slice_rbsp(y, cb, cr, poc_lsb=0))
+            + sc + _ep3b_escape(encode_p16_rbsp(mvs_p_qpel, frame_num=1,
+                                                poc_lsb=4))
+            + sc + _ep3b_escape(encode_b_skip_rbsp(wmb, hmb,
+                                                   spatial=spatial,
+                                                   frame_num=2,
+                                                   poc_lsb=2,
+                                                   wp=b_wp)))
+
+
 def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
                   frame_num: int = 2, poc_lsb: int | None = None,
                   wp: dict | None = None) -> bytes:
@@ -2390,16 +2547,7 @@ def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # ref_pic_list_modification_flag_l1
     if wp is not None:  # pred_weight_table (weighted_bipred_idc = 1)
-        w.ue(wp["log_y"])
-        w.ue(wp["log_c"])
-        for d in wp["l"]:
-            w.u(1, 1)
-            w.se(d["wy"])
-            w.se(d["oy"])
-            w.u(1, 1)
-            for c in (0, 1):
-                w.se(d["wc"][c])
-                w.se(d["oc"][c])
+        _write_wp_table(w, wp)
     # nal_ref_idc == 0: no dec_ref_pic_marking
     w.se(0)  # slice_qp_delta
     w.ue(1)  # disable_deblocking_filter_idc

@@ -1687,6 +1687,137 @@ def test_weighted_b_direct_and_skip():
                                   d0["oc"][1], d1["oc"][1]))
 
 
+def _temporal_expected_mvs(mvcol, poc_c, poc0, poc1):
+    """Independent transcription of 8.4.1.2.3 for the tests."""
+    tb = min(127, max(-128, poc_c - poc0))
+    td = min(127, max(-128, poc1 - poc0))
+    if td == 0:
+        return mvcol, (0, 0)
+    q = 16384 + (abs(td) >> 1)
+    tx = q // td if td > 0 else -(q // (-td))
+    dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+    l0 = ((dsf * mvcol[0] + 128) >> 8, (dsf * mvcol[1] + 128) >> 8)
+    return l0, (l0[0] - mvcol[0], l0[1] - mvcol[1])
+
+
+def test_temporal_direct_unit():
+    """_temporal_direct against hand-computed spec values: tb=2 td=4
+    gives DistScaleFactor 128; odd mvCol components round per
+    (128·mv + 128) >> 8; intra colocated blocks contribute mvCol 0;
+    td=0 takes the mvL0=mvCol / mvL1=0 fallback."""
+    cmv = np.zeros((4, 4, 2), dtype=np.int64)
+    cref = np.zeros((4, 4), dtype=np.int64)
+    cmv[0, 0] = (5, -7)
+    cmv[0, 1] = (8, 8)
+    cref[1, 1] = -1  # intra colocated
+    cmv[1, 1] = (99, 99)  # must be ignored
+    used, mv4 = H._temporal_direct((cmv, cref), 0, 0, (2, 0, 4))
+    assert used == {0, 1}
+    # (5,-7): mvL0 = ((128*5+128)>>8, (128*-7+128)>>8) = (3, -3)
+    assert tuple(mv4[0][0, 0]) == (3, -3)
+    assert tuple(mv4[1][0, 0]) == (3 - 5, -3 + 7)
+    assert tuple(mv4[0][0, 1]) == (4, 4)
+    assert tuple(mv4[1][0, 1]) == (-4, -4)
+    assert tuple(mv4[0][1, 1]) == (0, 0)
+    assert tuple(mv4[1][1, 1]) == (0, 0)
+    # td = 0 fallback
+    used0, mv40 = H._temporal_direct((cmv, cref), 0, 0, (2, 4, 4))
+    assert tuple(mv40[0][0, 0]) == (5, -7)
+    assert tuple(mv40[1][0, 0]) == (0, 0)
+    # col None: zero motion everywhere
+    usedn, mv4n = H._temporal_direct(None, 0, 0, (2, 0, 4))
+    assert (mv4n[0] == 0).all() and (mv4n[1] == 0).all()
+
+
+def test_b_temporal_direct_end_to_end():
+    """Temporal direct through the full stream decoder
+    (encode_ipb_direct_stream spatial=False): per MB, the derived
+    (mvL0, mvL1) come from the spec scaling of the colocated P MV
+    (incl. fractional results from odd-qpel colocated MVs), the
+    prediction is the rounded average of both anchors' scalar-MC
+    resamples — POCs tracked from the slice headers (I 0, P 4, B 2:
+    tb=2, td=4, DSF=128)."""
+    rng = np.random.default_rng(51)
+    wmb, hmb = 4, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mvs_p = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            # a mix of even/odd qpel so derived MVs hit fractional taps
+            mvs_p[mby, mbx] = ((mbx * 7 + mby * 3) % 17 - 8,
+                               (mbx * 5 - mby * 9) % 13 - 6)
+    stream = H.encode_ipb_direct_stream(y, cb, cr, mvs_p,
+                                        spatial=False)
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 3
+    ref0 = tuple(pl.astype(np.int64) for pl in frames[0])
+    ref1 = tuple(pl.astype(np.int64) for pl in frames[1])
+    fy, fcb, fcr = (pl.astype(np.int64) for pl in frames[2])
+    for mb in range(wmb * hmb):
+        mbx, mby = mb % wmb, mb // wmb
+        mvcol = tuple(int(v) for v in mvs_p[mby, mbx])
+        l0, l1 = _temporal_expected_mvs(mvcol, 2, 0, 4)
+        x0, y0 = mbx * 16, mby * 16
+        w0 = scalar_mc_luma(ref0[0], x0, y0, 16, 16, *l0)
+        w1 = scalar_mc_luma(ref1[0], x0, y0, 16, 16, *l1)
+        assert np.array_equal(fy[y0:y0 + 16, x0:x0 + 16],
+                              (w0 + w1 + 1) >> 1), (mb, mvcol, l0, l1)
+        for plane, got in ((1, fcb), (2, fcr)):
+            c0 = scalar_mc_chroma(ref0[plane], x0 // 2, y0 // 2,
+                                  8, 8, *l0)
+            c1 = scalar_mc_chroma(ref1[plane], x0 // 2, y0 // 2,
+                                  8, 8, *l1)
+            assert np.array_equal(
+                got[y0 // 2:y0 // 2 + 8, x0 // 2:x0 // 2 + 8],
+                (c0 + c1 + 1) >> 1), (mb, plane)
+
+
+def test_b_temporal_direct_poc_wrap():
+    """POC MSB wrap (8.2.1.1): a stream whose poc_lsb wraps its 4-bit
+    range — I lsb 0, P lsb 14, P lsb 2 (⇒ poc 18), B lsb 0 (⇒ poc 16,
+    between the anchors at 14 and 18: tb=2, td=4) — must decode the
+    temporal-direct B against the correct anchors with DSF 128."""
+    rng = np.random.default_rng(52)
+    wmb, hmb = 2, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=2, poc_type=0)
+    sc = b"\x00\x00\x00\x01"
+    mv1 = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    mv2 = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            mv1[mby, mbx] = (4 * (mbx - 1), 4 * (mby - 1))
+            mv2[mby, mbx] = ((mbx * 9 + mby) % 11 - 5,
+                             (mby * 7 - mbx) % 9 - 4)
+    stream = (sc + H._ep3b_escape(sps_r) + sc + H._ep3b_escape(pps_r)
+              + sc + H._ep3b_escape(H._ipcm_slice_rbsp(y, cb, cr,
+                                                       poc_lsb=0))
+              + sc + H._ep3b_escape(H.encode_p16_rbsp(
+                  mv1, frame_num=1, poc_lsb=14))
+              + sc + H._ep3b_escape(H.encode_p16_rbsp(
+                  mv2, frame_num=2, poc_lsb=2))
+              + sc + H._ep3b_escape(H.encode_b_skip_rbsp(
+                  wmb, hmb, spatial=False, frame_num=3, poc_lsb=0)))
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 4
+    refa = frames[1][0].astype(np.int64)  # P at poc 14 = list 0
+    refb = frames[2][0].astype(np.int64)  # P at poc 18 = list 1
+    fy = frames[3][0].astype(np.int64)
+    for mb in range(wmb * hmb):
+        mbx, mby = mb % wmb, mb // wmb
+        mvcol = tuple(int(v) for v in mv2[mby, mbx])
+        l0, l1 = _temporal_expected_mvs(mvcol, 16, 14, 18)
+        x0, y0 = mbx * 16, mby * 16
+        w0 = scalar_mc_luma(refa, x0, y0, 16, 16, *l0)
+        w1 = scalar_mc_luma(refb, x0, y0, 16, 16, *l1)
+        assert np.array_equal(fy[y0:y0 + 16, x0:x0 + 16],
+                              (w0 + w1 + 1) >> 1), (mb, mvcol)
+
+
 def _encode_b_direct_slice(wmb, hmb, plan, frame_num=2, poc_lsb=2):
     """Minimal B-slice writer for direct-mode tests: plan entries are
     ("skip",), ("direct",), or ("l0"/"l1"/"bi", mv0, mv1) 16x16 MBs.
