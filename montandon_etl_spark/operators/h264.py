@@ -10,10 +10,11 @@ prediction modes, most-probable-mode coding, Table 9-4 CBP, per-8x8
 residual gating, above-right substitution) and I_PCM. frame_mbs_only,
 4:2:0, 8-bit — i.e. a complete constrained-baseline INTRA decoder,
 extended with single-reference P and B slice decode (every explicit
-partition shape, spatial direct / skip, explicit weighted prediction
-for P and — ``weighted_bipred_idc = 1`` — for B).
+partition shape, spatial AND temporal direct / skip with picture-
+order-count tracking, explicit weighted prediction for P and B,
+implicit POC-derived bi-prediction weights).
 Loudly gated (``H264Unsupported``): CABAC, multi-reference lists,
-temporal direct, implicit weighted bi-prediction, interlace,
+interlace,
 high-profile tools, and the in-loop deblocking filter (decode
 requires streams signalling ``disable_deblocking_filter_idc = 1`` —
 with the filter enabled the pre-filter reconstruction would silently
@@ -833,8 +834,6 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             raise H264Unsupported("ref pic list modification")
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
             raise H264Unsupported("ref pic list modification (L1)")
-        if is_b and pps["weighted_bipred_idc"] == 2:
-            raise H264Unsupported("implicit weighted bi-prediction")
     wp = None
     if (is_p and pps["weighted_pred"]) or \
             (is_b and pps["weighted_bipred_idc"] == 1):
@@ -1989,6 +1988,28 @@ def _spatial_direct(mvg, refg, col, gx, gy):
     return {lx for lx in (0, 1) if use[lx]}, mv4
 
 
+def _implicit_weights(pocs) -> tuple[int, int]:
+    """Implicit weighted bi-prediction weights (8.4.2.3.1, short-term
+    single-entry lists): w1 = DistScaleFactor >> 2 and w0 = 64 − w1
+    from the POC distances tb = poc(curr) − poc(ref0), td = poc(ref1)
+    − poc(ref0); the default (32, 32) applies when the anchors share
+    a POC or the scaled weight leaves [−64, 128]. logWD is fixed at
+    5 and both offsets at 0 (long-term references — the other default
+    trigger — do not exist in this decoder)."""
+    poc_c, poc0, poc1 = pocs
+    tb = min(127, max(-128, poc_c - poc0))
+    td = min(127, max(-128, poc1 - poc0))
+    if td == 0:
+        return 32, 32
+    q = 16384 + (abs(td) >> 1)
+    tx = q // td if td > 0 else -(q // (-td))
+    dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
 def _temporal_direct(col, gx, gy, pocs):
     """Temporal direct-mode derivation for one 16x16 macroblock
     (8.4.1.2.3, single-entry short-term lists, 4x4 colocated
@@ -2087,14 +2108,30 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
             1: np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)}
     qp = sh["qp"]
     wp = sh.get("wp")
+    imp_w = None
+    if pps["weighted_bipred_idc"] == 2:
+        if pocs is None or any(p is None for p in pocs):
+            raise H264Unsupported(
+                "implicit weighted bi-prediction without picture "
+                "order counts (pass pocs=(curr, ref0, ref1))")
+        imp_w = _implicit_weights(pocs)
     pending: int | None = None
 
     def _combine(used_sorted, acc):
-        """Sample combination per 8.4.2.3.2: the default bi average,
-        or — when the PPS set ``weighted_bipred_idc = 1`` — explicit
-        weighted prediction (uni parts weight by their list's (w, o)
-        via the shared `_weight`; bi combines both lists at logWD+1
-        with the rounded offset average, eq. 8-274)."""
+        """Sample combination per 8.4.2.3.2: the default bi average;
+        with ``weighted_bipred_idc = 1`` the explicit weighted
+        prediction (uni parts weight by their list's (w, o) via the
+        shared `_weight`; bi combines both lists at logWD+1 with the
+        rounded offset average, eq. 8-274); with ``= 2`` the implicit
+        POC-distance weights (bi parts only — uni parts stay
+        unweighted, logWD 5, zero offsets)."""
+        if imp_w is not None:
+            if len(acc) == 1:
+                return acc[0]
+            w0, w1 = imp_w
+            return tuple(
+                np.clip((a * w0 + b * w1 + 32) >> 6, 0, 255)
+                for a, b in zip(acc[0], acc[1]))
         if wp is None:
             if len(acc) == 1:
                 return acc[0]
@@ -2606,23 +2643,32 @@ def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
 def encode_ipb_stream(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                       mvs_p_qpel: np.ndarray,
                       b_specs: list,
-                      b_wp: dict | None = None) -> bytes:
+                      b_wp: dict | None = None,
+                      implicit_bipred: bool = False,
+                      poc_lsbs: tuple = (0, 4, 2)) -> bytes:
     """I_PCM anchor + residual-free P anchor + one non-reference B
     frame between them (the IbP pattern in decode order I, P, B):
-    a three-frame Annex-B stream, poc_type 0 (I poc 0, B poc 2,
-    P poc 4) so the output order is expressible. Every B sample is a
-    closed-form function of the two losslessly-known anchors."""
+    a three-frame Annex-B stream, poc_type 0 (default POCs: I 0,
+    B 2, P 4 — ``poc_lsbs`` is (I, P, B) order) so the output order
+    is expressible. Every B sample is a closed-form function of the
+    two losslessly-known anchors. ``b_wp`` turns on explicit weighted
+    bi-prediction (idc 1), ``implicit_bipred`` the POC-derived
+    implicit weights (idc 2, mutually exclusive with ``b_wp``)."""
+    if b_wp is not None and implicit_bipred:
+        raise ValueError("b_wp and implicit_bipred are exclusive")
     hmb, wmb = y.shape[0] // 16, y.shape[1] // 16
-    sps, pps = _seq_header_rbsps(
-        wmb, hmb, max_ref=2, poc_type=0,
-        weighted_bipred_idc=1 if b_wp is not None else 0)
+    idc = 1 if b_wp is not None else (2 if implicit_bipred else 0)
+    sps, pps = _seq_header_rbsps(wmb, hmb, max_ref=2, poc_type=0,
+                                 weighted_bipred_idc=idc)
     sc = b"\x00\x00\x00\x01"
     return (sc + _ep3b_escape(sps) + sc + _ep3b_escape(pps)
-            + sc + _ep3b_escape(_ipcm_slice_rbsp(y, cb, cr, poc_lsb=0))
+            + sc + _ep3b_escape(_ipcm_slice_rbsp(y, cb, cr,
+                                                 poc_lsb=poc_lsbs[0]))
             + sc + _ep3b_escape(encode_p16_rbsp(mvs_p_qpel, frame_num=1,
-                                                poc_lsb=4))
+                                                poc_lsb=poc_lsbs[1]))
             + sc + _ep3b_escape(encode_b_rbsp(b_specs, wmb, hmb,
-                                              frame_num=2, poc_lsb=2,
+                                              frame_num=2,
+                                              poc_lsb=poc_lsbs[2],
                                               wp=b_wp)))
 
 

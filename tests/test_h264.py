@@ -1687,6 +1687,68 @@ def test_weighted_b_direct_and_skip():
                                   d0["oc"][1], d1["oc"][1]))
 
 
+def test_implicit_weights_unit():
+    """8.4.2.3.1 weight derivation: symmetric anchors give (32, 32)
+    — which also makes eq. (p0·32 + p1·32 + 32) >> 6 equal the
+    default rounded average; a B twice as close to ref0 gives
+    (48, 16); td = 0 and out-of-range scaled weights default."""
+    assert H._implicit_weights((2, 0, 4)) == (32, 32)
+    assert H._implicit_weights((2, 0, 8)) == (48, 16)
+    assert H._implicit_weights((6, 0, 8)) == (16, 48)
+    assert H._implicit_weights((2, 4, 4)) == (32, 32)   # td = 0
+    assert H._implicit_weights((100, 0, 1)) == (32, 32)  # w1 > 128
+
+
+def test_implicit_biprediction_b():
+    """Implicit weighted bi-prediction end-to-end (PPS
+    weighted_bipred_idc = 2): POCs I 0, B 2, P 8 give (w0, w1) =
+    (48, 16); bi parts must equal ((p0·48 + p1·16 + 32) >> 6) over
+    the scalar-MC interpolations, uni parts stay UNWEIGHTED."""
+    rng = np.random.default_rng(53)
+    wmb, hmb = 3, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mvs_p = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            mvs_p[mby, mbx] = ((mbx * 3 + mby) % 7 - 3,
+                               (mbx - mby * 2) % 5 - 2)
+    combos = [{0}, {1}, {0, 1}]
+    specs = []
+    for mb in range(wmb * hmb):
+        used = combos[mb % 3]
+        mv0 = ((mb * 5) % 13 - 6, (mb * 7) % 11 - 5)
+        mv1 = ((mb * 3) % 9 - 4, (mb * 11) % 15 - 7)
+        specs.append(("16x16", [(used, mv0, mv1)]))
+    stream = H.encode_ipb_stream(y, cb, cr, mvs_p, specs,
+                                 implicit_bipred=True,
+                                 poc_lsbs=(0, 8, 2))
+    frames = H.decode_annexb_video(stream)
+    ref0 = tuple(pl.astype(np.int64) for pl in frames[0])
+    ref1 = tuple(pl.astype(np.int64) for pl in frames[1])
+    fpl = [pl.astype(np.int64) for pl in frames[2]]
+    for mb, (_, [(used, mv0, mv1)]) in enumerate(specs):
+        mbx, mby = mb % wmb, mb // wmb
+        x0, y0 = mbx * 16, mby * 16
+        for plane, (cx0, cy0, cw, chroma) in (
+                (0, (x0, y0, 16, False)),
+                (1, (x0 // 2, y0 // 2, 8, True)),
+                (2, (x0 // 2, y0 // 2, 8, True))):
+            mc = scalar_mc_chroma if chroma else scalar_mc_luma
+            px, py = cx0, cy0
+            if used == {0, 1}:
+                p0 = mc(ref0[plane], px, py, cw, cw, *mv0)
+                p1 = mc(ref1[plane], px, py, cw, cw, *mv1)
+                want = np.clip((p0 * 48 + p1 * 16 + 32) >> 6, 0, 255)
+            elif used == {0}:
+                want = mc(ref0[plane], px, py, cw, cw, *mv0)
+            else:
+                want = mc(ref1[plane], px, py, cw, cw, *mv1)
+            got = fpl[plane][py:py + cw, px:px + cw]
+            assert np.array_equal(got, want), (mb, used, plane)
+
+
 def _temporal_expected_mvs(mvcol, poc_c, poc0, poc1):
     """Independent transcription of 8.4.1.2.3 for the tests."""
     tb = min(127, max(-128, poc_c - poc0))
