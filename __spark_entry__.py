@@ -3802,9 +3802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
-        "h264_b_implicit": q_h264_b_implicit,
         "h264_b_temporal": q_h264_b_temporal,
-        "h264_b_weighted": q_h264_b_weighted,
         "h264_b_decode": q_h264_b_decode,
         "point_in_polygon": q_point_in_polygon,
         "c4_clean": q_c4_clean,
@@ -3891,7 +3889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zorder_pruned_scan; sequence_pack ↔ sequence_pack_stats;
         # dup_spans ↔ strip_dup_spans; semantic_dedup ↔
         # incremental_semantic_dedup; token_shards_roundtrip ↔
-        # incremental_token_shards) — all stay pytest-parity-exact.
+        # incremental_token_shards; h264_b_weighted/h264_b_implicit ↔
+        # h264_b_temporal + h264_b_decode — the same IbP closed-form
+        # fixture family) — all stay pytest-parity-exact.
+        "h264_b_weighted": q_h264_b_weighted,
+        "h264_b_implicit": q_h264_b_implicit,
         "ann_topk_pq": q_ann_topk_pq,
         "h264_pcm_decode": q_h264_pcm_decode,
         "simplify_polygons": q_simplify_polygons,
