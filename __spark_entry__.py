@@ -3808,7 +3808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "cdx_index": q_cdx_index,
         "incremental_wet_export": q_incremental_wet_export,
-        "wet_export": q_wet_export,
         "wat_links": q_wat_links,
         "sequence_gap_audit": q_sequence_gap_audit,
         "bucket_checksums": q_bucket_checksums,
@@ -3891,7 +3890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental_semantic_dedup; token_shards_roundtrip ↔
         # incremental_token_shards; h264_b_weighted/h264_b_implicit ↔
         # h264_b_temporal + h264_b_decode — the same IbP closed-form
-        # fixture family) — all stay pytest-parity-exact.
+        # fixture family; wet_export ↔ incremental_wet_export — the
+        # incremental query is byte-identical-to-full by construction
+        # and the stronger row) — all stay pytest-parity-exact.
+        "wet_export": q_wet_export,
         "h264_b_weighted": q_h264_b_weighted,
         "h264_b_implicit": q_h264_b_implicit,
         "ann_topk_pq": q_ann_topk_pq,
