@@ -323,6 +323,51 @@ def q_h264_b_decode(spark, sf):
         " bcb_sum bigint, bcr_sum bigint")
 
 
+def q_flac_roundtrip(spark, sf):
+    """FLAC lossless round trip as a distributed operator
+    (operators/flac.py): per doc a closed-form stereo signal is
+    encoded through the REAL bit-level codec — mid/side
+    decorrelation, fixed predictors, Rice-coded residuals with
+    2 partitions, frame CRCs — and decoded back by
+    ``flac_features`` (scan-local mapInPandas, MD5-verified).
+    Losslessness makes the oracle the source formula itself: any
+    bit-layout, predictor, Rice or CRC bug breaks value equality.
+    Subframe/stereo/partition coverage is pinned in
+    tests/test_flac.py."""
+    from montandon_etl_spark.operators.flac import (encode_flac,
+                                                    flac_features)
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 20).distinct())
+
+    def enc(it):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 700 + (d % 3) * 256
+                i = np.arange(n, dtype=np.int64)
+                left = (d * 31 + i * i * 3 + i * 7) % 4001 - 2000
+                right = (d * 17 + i * 5) % 3001 - 1500
+                st = np.stack([left, right], axis=1)
+                rows.append((d, bytearray(encode_flac(
+                    st, stereo_mode="mid_side", block_size=256,
+                    partition_order=1))))
+            yield pd.DataFrame(rows, columns=["id", "data"])
+
+    clips = ids.mapInPandas(enc, "id bigint, data binary")
+    feats = flac_features(clips)
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_samples"),
+        F.col("c1_sum").alias("l_sum"),
+        F.col("c1_wsum").alias("l_wsum"),
+        F.col("c2_sum").alias("r_sum"),
+        F.col("c2_peak").alias("r_peak"))
+
+
 def q_h264_b_implicit(spark, sf):
     """H.264 IMPLICIT weighted bi-prediction decode
     (operators/h264.py, PPS weighted_bipred_idc = 2): the
@@ -3802,8 +3847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "flac_roundtrip": q_flac_roundtrip,
         "h264_b_temporal": q_h264_b_temporal,
-        "h264_b_decode": q_h264_b_decode,
         "point_in_polygon": q_point_in_polygon,
         "c4_clean": q_c4_clean,
         "cdx_index": q_cdx_index,
@@ -3890,10 +3935,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental_semantic_dedup; token_shards_roundtrip ↔
         # incremental_token_shards; h264_b_weighted/h264_b_implicit ↔
         # h264_b_temporal + h264_b_decode — the same IbP closed-form
-        # fixture family; wet_export ↔ incremental_wet_export — the
+        # fixture family, and h264_b_decode ↔ h264_b_temporal — same
+        # fixture, temporal additionally covers POC + direct;
+        # wet_export ↔ incremental_wet_export — the
         # incremental query is byte-identical-to-full by construction
         # and the stronger row) — all stay pytest-parity-exact.
         "wet_export": q_wet_export,
+        "h264_b_decode": q_h264_b_decode,
         "h264_b_weighted": q_h264_b_weighted,
         "h264_b_implicit": q_h264_b_implicit,
         "ann_topk_pq": q_ann_topk_pq,
@@ -4456,6 +4504,27 @@ def oracle_sql() -> dict[str, str]:
         # frame 0; L1 = a COMPOSED double shift through the P anchor
         # (pixel-dependent P MV of the landing macroblock); Bi = the
         # rounded average. All integer.
+        # FLAC is lossless, so the oracle IS the synthesized signal:
+        # the Spark side must survive mid/side decorrelation, fixed
+        # prediction, Rice partitions and both CRCs to match it
+        "flac_roundtrip": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 20),
+            s AS (
+              SELECT i.doc_id AS d, r.range AS i,
+                     ((i.doc_id * 31 + r.range * r.range * 3
+                       + r.range * 7) % 4001) - 2000 AS l,
+                     ((i.doc_id * 17 + r.range * 5) % 3001) - 1500
+                       AS r
+              FROM ids i, range(1212) r
+              WHERE r.range < 700 + (i.doc_id % 3) * 256)
+            SELECT d AS doc_id,
+                   COUNT(*)::BIGINT AS n_samples,
+                   SUM(l)::BIGINT AS l_sum,
+                   SUM(l * (i + 1))::BIGINT AS l_wsum,
+                   SUM(r)::BIGINT AS r_sum,
+                   MAX(ABS(r))::BIGINT AS r_peak
+            FROM s GROUP BY d""",
         # Implicit weighted bi: the h264_b_decode mapping with the bi
         # arm replaced by the POC-derived (48, 16) weights at logWD 5
         # (uni arms unchanged — implicit weighting is bi-only)
