@@ -323,6 +323,56 @@ def q_h264_b_decode(spark, sf):
         " bcb_sum bigint, bcr_sum bigint")
 
 
+def q_gif_decode(spark, sf):
+    """GIF lossless round trip as a distributed operator
+    (operators/gif.py): per doc a closed-form 16-color index image is
+    encoded INTERLACED through the real variable-width LZW compressor
+    and decoded back scan-local (mapInPandas) — palette mapping,
+    four-pass interlace schedule, dictionary growth and sub-block
+    framing must all be right for the RGB checksums to match the
+    oracle, which replays the closed form directly (the same
+    losslessness lever as flac_roundtrip / h264_pcm_decode).
+    Dictionary-full clears, KwKwK and disposal/transparency
+    compositing are pinned in tests/test_gif.py."""
+    from montandon_etl_spark.operators.gif import (decode_gif,
+                                                   encode_gif)
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 24).distinct())
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = 24 + d % 5, 40 + d % 3
+                yy = np.arange(h).reshape(h, 1)
+                xx = np.arange(w).reshape(1, w)
+                idx = (d + 3 * xx + 5 * yy) % 16
+                k = np.arange(16, dtype=np.int64)
+                pal = np.stack([(d * 7 + k * 37) % 256,
+                                (d * 11 + k * 59) % 256,
+                                (d * 13 + k * 83) % 256],
+                               axis=1).astype(np.uint8)
+                frames, meta = decode_gif(
+                    encode_gif([idx], pal, interlace=True))
+                f = frames[0].astype(np.int64)
+                wts = (yy * 64 + xx + 1).astype(np.int64)
+                rows.append((d, int(meta["width"] * meta["height"]),
+                             int(f[:, :, 0].sum()),
+                             int(f[:, :, 1].sum()),
+                             int(f[:, :, 2].sum()),
+                             int((f[:, :, 0] * wts).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_px", "r_sum", "g_sum", "b_sum", "r_wsum"])
+
+    return ids.mapInPandas(
+        batches, "doc_id bigint, n_px bigint, r_sum bigint,"
+        " g_sum bigint, b_sum bigint, r_wsum bigint")
+
+
 def q_flac_roundtrip(spark, sf):
     """FLAC lossless round trip as a distributed operator
     (operators/flac.py): per doc a closed-form stereo signal is
@@ -3847,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "gif_decode": q_gif_decode,
         "flac_roundtrip": q_flac_roundtrip,
         "h264_b_temporal": q_h264_b_temporal,
         "point_in_polygon": q_point_in_polygon,
@@ -3874,7 +3925,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_p_decode": q_h264_p_decode,
         "snapshot_diff": q_snapshot_diff,
         "incremental_token_shards": q_incremental_token_shards,
-        "bpe_merges": q_bpe_merges,
         "audio_near_dup": q_audio_near_dup,
         "audio_frame_features": q_audio_frame_features,
         "bm25_topk": q_bm25_topk,
@@ -3937,10 +3987,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # h264_b_temporal + h264_b_decode — the same IbP closed-form
         # fixture family, and h264_b_decode ↔ h264_b_temporal — same
         # fixture, temporal additionally covers POC + direct;
-        # wet_export ↔ incremental_wet_export — the
+        # bpe_merges ↔ bpe_tokenize — tokenize runs the SAME training
+        # then encodes with it, so a wrong merge table shifts its
+        # values; wet_export ↔ incremental_wet_export — the
         # incremental query is byte-identical-to-full by construction
         # and the stronger row) — all stay pytest-parity-exact.
         "wet_export": q_wet_export,
+        "bpe_merges": q_bpe_merges,
         "h264_b_decode": q_h264_b_decode,
         "h264_b_weighted": q_h264_b_weighted,
         "h264_b_implicit": q_h264_b_implicit,
@@ -4504,6 +4557,26 @@ def oracle_sql() -> dict[str, str]:
         # frame 0; L1 = a COMPOSED double shift through the P anchor
         # (pixel-dependent P MV of the landing macroblock); Bi = the
         # rounded average. All integer.
+        # GIF is lossless, so the oracle replays the closed-form
+        # index image + palette directly — the Spark side must
+        # survive LZW, interlacing and sub-block framing to match
+        "gif_decode": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 24),
+            px AS (
+              SELECT i.doc_id AS d, y.range AS y, x.range AS x,
+                     (i.doc_id + 3 * x.range + 5 * y.range) % 16 AS k
+              FROM ids i, range(29) y, range(43) x
+              WHERE y.range < 24 + i.doc_id % 5
+                AND x.range < 40 + i.doc_id % 3)
+            SELECT d AS doc_id,
+                   COUNT(*)::BIGINT AS n_px,
+                   SUM((d * 7 + k * 37) % 256)::BIGINT AS r_sum,
+                   SUM((d * 11 + k * 59) % 256)::BIGINT AS g_sum,
+                   SUM((d * 13 + k * 83) % 256)::BIGINT AS b_sum,
+                   SUM(((d * 7 + k * 37) % 256)
+                       * (y * 64 + x + 1))::BIGINT AS r_wsum
+            FROM px GROUP BY d""",
         # FLAC is lossless, so the oracle IS the synthesized signal:
         # the Spark side must survive mid/side decorrelation, fixed
         # prediction, Rice partitions and both CRCs to match it

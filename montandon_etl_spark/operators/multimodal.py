@@ -271,13 +271,18 @@ def _pixel_features(aid, w, h, mode, px, tw, th):
 
 
 def _decode_any_image(b: bytes):
-    """Magic-byte dispatch: PNM (P5/P6), PNG, or baseline JPEG."""
+    """Magic-byte dispatch: PNM (P5/P6), PNG, GIF, or baseline JPEG."""
     if b[:8] == _PNG_MAGIC:
         return _parse_png(b)
     if b[:2] == b"\xff\xd8":
         from montandon_etl_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:4] == b"GIF8":
+        from montandon_etl_spark.operators.gif import (
+            decode_gif_first_frame)
+
+        return decode_gif_first_frame(b)
     return _parse_pnm(b)
 
 
