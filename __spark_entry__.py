@@ -323,6 +323,73 @@ def q_h264_b_decode(spark, sf):
         " bcb_sum bigint, bcr_sum bigint")
 
 
+def q_h264_p_multiref(spark, sf):
+    """H.264 MULTI-REFERENCE P decode (operators/h264.py): per doc an
+    I-P-P stream whose second P slice activates TWO references — each
+    macroblock's te(v)-coded ref_idx_l0 picks the I anchor (ref 1) or
+    the first P (ref 0, most recent). Even-integer MVs keep every
+    sample a closed form: a clamped shift of the I anchor, or a
+    COMPOSED double shift through the first P — the oracle replays
+    both per the same ref_idx selector. Fractional MVs, partition
+    shapes with per-partition refs, three-reference te(v)=ue and the
+    remaining gates are pinned in tests/test_h264.py."""
+    import pandas as pd
+
+    from montandon_etl_spark.operators import h264 as Hc
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 24).distinct())
+
+    def batches(it):
+        import numpy as np
+        r32 = np.arange(32).reshape(32, 1)
+        c32 = np.arange(32).reshape(1, 32)
+        r16 = np.arange(16).reshape(16, 1)
+        c16 = np.arange(16).reshape(1, 16)
+        wy = (r32 * 32 + c32 + 1).astype(np.int64)
+        sc = b"\x00\x00\x00\x01"
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                y0 = ((d * 31 + r32 * 3 + c32) % 256).astype(np.uint8)
+                cb0 = ((d * 7 + r16 * 5 + c16 * 2) % 256).astype(np.uint8)
+                cr0 = ((d * 13 + r16 * 2 + c16 * 3) % 256).astype(np.uint8)
+                mv1 = np.zeros((2, 2, 2), dtype=np.int64)
+                mv2 = np.zeros((2, 2, 2), dtype=np.int64)
+                ri2 = np.zeros((2, 2), dtype=np.int64)
+                for mby in range(2):
+                    for mbx in range(2):
+                        mv1[mby, mbx] = (
+                            8 * ((d + mbx + mby) % 3 - 1),
+                            8 * ((d + 2 * mbx + mby) % 3 - 1))
+                        mv2[mby, mbx] = (
+                            8 * ((d + mbx + 1) % 3 - 1),
+                            8 * ((d + 2 * mby + 1) % 3 - 1))
+                        ri2[mby, mbx] = (d + mbx + mby) % 2
+                sps, pps = Hc._seq_header_rbsps(2, 2, max_ref=2)
+                stream = (
+                    sc + Hc._ep3b_escape(sps)
+                    + sc + Hc._ep3b_escape(pps)
+                    + sc + Hc._ep3b_escape(
+                        Hc._ipcm_slice_rbsp(y0, cb0, cr0))
+                    + sc + Hc._ep3b_escape(
+                        Hc.encode_p16_rbsp(mv1, frame_num=1))
+                    + sc + Hc._ep3b_escape(
+                        Hc.encode_p16_rbsp(mv2, frame_num=2,
+                                           n_refs=2, refs_idx=ri2)))
+                frames = Hc.decode_annexb_video(stream)
+                yb, cbb, crb = [p.astype(np.int64) for p in frames[2]]
+                rows.append((d, int(yb.sum()), int((yb * wy).sum()),
+                             int(cbb.sum()), int(crb.sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "by_sum", "by_wsum", "bcb_sum", "bcr_sum"])
+
+    return ids.mapInPandas(
+        batches, "doc_id bigint, by_sum bigint, by_wsum bigint,"
+        " bcb_sum bigint, bcr_sum bigint")
+
+
 def q_gif_decode(spark, sf):
     """GIF lossless round trip as a distributed operator
     (operators/gif.py): per doc a closed-form 16-color index image is
@@ -3897,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "h264_p_multiref": q_h264_p_multiref,
         "gif_decode": q_gif_decode,
         "flac_roundtrip": q_flac_roundtrip,
         "h264_b_temporal": q_h264_b_temporal,
@@ -3922,7 +3990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_image_near_dup": q_incremental_image_near_dup,
         "robots_gate": q_robots_gate,
         "corpus_report": q_corpus_report,
-        "h264_p_decode": q_h264_p_decode,
         "snapshot_diff": q_snapshot_diff,
         "incremental_token_shards": q_incremental_token_shards,
         "audio_near_dup": q_audio_near_dup,
@@ -3987,12 +4054,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # h264_b_temporal + h264_b_decode — the same IbP closed-form
         # fixture family, and h264_b_decode ↔ h264_b_temporal — same
         # fixture, temporal additionally covers POC + direct;
+        # h264_p_decode ↔ h264_p_multiref — the multiref query runs
+        # the same P decode path plus te(v) reference selection;
         # bpe_merges ↔ bpe_tokenize — tokenize runs the SAME training
         # then encodes with it, so a wrong merge table shifts its
         # values; wet_export ↔ incremental_wet_export — the
         # incremental query is byte-identical-to-full by construction
         # and the stronger row) — all stay pytest-parity-exact.
         "wet_export": q_wet_export,
+        "h264_p_decode": q_h264_p_decode,
         "bpe_merges": q_bpe_merges,
         "h264_b_decode": q_h264_b_decode,
         "h264_b_weighted": q_h264_b_weighted,
@@ -4557,6 +4627,80 @@ def oracle_sql() -> dict[str, str]:
         # frame 0; L1 = a COMPOSED double shift through the P anchor
         # (pixel-dependent P MV of the landing macroblock); Bi = the
         # rounded average. All integer.
+        # Multi-reference P: per MB the ref_idx selector picks either
+        # a direct clamped shift of the I anchor (ref 1) or a
+        # composed double shift through the first P (ref 0, inner
+        # shift read at the landing position's own macroblock)
+        "h264_p_multiref": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 24),
+            yb AS (
+              SELECT i.doc_id AS d, r.range AS y, c.range AS x,
+                     (i.doc_id + (c.range // 16) + (r.range // 16))
+                       % 2 AS ri,
+                     2 * ((i.doc_id + (c.range // 16) + 1) % 3 - 1)
+                       AS g2x,
+                     2 * ((i.doc_id + 2 * (r.range // 16) + 1) % 3
+                          - 1) AS g2y
+              FROM ids i, range(32) r, range(32) c),
+            y1 AS (
+              SELECT d, y, x, ri,
+                     LEAST(GREATEST(y + g2y, 0), 31) AS v,
+                     LEAST(GREATEST(x + g2x, 0), 31) AS u
+              FROM yb),
+            y2 AS (
+              SELECT d, y, x,
+                     CASE ri WHEN 1 THEN
+                       ((d * 31 + v * 3 + u) % 256)
+                     ELSE
+                       ((d * 31
+                         + LEAST(GREATEST(v + 2 * ((d + 2 * (u // 16)
+                             + (v // 16)) % 3 - 1), 0), 31) * 3
+                         + LEAST(GREATEST(u + 2 * ((d + (u // 16)
+                             + (v // 16)) % 3 - 1), 0), 31)) % 256)
+                     END AS s
+              FROM y1),
+            ysum AS (
+              SELECT d, SUM(s)::BIGINT AS by_sum,
+                     SUM(s * (y * 32 + x + 1))::BIGINT AS by_wsum
+              FROM y2 GROUP BY d),
+            cbq AS (
+              SELECT i.doc_id AS d, r.range AS y, c.range AS x,
+                     (i.doc_id + (c.range // 8) + (r.range // 8))
+                       % 2 AS ri,
+                     ((i.doc_id + (c.range // 8) + 1) % 3 - 1) AS g2x,
+                     ((i.doc_id + 2 * (r.range // 8) + 1) % 3 - 1)
+                       AS g2y
+              FROM ids i, range(16) r, range(16) c),
+            c1 AS (
+              SELECT d, y, x, ri,
+                     LEAST(GREATEST(y + g2y, 0), 15) AS v,
+                     LEAST(GREATEST(x + g2x, 0), 15) AS u
+              FROM cbq),
+            c2 AS (
+              SELECT d, y, x, ri, v AS r1, u AS q1,
+                     LEAST(GREATEST(v + ((d + 2 * (u // 8)
+                         + (v // 8)) % 3 - 1), 0), 15) AS r0,
+                     LEAST(GREATEST(u + ((d + (u // 8)
+                         + (v // 8)) % 3 - 1), 0), 15) AS q0
+              FROM c1),
+            cv AS (
+              SELECT d, y, x,
+                     CASE ri WHEN 1 THEN (d * 7 + r1 * 5 + q1 * 2)
+                       % 256
+                     ELSE (d * 7 + r0 * 5 + q0 * 2) % 256 END AS vb,
+                     CASE ri WHEN 1 THEN (d * 13 + r1 * 2 + q1 * 3)
+                       % 256
+                     ELSE (d * 13 + r0 * 2 + q0 * 3) % 256 END AS vr
+              FROM c2),
+            csum AS (
+              SELECT d, SUM(vb)::BIGINT AS bcb_sum,
+                     SUM(vr)::BIGINT AS bcr_sum
+              FROM cv GROUP BY d)
+            SELECT i.doc_id, y.by_sum, y.by_wsum, s.bcb_sum, s.bcr_sum
+            FROM ids i
+            JOIN ysum y ON y.d = i.doc_id
+            JOIN csum s ON s.d = i.doc_id""",
         # GIF is lossless, so the oracle replays the closed-form
         # index image + palette directly — the Spark side must
         # survive LZW, interlacing and sub-block framing to match

@@ -9,12 +9,13 @@ Plane, all four chroma modes), I_NxN (Intra_4x4 — all NINE 4x4
 prediction modes, most-probable-mode coding, Table 9-4 CBP, per-8x8
 residual gating, above-right substitution) and I_PCM. frame_mbs_only,
 4:2:0, 8-bit — i.e. a complete constrained-baseline INTRA decoder,
-extended with single-reference P and B slice decode (every explicit
-partition shape, spatial AND temporal direct / skip with picture-
-order-count tracking, explicit weighted prediction for P and B,
-implicit POC-derived bi-prediction weights).
-Loudly gated (``H264Unsupported``): CABAC, multi-reference lists,
-interlace,
+extended with P and B slice decode (every explicit partition shape,
+multi-reference P lists with per-partition te(v) ref_idx, spatial
+AND temporal direct / skip with picture-order-count tracking,
+explicit weighted prediction for P and B, implicit POC-derived
+bi-prediction weights).
+Loudly gated (``H264Unsupported``): CABAC, multi-reference B lists,
+reference-list reordering, interlace,
 high-profile tools, and the in-loop deblocking filter (decode
 requires streams signalling ``disable_deblocking_filter_idc = 1`` —
 with the filter enabled the pre-filter reconstruction would silently
@@ -818,6 +819,7 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     if pps["redundant_pic_cnt_present"]:
         r.ue()
     direct_spatial = None
+    n_l0 = 1
     if is_b:
         direct_spatial = r.u(1)  # temporal direct gates at use
     if is_p or is_b:
@@ -827,9 +829,12 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             n_l0 = r.ue() + 1
             if is_b:
                 n_l1 = r.ue() + 1
-        if n_l0 != 1 or (is_b and n_l1 != 1):
+        if is_b and (n_l0 != 1 or n_l1 != 1):
             raise H264Unsupported(
-                f"{n_l0}/{n_l1} active references (single-ref lists only)")
+                f"{n_l0}/{n_l1} active references in a B slice "
+                "(single-ref B lists only)")
+        if n_l0 < 1 or n_l0 > 16:
+            raise H264Error(f"num_ref_idx_l0_active {n_l0}")
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise H264Unsupported("ref pic list modification")
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
@@ -837,6 +842,9 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     wp = None
     if (is_p and pps["weighted_pred"]) or \
             (is_b and pps["weighted_bipred_idc"] == 1):
+        if is_p and n_l0 > 1:
+            raise H264Unsupported(
+                "weighted prediction with multiple references")
         # pred_weight_table (7.3.3.2), single reference per list —
         # a P slice carries L0 entries only, a B slice L0 then L1
         log_y = r.ue()   # luma_log2_weight_denom
@@ -880,7 +888,7 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
                "type": "P" if is_p else ("B" if is_b else "I"),
                "frame_num": frame_num, "wp": wp,
                "direct_spatial": direct_spatial,
-               "poc_lsb": poc_lsb}
+               "poc_lsb": poc_lsb, "n_ref_l0": n_l0}
 
 
 def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
@@ -1669,6 +1677,25 @@ def _mv_pred(mvg, refg, px, py, w4, h4, ref_idx, shape=""):
     return (_median3(A[2], B[2], C[2]), _median3(A[3], B[3], C[3]))
 
 
+def _te(r, max_val: int) -> int:
+    """Truncated Exp-Golomb (te(v), 9.1.1): a single inverted bit
+    when the range is [0, 1], plain ue(v) otherwise."""
+    if max_val <= 0:
+        return 0
+    if max_val == 1:
+        return 1 - r.u(1)
+    return r.ue()
+
+
+def _te_write(w, val: int, max_val: int) -> None:
+    if max_val <= 0:
+        return
+    if max_val == 1:
+        w.u(1 - val, 1)
+    else:
+        w.ue(val)
+
+
 def _pskip_mv(mvg, refg, px, py):
     """P_Skip MV (8.4.1.1): zero when A or B is unavailable or is a
     zero-MV ref-0 block, else the ordinary 16x16 predictor."""
@@ -1718,23 +1745,31 @@ def _weight(pred: np.ndarray, logwd: int, w: int, o: int
 
 
 def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
-                   ref: tuple[np.ndarray, np.ndarray, np.ndarray],
-                   return_motion: bool = False):
-    """Decode one P slice NAL against a single reference frame
-    (uncropped planes, as produced by decode_i_frame/decode_p_frame).
+                   ref, return_motion: bool = False):
+    """Decode one P slice NAL. ``ref`` is a single reference frame's
+    uncropped planes, or a LIST of them in RefPicList0 order (most
+    recent first) for multi-reference slices — each partition then
+    carries its te(v)-coded ref_idx_l0 (all refs before all mvds, per
+    7.3.5.1/7.3.5.2) and the 8.4.1.3 predictor matches on it.
 
     Supported inter shapes: P_Skip (mb_skip_run), P_L0_16x16,
     P_L0_L0_16x8, P_L0_L0_8x16, P_8x8/P_8x8ref0 with every
     sub_mb_type (8x8/8x4/4x8/4x4), plus every intra MB type inside
-    the P slice (shared decoders). Multiple reference frames, list
-    reordering and weighted prediction gate loudly as
+    the P slice (shared decoders). List reordering and weighted
+    prediction over multiple references gate loudly as
     H264Unsupported."""
-    refY = ref[0].astype(np.int64)
-    refCb = ref[1].astype(np.int64)
-    refCr = ref[2].astype(np.int64)
+    refs = ref if isinstance(ref, list) else [ref]
+    refsY = [p[0].astype(np.int64) for p in refs]
+    refsCb = [p[1].astype(np.int64) for p in refs]
+    refsCr = [p[2].astype(np.int64) for p in refs]
+    refY, refCb, refCr = refsY[0], refsCb[0], refsCr[0]
     r, sh = parse_slice_header(slice_rbsp, sps, pps)
     if sh["type"] != "P":
         raise H264Error("decode_p_frame on a non-P slice")
+    n_ref = sh["n_ref_l0"]
+    if n_ref > len(refs):
+        raise H264Error(
+            f"slice wants {n_ref} references, caller gave {len(refs)}")
     wmb, hmb = sps["width_mbs"], sps["height_mbs"]
     W, H = wmb * 16, hmb * 16
     if refY.shape != (H, W):
@@ -1800,42 +1835,58 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
             continue
         if mb_type == 0:
             parts = [(0, 0, 4, 4, "")]
+            owners = [0]
         elif mb_type == 1:
             parts = [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")]
+            owners = [0, 1]
         elif mb_type == 2:
             parts = [(0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")]
+            owners = [0, 1]
         elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (ref inferred 0)
             subs = [r.ue() for _ in range(4)]
             if any(s > 3 for s in subs):
                 raise H264Error(f"bad sub_mb_type {subs}")
-            parts = []
+            parts, owners = [], []
             for i8, s in enumerate(subs):
                 bx, by = (i8 % 2) * 2, (i8 // 2) * 2
-                for (sx, sy, sw, sh) in _SUB_PARTS[s]:
-                    parts.append((bx + sx, by + sy, sw, sh, ""))
+                for (sx, sy, sw, sh_) in _SUB_PARTS[s]:
+                    parts.append((bx + sx, by + sy, sw, sh_, ""))
+                    owners.append(i8)
         else:
             raise H264Error(f"bad P-slice mb_type {mb_type}")
-        # single active reference: ref_idx_l0 not present, inferred 0
+        # ref_idx_l0: te(v) per partition (per 8x8 for P_8x8), ALL
+        # refs before ALL mvds (7.3.5.1 / 7.3.5.2); absent when a
+        # single reference is active (inferred 0) or for P_8x8ref0
+        if n_ref > 1 and mb_type != 4:
+            n_units = 4 if mb_type == 3 else len(parts)
+            runits = [_te(r, n_ref - 1) for _ in range(n_units)]
+            prefs = [runits[o] for o in owners] if mb_type == 3 \
+                else runits
+        else:
+            prefs = [0] * len(parts)
         mvs = []
-        for (px4, py4, w4, h4, shape) in parts:
+        for (px4, py4, w4, h4, shape), ri in zip(parts, prefs):
             mvd = (r.se(), r.se())
-            p = _mv_pred(mvg, refg, gx + px4, gy + py4, w4, h4, 0, shape)
+            p = _mv_pred(mvg, refg, gx + px4, gy + py4, w4, h4, ri,
+                         shape)
             mv = (p[0] + mvd[0], p[1] + mvd[1])
             mvs.append(mv)
             mvg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = mv
-            refg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = 0
+            refg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = ri
         pred = np.zeros((16, 16), dtype=np.int64)
         cpredb = np.zeros((8, 8), dtype=np.int64)
         cpredr = np.zeros((8, 8), dtype=np.int64)
-        for (px4, py4, w4, h4, _), mv in zip(parts, mvs):
+        for (px4, py4, w4, h4, _), mv, ri in zip(parts, mvs, prefs):
             pred[py4 * 4:(py4 + h4) * 4, px4 * 4:(px4 + w4) * 4] = \
-                _wy(interp_luma(refY, ox + px4 * 4, oy + py4 * 4,
+                _wy(interp_luma(refsY[ri], ox + px4 * 4, oy + py4 * 4,
                                 w4 * 4, h4 * 4, mv[0], mv[1]))
             cpredb[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = \
-                _wcb(interp_chroma(refCb, cx + px4 * 2, cy + py4 * 2,
+                _wcb(interp_chroma(refsCb[ri], cx + px4 * 2,
+                                   cy + py4 * 2,
                                    w4 * 2, h4 * 2, mv[0], mv[1]))
             cpredr[py4 * 2:(py4 + h4) * 2, px4 * 2:(px4 + w4) * 2] = \
-                _wcr(interp_chroma(refCr, cx + px4 * 2, cy + py4 * 2,
+                _wcr(interp_chroma(refsCr[ri], cx + px4 * 2,
+                                   cy + py4 * 2,
                                    w4 * 2, h4 * 2, mv[0], mv[1]))
         qp = _inter_mb_residual(r, pps, qp, mbx, mby, gx, gy, ox, oy,
                                 cx, cy, pred, cpredb, cpredr,
@@ -2043,8 +2094,13 @@ def _temporal_direct(col, gx, gy, pocs):
                 mvc = (0, 0)
             else:
                 cmv, cref = col
-                if cref[gy + by, gx + bx] < 0:  # intra colocated
+                cr_ = int(cref[gy + by, gx + bx])
+                if cr_ < 0:  # intra colocated
                     mvc = (0, 0)
+                elif cr_ > 0:
+                    raise H264Unsupported(
+                        "temporal direct over multi-reference "
+                        "colocated motion (refIdxCol > 0)")
                 else:
                     mvc = (int(cmv[gy + by, gx + bx, 0]),
                            int(cmv[gy + by, gx + bx, 1]))
@@ -2362,8 +2418,10 @@ def decode_annexb_video(stream: bytes) -> list[
     """Decode an Annex-B I/P/B sequence into uncropped (Y, Cb, Cr)
     plane tuples, in DECODE order (no output reordering — callers
     wanting display order reorder by their own timestamps). Reference
-    bookkeeping: NALs with nal_ref_idc > 0 enter a 2-picture sliding
-    window; P predicts from the most recent reference, B from the two
+    bookkeeping: NALs with nal_ref_idc > 0 enter a sliding window of
+    max(2, SPS max_num_ref_frames) pictures; P predicts from
+    RefPicList0 = the window most-recent-first (multi-reference
+    slices index into it per partition), B from the two
     most recent (RefPicList0[0] = the older, RefPicList1[0] = the
     newer — the IbP pattern where the B sits between its two anchors).
     Non-reference B frames never enter the window, so a following P
@@ -2412,8 +2470,10 @@ def decode_annexb_video(stream: bytes) -> list[
             elif sh["type"] == "P":
                 if not refs:
                     raise H264Error("P slice with no reference frame")
-                f, motion = decode_p_frame(sps, pps, nal, refs[-1][0],
-                                           return_motion=True)
+                f, motion = decode_p_frame(
+                    sps, pps, nal,
+                    [p for (p, _, _) in reversed(refs)],
+                    return_motion=True)
             else:
                 if len(refs) < 2:
                     raise H264Error("B slice needs two reference frames")
@@ -2424,21 +2484,27 @@ def decode_annexb_video(stream: bytes) -> list[
                 motion = "absent"  # a B used as colocated would gate
             frames.append(f)
             if is_ref:
-                refs = (refs + [(f, motion, poc)])[-2:]
+                keep = max(2, sps["max_num_ref_frames"])
+                refs = (refs + [(f, motion, poc)])[-keep:]
     return frames
 
 
 def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
                     qp_delta: int = 0,
                     poc_lsb: int | None = None,
-                    wp: dict | None = None) -> bytes:
+                    wp: dict | None = None,
+                    n_refs: int = 1,
+                    refs_idx: np.ndarray | None = None) -> bytes:
     """Encode one P slice of explicit P_L0_16x16 macroblocks with the
     given quarter-pel MVs (shape (hmb, wmb, 2)) and no residual —
     the in-package inter analogue of ``encode_ipcm_annexb``: motion
     compensation is the only reconstruction step, so the decoded
-    frame is an exact, closed-form resample of the reference (the
-    SQL-oracle slice of the inter path). Returns the raw slice NAL
-    (unescaped RBSP); pair with the I_PCM encoder's SPS/PPS."""
+    frame is an exact, closed-form resample of its reference(s) (the
+    SQL-oracle slice of the inter path). ``n_refs`` > 1 activates
+    multi-reference coding with per-MB te(v) ref_idx_l0 from
+    ``refs_idx`` (shape (hmb, wmb), default all 0). Returns the raw
+    slice NAL (unescaped RBSP); pair with the I_PCM encoder's
+    SPS/PPS."""
     hmb, wmb, _ = mvs_qpel.shape
     w = _BitWriter()
     w.u(0x61, 8)  # nal_ref_idc=3, non-IDR slice
@@ -2448,7 +2514,11 @@ def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
     w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
     if poc_lsb is not None:
         w.u(poc_lsb & 15, 4)  # pic_order_cnt_lsb (poc_type 0 streams)
-    w.u(0, 1)  # num_ref_idx_active_override_flag
+    if n_refs != 1:
+        w.u(1, 1)  # num_ref_idx_active_override_flag
+        w.ue(n_refs - 1)
+    else:
+        w.u(0, 1)
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     if wp is not None:  # pred_weight_table (PPS weighted_pred_flag=1)
         w.ue(wp["log_y"])
@@ -2469,14 +2539,17 @@ def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
         for mbx in range(wmb):
             gx, gy = mbx * 4, mby * 4
             mv = (int(mvs_qpel[mby, mbx, 0]), int(mvs_qpel[mby, mbx, 1]))
-            p = _mv_pred(mvg, refg, gx, gy, 4, 4, 0)
+            ri = int(refs_idx[mby, mbx]) if refs_idx is not None else 0
             w.ue(0)  # mb_skip_run
             w.ue(0)  # mb_type P_L0_16x16
+            if n_refs > 1:
+                _te_write(w, ri, n_refs - 1)
+            p = _mv_pred(mvg, refg, gx, gy, 4, 4, ri)
             w.se(mv[0] - p[0])
             w.se(mv[1] - p[1])
             w.ue(_CBP_INTER_INV[0])  # coded_block_pattern = 0
             mvg[gy:gy + 4, gx:gx + 4] = mv
-            refg[gy:gy + 4, gx:gx + 4] = 0
+            refg[gy:gy + 4, gx:gx + 4] = ri
     return w.rbsp()
 
 

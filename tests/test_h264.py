@@ -721,7 +721,8 @@ def test_unsupported_paths_gate_loudly():
     with pytest.raises(H.H264Unsupported, match="slice_type"):
         H.parse_slice_header(w.rbsp(trailing=True), H.parse_sps(sps),
                              H.parse_pps(pps))
-    # P slice demanding 2 reference frames
+    # multi-reference P now parses (decode needs a matching ref list:
+    # handing fewer references than the slice demands is an error)
     w = BitWriter()
     w.u(0x61, 8)
     w.ue(0)  # first_mb
@@ -730,9 +731,19 @@ def test_unsupported_paths_gate_loudly():
     w.u(0, 4)  # frame_num
     w.u(1, 1)  # num_ref_idx_active_override
     w.ue(1)  # num_ref_idx_l0_active_minus1 = 1 -> 2 refs
-    with pytest.raises(H.H264Unsupported, match="active references"):
-        H.parse_slice_header(w.rbsp(trailing=True), H.parse_sps(sps),
-                             H.parse_pps(pps))
+    w.u(0, 1)  # no list modification
+    w.u(0, 1)  # dec_ref_pic_marking
+    w.se(0)
+    w.ue(1)  # deblocking off
+    _, shm = H.parse_slice_header(w.rbsp(trailing=True),
+                                  H.parse_sps(sps), H.parse_pps(pps))
+    assert shm["n_ref_l0"] == 2
+    one_ref = (np.zeros((32, 32), np.uint8),
+               np.zeros((16, 16), np.uint8),
+               np.zeros((16, 16), np.uint8))
+    with pytest.raises(H.H264Error, match="references"):
+        H.decode_p_frame(H.parse_sps(sps), H.parse_pps(pps),
+                         w.rbsp(trailing=True), [one_ref])
     # deblocking filter left enabled
     w = BitWriter()
     w.u(0x65, 8)
@@ -1685,6 +1696,219 @@ def test_weighted_b_direct_and_skip():
     assert np.array_equal(fcr, bi(cr, cr, wp["log_c"],
                                   d0["wc"][1], d1["wc"][1],
                                   d0["oc"][1], d1["oc"][1]))
+
+
+def _encode_p_multiref_slice(wmb, hmb, plan, n_refs, frame_num=1):
+    """Test-side multi-reference P-slice writer (residual-free).
+    ``plan`` per MB: ("16x16", [(ref, mv)]), ("16x8"/"8x16",
+    [(ref0, mv0), (ref1, mv1)]), or ("8x8", [(sub_shape_idx, ref,
+    [mv, ...]) x4]). Bit order per 7.3.5.1/2: all ref_idx (te),
+    then all mvds."""
+    w = BitWriter()
+    w.u(0x61, 8)
+    w.ue(0)
+    w.ue(0)  # P
+    w.ue(0)
+    w.u(frame_num & 15, 4)
+    w.u(1, 1)  # num_ref_idx_active_override_flag
+    w.ue(n_refs - 1)
+    w.u(0, 1)  # no list modification
+    w.u(0, 1)  # dec_ref_pic_marking
+    w.se(0)
+    w.ue(1)  # deblocking off
+    mvg = np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
+    refg = np.full((hmb * 4, wmb * 4), H._NOT_DECODED, dtype=np.int64)
+
+    def te(v):
+        if n_refs == 2:
+            w.u(1 - v, 1)
+        else:
+            w.ue(v)
+
+    geom = {"16x16": [(0, 0, 4, 4, "")],
+            "16x8": [(0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")],
+            "8x16": [(0, 0, 2, 4, "8x16_left"),
+                     (2, 0, 2, 4, "8x16_right")]}
+    for mb, spec in enumerate(plan):
+        mbx, mby = mb % wmb, mb // wmb
+        gx, gy = mbx * 4, mby * 4
+        w.ue(0)  # mb_skip_run
+        shape = spec[0]
+        if shape == "8x8":
+            w.ue(3)  # P_8x8
+            parts, prefs = [], []
+            for i8, (shi, ref, mvs8) in enumerate(spec[1]):
+                w.ue(shi)
+                bx, by = (i8 % 2) * 2, (i8 // 2) * 2
+                for (sx, sy, sw, shh), mv in zip(H._SUB_PARTS[shi],
+                                                 mvs8):
+                    parts.append((bx + sx, by + sy, sw, shh, ""))
+                    prefs.append((ref, mv))
+            for (_, ref, _) in spec[1]:
+                te(ref)
+        else:
+            w.ue({"16x16": 0, "16x8": 1, "8x16": 2}[shape])
+            parts = geom[shape]
+            prefs = list(spec[1])
+            for (ref, _) in prefs:
+                te(ref)
+        for (px4, py4, w4, h4, shp), (ref, mv) in zip(parts, prefs):
+            p = H._mv_pred(mvg, refg, gx + px4, gy + py4, w4, h4,
+                           ref, shp)
+            w.se(mv[0] - p[0])
+            w.se(mv[1] - p[1])
+            mvg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = mv
+            refg[gy + py4:gy + py4 + h4, gx + px4:gx + px4 + w4] = ref
+        w.ue(H._CBP_INTER_INV[0])  # cbp 0
+    return w.rbsp()
+
+
+def test_p_multiref_16x16_end_to_end():
+    """Two-reference P through the full stream decoder: I, P1, then
+    P2 whose MBs alternate ref 0 (= P1, most recent) and ref 1 (= I)
+    with fractional MVs — each MB must equal the scalar MC resample
+    of the reference its te(v)-coded ref_idx picked."""
+    rng = np.random.default_rng(61)
+    wmb, hmb = 4, 3
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mv1 = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    mv2 = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    ri2 = np.zeros((hmb, wmb), dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            mv1[mby, mbx] = ((mbx * 3 - mby) % 9 - 4,
+                             (mby * 5 + mbx) % 7 - 3)
+            mv2[mby, mbx] = ((mbx * 7 + mby * 2) % 11 - 5,
+                             (mbx - mby * 3) % 13 - 6)
+            ri2[mby, mbx] = (mbx + mby) % 2
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=2)
+    sc = b"\x00\x00\x00\x01"
+    stream = (sc + H._ep3b_escape(sps_r) + sc + H._ep3b_escape(pps_r)
+              + sc + H._ep3b_escape(H._ipcm_slice_rbsp(y, cb, cr))
+              + sc + H._ep3b_escape(H.encode_p16_rbsp(mv1,
+                                                      frame_num=1))
+              + sc + H._ep3b_escape(H.encode_p16_rbsp(
+                  mv2, frame_num=2, n_refs=2, refs_idx=ri2)))
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 3
+    refs = [tuple(pl.astype(np.int64) for pl in frames[1]),
+            tuple(pl.astype(np.int64) for pl in frames[0])]
+    f2 = [pl.astype(np.int64) for pl in frames[2]]
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            ri = int(ri2[mby, mbx])
+            mv = tuple(int(v) for v in mv2[mby, mbx])
+            x0, y0 = mbx * 16, mby * 16
+            want = scalar_mc_luma(refs[ri][0], x0, y0, 16, 16, *mv)
+            assert np.array_equal(f2[0][y0:y0 + 16, x0:x0 + 16],
+                                  want), (mbx, mby, ri)
+            wantc = scalar_mc_chroma(refs[ri][1], x0 // 2, y0 // 2,
+                                     8, 8, *mv)
+            assert np.array_equal(
+                f2[1][y0 // 2:y0 // 2 + 8, x0 // 2:x0 // 2 + 8], wantc)
+
+
+def test_p_multiref_partitions_three_refs():
+    """Three active references (te(v) falls back to ue) across every
+    partition shape, decoded directly against a 3-entry RefPicList0 —
+    per-partition refs differ inside one MB, so the 8.4.1.3
+    predictor's ref-match rules are exercised across refs."""
+    rng = np.random.default_rng(62)
+    wmb, hmb = 3, 2
+    refs = []
+    for k in range(3):
+        y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+        cbp = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+        crp = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+        refs.append((y, cbp, crp))
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=3)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    plan = [
+        ("16x16", [(2, (3, -5))]),
+        ("16x8", [(0, (1, 2)), (2, (-3, 1))]),
+        ("8x16", [(1, (4, 4)), (0, (-1, -2))]),
+        ("8x8", [(0, 1, [(1, 0)]), (1, 0, [(0, 1), (2, -1)]),
+                 (2, 2, [(3, 3), (1, -2)]), (3, 1, [(1, 1), (-1, 0),
+                                                    (0, -1), (2, 2)])]),
+        ("16x16", [(1, (0, 0))]),
+        ("16x8", [(1, (5, -2)), (1, (5, -2))]),
+    ]
+    rbsp = _encode_p_multiref_slice(wmb, hmb, plan, n_refs=3)
+    fy, fcb, fcr = H.decode_p_frame(sps, pps, rbsp, list(refs))
+    fy = fy.astype(np.int64)
+    geom = {"16x16": [(0, 0, 16, 16, "")],
+            "16x8": [(0, 0, 16, 8, ""), (0, 8, 16, 8, "")],
+            "8x16": [(0, 0, 8, 16, ""), (8, 0, 8, 16, "")]}
+    for mb, spec in enumerate(plan):
+        mbx, mby = mb % wmb, mb // wmb
+        if spec[0] == "8x8":
+            parts, prefs = [], []
+            for i8, (shi, ref, mvs8) in enumerate(spec[1]):
+                bx, by = (i8 % 2) * 2, (i8 // 2) * 2
+                for (sx, sy, sw, shh), mv in zip(H._SUB_PARTS[shi],
+                                                 mvs8):
+                    parts.append(((bx + sx) * 4, (by + sy) * 4,
+                                  sw * 4, shh * 4))
+                    prefs.append((ref, mv))
+        else:
+            parts = [(px, py, w, h) for (px, py, w, h, _)
+                     in geom[spec[0]]]
+            prefs = list(spec[1])
+        for (px, py, w, h), (ref, mv) in zip(parts, prefs):
+            x0, y0 = mbx * 16 + px, mby * 16 + py
+            want = scalar_mc_luma(refs[ref][0].astype(np.int64),
+                                  x0, y0, w, h, *mv)
+            got = fy[y0:y0 + h, x0:x0 + w]
+            assert np.array_equal(got, want), (mb, spec[0], ref, mv)
+
+
+def test_p_multiref_gates():
+    """What stays gated: multi-reference B lists, weighted prediction
+    over multiple references, temporal direct whose colocated block
+    predicts from ref_idx > 0."""
+    wmb, hmb = 1, 1
+    y = np.zeros((16, 16), dtype=np.uint8)
+    c8 = np.zeros((8, 8), dtype=np.uint8)
+    ref = (y, c8, c8)
+    # B with 2 active refs
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=2,
+                                       poc_type=0)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    w = BitWriter()
+    w.u(0x01, 8)
+    w.ue(0)
+    w.ue(1)  # B
+    w.ue(0)
+    w.u(2, 4)
+    w.u(2, 4)
+    w.u(1, 1)
+    w.u(1, 1)  # override
+    w.ue(1)  # n_l0 = 2
+    w.ue(0)  # n_l1 = 1
+    with pytest.raises(H.H264Unsupported):
+        H.decode_b_frame(sps, pps, w.rbsp(), ref, ref)
+    # weighted P with 2 refs
+    sps_w, pps_w = H._seq_header_rbsps(wmb, hmb, max_ref=2,
+                                       weighted_pred=True)
+    spsw, ppsw = H.parse_sps(sps_w), H.parse_pps(pps_w)
+    w2 = BitWriter()
+    w2.u(0x61, 8)
+    w2.ue(0)
+    w2.ue(0)  # P
+    w2.ue(0)
+    w2.u(1, 4)
+    w2.u(1, 1)
+    w2.ue(1)  # n_l0 = 2
+    with pytest.raises(H.H264Unsupported):
+        H.decode_p_frame(spsw, ppsw, w2.rbsp(), [ref, ref])
+    # temporal direct over colocated refIdx > 0
+    cmv = np.zeros((4, 4, 2), dtype=np.int64)
+    cref = np.zeros((4, 4), dtype=np.int64)
+    cref[0, 0] = 1
+    with pytest.raises(H.H264Unsupported):
+        H._temporal_direct((cmv, cref), 0, 0, (2, 0, 4))
 
 
 def test_implicit_weights_unit():
