@@ -165,6 +165,10 @@ BENCH_QUERIES = [
     "incremental_token_shards",  # manifest-diff-driven shard rewrites
     "snapshot_diff",  # time-travel change feed, manifest-pruned
     "h264_p_decode",  # H.264 inter (P-slice) MC decode round trip
+    "h264_p_multiref",  # two-reference P, te(v) ref selection per MB
+    "h264_b_temporal",  # B temporal direct: POC-scaled colocated MVs
+    "flac_roundtrip",  # FLAC lossless codec round trip (Rice + CRCs)
+    "gif_decode",  # GIF LZW + interlace round trip
     "video_gop_pixels",  # whole-GOP container decode, chained P frames
     "robots_gate",  # RFC 9309 parse + broadcast longest-match gate
     "corpus_report",  # CUBE grouping sets, one scan one shuffle

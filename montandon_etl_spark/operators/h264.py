@@ -13,7 +13,9 @@ extended with P and B slice decode (every explicit partition shape,
 multi-reference P lists with per-partition te(v) ref_idx, spatial
 AND temporal direct / skip with picture-order-count tracking,
 explicit weighted prediction for P and B, implicit POC-derived
-bi-prediction weights).
+bi-prediction weights) and MULTI-SLICE pictures (slices tile the
+macroblock raster; slice boundaries bound neighbour availability
+exactly like picture edges).
 Loudly gated (``H264Unsupported``): CABAC, multi-reference B lists,
 reference-list reordering, interlace,
 high-profile tools, and the in-loop deblocking filter (decode
@@ -111,6 +113,7 @@ class BitReader:
     def __init__(self, data: bytes):
         self.d = data
         self.pos = 0  # bit position
+        self._last1 = None  # cached rbsp_stop_one_bit position
 
     def u(self, n: int) -> int:
         v = 0
@@ -139,14 +142,14 @@ class BitReader:
 
     def more_rbsp_data(self) -> bool:
         """True while bits beyond the rbsp_stop_one_bit remain."""
-        total = len(self.d) * 8
-        if self.pos >= total:
-            return False
-        # find last 1 bit (the stop bit)
-        for p in range(total - 1, -1, -1):
-            if (self.d[p >> 3] >> (7 - (p & 7))) & 1:
-                return self.pos < p
-        return False
+        if self._last1 is None:
+            total = len(self.d) * 8
+            self._last1 = -1
+            for p in range(total - 1, -1, -1):  # last 1 = stop bit
+                if (self.d[p >> 3] >> (7 - (p & 7))) & 1:
+                    self._last1 = p
+                    break
+        return self.pos < self._last1
 
 
 # --------------------------------------------------------------- SPS / PPS
@@ -805,8 +808,8 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     is_p, is_b = st == 0, st == 1
     if (is_p or is_b) and idr:
         raise H264Error("inter slice inside an IDR NAL")
-    if first_mb != 0:
-        raise H264Unsupported("multi-slice pictures")
+    if first_mb >= sps["width_mbs"] * sps["height_mbs"]:
+        raise H264Error(f"first_mb_in_slice {first_mb} outside picture")
     r.ue()  # pps_id
     frame_num = r.u(sps["log2_max_frame_num"])
     if idr:
@@ -888,21 +891,31 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
                "type": "P" if is_p else ("B" if is_b else "I"),
                "frame_num": frame_num, "wp": wp,
                "direct_spatial": direct_spatial,
-               "poc_lsb": poc_lsb, "n_ref_l0": n_l0}
+               "poc_lsb": poc_lsb, "n_ref_l0": n_l0,
+               "first_mb": first_mb}
 
 
-def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
+def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes,
+                   canvas=None, mb_range: list | None = None
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one I/IDR slice NAL into (Y, Cb, Cr) uint8 planes
-    (uncropped macroblock grid; caller applies SPS cropping)."""
+    (uncropped macroblock grid; caller applies SPS cropping). For a
+    multi-slice picture pass the shared int64 ``canvas`` planes: the
+    slice decodes from its first_mb_in_slice until its data ends,
+    with FRESH neighbour-availability state (MBs of other slices are
+    unavailable to intra prediction and CAVLC nC, as 8.3/9.2 require);
+    ``mb_range`` (a list) receives the (first_mb, end_mb) it covered."""
     r, sh = parse_slice_header(slice_rbsp, sps, pps)
     if sh["type"] != "I":
         raise H264Error("decode_i_frame on a P slice (use decode_p_frame)")
     wmb, hmb = sps["width_mbs"], sps["height_mbs"]
     W, H = wmb * 16, hmb * 16
-    Y = np.zeros((H, W), dtype=np.int64)
-    Cb = np.zeros((H // 2, W // 2), dtype=np.int64)
-    Cr = np.zeros((H // 2, W // 2), dtype=np.int64)
+    if canvas is None:
+        Y = np.zeros((H, W), dtype=np.int64)
+        Cb = np.zeros((H // 2, W // 2), dtype=np.int64)
+        Cr = np.zeros((H // 2, W // 2), dtype=np.int64)
+    else:
+        Y, Cb, Cr = canvas
     nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     nzC = {0: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64),
            1: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64)}
@@ -910,8 +923,12 @@ def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
     # for 8.3.1.1 most-probable-mode prediction across blocks/MBs
     i4m = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     qp = sh["qp"]
+    end_mb = sh["first_mb"]
 
-    for mb in range(wmb * hmb):
+    for mb in range(sh["first_mb"], wmb * hmb):
+        if not r.more_rbsp_data():
+            break
+        end_mb = mb + 1
         mbx, mby = mb % wmb, mb // wmb
         ox, oy = mbx * 16, mby * 16
         cx, cy = mbx * 8, mby * 8
@@ -922,14 +939,18 @@ def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes
         if mb_type == 0:  # I_NxN = Intra_4x4 (transform_8x8 is a
             # high-profile tool the PPS gate already rejects)
             _decode_i4x4_mb(r, mb, mbx, mby, wmb, Y, Cb, Cr,
-                            nzY, nzC, i4m, qp_box := [qp], pps)
+                            nzY, nzC, i4m, qp_box := [qp], pps,
+                            floor_mb=sh["first_mb"])
             qp = qp_box[0]
             continue
         if mb_type > 25:
             raise H264Error(f"bad I-slice mb_type {mb_type}")
         qp = _decode_i16_mb(r, mb_type, mbx, mby, Y, Cb, Cr,
-                            nzY, nzC, qp, pps)
+                            nzY, nzC, qp, pps, wmb=wmb,
+                            floor_mb=sh["first_mb"])
 
+    if mb_range is not None:
+        mb_range.append((sh["first_mb"], end_mb))
     return (Y.astype(np.uint8), Cb.astype(np.uint8), Cr.astype(np.uint8))
 
 
@@ -949,10 +970,16 @@ def _decode_ipcm_mb(r, mbx, mby, Y, Cb, Cr, nzY, nzC) -> None:
 
 
 def _decode_i16_mb(r, mb_type, mbx, mby, Y, Cb, Cr, nzY, nzC, qp,
-                   pps) -> int:
+                   pps, wmb: int = 1 << 20, floor_mb: int = 0) -> int:
     """Decode one I_16x16 macroblock (mb_type 1..24); returns the
-    updated slice QP."""
+    updated slice QP. ``floor_mb`` = the slice's first_mb_in_slice:
+    neighbour macroblocks before it belong to another slice and are
+    UNAVAILABLE to prediction (8.3), exactly as picture edges are."""
     ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+    mb_ = mby * wmb + mbx
+    up_ok = mby > 0 and mb_ - wmb >= floor_mb
+    left_ok = mbx > 0 and mb_ - 1 >= floor_mb
+    ul_ok = mbx > 0 and mby > 0 and mb_ - wmb - 1 >= floor_mb
     k = mb_type - 1
     pred_mode, cbp_chroma, cbp_luma = k % 4, (k // 4) % 3, \
         (15 if k >= 12 else 0)
@@ -997,16 +1024,13 @@ def _decode_i16_mb(r, mb_type, mbx, mby, Y, Cb, Cr, nzY, nzC, qp,
                 nzC[c][fy, fx] = 0
 
     # --------------------------------------------------- luma recon
-    top = Y[oy - 1, ox:ox + 16] if mby > 0 else None
-    left = Y[oy:oy + 16, ox - 1] if mbx > 0 else None
+    top = Y[oy - 1, ox:ox + 16] if up_ok else None
+    left = Y[oy:oy + 16, ox - 1] if left_ok else None
     if pred_mode == 3:
-        if top is None or left is None:
-            raise H264Error("Plane prediction at picture edge")
-        top17 = np.concatenate(([Y[oy - 1, ox - 1]], top)) \
-            if mbx > 0 else None
+        if top is None or left is None or not ul_ok:
+            raise H264Error("Plane prediction at an unavailable edge")
+        top17 = np.concatenate(([Y[oy - 1, ox - 1]], top))
         left17 = np.concatenate(([Y[oy - 1, ox - 1]], left))
-        if top17 is None:
-            raise H264Error("Plane prediction needs the corner")
         pred = pred_16x16_plane(left17, top17)
     else:
         pred = pred_16x16(pred_mode, left, top)
@@ -1028,10 +1052,9 @@ def _decode_i16_mb(r, mb_type, mbx, mby, Y, Cb, Cr, nzY, nzC, qp,
 
     # -------------------------------------------------- chroma recon
     for c, plane in ((0, Cb), (1, Cr)):
-        ctop = plane[cy - 1, cx:cx + 8] if mby > 0 else None
-        cleft = plane[cy:cy + 8, cx - 1] if mbx > 0 else None
-        ccorner = int(plane[cy - 1, cx - 1]) \
-            if (mbx > 0 and mby > 0) else None
+        ctop = plane[cy - 1, cx:cx + 8] if up_ok else None
+        cleft = plane[cy:cy + 8, cx - 1] if left_ok else None
+        ccorner = int(plane[cy - 1, cx - 1]) if ul_ok else None
         cpred = pred_chroma(chroma_mode, cleft, ctop, ccorner)
         f = ihadamard2x2(np.array(
             [[cdc[c][0], cdc[c][1]], [cdc[c][2], cdc[c][3]]],
@@ -1072,10 +1095,11 @@ def yuv420_to_rgb(y: np.ndarray, cb: np.ndarray,
 def decode_keyframe(payload: bytes, sps_rbsp: bytes | None = None,
                     pps_rbsp: bytes | None = None,
                     length_size: int | None = None) -> np.ndarray:
-    """Decode the first I/IDR slice of a frame payload to an RGB
-    HxWx3 array. ``payload`` is Annex B (start codes; may carry SPS/
-    PPS in-band) or AVCC length-prefixed (pass ``length_size`` and,
-    unless in-band, the avcC box's SPS/PPS NAL bytes)."""
+    """Decode an I/IDR frame payload (one slice or a multi-slice
+    access unit) to an RGB HxWx3 array. ``payload`` is Annex B (start
+    codes; may carry SPS/PPS in-band) or AVCC length-prefixed (pass
+    ``length_size`` and, unless in-band, the avcC box's SPS/PPS NAL
+    bytes)."""
     if length_size is not None:
         nals = split_avcc(payload, length_size)
     elif payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
@@ -1084,20 +1108,33 @@ def decode_keyframe(payload: bytes, sps_rbsp: bytes | None = None,
         nals = split_avcc(payload, 4)
     sps = parse_sps(strip_ep3b(sps_rbsp)) if sps_rbsp else None
     pps = parse_pps(strip_ep3b(pps_rbsp)) if pps_rbsp else None
-    slice_nal = None
+    slice_nals = []
     for nal in nals:
         t = nal[0] & 0x1F
         if t == 7:
             sps = parse_sps(nal)
         elif t == 8:
             pps = parse_pps(nal)
-        elif t in (1, 5) and slice_nal is None:
-            slice_nal = nal
+        elif t in (1, 5):
+            slice_nals.append(nal)
     if sps is None or pps is None:
         raise H264Error("no SPS/PPS (pass the avcC parameter sets)")
-    if slice_nal is None:
+    if not slice_nals:
         raise H264Error("no slice NAL in payload")
-    y, cb, cr = decode_i_frame(sps, pps, slice_nal)
+    wmb, hmb = sps["width_mbs"], sps["height_mbs"]
+    canvas = (np.zeros((hmb * 16, wmb * 16), dtype=np.int64),
+              np.zeros((hmb * 8, wmb * 8), dtype=np.int64),
+              np.zeros((hmb * 8, wmb * 8), dtype=np.int64))
+    nxt = 0
+    for nal in slice_nals:
+        rng: list = []
+        decode_i_frame(sps, pps, nal, canvas=canvas, mb_range=rng)
+        if rng[0][0] != nxt:
+            raise H264Error("slices do not tile the picture")
+        nxt = rng[0][1]
+    if nxt != wmb * hmb:
+        raise H264Error("picture not fully covered by its slices")
+    y, cb, cr = (p.astype(np.uint8) for p in canvas)
     l, rr, t, b = sps["crop"]
     H, W = sps["height"], sps["width"]
     y = y[2 * t:2 * t + H, 2 * l:2 * l + W]
@@ -1213,11 +1250,15 @@ def _seq_header_rbsps(wmb: int, hmb: int, max_ref: int = 1,
 
 
 def _ipcm_slice_rbsp(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                     poc_lsb: int | None = None) -> bytes:
+                     poc_lsb: int | None = None,
+                     first_mb: int = 0,
+                     n_mbs: int | None = None) -> bytes:
     hmb, wmb = y.shape[0] // 16, y.shape[1] // 16
+    if n_mbs is None:
+        n_mbs = wmb * hmb - first_mb
     w = _BitWriter()
     w.u(0x65, 8)  # IDR
-    w.ue(0)  # first_mb
+    w.ue(first_mb)  # first_mb_in_slice
     w.ue(7)  # slice_type I
     w.ue(0)  # pps_id
     w.u(0, 4)  # frame_num
@@ -1228,34 +1269,42 @@ def _ipcm_slice_rbsp(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     w.u(0, 1)
     w.se(0)  # slice_qp_delta
     w.ue(1)  # disable deblocking
-    for mby in range(hmb):
-        for mbx in range(wmb):
-            w.ue(25)  # I_PCM
-            w.align0()
-            for yy in range(16):
-                for xx in range(16):
-                    w.u(int(y[mby * 16 + yy, mbx * 16 + xx]), 8)
-            for plane in (cb, cr):
-                for yy in range(8):
-                    for xx in range(8):
-                        w.u(int(plane[mby * 8 + yy, mbx * 8 + xx]), 8)
+    for mb in range(first_mb, first_mb + n_mbs):
+        mbx, mby = mb % wmb, mb // wmb
+        w.ue(25)  # I_PCM
+        w.align0()
+        for yy in range(16):
+            for xx in range(16):
+                w.u(int(y[mby * 16 + yy, mbx * 16 + xx]), 8)
+        for plane in (cb, cr):
+            for yy in range(8):
+                for xx in range(8):
+                    w.u(int(plane[mby * 8 + yy, mbx * 8 + xx]), 8)
     return w.rbsp()
 
 
 def encode_ipcm_annexb(y: np.ndarray, cb: np.ndarray,
-                       cr: np.ndarray) -> bytes:
+                       cr: np.ndarray, n_slices: int = 1) -> bytes:
     """Encode YUV420 planes (dims multiples of 16/8) as a one-frame
     Annex-B H.264 stream of I_PCM macroblocks with in-band SPS/PPS —
     lossless by construction; ``decode_keyframe`` returns exactly
-    these planes (through yuv420_to_rgb)."""
+    these planes (through yuv420_to_rgb). ``n_slices`` splits the
+    picture into that many contiguous slices (multi-slice access
+    unit)."""
     hmb, wmb = y.shape[0] // 16, y.shape[1] // 16
     if y.shape != (hmb * 16, wmb * 16) or cb.shape != (hmb * 8, wmb * 8):
         raise ValueError("plane dims must be multiples of 16 (luma)")
     sps, pps = _seq_header_rbsps(wmb, hmb)
-    sl = _ipcm_slice_rbsp(y, cb, cr)
     sc = b"\x00\x00\x00\x01"
-    return sc + _ep3b_escape(sps) + sc + _ep3b_escape(pps) \
-        + sc + _ep3b_escape(sl)
+    out = sc + _ep3b_escape(sps) + sc + _ep3b_escape(pps)
+    total = wmb * hmb
+    n_slices = max(1, min(n_slices, total))
+    per = -(-total // n_slices)
+    for first in range(0, total, per):
+        out += sc + _ep3b_escape(_ipcm_slice_rbsp(
+            y, cb, cr, first_mb=first,
+            n_mbs=min(per, total - first)))
+    return out
 
 
 # ------------------------------------------------------------ Intra_4x4
@@ -1413,25 +1462,36 @@ def i4_mode_available(mode: int, have_l: bool, have_t: bool,
 
 
 def _decode_i4x4_mb(r: BitReader, mb: int, mbx: int, mby: int, wmb: int,
-                    Y, Cb, Cr, nzY, nzC, i4m, qp_box, pps) -> None:
+                    Y, Cb, Cr, nzY, nzC, i4m, qp_box, pps,
+                    floor_mb: int = 0) -> None:
     """Decode one I_NxN (Intra_4x4) macroblock: 16 predicted modes
     (8.3.1.1 most-probable-mode), CBP via Table 9-4, per-8x8 luma
     residual gating, block-by-block Z-order reconstruction where each
     block predicts from already-reconstructed samples — including the
-    above-right substitution rule (8.3.1.2)."""
+    above-right substitution rule (8.3.1.2). ``floor_mb`` = the
+    slice's first_mb_in_slice: macroblocks before it are another
+    slice's and UNAVAILABLE (forces MPM = DC at slice boundaries and
+    edge substitution in prediction, exactly like picture edges)."""
     ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
     gx, gy = mbx * 4, mby * 4
     n_blk_cols = wmb * 4
+    up_ok = mby > 0 and mb - wmb >= floor_mb
+    left_ok = mbx > 0 and mb - 1 >= floor_mb
+    ul_ok = mbx > 0 and mby > 0 and mb - wmb - 1 >= floor_mb
+
+    def _blk_mb(bfx: int, bfy: int) -> int:
+        return (bfy // 4) * wmb + (bfx // 4)
 
     # ---- 16 prediction modes (Z-order; MPM uses modes as parsed)
     modes = [2] * 16
     for bi, (bx, by) in enumerate(_BLK_SCAN):
         fx, fy = gx + bx, gy + by
-        if fx > 0 and fy > 0:
+        if fx > 0 and fy > 0 and _blk_mb(fx - 1, fy) >= floor_mb \
+                and _blk_mb(fx, fy - 1) >= floor_mb:
             a = i4m[fy, fx - 1]
             b = i4m[fy - 1, fx]
             mpm = min(int(a) if a >= 0 else 2, int(b) if b >= 0 else 2)
-        else:
+        else:  # a neighbour block outside the picture OR the slice
             mpm = 2
         if r.u(1):
             m = mpm
@@ -1490,8 +1550,10 @@ def _decode_i4x4_mb(r: BitReader, mb: int, mbx: int, mby: int, wmb: int,
     for bi, (bx, by) in enumerate(_BLK_SCAN):
         fx, fy = gx + bx, gy + by
         px, py = ox + bx * 4, oy + by * 4
-        have_l, have_t = fx > 0, fy > 0
-        have_c = have_l and have_t
+        have_l = fx > 0 and _blk_mb(fx - 1, fy) >= floor_mb
+        have_t = fy > 0 and _blk_mb(fx, fy - 1) >= floor_mb
+        have_c = fx > 0 and fy > 0 \
+            and _blk_mb(fx - 1, fy - 1) >= floor_mb
         lref = Y[py:py + 4, px - 1].astype(np.int64) if have_l else None
         cref = int(Y[py - 1, px - 1]) if have_c else None
         tref = None
@@ -1500,7 +1562,7 @@ def _decode_i4x4_mb(r: BitReader, mb: int, mbx: int, mby: int, wmb: int,
             ar_ok = False
             if fx + 1 < n_blk_cols:
                 ar_mb = (fy - 1) // 4 * wmb + (fx + 1) // 4
-                if ar_mb < mb:
+                if floor_mb <= ar_mb < mb:
                     ar_ok = True
                 elif ar_mb == mb:
                     rel = (fx + 1 - gx, fy - 1 - gy)
@@ -1522,10 +1584,9 @@ def _decode_i4x4_mb(r: BitReader, mb: int, mbx: int, mby: int, wmb: int,
 
     # ---- chroma reconstruction (identical to the I_16x16 path)
     for c, plane in ((0, Cb), (1, Cr)):
-        ctop = plane[cy - 1, cx:cx + 8] if mby > 0 else None
-        cleft = plane[cy:cy + 8, cx - 1] if mbx > 0 else None
-        ccorner = int(plane[cy - 1, cx - 1]) \
-            if (mbx > 0 and mby > 0) else None
+        ctop = plane[cy - 1, cx:cx + 8] if up_ok else None
+        cleft = plane[cy:cy + 8, cx - 1] if left_ok else None
+        ccorner = int(plane[cy - 1, cx - 1]) if ul_ok else None
         cpred = pred_chroma(chroma_mode, cleft, ctop, ccorner)
         f = ihadamard2x2(np.array(
             [[cdc[c][0], cdc[c][1]], [cdc[c][2], cdc[c][3]]],
@@ -1745,7 +1806,8 @@ def _weight(pred: np.ndarray, logwd: int, w: int, o: int
 
 
 def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
-                   ref, return_motion: bool = False):
+                   ref, return_motion: bool = False,
+                   canvas=None, mb_range: list | None = None):
     """Decode one P slice NAL. ``ref`` is a single reference frame's
     uncropped planes, or a LIST of them in RefPicList0 order (most
     recent first) for multi-reference slices — each partition then
@@ -1774,9 +1836,12 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     W, H = wmb * 16, hmb * 16
     if refY.shape != (H, W):
         raise H264Error("reference frame dims do not match SPS")
-    Y = np.zeros((H, W), dtype=np.int64)
-    Cb = np.zeros((H // 2, W // 2), dtype=np.int64)
-    Cr = np.zeros((H // 2, W // 2), dtype=np.int64)
+    if canvas is None:
+        Y = np.zeros((H, W), dtype=np.int64)
+        Cb = np.zeros((H // 2, W // 2), dtype=np.int64)
+        Cr = np.zeros((H // 2, W // 2), dtype=np.int64)
+    else:
+        Y, Cb, Cr = canvas
     nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     nzC = {0: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64),
            1: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64)}
@@ -1784,6 +1849,7 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     mvg = np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
     refg = np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)
     qp = sh["qp"]
+    end_mb = sh["first_mb"]
     wp = sh.get("wp")
     if wp is None:
         _wy = _wcb = _wcr = lambda p: p
@@ -1795,7 +1861,10 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                                  wp["oc"][1])
     pending: int | None = None
 
-    for mb in range(wmb * hmb):
+    for mb in range(sh["first_mb"], wmb * hmb):
+        if pending in (None, 0) and not r.more_rbsp_data():
+            break  # end of this slice's macroblocks
+        end_mb = mb + 1
         mbx, mby = mb % wmb, mb // wmb
         ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
         gx, gy = mbx * 4, mby * 4
@@ -1825,11 +1894,13 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                 _decode_ipcm_mb(r, mbx, mby, Y, Cb, Cr, nzY, nzC)
             elif it == 0:
                 _decode_i4x4_mb(r, mb, mbx, mby, wmb, Y, Cb, Cr,
-                                nzY, nzC, i4m, qp_box := [qp], pps)
+                                nzY, nzC, i4m, qp_box := [qp], pps,
+                                floor_mb=sh["first_mb"])
                 qp = qp_box[0]
             elif it <= 24:
                 qp = _decode_i16_mb(r, it, mbx, mby, Y, Cb, Cr,
-                                    nzY, nzC, qp, pps)
+                                    nzY, nzC, qp, pps, wmb=wmb,
+                                    floor_mb=sh["first_mb"])
             else:
                 raise H264Error(f"bad P-slice mb_type {mb_type}")
             continue
@@ -1892,6 +1963,8 @@ def decode_p_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                                 cx, cy, pred, cpredb, cpredr,
                                 Y, Cb, Cr, nzY, nzC)
 
+    if mb_range is not None:
+        mb_range.append((sh["first_mb"], end_mb))
     planes = (Y.astype(np.uint8), Cb.astype(np.uint8),
               Cr.astype(np.uint8))
     return (planes, (mvg, refg)) if return_motion else planes
@@ -2119,7 +2192,8 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                    ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
                    ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
                    col_motion="absent",
-                   pocs: tuple | None = None
+                   pocs: tuple | None = None,
+                   canvas=None, mb_range: list | None = None
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one B slice NAL against two single-entry reference
     lists: ``ref0`` = RefPicList0[0] (the temporally previous
@@ -2151,9 +2225,12 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     W, H = wmb * 16, hmb * 16
     if r0[0].shape != (H, W) or r1[0].shape != (H, W):
         raise H264Error("reference frame dims do not match SPS")
-    Y = np.zeros((H, W), dtype=np.int64)
-    Cb = np.zeros((H // 2, W // 2), dtype=np.int64)
-    Cr = np.zeros((H // 2, W // 2), dtype=np.int64)
+    if canvas is None:
+        Y = np.zeros((H, W), dtype=np.int64)
+        Cb = np.zeros((H // 2, W // 2), dtype=np.int64)
+        Cr = np.zeros((H // 2, W // 2), dtype=np.int64)
+    else:
+        Y, Cb, Cr = canvas
     nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
     nzC = {0: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64),
            1: np.full((hmb * 2, wmb * 2), -1, dtype=np.int64)}
@@ -2260,7 +2337,11 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                 "(pass pocs=(curr, ref0, ref1))")
         return _temporal_direct(col_motion, gx, gy, pocs)
 
-    for mb in range(wmb * hmb):
+    end_mb = sh["first_mb"]
+    for mb in range(sh["first_mb"], wmb * hmb):
+        if pending in (None, 0) and not r.more_rbsp_data():
+            break  # end of this slice's macroblocks
+        end_mb = mb + 1
         mbx, mby = mb % wmb, mb // wmb
         ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
         gx, gy = mbx * 4, mby * 4
@@ -2291,11 +2372,13 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                 _decode_ipcm_mb(r, mbx, mby, Y, Cb, Cr, nzY, nzC)
             elif it == 0:
                 _decode_i4x4_mb(r, mb, mbx, mby, wmb, Y, Cb, Cr,
-                                nzY, nzC, i4m, qp_box := [qp], pps)
+                                nzY, nzC, i4m, qp_box := [qp], pps,
+                                floor_mb=sh["first_mb"])
                 qp = qp_box[0]
             elif it <= 24:
                 qp = _decode_i16_mb(r, it, mbx, mby, Y, Cb, Cr,
-                                    nzY, nzC, qp, pps)
+                                    nzY, nzC, qp, pps, wmb=wmb,
+                                    floor_mb=sh["first_mb"])
             else:
                 raise H264Error(f"bad B-slice mb_type {mb_type}")
             continue
@@ -2410,6 +2493,8 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                                 cx, cy, pred, cpredb, cpredr,
                                 Y, Cb, Cr, nzY, nzC)
 
+    if mb_range is not None:
+        mb_range.append((sh["first_mb"], end_mb))
     return (Y.astype(np.uint8), Cb.astype(np.uint8), Cr.astype(np.uint8))
 
 
@@ -2434,58 +2519,110 @@ def decode_annexb_video(stream: bytes) -> list[
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     refs: list[tuple] = []  # (planes, motion | None | "absent", poc)
     prev_msb = prev_lsb = 0  # poc_type 0 state (8.2.1.1)
+    au: list[tuple] = []  # (nal, sh) slices of the current picture
+
+    def _flush():
+        nonlocal refs, prev_msb, prev_lsb
+        if not au:
+            return
+        slices = list(au)
+        au.clear()
+        nal0, sh = slices[0]
+        if any(s["type"] != sh["type"] for _, s in slices[1:]):
+            raise H264Unsupported("mixed slice types in one picture")
+        is_ref = bool((nal0[0] >> 5) & 3)
+        pt = sps["poc"]["type"]
+        if pt == 0:
+            max_lsb = 1 << sps["poc"]["log2_max_poc_lsb"]
+            lsb = sh["poc_lsb"]
+            if sh["idr"]:
+                prev_msb = prev_lsb = 0
+            if lsb < prev_lsb and (prev_lsb - lsb) >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and (lsb - prev_lsb) > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            poc = msb + lsb
+            if is_ref:
+                prev_msb, prev_lsb = msb, lsb
+        elif pt == 2:
+            poc = 2 * sh["frame_num"] - (0 if is_ref else 1)
+        else:
+            poc = None  # poc_type 1: direct-mode use would gate
+        wmb, hmb = sps["width_mbs"], sps["height_mbs"]
+        n_mbs = wmb * hmb
+        canvas = (np.zeros((hmb * 16, wmb * 16), dtype=np.int64),
+                  np.zeros((hmb * 8, wmb * 8), dtype=np.int64),
+                  np.zeros((hmb * 8, wmb * 8), dtype=np.int64))
+        nxt = 0
+        if sh["type"] == "I":
+            motion = None  # intra anchor: colZeroFlag false
+            for nal_, _ in slices:
+                rng: list = []
+                decode_i_frame(sps, pps, nal_, canvas=canvas,
+                               mb_range=rng)
+                if rng[0][0] != nxt:
+                    raise H264Error("slices do not tile the picture")
+                nxt = rng[0][1]
+        elif sh["type"] == "P":
+            if not refs:
+                raise H264Error("P slice with no reference frame")
+            rlist = [p for (p, _, _) in reversed(refs)]
+            pic_mv = np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
+            pic_ref = np.full((hmb * 4, wmb * 4), _NOT_DECODED,
+                              dtype=np.int64)
+            for nal_, _ in slices:
+                rng = []
+                _, (smv, sref) = decode_p_frame(
+                    sps, pps, nal_, rlist, return_motion=True,
+                    canvas=canvas, mb_range=rng)
+                if rng[0][0] != nxt:
+                    raise H264Error("slices do not tile the picture")
+                nxt = rng[0][1]
+                mask = sref != _NOT_DECODED
+                pic_ref[mask] = sref[mask]
+                pic_mv[mask] = smv[mask]
+            motion = (pic_mv, pic_ref)
+        else:
+            if len(refs) < 2:
+                raise H264Error("B slice needs two reference frames")
+            for nal_, _ in slices:
+                rng = []
+                decode_b_frame(sps, pps, nal_, refs[-2][0],
+                               refs[-1][0], col_motion=refs[-1][1],
+                               pocs=(poc, refs[-2][2], refs[-1][2]),
+                               canvas=canvas, mb_range=rng)
+                if rng[0][0] != nxt:
+                    raise H264Error("slices do not tile the picture")
+                nxt = rng[0][1]
+            motion = "absent"  # a B used as colocated would gate
+        if nxt != n_mbs:
+            raise H264Error("picture not fully covered by its slices")
+        f = tuple(p.astype(np.uint8) for p in canvas)
+        frames.append(f)
+        if is_ref:
+            keep = max(2, sps["max_num_ref_frames"])
+            refs = (refs + [(f, motion, poc)])[-keep:]
+
     for nal in split_annexb(stream):
         t = nal[0] & 0x1F
         if t == 7:
+            _flush()
             sps = parse_sps(nal)
         elif t == 8:
+            _flush()
             pps = parse_pps(nal)
         elif t in (1, 5):
             if sps is None or pps is None:
                 raise H264Error("slice before SPS/PPS")
             _, sh = parse_slice_header(nal, sps, pps)
-            is_ref = bool((nal[0] >> 5) & 3)
-            pt = sps["poc"]["type"]
-            if pt == 0:
-                max_lsb = 1 << sps["poc"]["log2_max_poc_lsb"]
-                lsb = sh["poc_lsb"]
-                if sh["idr"]:
-                    prev_msb = prev_lsb = 0
-                if lsb < prev_lsb and (prev_lsb - lsb) >= max_lsb // 2:
-                    msb = prev_msb + max_lsb
-                elif lsb > prev_lsb and (lsb - prev_lsb) > max_lsb // 2:
-                    msb = prev_msb - max_lsb
-                else:
-                    msb = prev_msb
-                poc = msb + lsb
-                if is_ref:
-                    prev_msb, prev_lsb = msb, lsb
-            elif pt == 2:
-                poc = 2 * sh["frame_num"] - (0 if is_ref else 1)
-            else:
-                poc = None  # poc_type 1: direct-mode use would gate
-            if sh["type"] == "I":
-                f = decode_i_frame(sps, pps, nal)
-                motion = None  # intra anchor: colZeroFlag false
-            elif sh["type"] == "P":
-                if not refs:
-                    raise H264Error("P slice with no reference frame")
-                f, motion = decode_p_frame(
-                    sps, pps, nal,
-                    [p for (p, _, _) in reversed(refs)],
-                    return_motion=True)
-            else:
-                if len(refs) < 2:
-                    raise H264Error("B slice needs two reference frames")
-                f = decode_b_frame(sps, pps, nal, refs[-2][0],
-                                   refs[-1][0],
-                                   col_motion=refs[-1][1],
-                                   pocs=(poc, refs[-2][2], refs[-1][2]))
-                motion = "absent"  # a B used as colocated would gate
-            frames.append(f)
-            if is_ref:
-                keep = max(2, sps["max_num_ref_frames"])
-                refs = (refs + [(f, motion, poc)])[-keep:]
+            if sh["first_mb"] == 0:
+                _flush()
+            elif not au:
+                raise H264Error("slice continuation without a start")
+            au.append((nal, sh))
+    _flush()
     return frames
 
 
@@ -2494,7 +2631,9 @@ def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
                     poc_lsb: int | None = None,
                     wp: dict | None = None,
                     n_refs: int = 1,
-                    refs_idx: np.ndarray | None = None) -> bytes:
+                    refs_idx: np.ndarray | None = None,
+                    first_mb: int = 0,
+                    n_mbs: int | None = None) -> bytes:
     """Encode one P slice of explicit P_L0_16x16 macroblocks with the
     given quarter-pel MVs (shape (hmb, wmb, 2)) and no residual —
     the in-package inter analogue of ``encode_ipcm_annexb``: motion
@@ -2506,9 +2645,11 @@ def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
     slice NAL (unescaped RBSP); pair with the I_PCM encoder's
     SPS/PPS."""
     hmb, wmb, _ = mvs_qpel.shape
+    if n_mbs is None:
+        n_mbs = wmb * hmb - first_mb
     w = _BitWriter()
     w.u(0x61, 8)  # nal_ref_idc=3, non-IDR slice
-    w.ue(0)  # first_mb
+    w.ue(first_mb)  # first_mb_in_slice
     w.ue(0)  # slice_type P
     w.ue(0)  # pps_id
     w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
@@ -2535,21 +2676,21 @@ def encode_p16_rbsp(mvs_qpel: np.ndarray, frame_num: int = 1,
     w.ue(1)  # disable_deblocking_filter_idc
     mvg = np.zeros((hmb * 4, wmb * 4, 2), dtype=np.int64)
     refg = np.full((hmb * 4, wmb * 4), _NOT_DECODED, dtype=np.int64)
-    for mby in range(hmb):
-        for mbx in range(wmb):
-            gx, gy = mbx * 4, mby * 4
-            mv = (int(mvs_qpel[mby, mbx, 0]), int(mvs_qpel[mby, mbx, 1]))
-            ri = int(refs_idx[mby, mbx]) if refs_idx is not None else 0
-            w.ue(0)  # mb_skip_run
-            w.ue(0)  # mb_type P_L0_16x16
-            if n_refs > 1:
-                _te_write(w, ri, n_refs - 1)
-            p = _mv_pred(mvg, refg, gx, gy, 4, 4, ri)
-            w.se(mv[0] - p[0])
-            w.se(mv[1] - p[1])
-            w.ue(_CBP_INTER_INV[0])  # coded_block_pattern = 0
-            mvg[gy:gy + 4, gx:gx + 4] = mv
-            refg[gy:gy + 4, gx:gx + 4] = ri
+    for mb in range(first_mb, first_mb + n_mbs):
+        mbx, mby = mb % wmb, mb // wmb
+        gx, gy = mbx * 4, mby * 4
+        mv = (int(mvs_qpel[mby, mbx, 0]), int(mvs_qpel[mby, mbx, 1]))
+        ri = int(refs_idx[mby, mbx]) if refs_idx is not None else 0
+        w.ue(0)  # mb_skip_run
+        w.ue(0)  # mb_type P_L0_16x16
+        if n_refs > 1:
+            _te_write(w, ri, n_refs - 1)
+        p = _mv_pred(mvg, refg, gx, gy, 4, 4, ri)
+        w.se(mv[0] - p[0])
+        w.se(mv[1] - p[1])
+        w.ue(_CBP_INTER_INV[0])  # coded_block_pattern = 0
+        mvg[gy:gy + 4, gx:gx + 4] = mv
+        refg[gy:gy + 4, gx:gx + 4] = ri
     return w.rbsp()
 
 

@@ -1698,6 +1698,164 @@ def test_weighted_b_direct_and_skip():
                                   d0["oc"][1], d1["oc"][1]))
 
 
+def test_multislice_ipcm_picture():
+    """An I_PCM picture split across 3 slices must reconstruct the
+    exact planes (slices tile the macroblock raster; each slice's
+    first_mb_in_slice drives the canvas placement)."""
+    rng = np.random.default_rng(71)
+    wmb, hmb = 4, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    stream = H.encode_ipcm_annexb(y, cb, cr, n_slices=3)
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 1  # ONE picture despite three slice NALs
+    assert np.array_equal(frames[0][0], y)
+    assert np.array_equal(frames[0][1], cb)
+    assert np.array_equal(frames[0][2], cr)
+    # the avcC/keyframe path must composite ALL slices, not just the
+    # first: an AVCC sample whose payload is the 3-slice access unit
+    nals = H.split_annexb(stream)
+    payload = b"".join(len(s).to_bytes(4, "big") + s
+                       for s in nals if s[0] & 0x1F == 5)
+    rgb = H.decode_keyframe(payload, sps_rbsp=nals[0],
+                            pps_rbsp=nals[1], length_size=4)
+    want_rgb = H.yuv420_to_rgb(y, cb, cr)
+    assert np.array_equal(rgb, want_rgb)
+
+
+def test_multislice_p_picture_boundary_availability():
+    """A P picture split into 2 slices: MV prediction must NOT see
+    the first slice's macroblocks from the second slice (fresh
+    per-slice grids on both sides), yet the reconstructed motion is
+    the intended one — every MB equals the scalar MC resample."""
+    rng = np.random.default_rng(72)
+    wmb, hmb = 4, 3
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mvs = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            mvs[mby, mbx] = ((mbx * 5 + mby * 3) % 11 - 5,
+                             (mby * 7 - mbx) % 9 - 4)
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb)
+    sc = b"\x00\x00\x00\x01"
+    split = 5  # mid-row boundary: slice 2 starts inside row 1
+    stream = (sc + H._ep3b_escape(sps_r) + sc + H._ep3b_escape(pps_r)
+              + sc + H._ep3b_escape(H._ipcm_slice_rbsp(y, cb, cr))
+              + sc + H._ep3b_escape(H.encode_p16_rbsp(
+                  mvs, frame_num=1, first_mb=0, n_mbs=split))
+              + sc + H._ep3b_escape(H.encode_p16_rbsp(
+                  mvs, frame_num=1, first_mb=split)))
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 2  # I picture + ONE two-slice P picture
+    ref = frames[0][0].astype(np.int64)
+    fy = frames[1][0].astype(np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            mv = tuple(int(v) for v in mvs[mby, mbx])
+            x0, y0 = mbx * 16, mby * 16
+            want = scalar_mc_luma(ref, x0, y0, 16, 16, *mv)
+            assert np.array_equal(fy[y0:y0 + 16, x0:x0 + 16], want), \
+                (mbx, mby)
+    # single-slice decode of the same motion must agree exactly
+    one = H.decode_annexb_video(
+        sc + H._ep3b_escape(sps_r) + sc + H._ep3b_escape(pps_r)
+        + sc + H._ep3b_escape(H._ipcm_slice_rbsp(y, cb, cr))
+        + sc + H._ep3b_escape(H.encode_p16_rbsp(mvs, frame_num=1)))
+    assert np.array_equal(one[1][0], frames[1][0])
+    assert np.array_equal(one[1][1], frames[1][1])
+
+
+def test_multislice_i16_dc_boundary_unavailability():
+    """Slice boundaries make intra neighbours UNAVAILABLE: a 2-MB
+    picture of DC-mode I_16x16 where MB0 carries a DC residual. In
+    one slice, MB1's DC predicts from MB0's reconstructed left
+    column; split into two slices, MB1 must fall back to 128."""
+    wmb, hmb = 2, 1
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+
+    def i16_dc_slice(first_mb, n_mbs, dc_levels_by_mb):
+        w = BitWriter()
+        w.u(0x65, 8)  # IDR
+        w.ue(first_mb)
+        w.ue(7)  # I slice
+        w.ue(0)
+        w.u(0, 4)
+        w.ue(0)  # idr_pic_id
+        w.u(1, 1)
+        w.u(0, 1)
+        w.se(0)  # slice_qp_delta (qp 26)
+        w.ue(1)  # deblocking off
+        nzY = np.full((hmb * 4, wmb * 4), -1, dtype=np.int64)
+        for mb in range(first_mb, first_mb + n_mbs):
+            mbx = mb % wmb
+            w.ue(3)  # I_16x16: DC luma, cbp_chroma 0, cbp_luma 0
+            w.ue(0)  # chroma DC mode
+            w.se(0)  # mb_qp_delta
+            gx, gy = mbx * 4, 0
+            # Intra16x16DCLevel block (always present)
+            nc = H._nc_from(nzY, gx, gy)
+            tc = _write_residual(
+                w, dc_levels_by_mb.get(mb, [0] * 16), nc)
+            nzY[gy:gy + 4, gx:gx + 4] = tc  # decoder mirrors per-MB
+        return w.rbsp(trailing=True)
+
+    dc = {0: [40] + [0] * 15}  # a DC offset on MB0 only
+    # single slice: MB1 sees MB0
+    one = H.decode_i_frame(sps, pps, i16_dc_slice(0, 2, dc))
+    # two slices: MB1 must NOT see MB0
+    canvas = (np.zeros((16, 32), np.int64), np.zeros((8, 16), np.int64),
+              np.zeros((8, 16), np.int64))
+    H.decode_i_frame(sps, pps, i16_dc_slice(0, 1, dc), canvas=canvas)
+    H.decode_i_frame(sps, pps, i16_dc_slice(1, 1, dc), canvas=canvas)
+    two_y = canvas[0].astype(np.uint8)
+    # MB0 identical either way, and NOT 128 (the residual moved it)
+    assert np.array_equal(one[0][:, :16], two_y[:, :16])
+    assert one[0][0, 0] != 128
+    # MB1: single-slice predicts from MB0's column; split = flat 128
+    assert np.all(two_y[:, 16:] == 128)
+    assert not np.array_equal(one[0][:, 16:], two_y[:, 16:])
+    # the stream decoder assembles the same two-slice picture
+    sc = b"\x00\x00\x00\x01"
+    frames = H.decode_annexb_video(
+        sc + H._ep3b_escape(sps_r) + sc + H._ep3b_escape(pps_r)
+        + sc + H._ep3b_escape(i16_dc_slice(0, 1, dc))
+        + sc + H._ep3b_escape(i16_dc_slice(1, 1, dc)))
+    assert len(frames) == 1
+    assert np.array_equal(frames[0][0], two_y)
+
+
+def test_multislice_tiling_errors():
+    rng = np.random.default_rng(73)
+    wmb, hmb = 2, 2
+    y = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    c8 = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb)
+    sc = b"\x00\x00\x00\x01"
+    head = sc + H._ep3b_escape(sps_r) + sc + H._ep3b_escape(pps_r)
+    # gap: slices 0..1 then 3.. (MB 2 missing)
+    bad = (head
+           + sc + H._ep3b_escape(H._ipcm_slice_rbsp(
+               y, c8, c8, first_mb=0, n_mbs=2))
+           + sc + H._ep3b_escape(H._ipcm_slice_rbsp(
+               y, c8, c8, first_mb=3, n_mbs=1)))
+    with pytest.raises(H.H264Error, match="tile|covered"):
+        H.decode_annexb_video(bad)
+    # short picture: trailing slice missing entirely
+    short = head + sc + H._ep3b_escape(H._ipcm_slice_rbsp(
+        y, c8, c8, first_mb=0, n_mbs=3))
+    with pytest.raises(H.H264Error, match="covered"):
+        H.decode_annexb_video(short)
+    # continuation with no start
+    orphan = head + sc + H._ep3b_escape(H._ipcm_slice_rbsp(
+        y, c8, c8, first_mb=2, n_mbs=2))
+    with pytest.raises(H.H264Error, match="without a start"):
+        H.decode_annexb_video(orphan)
+
+
 def _encode_p_multiref_slice(wmb, hmb, plan, n_refs, frame_num=1):
     """Test-side multi-reference P-slice writer (residual-free).
     ``plan`` per MB: ("16x16", [(ref, mv)]), ("16x8"/"8x16",
