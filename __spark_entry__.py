@@ -323,6 +323,85 @@ def q_h264_b_decode(spark, sf):
         " bcb_sum bigint, bcr_sum bigint")
 
 
+def q_h264_b_multiref(spark, sf):
+    """H.264 MULTI-REFERENCE B decode (operators/h264.py): I(0),
+    P1(4), P2(8) then a B at POC 6 activating TWO references per
+    list — RefPicList0 = [P1, I] (past, POC-descending), RefPicList1
+    = [P2, P1] (future-ascending then past). Per MB the te(v) pair
+    (ri0, ri1) and the L0/L1/bi mode select among four references;
+    even-full-pel MVs keep every sample a closed form: direct /
+    single-composed / double-composed clamped shifts of the I anchor,
+    combined per mode. The oracle replays all composition depths.
+    Chroma + fractional paths are pinned in tests/test_h264.py."""
+    import pandas as pd
+
+    from montandon_etl_spark.operators import h264 as Hc
+
+    ids = (_t(spark, sf, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 24).distinct())
+
+    def batches(it):
+        import numpy as np
+        r32 = np.arange(32).reshape(32, 1)
+        c32 = np.arange(32).reshape(1, 32)
+        wy = (r32 * 32 + c32 + 1).astype(np.int64)
+        sc = b"\x00\x00\x00\x01"
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                y0 = ((d * 31 + r32 * 3 + c32) % 256).astype(np.uint8)
+                cb0 = ((d * 7 + np.arange(16).reshape(16, 1) * 5
+                        + np.arange(16).reshape(1, 16) * 2)
+                       % 256).astype(np.uint8)
+                cr0 = ((d * 13 + np.arange(16).reshape(16, 1) * 2
+                        + np.arange(16).reshape(1, 16) * 3)
+                       % 256).astype(np.uint8)
+                mv1 = np.zeros((2, 2, 2), dtype=np.int64)
+                mv2 = np.zeros((2, 2, 2), dtype=np.int64)
+                specs = []
+                for mby in range(2):
+                    for mbx in range(2):
+                        mv1[mby, mbx] = (
+                            8 * ((d + mbx + mby) % 3 - 1),
+                            8 * ((d + 2 * mbx + mby) % 3 - 1))
+                        mv2[mby, mbx] = (
+                            8 * ((d + mbx + 1) % 3 - 1),
+                            8 * ((d + 2 * mby + 1) % 3 - 1))
+                        mode = ({0}, {1}, {0, 1})[(d + mbx
+                                                   + 2 * mby) % 3]
+                        mv0 = (8 * ((d + mbx) % 3 - 1),
+                               8 * ((d + mby) % 3 - 1))
+                        mvb = (8 * ((d + mbx + 2) % 3 - 1),
+                               8 * ((d + 2 * mby + 2) % 3 - 1))
+                        ri0 = (d + mbx + mby) % 2
+                        ri1 = (d + mbx) % 2
+                        specs.append(("16x16",
+                                      [(mode, mv0, mvb, ri0, ri1)]))
+                sps, pps = Hc._seq_header_rbsps(2, 2, max_ref=3,
+                                                poc_type=0)
+                stream = (
+                    sc + Hc._ep3b_escape(sps)
+                    + sc + Hc._ep3b_escape(pps)
+                    + sc + Hc._ep3b_escape(Hc._ipcm_slice_rbsp(
+                        y0, cb0, cr0, poc_lsb=0))
+                    + sc + Hc._ep3b_escape(Hc.encode_p16_rbsp(
+                        mv1, frame_num=1, poc_lsb=4))
+                    + sc + Hc._ep3b_escape(Hc.encode_p16_rbsp(
+                        mv2, frame_num=2, poc_lsb=8))
+                    + sc + Hc._ep3b_escape(Hc.encode_b_rbsp(
+                        specs, 2, 2, frame_num=3, poc_lsb=6,
+                        n_refs=(2, 2))))
+                frames = Hc.decode_annexb_video(stream)
+                yb = frames[3][0].astype(np.int64)
+                rows.append((d, int(yb.sum()), int((yb * wy).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "by_sum", "by_wsum"])
+
+    return ids.mapInPandas(
+        batches, "doc_id bigint, by_sum bigint, by_wsum bigint")
+
+
 def q_h264_p_multiref(spark, sf):
     """H.264 MULTI-REFERENCE P decode (operators/h264.py): per doc an
     I-P-P stream whose second P slice activates TWO references — each
@@ -4064,6 +4143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export": q_wet_export,
         "h264_p_decode": q_h264_p_decode,
         "bpe_merges": q_bpe_merges,
+        # h264_b_multiref ↔ h264_b_temporal/h264_p_multiref — same
+        # closed-form anchor family; the te(v) selection has its
+        # in-prefix P row, and the B lists are pinned in test_h264
+        "h264_b_multiref": q_h264_b_multiref,
         "h264_b_decode": q_h264_b_decode,
         "h264_b_weighted": q_h264_b_weighted,
         "h264_b_implicit": q_h264_b_implicit,
@@ -4627,6 +4710,73 @@ def oracle_sql() -> dict[str, str]:
         # frame 0; L1 = a COMPOSED double shift through the P anchor
         # (pixel-dependent P MV of the landing macroblock); Bi = the
         # rounded average. All integer.
+        # Multi-reference B: per MB (ri0, ri1) pick among four
+        # references — I directly, P1 (one composed shift through the
+        # first P's own MV at the landing position), or P2 (two
+        # composed shifts) — combined per the L0/L1/bi mode
+        "h264_b_multiref": """
+            WITH ids AS (SELECT DISTINCT doc_id FROM documents
+                         WHERE doc_id < 24),
+            t0 AS (
+              SELECT i.doc_id AS d, r.range AS y, c.range AS x,
+                     (i.doc_id + (c.range // 16) + 2 * (r.range // 16))
+                       % 3 AS mode,
+                     (i.doc_id + (c.range // 16) + (r.range // 16))
+                       % 2 AS ri0,
+                     (i.doc_id + (c.range // 16)) % 2 AS ri1,
+                     LEAST(GREATEST(c.range + 2 * ((i.doc_id
+                       + (c.range // 16)) % 3 - 1), 0), 31) AS u0,
+                     LEAST(GREATEST(r.range + 2 * ((i.doc_id
+                       + (r.range // 16)) % 3 - 1), 0), 31) AS v0,
+                     LEAST(GREATEST(c.range + 2 * ((i.doc_id
+                       + (c.range // 16) + 2) % 3 - 1), 0), 31) AS u1,
+                     LEAST(GREATEST(r.range + 2 * ((i.doc_id
+                       + 2 * (r.range // 16) + 2) % 3 - 1), 0), 31)
+                       AS v1
+              FROM ids i, range(32) r, range(32) c),
+            t1 AS (
+              SELECT d, y, x, mode, ri1, u1, v1,
+                     CASE ri0 WHEN 1 THEN
+                       ((d * 31 + v0 * 3 + u0) % 256)
+                     ELSE
+                       ((d * 31
+                         + LEAST(GREATEST(v0 + 2 * ((d
+                             + 2 * (u0 // 16) + (v0 // 16)) % 3 - 1),
+                             0), 31) * 3
+                         + LEAST(GREATEST(u0 + 2 * ((d + (u0 // 16)
+                             + (v0 // 16)) % 3 - 1), 0), 31)) % 256)
+                     END AS s_l0,
+                     LEAST(GREATEST(v1 + 2 * ((d + 2 * (v1 // 16)
+                         + 1) % 3 - 1), 0), 31) AS z1,
+                     LEAST(GREATEST(u1 + 2 * ((d + (u1 // 16)
+                         + 1) % 3 - 1), 0), 31) AS w1
+              FROM t0),
+            t2 AS (
+              SELECT d, y, x, mode, s_l0,
+                     CASE ri1 WHEN 1 THEN
+                       ((d * 31
+                         + LEAST(GREATEST(v1 + 2 * ((d
+                             + 2 * (u1 // 16) + (v1 // 16)) % 3 - 1),
+                             0), 31) * 3
+                         + LEAST(GREATEST(u1 + 2 * ((d + (u1 // 16)
+                             + (v1 // 16)) % 3 - 1), 0), 31)) % 256)
+                     ELSE
+                       ((d * 31
+                         + LEAST(GREATEST(z1 + 2 * ((d
+                             + 2 * (w1 // 16) + (z1 // 16)) % 3 - 1),
+                             0), 31) * 3
+                         + LEAST(GREATEST(w1 + 2 * ((d + (w1 // 16)
+                             + (z1 // 16)) % 3 - 1), 0), 31)) % 256)
+                     END AS s_l1
+              FROM t1),
+            yv AS (
+              SELECT d, y, x,
+                     CASE mode WHEN 0 THEN s_l0 WHEN 1 THEN s_l1
+                          ELSE (s_l0 + s_l1 + 1) // 2 END AS v
+              FROM t2)
+            SELECT d AS doc_id, SUM(v)::BIGINT AS by_sum,
+                   SUM(v * (y * 32 + x + 1))::BIGINT AS by_wsum
+            FROM yv GROUP BY d""",
         # Multi-reference P: per MB the ref_idx selector picks either
         # a direct clamped shift of the I anchor (ref 1) or a
         # composed double shift through the first P (ref 0, inner

@@ -10,14 +10,14 @@ prediction modes, most-probable-mode coding, Table 9-4 CBP, per-8x8
 residual gating, above-right substitution) and I_PCM. frame_mbs_only,
 4:2:0, 8-bit — i.e. a complete constrained-baseline INTRA decoder,
 extended with P and B slice decode (every explicit partition shape,
-multi-reference P lists with per-partition te(v) ref_idx, spatial
-AND temporal direct / skip with picture-order-count tracking,
-explicit weighted prediction for P and B, implicit POC-derived
-bi-prediction weights) and MULTI-SLICE pictures (slices tile the
-macroblock raster; slice boundaries bound neighbour availability
-exactly like picture edges).
-Loudly gated (``H264Unsupported``): CABAC, multi-reference B lists,
-reference-list reordering, interlace,
+multi-reference P AND B lists with per-partition te(v) ref_idx and
+POC-ordered RefPicList construction, spatial AND temporal direct /
+skip with picture-order-count tracking, explicit weighted prediction
+for P and B, implicit POC-derived bi-prediction weights) and
+MULTI-SLICE pictures (slices tile the macroblock raster; slice
+boundaries bound neighbour availability exactly like picture edges).
+Loudly gated (``H264Unsupported``): CABAC,
+reference-list reordering/MMCO, interlace,
 high-profile tools, and the in-loop deblocking filter (decode
 requires streams signalling ``disable_deblocking_filter_idc = 1`` —
 with the filter enabled the pre-filter reconstruction would silently
@@ -822,7 +822,7 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     if pps["redundant_pic_cnt_present"]:
         r.ue()
     direct_spatial = None
-    n_l0 = 1
+    n_l0 = n_l1 = 1
     if is_b:
         direct_spatial = r.u(1)  # temporal direct gates at use
     if is_p or is_b:
@@ -832,12 +832,8 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
             n_l0 = r.ue() + 1
             if is_b:
                 n_l1 = r.ue() + 1
-        if is_b and (n_l0 != 1 or n_l1 != 1):
-            raise H264Unsupported(
-                f"{n_l0}/{n_l1} active references in a B slice "
-                "(single-ref B lists only)")
-        if n_l0 < 1 or n_l0 > 16:
-            raise H264Error(f"num_ref_idx_l0_active {n_l0}")
+        if not 1 <= n_l0 <= 16 or (is_b and not 1 <= n_l1 <= 16):
+            raise H264Error(f"num_ref_idx_active {n_l0}/{n_l1}")
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise H264Unsupported("ref pic list modification")
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
@@ -845,7 +841,7 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
     wp = None
     if (is_p and pps["weighted_pred"]) or \
             (is_b and pps["weighted_bipred_idc"] == 1):
-        if is_p and n_l0 > 1:
+        if n_l0 > 1 or (is_b and n_l1 > 1):
             raise H264Unsupported(
                 "weighted prediction with multiple references")
         # pred_weight_table (7.3.3.2), single reference per list —
@@ -892,7 +888,7 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict) -> tuple[BitReader, di
                "frame_num": frame_num, "wp": wp,
                "direct_spatial": direct_spatial,
                "poc_lsb": poc_lsb, "n_ref_l0": n_l0,
-               "first_mb": first_mb}
+               "n_ref_l1": n_l1, "first_mb": first_mb}
 
 
 def decode_i_frame(sps: dict, pps: dict, slice_rbsp: bytes,
@@ -2068,21 +2064,23 @@ _B_SUB_INV = {(frozenset(u), sh): t for t, (u, sh) in _B_SUB.items()}
 
 def _spatial_direct(mvg, refg, col, gx, gy):
     """Spatial direct-mode derivation for one 16x16 macroblock
-    (8.4.1.2.2, single-entry lists, direct_8x8_inference_flag = 0 so
-    the colocated granularity is the 4x4 block). Per list X:
-    refIdxLX = 0 iff any of neighbors A/B/C (with the D substitution)
-    predicts from list X, else −1; the MV candidate is the standard
-    8.4.1.3 median over the B picture's own grids. Per 4x4 block,
-    colZeroFlag — the colocated block in RefPicList1[0] is inter with
-    refIdx 0 and |mv| ≤ 1 quarter-pel on both axes — zeroes the block's
-    MV for every list with refIdxLX = 0. Both lists unused → zero-MV
+    (8.4.1.2.2, direct_8x8_inference_flag = 0 so the colocated
+    granularity is the 4x4 block). Per list X: refIdxLX =
+    MinPositive over neighbors A/B/C (the D substitution) — the
+    smallest non-negative neighbour reference, −1 when none; the MV
+    candidate is the standard 8.4.1.3 median over the B picture's
+    own grids at that refIdx. Per 4x4 block, colZeroFlag — the
+    colocated block in RefPicList1[0] is inter with refIdx 0 and
+    |mv| ≤ 1 quarter-pel on both axes — zeroes the block's MV for
+    every list with refIdxLX = 0. Both lists unused → zero-MV
     bi-prediction with refIdx 0 (directZeroPredictionFlag).
 
-    Returns (used_lists, mv4) with mv4[lx] a (4, 4, 2) per-4x4 MV
-    array. ``col`` is (mv_grid, ref_grid) of RefPicList1[0], or None
-    when the anchor carries no motion (an I picture: every colocated
-    block is intra, colZeroFlag false everywhere)."""
-    use = {}
+    Returns (rid, mv4): ``rid[lx]`` the derived refIdx (−1 = list
+    unused), ``mv4[lx]`` a (4, 4, 2) per-4x4 MV array. ``col`` is
+    (mv_grid, ref_grid) of RefPicList1[0], or None when the anchor
+    carries no motion (an I picture: every colocated block is intra,
+    colZeroFlag false everywhere)."""
+    rid = {}
     cand = {}
     for lx in (0, 1):
         A = _mv_nb(mvg[lx], refg[lx], gx - 1, gy)
@@ -2090,11 +2088,12 @@ def _spatial_direct(mvg, refg, col, gx, gy):
         C = _mv_nb(mvg[lx], refg[lx], gx + 4, gy - 1)
         if not C[0]:
             C = _mv_nb(mvg[lx], refg[lx], gx - 1, gy - 1)
-        use[lx] = any(n[1] == 0 for n in (A, B, C))
-        cand[lx] = _mv_pred(mvg[lx], refg[lx], gx, gy, 4, 4, 0) \
-            if use[lx] else (0, 0)
-    if not use[0] and not use[1]:  # directZeroPredictionFlag
-        use = {0: True, 1: True}
+        cands = [n[1] for n in (A, B, C) if n[1] >= 0]
+        rid[lx] = min(cands) if cands else -1
+        cand[lx] = _mv_pred(mvg[lx], refg[lx], gx, gy, 4, 4,
+                            rid[lx]) if rid[lx] >= 0 else (0, 0)
+    if rid[0] < 0 and rid[1] < 0:  # directZeroPredictionFlag
+        rid = {0: 0, 1: 0}
         cand = {0: (0, 0), 1: (0, 0)}
         col = None  # MVs are zero already; colZero cannot change them
     mv4 = {lx: np.zeros((4, 4, 2), dtype=np.int64) for lx in (0, 1)}
@@ -2107,9 +2106,10 @@ def _spatial_direct(mvg, refg, col, gx, gy):
                       and abs(int(cmv[gy + by, gx + bx, 0])) <= 1
                       and abs(int(cmv[gy + by, gx + bx, 1])) <= 1)
             for lx in (0, 1):
-                if use[lx]:
-                    mv4[lx][by, bx] = (0, 0) if cz else cand[lx]
-    return {lx for lx in (0, 1) if use[lx]}, mv4
+                if rid[lx] >= 0:
+                    mv4[lx][by, bx] = (0, 0) if cz and rid[lx] == 0 \
+                        else cand[lx]
+    return rid, mv4
 
 
 def _implicit_weights(pocs) -> tuple[int, int]:
@@ -2185,7 +2185,7 @@ def _temporal_direct(col, gx, gy, pocs):
                 l1 = (l0[0] - mvc[0], l0[1] - mvc[1])
             mv4[0][by, bx] = l0
             mv4[1][by, bx] = l1
-    return {0, 1}, mv4
+    return {0: 0, 1: 0}, mv4
 
 
 def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
@@ -2216,11 +2216,19 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     colZeroFlag false / mvCol zero everywhere; the default "absent"
     sentinel makes direct MBs gate loudly when the caller supplied
     no motion)."""
-    r0 = tuple(pl.astype(np.int64) for pl in ref0)
-    r1 = tuple(pl.astype(np.int64) for pl in ref1)
+    refs0 = ref0 if isinstance(ref0, list) else [ref0]
+    refs1 = ref1 if isinstance(ref1, list) else [ref1]
+    r0l = [tuple(pl.astype(np.int64) for pl in p) for p in refs0]
+    r1l = [tuple(pl.astype(np.int64) for pl in p) for p in refs1]
+    r0, r1 = r0l[0], r1l[0]
     r, sh = parse_slice_header(slice_rbsp, sps, pps)
     if sh["type"] != "B":
         raise H264Error("decode_b_frame on a non-B slice")
+    n_ref = (sh["n_ref_l0"], sh["n_ref_l1"])
+    if n_ref[0] > len(r0l) or n_ref[1] > len(r1l):
+        raise H264Error(
+            f"slice wants {n_ref} references, caller gave "
+            f"{(len(r0l), len(r1l))}")
     wmb, hmb = sps["width_mbs"], sps["height_mbs"]
     W, H = wmb * 16, hmb * 16
     if r0[0].shape != (H, W) or r1[0].shape != (H, W):
@@ -2243,6 +2251,10 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
     wp = sh.get("wp")
     imp_w = None
     if pps["weighted_bipred_idc"] == 2:
+        if n_ref != (1, 1):
+            raise H264Unsupported(
+                "implicit weighted bi-prediction with multiple "
+                "references")
         if pocs is None or any(p is None for p in pocs):
             raise H264Unsupported(
                 "implicit weighted bi-prediction without picture "
@@ -2290,27 +2302,29 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                     + ((o0 + o1 + 1) >> 1), 0, 255)
             for k, (logwd, w0, w1, o0, o1) in enumerate(planes))
 
-    def _direct_pred(gx, gy, ox, oy, cx, cy, used, mv4,
+    def _direct_pred(gx, gy, ox, oy, cx, cy, rid, mv4,
                      pred, cpredb, cpredr, blocks=None):
         """Per-4x4 MC for direct-mode blocks: writes the per-list
-        grids and fills the given prediction arrays — ``blocks``
-        restricts to a subset of the MB's 4x4 positions (B_Direct_8x8
-        quadrants); None = the whole macroblock."""
+        grids (the derived refIdx per list, −1 = unused) and fills
+        the given prediction arrays — ``blocks`` restricts to a
+        subset of the MB's 4x4 positions (B_Direct_8x8 quadrants);
+        None = the whole macroblock."""
         blocks = blocks if blocks is not None else [
             (by, bx) for by in range(4) for bx in range(4)]
+        used = [lx for lx in (0, 1) if rid[lx] >= 0]
         for (by, bx) in blocks:
             for lx in (0, 1):
-                if lx in used:
+                if rid[lx] >= 0:
                     mvg[lx][gy + by, gx + bx] = mv4[lx][by, bx]
-                    refg[lx][gy + by, gx + bx] = 0
+                    refg[lx][gy + by, gx + bx] = rid[lx]
                 else:
                     mvg[lx][gy + by, gx + bx] = 0
                     refg[lx][gy + by, gx + bx] = -1
         for (by, bx) in blocks:
             if True:
                 acc = []
-                for lx in sorted(used):
-                    ref = r0 if lx == 0 else r1
+                for lx in used:
+                    ref = r0l[rid[0]] if lx == 0 else r1l[rid[1]]
                     mv = tuple(int(v) for v in mv4[lx][by, bx])
                     acc.append((
                         interp_luma(ref[0], ox + bx * 4, oy + by * 4,
@@ -2319,7 +2333,7 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                                       2, 2, mv[0], mv[1]),
                         interp_chroma(ref[2], cx + bx * 2, cy + by * 2,
                                       2, 2, mv[0], mv[1])))
-                py_, pb_, pr_ = _combine(sorted(used), acc)
+                py_, pb_, pr_ = _combine(used, acc)
                 pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = py_
                 cpredb[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pb_
                 cpredr[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pr_
@@ -2349,11 +2363,11 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
             pending = r.ue()  # mb_skip_run
         if pending > 0:  # --------------------- B_Skip: direct, no residual
             pending -= 1
-            used, mv4 = _direct_derive(gx, gy)
+            rid_d, mv4 = _direct_derive(gx, gy)
             pred = np.zeros((16, 16), dtype=np.int64)
             cpredb = np.zeros((8, 8), dtype=np.int64)
             cpredr = np.zeros((8, 8), dtype=np.int64)
-            _direct_pred(gx, gy, ox, oy, cx, cy, used, mv4,
+            _direct_pred(gx, gy, ox, oy, cx, cy, rid_d, mv4,
                          pred, cpredb, cpredr)
             Y[oy:oy + 16, ox:ox + 16] = pred
             Cb[cy:cy + 8, cx:cx + 8] = cpredb
@@ -2383,11 +2397,11 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                 raise H264Error(f"bad B-slice mb_type {mb_type}")
             continue
         if mb_type == 0:  # ------------- B_Direct_16x16 (+ residual)
-            used, mv4 = _direct_derive(gx, gy)
+            rid_d, mv4 = _direct_derive(gx, gy)
             pred = np.zeros((16, 16), dtype=np.int64)
             cpredb = np.zeros((8, 8), dtype=np.int64)
             cpredr = np.zeros((8, 8), dtype=np.int64)
-            _direct_pred(gx, gy, ox, oy, cx, cy, used, mv4,
+            _direct_pred(gx, gy, ox, oy, cx, cy, rid_d, mv4,
                          pred, cpredb, cpredr)
             qp = _inter_mb_residual(r, pps, qp, mbx, mby, gx, gy, ox,
                                     oy, cx, cy, pred, cpredb, cpredr,
@@ -2407,22 +2421,22 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                 # direct quads land NOW — raster order means only
                 # LATER quads' predictors can see them, as 8.4.1.3
                 # requires.
-                used_d, mv4_d = _direct_derive(gx, gy)
+                rid_d, mv4_d = _direct_derive(gx, gy)
                 dblocks = [(qy * 2 + sy, qx * 2 + sx)
                            for i in direct_quads
                            for qy in [i // 2] for qx in [i % 2]
                            for sy in range(2) for sx in range(2)]
                 for (dby, dbx) in dblocks:
                     for lx in (0, 1):
-                        if lx in used_d:
+                        if rid_d[lx] >= 0:
                             mvg[lx][gy + dby, gx + dbx] = \
                                 mv4_d[lx][dby, dbx]
-                            refg[lx][gy + dby, gx + dbx] = 0
+                            refg[lx][gy + dby, gx + dbx] = rid_d[lx]
                         else:
                             mvg[lx][gy + dby, gx + dbx] = 0
                             refg[lx][gy + dby, gx + dbx] = -1
-                direct_fill = (used_d, mv4_d, dblocks)
-            parts, lists = [], []
+                direct_fill = (rid_d, mv4_d, dblocks)
+            parts, lists, owners8 = [], [], []
             for i8, t in enumerate(subs):
                 if t == 0:
                     continue
@@ -2431,12 +2445,33 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                 for (sx, sy, sw, shh) in _SUB_PARTS[shi]:
                     parts.append((bx + sx, by + sy, sw, shh, ""))
                     lists.append(used)
+                    owners8.append(i8)
+            # ref_idx_lX per non-direct 8x8 using list X (7.3.5.2):
+            # all l0 entries, then all l1, BEFORE any mvd
+            sub_ref = {}
+            for lx, nl in ((0, n_ref[0]), (1, n_ref[1])):
+                for i8, t in enumerate(subs):
+                    if t != 0 and lx in _B_SUB[t][0]:
+                        sub_ref[(i8, lx)] = _te(r, nl - 1) \
+                            if nl > 1 else 0
+            prefs = [{lx: sub_ref.get((o, lx), 0) for lx in (0, 1)}
+                     for o in owners8]
         elif mb_type not in _B_MB:
             raise H264Error(f"bad B-slice mb_type {mb_type}")
         else:
             shape, lists = _B_MB[mb_type]
             parts = _B_GEOM[shape]
             direct_fill = None
+            # ref_idx_lX per partition (7.3.5.1): all l0 then all l1,
+            # BEFORE any mvd — te(v), absent with a single reference
+            pref_map = {}
+            for lx, nl in ((0, n_ref[0]), (1, n_ref[1])):
+                for pi, used in enumerate(lists):
+                    if lx in used:
+                        pref_map[(pi, lx)] = _te(r, nl - 1) \
+                            if nl > 1 else 0
+            prefs = [{lx: pref_map.get((pi, lx), 0) for lx in (0, 1)}
+                     for pi in range(len(parts))]
         # mark the lists each partition does NOT use up front: those
         # areas read as (available, refIdx −1, mv 0) for later
         # partitions' predictors — legal because partition 0 only ever
@@ -2456,27 +2491,29 @@ def decode_b_frame(sps: dict, pps: dict, slice_rbsp: bytes,
                     zip(parts, lists)):
                 if lx not in used:
                     continue
+                ri = prefs[pi][lx]
                 mvd = (r.se(), r.se())
                 pred_mv = _mv_pred(mvg[lx], refg[lx], gx + px4,
-                                   gy + py4, w4, h4, 0, shp)
+                                   gy + py4, w4, h4, ri, shp)
                 mv = (pred_mv[0] + mvd[0], pred_mv[1] + mvd[1])
                 mvs[(pi, lx)] = mv
                 mvg[lx][gy + py4:gy + py4 + h4,
                         gx + px4:gx + px4 + w4] = mv
                 refg[lx][gy + py4:gy + py4 + h4,
-                         gx + px4:gx + px4 + w4] = 0
+                         gx + px4:gx + px4 + w4] = ri
         pred = np.zeros((16, 16), dtype=np.int64)
         cpredb = np.zeros((8, 8), dtype=np.int64)
         cpredr = np.zeros((8, 8), dtype=np.int64)
         if direct_fill is not None:
-            used_d, mv4_d, dblocks = direct_fill
-            _direct_pred(gx, gy, ox, oy, cx, cy, used_d, mv4_d,
+            rid_d, mv4_d, dblocks = direct_fill
+            _direct_pred(gx, gy, ox, oy, cx, cy, rid_d, mv4_d,
                          pred, cpredb, cpredr, blocks=dblocks)
         for pi, ((px4, py4, w4, h4, _), used) in enumerate(
                 zip(parts, lists)):
             acc = []
             for lx in sorted(used):
-                ref = r0 if lx == 0 else r1
+                ref = r0l[prefs[pi][0]] if lx == 0 \
+                    else r1l[prefs[pi][1]]
                 mv = mvs[(pi, lx)]
                 acc.append((
                     interp_luma(ref[0], ox + px4 * 4, oy + py4 * 4,
@@ -2587,11 +2624,27 @@ def decode_annexb_video(stream: bytes) -> list[
         else:
             if len(refs) < 2:
                 raise H264Error("B slice needs two reference frames")
+            # RefPicList init (8.2.4.2.3 shape, POC-ordered):
+            # list0 = past refs by POC descending, then future
+            # ascending; list1 = future ascending, then past
+            # descending. Colocated = RefPicList1[0].
+            past = sorted([t for t in refs
+                           if t[2] is not None and t[2] < poc],
+                          key=lambda t: -t[2])
+            fut = sorted([t for t in refs
+                          if t[2] is not None and t[2] > poc],
+                         key=lambda t: t[2])
+            if not past or not fut:
+                raise H264Error(
+                    "B picture needs past and future references")
+            l0 = past + fut
+            l1 = fut + past
             for nal_, _ in slices:
                 rng = []
-                decode_b_frame(sps, pps, nal_, refs[-2][0],
-                               refs[-1][0], col_motion=refs[-1][1],
-                               pocs=(poc, refs[-2][2], refs[-1][2]),
+                decode_b_frame(sps, pps, nal_,
+                               [t[0] for t in l0], [t[0] for t in l1],
+                               col_motion=l1[0][1],
+                               pocs=(poc, l0[0][2], l1[0][2]),
                                canvas=canvas, mb_range=rng)
                 if rng[0][0] != nxt:
                     raise H264Error("slices do not tile the picture")
@@ -2773,16 +2826,20 @@ def encode_ipb_direct_stream(y: np.ndarray, cb: np.ndarray,
 
 def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
                   frame_num: int = 2, poc_lsb: int | None = None,
-                  wp: dict | None = None) -> bytes:
+                  wp: dict | None = None,
+                  n_refs: tuple = (1, 1)) -> bytes:
     """Encode one non-reference B slice (nal_ref_idc = 0) of explicit-
     MV macroblocks, residual-free. ``mb_specs``: one entry per MB in
     raster order — ``(shape, parts)`` with shape in
     {"16x16","16x8","8x16"} and ``parts`` a list of
-    ``(lists, mv_l0, mv_l1)`` (lists ⊆ {0,1}; unused list's mv is
-    ignored). MV prediction mirrors the decoder's per-list grids, so
-    the written mvd round-trips bit-exactly. Every decoded sample is a
-    pure function of the two reference frames (MC resample, or their
-    rounded average for bi) — the SQL-oracle slice of the B path."""
+    ``(lists, mv_l0, mv_l1)`` — or ``(lists, mv_l0, mv_l1, ri0,
+    ri1)`` with per-partition reference indices when ``n_refs``
+    activates more than one entry per list (lists ⊆ {0,1}; unused
+    list's mv/ref is ignored). MV prediction mirrors the decoder's
+    per-list grids, so the written mvd round-trips bit-exactly. Every
+    decoded sample is a pure function of the reference frames (MC
+    resample, or their rounded average for bi) — the SQL-oracle slice
+    of the B path."""
     if len(mb_specs) != wmb * hmb:
         raise ValueError("mb_specs length must be wmb*hmb")
     w = _BitWriter()
@@ -2794,7 +2851,12 @@ def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
     if poc_lsb is not None:
         w.u(poc_lsb & 15, 4)
     w.u(0, 1)  # direct_spatial_mv_pred_flag (no direct MBs emitted)
-    w.u(0, 1)  # num_ref_idx_active_override_flag
+    if n_refs != (1, 1):
+        w.u(1, 1)  # num_ref_idx_active_override_flag
+        w.ue(n_refs[0] - 1)
+        w.ue(n_refs[1] - 1)
+    else:
+        w.u(0, 1)
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # ref_pic_list_modification_flag_l1
     if wp is not None:  # pred_weight_table (weighted_bipred_idc = 1)
@@ -2812,24 +2874,41 @@ def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
         w.ue(0)  # mb_skip_run
         if shape == "8x8":
             # pspec: 4 × (used, sub_shape_idx, [(mv0, mv1) per part])
+            # or 4 × (used, sub_shape_idx, mvs, ri0, ri1)
             w.ue(22)
+            pspec = [e if len(e) == 5 else (*e, 0, 0) for e in pspec]
             parts, flat = [], []
-            for i8, (used, shi, mvs8) in enumerate(pspec):
+            for i8, (used, shi, mvs8, ri0, ri1) in enumerate(pspec):
                 w.ue(_B_SUB_INV[(frozenset(used), shi)])
                 bx, by = (i8 % 2) * 2, (i8 // 2) * 2
                 for (sx, sy, sw, shh), (mv0, mv1) in zip(
                         _SUB_PARTS[shi], mvs8):
                     parts.append((bx + sx, by + sy, sw, shh, ""))
-                    flat.append((used, mv0, mv1))
+                    flat.append((used, mv0, mv1, ri0, ri1))
+            # ref_idx_lX per 8x8 (7.3.5.2): all l0 then all l1
+            for lx, nl in ((0, n_refs[0]), (1, n_refs[1])):
+                if nl > 1:
+                    for (used, _, _, ri0, ri1) in pspec:
+                        if lx in used:
+                            _te_write(w, ri0 if lx == 0 else ri1,
+                                      nl - 1)
             pspec = flat
         else:
-            lists = tuple(frozenset(u) for (u, _, _) in pspec)
+            pspec = [e if len(e) == 5 else (*e, 0, 0) for e in pspec]
+            lists = tuple(frozenset(u) for (u, _, _, _, _) in pspec)
             mb_type = _B_MB_INV.get((shape, lists))
             if mb_type is None:
                 raise ValueError(f"no B mb_type for {shape} {lists}")
             w.ue(mb_type)
             parts = _B_GEOM[shape]
-        for (px4, py4, w4, h4, _), (used, _, _) in zip(parts, pspec):
+            # ref_idx_lX per partition (7.3.5.1): all l0 then all l1
+            for lx, nl in ((0, n_refs[0]), (1, n_refs[1])):
+                if nl > 1:
+                    for (used, _, _, ri0, ri1) in pspec:
+                        if lx in used:
+                            _te_write(w, ri0 if lx == 0 else ri1,
+                                      nl - 1)
+        for (px4, py4, w4, h4, _), (used, *_rest) in zip(parts, pspec):
             for lx in (0, 1):
                 if lx not in used:
                     refg[lx][gy + py4:gy + py4 + h4,
@@ -2837,19 +2916,20 @@ def encode_b_rbsp(mb_specs: list, wmb: int, hmb: int,
                     mvg[lx][gy + py4:gy + py4 + h4,
                             gx + px4:gx + px4 + w4] = 0
         for lx in (0, 1):
-            for (px4, py4, w4, h4, shp), (used, mv0, mv1) in zip(
-                    parts, pspec):
+            for (px4, py4, w4, h4, shp), (used, mv0, mv1, ri0, ri1) \
+                    in zip(parts, pspec):
                 if lx not in used:
                     continue
+                ri = ri0 if lx == 0 else ri1
                 mv = tuple(int(v) for v in (mv0 if lx == 0 else mv1))
                 pred_mv = _mv_pred(mvg[lx], refg[lx], gx + px4,
-                                   gy + py4, w4, h4, 0, shp)
+                                   gy + py4, w4, h4, ri, shp)
                 w.se(mv[0] - pred_mv[0])
                 w.se(mv[1] - pred_mv[1])
                 mvg[lx][gy + py4:gy + py4 + h4,
                         gx + px4:gx + px4 + w4] = mv
                 refg[lx][gy + py4:gy + py4 + h4,
-                         gx + px4:gx + px4 + w4] = 0
+                         gx + px4:gx + px4 + w4] = ri
         w.ue(_CBP_INTER_INV[0])  # coded_block_pattern = 0
     return w.rbsp()
 

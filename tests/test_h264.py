@@ -2023,14 +2023,15 @@ def test_p_multiref_partitions_three_refs():
 
 
 def test_p_multiref_gates():
-    """What stays gated: multi-reference B lists, weighted prediction
-    over multiple references, temporal direct whose colocated block
+    """What stays gated or errors: a multi-reference B slice handed
+    fewer references than it activates, weighted prediction over
+    multiple references, temporal direct whose colocated block
     predicts from ref_idx > 0."""
     wmb, hmb = 1, 1
     y = np.zeros((16, 16), dtype=np.uint8)
     c8 = np.zeros((8, 8), dtype=np.uint8)
     ref = (y, c8, c8)
-    # B with 2 active refs
+    # B activating 2 L0 refs but handed single-entry lists
     sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=2,
                                        poc_type=0)
     sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
@@ -2045,8 +2046,12 @@ def test_p_multiref_gates():
     w.u(1, 1)  # override
     w.ue(1)  # n_l0 = 2
     w.ue(0)  # n_l1 = 1
-    with pytest.raises(H.H264Unsupported):
-        H.decode_b_frame(sps, pps, w.rbsp(), ref, ref)
+    w.u(0, 1)  # no list modification l0
+    w.u(0, 1)  # no list modification l1
+    w.se(0)  # qp delta
+    w.ue(1)  # deblocking off
+    with pytest.raises(H.H264Error, match="references"):
+        H.decode_b_frame(sps, pps, w.rbsp(trailing=True), ref, ref)
     # weighted P with 2 refs
     sps_w, pps_w = H._seq_header_rbsps(wmb, hmb, max_ref=2,
                                        weighted_pred=True)
@@ -2067,6 +2072,116 @@ def test_p_multiref_gates():
     cref[0, 0] = 1
     with pytest.raises(H.H264Unsupported):
         H._temporal_direct((cmv, cref), 0, 0, (2, 0, 4))
+
+
+def test_b_multiref_explicit():
+    """Multi-reference B lists end-to-end: I(0), P1(4), P2(8) then a
+    B at POC 6 with n_refs (2, 2) — RefPicList0 = [P1, I] (past by
+    POC descending), RefPicList1 = [P2, P1] (future ascending, then
+    past). Each partition's te(v)-coded per-list ref_idx picks its
+    reference; every MB must equal the scalar-MC combination over the
+    SELECTED references."""
+    rng = np.random.default_rng(81)
+    wmb, hmb = 4, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.uint8)
+    mv1 = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    mv2 = np.zeros((hmb, wmb, 2), dtype=np.int64)
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            mv1[mby, mbx] = ((mbx * 3 + mby) % 7 - 3,
+                             (mbx - mby) % 5 - 2)
+            mv2[mby, mbx] = ((mby * 5 - mbx) % 9 - 4,
+                             (mbx * 2 + mby) % 7 - 3)
+    combos = [{0}, {1}, {0, 1}]
+    specs = []
+    for mb in range(wmb * hmb):
+        used = combos[mb % 3]
+        mv0 = ((mb * 5) % 13 - 6, (mb * 7) % 11 - 5)
+        mvb = ((mb * 3) % 9 - 4, (mb * 11) % 15 - 7)
+        ri0, ri1 = mb % 2, (mb // 2) % 2
+        specs.append(("16x16", [(used, mv0, mvb, ri0, ri1)]))
+    sps_r, pps_r = H._seq_header_rbsps(wmb, hmb, max_ref=3,
+                                       poc_type=0)
+    sc = b"\x00\x00\x00\x01"
+    stream = (sc + H._ep3b_escape(sps_r) + sc + H._ep3b_escape(pps_r)
+              + sc + H._ep3b_escape(H._ipcm_slice_rbsp(y, cb, cr,
+                                                       poc_lsb=0))
+              + sc + H._ep3b_escape(H.encode_p16_rbsp(
+                  mv1, frame_num=1, poc_lsb=4))
+              + sc + H._ep3b_escape(H.encode_p16_rbsp(
+                  mv2, frame_num=2, poc_lsb=8))
+              + sc + H._ep3b_escape(H.encode_b_rbsp(
+                  specs, wmb, hmb, frame_num=3, poc_lsb=6,
+                  n_refs=(2, 2))))
+    frames = H.decode_annexb_video(stream)
+    assert len(frames) == 4
+    l0 = [tuple(pl.astype(np.int64) for pl in frames[1]),  # P1
+          tuple(pl.astype(np.int64) for pl in frames[0])]  # I
+    l1 = [tuple(pl.astype(np.int64) for pl in frames[2]),  # P2
+          tuple(pl.astype(np.int64) for pl in frames[1])]  # P1
+    fy = frames[3][0].astype(np.int64)
+    fcb = frames[3][1].astype(np.int64)
+    for mb, (_, [(used, mv0, mvb, ri0, ri1)]) in enumerate(specs):
+        mbx, mby = mb % wmb, mb // wmb
+        x0, y0 = mbx * 16, mby * 16
+        acc = []
+        if 0 in used:
+            acc.append(scalar_mc_luma(l0[ri0][0], x0, y0, 16, 16,
+                                      *mv0))
+        if 1 in used:
+            acc.append(scalar_mc_luma(l1[ri1][0], x0, y0, 16, 16,
+                                      *mvb))
+        want = acc[0] if len(acc) == 1 else (acc[0] + acc[1] + 1) >> 1
+        assert np.array_equal(fy[y0:y0 + 16, x0:x0 + 16], want), \
+            (mb, used, ri0, ri1)
+        accc = []
+        if 0 in used:
+            accc.append(scalar_mc_chroma(l0[ri0][1], x0 // 2,
+                                         y0 // 2, 8, 8, *mv0))
+        if 1 in used:
+            accc.append(scalar_mc_chroma(l1[ri1][1], x0 // 2,
+                                         y0 // 2, 8, 8, *mvb))
+        wantc = accc[0] if len(accc) == 1 \
+            else (accc[0] + accc[1] + 1) >> 1
+        assert np.array_equal(
+            fcb[y0 // 2:y0 // 2 + 8, x0 // 2:x0 // 2 + 8], wantc)
+
+
+def test_spatial_direct_minpositive_refidx():
+    """8.4.1.2.2 with multi-reference neighbours: refIdxLX =
+    MinPositive over A/B/C — a lone L0 neighbour at ref 1 makes the
+    direct block predict from list0[1] (not 0), and colZeroFlag must
+    NOT zero a non-zero refIdx list."""
+    mvg = {lx: np.zeros((8, 8, 2), dtype=np.int64) for lx in (0, 1)}
+    refg = {lx: np.full((8, 8), H._NOT_DECODED, dtype=np.int64)
+            for lx in (0, 1)}
+    # left neighbour MB (grid cols 0..3): L0 ref 1, mv (6, -2)
+    refg[0][:4, :4] = 1
+    mvg[0][:4, :4] = (6, -2)
+    refg[1][:4, :4] = -1
+    # colocated motion says "still" everywhere (would colZero ref-0)
+    cmv = np.zeros((8, 8, 2), dtype=np.int64)
+    cref = np.zeros((8, 8), dtype=np.int64)
+    rid, mv4 = H._spatial_direct(mvg, refg, (cmv, cref), 4, 0)
+    assert rid == {0: 1, 1: -1}
+    # refIdx 1: colZero does not apply — the only-A candidate holds
+    assert tuple(mv4[0][0, 0]) == (6, -2)
+    # at (4,4): A and B unavailable, C outside → D substitution
+    # reaches the seeded block's corner (3,3) with ref 1 — the
+    # refIdx rides the substitution
+    rid2, mv42 = H._spatial_direct(mvg, refg, (cmv, cref), 4, 4)
+    assert rid2 == {0: 1, 1: -1}
+    assert tuple(mv42[0][0, 0]) == (6, -2)
+    # fully isolated position: every neighbour unavailable →
+    # directZeroPrediction (refIdx 0 both lists, zero MVs)
+    mvg0 = {lx: np.zeros((8, 8, 2), dtype=np.int64) for lx in (0, 1)}
+    refg0 = {lx: np.full((8, 8), H._NOT_DECODED, dtype=np.int64)
+             for lx in (0, 1)}
+    rid3, mv43 = H._spatial_direct(mvg0, refg0, (cmv, cref), 4, 4)
+    assert rid3 == {0: 0, 1: 0}
+    assert (mv43[0] == 0).all() and (mv43[1] == 0).all()
 
 
 def test_implicit_weights_unit():
@@ -2155,8 +2270,8 @@ def test_temporal_direct_unit():
     cmv[0, 1] = (8, 8)
     cref[1, 1] = -1  # intra colocated
     cmv[1, 1] = (99, 99)  # must be ignored
-    used, mv4 = H._temporal_direct((cmv, cref), 0, 0, (2, 0, 4))
-    assert used == {0, 1}
+    rid, mv4 = H._temporal_direct((cmv, cref), 0, 0, (2, 0, 4))
+    assert rid == {0: 0, 1: 0}
     # (5,-7): mvL0 = ((128*5+128)>>8, (128*-7+128)>>8) = (3, -3)
     assert tuple(mv4[0][0, 0]) == (3, -3)
     assert tuple(mv4[1][0, 0]) == (3 - 5, -3 + 7)
@@ -2290,11 +2405,11 @@ def _encode_b_direct_slice(wmb, hmb, plan, frame_num=2, poc_lsb=2):
         gx, gy = mbx * 4, mby * 4
         if spec[0] == "skip":
             run += 1
-            used, mv4 = H._spatial_direct(mvg, refg, None, gx, gy)
+            rid, mv4 = H._spatial_direct(mvg, refg, None, gx, gy)
             for lx in (0, 1):
-                if lx in used:
+                if rid[lx] >= 0:
                     mvg[lx][gy:gy + 4, gx:gx + 4] = mv4[lx]
-                    refg[lx][gy:gy + 4, gx:gx + 4] = 0
+                    refg[lx][gy:gy + 4, gx:gx + 4] = rid[lx]
                 else:
                     refg[lx][gy:gy + 4, gx:gx + 4] = -1
             continue
@@ -2302,11 +2417,11 @@ def _encode_b_direct_slice(wmb, hmb, plan, frame_num=2, poc_lsb=2):
         run = 0
         if spec[0] == "direct":
             w.ue(0)  # B_Direct_16x16
-            used, mv4 = H._spatial_direct(mvg, refg, None, gx, gy)
+            rid, mv4 = H._spatial_direct(mvg, refg, None, gx, gy)
             for lx in (0, 1):
-                if lx in used:
+                if rid[lx] >= 0:
                     mvg[lx][gy:gy + 4, gx:gx + 4] = mv4[lx]
-                    refg[lx][gy:gy + 4, gx:gx + 4] = 0
+                    refg[lx][gy:gy + 4, gx:gx + 4] = rid[lx]
                 else:
                     refg[lx][gy:gy + 4, gx:gx + 4] = -1
             w.ue(H._CBP_INTER_INV[0])
@@ -2524,8 +2639,9 @@ def test_b_direct_8x8_mixed_quadrants():
         w.ue(22)
         for t in (0, 2, 0, 3):
             w.ue(t)
-        used_d, mv4_d = H._spatial_direct(mvg, refg, col, gx, 0)
-        assert used_d == {0}            # only-A neighbor is L0-only
+        rid_d, mv4_d = H._spatial_direct(mvg, refg, col, gx, 0)
+        assert rid_d == {0: 0, 1: -1}   # only-A neighbor is L0-only
+        used_d, mv4_d = {0}, mv4_d
         for i8 in (0, 2):               # direct quads: write grids
             qx, qy = (i8 % 2) * 2, (i8 // 2) * 2
             for sy in range(2):
