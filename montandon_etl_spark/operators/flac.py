@@ -12,7 +12,8 @@ FIXED orders 0–4 / LPC orders 1–32, both Rice residual methods
 (4- and 5-bit parameters) with partition orders 0–15 and escaped
 raw partitions, wasted-bits shifting, and both frame CRCs verified
 (CRC-8 header, CRC-16 frame — mismatch raises ``FlacError``, never a
-wrong sample). Variable-blocksize streams and >2 channels gate.
+wrong sample); both blocking strategies (fixed and variable) and bit
+depths 8–32 decode. More than 2 channels gates.
 
 Losslessness is the oracle lever: ``decode(encode(x)) == x``
 bit-exactly, so a Spark query that synthesizes a closed-form signal,
@@ -330,14 +331,19 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
                 fixed_order: int | None = None,
                 partition_order: int = 0,
                 lpc: tuple | None = None,
-                verbatim: bool = False) -> bytes:
+                verbatim: bool = False,
+                block_plan: list | None = None) -> bytes:
     """Encode integer samples (shape (n,) mono or (n, 2) stereo) into
-    a FLAC stream: STREAMINFO + fixed-blocksize frames. ``stereo_mode``
+    a FLAC stream: STREAMINFO + frames. ``stereo_mode``
     in {"indep", "left_side", "right_side", "mid_side"};
     ``fixed_order`` pins the fixed predictor (None = best per
     subframe); ``lpc`` = (coefs, shift, precision) switches every
     subframe to LPC; ``verbatim`` forces VERBATIM subframes.
-    decode_flac(encode_flac(x)) == x bit-exactly (lossless)."""
+    ``block_plan`` switches to the VARIABLE blocksize strategy: a
+    list of per-frame block sizes (consumed in order, last frame
+    truncated to the remaining samples; the coded number becomes the
+    frame's first-sample index). decode_flac(encode_flac(x)) == x
+    bit-exactly (lossless)."""
     arr = np.asarray(samples, dtype=np.int64)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -349,10 +355,27 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
     lim = 1 << (bps - 1)
     if arr.min() < -lim or arr.max() >= lim:
         raise FlacError("samples out of range for bps")
+    # frame layout: (first_sample, size) per frame
+    if block_plan is not None:
+        layout = []
+        pos = 0
+        for b in block_plan:
+            if pos >= n:
+                break
+            layout.append((pos, min(int(b), n - pos)))
+            pos += int(b)
+        if pos < n:
+            raise FlacError("block_plan does not cover the samples")
+        min_bs = min(s for _, s in layout)
+        max_bs = max(s for _, s in layout)
+    else:
+        layout = [(p, min(block_size, n - p))
+                  for p in range(0, n, block_size)]
+        min_bs = max_bs = block_size
     # STREAMINFO
     w = _BW()
-    w.u(block_size, 16)
-    w.u(block_size, 16)
+    w.u(min_bs, 16)
+    w.u(max_bs, 16)
     w.u(0, 24)
     w.u(0, 24)
     w.u(sample_rate, 20)
@@ -371,14 +394,14 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
     out += len(info).to_bytes(3, "big")
     out += info
 
-    for fi, start in enumerate(range(0, n, block_size)):
-        blk = arr[start:start + block_size]
-        bs = blk.shape[0]
+    variable = block_plan is not None
+    for fi, (start, bs) in enumerate(layout):
+        blk = arr[start:start + bs]
         hw = _BW()
         hw.u(0b11111111111110, 14)
         hw.u(0, 1)
-        hw.u(0, 1)  # fixed blocksize strategy
-        bcode = _BLOCK_CODES.get(bs)
+        hw.u(1 if variable else 0, 1)  # blocksize strategy
+        bcode = None if variable else _BLOCK_CODES.get(bs)
         tail16 = bcode is None
         hw.u(7 if tail16 else bcode, 4)
         hw.u(0, 4)  # sample rate from STREAMINFO
@@ -392,7 +415,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
         hw.u(ca, 4)
         hw.u(_BPS_CODES.get(bps, 0), 3)
         hw.u(0, 1)
-        head = hw.bytes() + _utf8_num(fi)
+        head = hw.bytes() + _utf8_num(start if variable else fi)
         if tail16:
             head += (bs - 1).to_bytes(2, "big")
         head += bytes([_crc8(head)])
@@ -537,8 +560,10 @@ def decode_flac(data: bytes, verify_md5: bool = False):
         if r.u(14) != 0b11111111111110:
             raise FlacError("lost frame sync")
         r.u(1)
-        if r.u(1):
-            raise FlacError("variable blocksize strategy unsupported")
+        r.u(1)  # blocking strategy: the coded number is a frame
+        # index (fixed) or first-sample index (variable) — either
+        # way the block size comes from the size fields below, so
+        # both strategies decode through the same path
         bcode = r.u(4)
         scode = r.u(4)
         ca = r.u(4)

@@ -133,6 +133,41 @@ def test_known_answer_bytes_pinned():
     assert np.array_equal(dec[:, 0], x)
 
 
+def test_variable_blocksize_roundtrip():
+    """The VARIABLE blocking strategy (per-frame sizes, the coded
+    number = first-sample index) round-trips; STREAMINFO min/max
+    block sizes reflect the plan."""
+    rng = np.random.default_rng(31)
+    n = 3000
+    x = (800 * np.sin(np.arange(n) / 25)).astype(np.int64) \
+        + rng.integers(-15, 16, n)
+    enc = encode_flac(x, block_plan=[1024, 192, 777, 640, 2048])
+    dec, meta = decode_flac(enc, verify_md5=True)
+    assert meta["total_samples"] == n
+    assert np.array_equal(dec[:, 0], x)
+    # stereo + mid/side over a variable plan
+    st = np.stack([x, x // 2], axis=1)
+    enc2 = encode_flac(st, stereo_mode="mid_side",
+                       block_plan=[500, 500, 500, 4096])
+    assert np.array_equal(decode_flac(enc2, verify_md5=True)[0], st)
+    with pytest.raises(FlacError):
+        encode_flac(x, block_plan=[512])  # plan too short
+
+
+def test_high_bit_depths_roundtrip():
+    """12/20/24-bit streams (STREAMINFO-coded and frame-coded sample
+    sizes) round-trip — the MD5 check applies only to byte-aligned
+    8/16-bit layouts, others carry the all-zero (unset) MD5."""
+    rng = np.random.default_rng(37)
+    for bps in (12, 20, 24):
+        lim = 1 << (bps - 1)
+        x = rng.integers(-lim, lim, 1500)
+        enc = encode_flac(x, bps=bps, block_size=576)
+        dec, meta = decode_flac(enc, verify_md5=True)
+        assert meta["bps"] == bps
+        assert np.array_equal(dec[:, 0].astype(np.int64), x), bps
+
+
 def test_corruption_always_raises():
     rng = np.random.default_rng(29)
     x = (1000 * np.sin(np.arange(4096) / 20)).astype(np.int64) \
