@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "bm25_topk",  # one-shot lexical BM25, broadcast query vocabulary
     "incremental_bm25_topk",  # CDC-maintained inverted index, pruned probes
     "curation_gate",  # quality+lang+dedup funnel: one scan, one shuffle
+    "host_boilerplate",  # cross-doc site-template strip, (host,line) agg
+    "anchor_text",  # per-target anchor rollup, two map-combinable aggs
+    "frontier_schedule",  # per-host politeness window, no global sort
     "train_quality_classifier",  # logistic GD, exact micro-unit trajectory
     "hll_distinct_users",  # deterministic HyperLogLog, exact registers
     "shuffle_shards",  # hash-permuted training shards, no global sort

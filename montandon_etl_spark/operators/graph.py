@@ -130,3 +130,44 @@ def hash_link_edges(
             ).cast("bigint").alias("dst"),
         )
     )
+
+
+def anchor_text_agg(links: DataFrame, target_col: str,
+                    anchor_col: str) -> DataFrame:
+    """Anchor-text aggregation — the classic web-index signal: for
+    every link TARGET, what do other pages call it? Returns one row
+    per target: ``n_refs`` (total in-links), ``n_anchors``
+    (distinct anchor strings),
+    ``top_anchor`` / ``top_n`` (the most frequent anchor text; ties
+    break to the lexicographically smallest anchor, so the winner is
+    deterministic under any partitioning).
+
+    Shape: two hash aggregations — (target, anchor) counts with
+    map-side combine absorbing hub skew, then a per-target rollup
+    whose top-1 is ``min(struct(-count, anchor))`` (max count, min
+    anchor on ties) — one expression, no window, no per-target sort.
+    Both shuffles key on the target URL; at 10^10 edges this is the
+    same two-round shape search indexers use. Per-document uniqueness, if
+    wanted, is an upstream distinct on (doc, target, anchor) — this
+    operator counts link instances as given.
+
+    Reference lineage: the reference joins events to their referenced
+    entities one row at a time (apps/etl/transform per-item loads);
+    this is that reference-resolution expressed as a corpus-level
+    aggregate.
+    """
+    per = links.groupBy(
+        F.col(target_col).alias("target"),
+        F.col(anchor_col).alias("_anchor"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    top = F.min(F.struct((-F.col("_n")).alias("_neg"),
+                         F.col("_anchor").alias("_a")))
+    return per.groupBy("target").agg(
+        F.sum("_n").alias("n_refs"),
+        F.count(F.lit(1)).alias("n_anchors"),
+        top.alias("_top"),
+    ).select(
+        "target", "n_refs", "n_anchors",
+        F.col("_top")["_a"].alias("top_anchor"),
+        (-F.col("_top")["_neg"]).alias("top_n"),
+    )

@@ -295,3 +295,35 @@ def gapfill_locf(df: DataFrame, key_col: str, ts_col: str,
         .alias("grid_ts"),
         F.last("obs_value", ignorenulls=True).over(w).alias(value_col),
         F.col("obs_value").isNull().alias("filled"))
+
+
+def frontier_schedule(urls: DataFrame, host_col: str, url_col: str,
+                      prio_col: str, delay_col: str) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: within each host,
+    fetches are serialized (one connection per host is the politeness
+    contract), ordered by (priority DESC, url ASC), and fetch ``k``
+    is scheduled ``k * delay_ms`` after the host's first slot —
+    ``delay_col`` carries the host's robots.txt crawl delay in ms
+    (see ``sources.robots``). Returns (host, url, slot, offset_ms).
+
+    Scale shape: ONE window partitioned by host. Per-host sequencing
+    is inherent to the semantics (politeness IS per-host
+    serialization), so the per-partition sort is the minimum possible
+    work; hosts are independent, so 10^8 hosts parallelize freely and
+    the only skew risk is a single mega-host's frontier, which is
+    bounded by the crawl budget upstream.
+
+    Reference lineage: the reference schedules per-source extraction
+    jobs with static priorities (apps/etl/sources.py priority,
+    Celery beat cadence); this computes the fetch timeline from
+    priorities + politeness data instead.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(prio_col).desc(), F.col(url_col).asc())
+    slot = (F.row_number().over(w) - 1).cast("bigint")
+    return urls.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        slot.alias("slot"),
+        (slot * F.col(delay_col)).cast("bigint").alias("offset_ms"),
+    )

@@ -450,3 +450,63 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str,
         F.size(kept).alias("n_lines_kept"),
         F.when(reason.isNull(), F.array_join(kept, "\n"))
         .alias("clean_text"))
+
+
+def strip_host_boilerplate(df: DataFrame, id_col: str, host_col: str,
+                           text_col: str, sep: str = "\n",
+                           min_docs: int = 3,
+                           frac_pct: int = 50) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/site-template
+    stage that intra-doc ``dedup_paragraphs`` cannot do): a line that
+    appears in at least ``frac_pct`` percent of a host's documents —
+    for hosts with at least ``min_docs`` documents — is site
+    boilerplate (nav bars, footers, cookie banners rendered into every
+    page of the domain) and is stripped from every document of that
+    host. Returns (id, clean_text, n_lines, n_removed); a document
+    that was ALL boilerplate survives with an empty clean_text.
+
+    The threshold compare is exact integer arithmetic
+    (``line_docs * 100 >= frac_pct * host_docs``) so any SQL engine
+    replays the same boundary.
+
+    Scale shape (100 TB): the only wide state is the (host, line)
+    doc-frequency aggregate — map-side combinable, keyed on a
+    bounded-cardinality pair (hosts x distinct template lines), never
+    corpus-global. Host doc counts are one row per host. The
+    boilerplate set joins back to the exploded lines on (host, line)
+    — an equi-join AQE can broadcast when the template set is small —
+    and reassembly is the same per-doc sort-collect as
+    ``dedup_paragraphs``. No window over the corpus, no driver state.
+
+    Reference lineage: the reference normalizes per-source payload
+    shapes with static per-source config (apps/etl/sources.py);
+    this derives the per-site template from the data itself.
+    """
+    lines = df.select(
+        F.col(id_col), F.col(host_col).alias("_host"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    )
+    host_docs = df.groupBy(F.col(host_col).alias("_host")).agg(
+        F.countDistinct(id_col).alias("_hd"))
+    line_docs = lines.groupBy("_host", "_line").agg(
+        F.countDistinct(id_col).alias("_ld"))
+    boiler = (
+        line_docs.join(host_docs, "_host")
+        .where((F.col("_hd") >= F.lit(min_docs))
+               & (F.col("_ld") * 100 >= F.lit(frac_pct) * F.col("_hd")))
+        .select("_host", "_line", F.lit(True).alias("_boiler")))
+    flagged = lines.join(boiler, ["_host", "_line"], "left").select(
+        F.col(id_col), "_pos", "_line",
+        F.coalesce(F.col("_boiler"), F.lit(False)).alias("_b"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(
+                        F.struct("_pos", "_line", "_b"))),
+                    lambda s: ~s["_b"]),
+                lambda s: s["_line"]),
+            sep).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_b").cast("bigint")).alias("n_removed"),
+    )

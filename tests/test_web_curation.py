@@ -1,0 +1,112 @@
+"""Unit tests for the web-curation trio: cross-document host
+boilerplate removal, anchor-text aggregation, politeness frontier
+scheduling. The full-corpus DuckDB parity rides test_oracle_parity;
+these pin the discriminating edge behaviors on hand-built corpora."""
+from __future__ import annotations
+
+from montandon_etl_spark.operators.graph import anchor_text_agg
+from montandon_etl_spark.operators.relational import frontier_schedule
+from montandon_etl_spark.operators.textstats import strip_host_boilerplate
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, host string, text string")
+
+
+def test_boilerplate_threshold_and_min_docs(spark):
+    rows = [
+        # host A: 4 docs. NAV in 4/4 (100%), COOKIE in 2/4 (=50%,
+        # boundary inclusive), RARE in 1/4 (25%).
+        (1, "a", "NAV\nCOOKIE\nbody one"),
+        (2, "a", "NAV\nCOOKIE\nbody two"),
+        (3, "a", "NAV\nRARE\nbody three"),
+        (4, "a", "NAV\nbody four"),
+        # host B: 2 docs (< min_docs=3) — identical lines survive.
+        (5, "b", "NAV\nbody five"),
+        (6, "b", "NAV\nbody six"),
+    ]
+    out = {
+        r["id"]: r
+        for r in strip_host_boilerplate(
+            _docs(spark, rows), "id", "host", "text",
+            min_docs=3, frac_pct=50).collect()
+    }
+    # 50% boundary is inclusive: COOKIE (2/4) stripped alongside NAV
+    assert out[1]["clean_text"] == "body one"
+    assert out[1]["n_removed"] == 2 and out[1]["n_lines"] == 3
+    assert out[2]["clean_text"] == "body two"
+    # RARE (1/4) kept
+    assert out[3]["clean_text"] == "RARE\nbody three"
+    assert out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "body four"
+    # host below min_docs keeps everything, even 100%-frequency lines
+    assert out[5]["clean_text"] == "NAV\nbody five"
+    assert out[5]["n_removed"] == 0
+
+
+def test_boilerplate_all_boiler_doc_survives_empty(spark):
+    rows = [(i, "h", "NAV\nFOOT") for i in range(1, 4)] + [
+        (9, "h", "NAV\nFOOT\nreal body")]
+    out = {
+        r["id"]: r
+        for r in strip_host_boilerplate(
+            _docs(spark, rows), "id", "host", "text",
+            min_docs=3, frac_pct=75).collect()
+    }
+    assert len(out) == 4  # nothing vanishes
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 2
+    assert out[9]["clean_text"] == "real body"
+
+
+def test_boilerplate_order_preserved_across_strips(spark):
+    rows = [
+        (1, "h", "x1\nNAV\nx2\nNAV\nx3"),
+        (2, "h", "NAV\ny"),
+        (3, "h", "NAV\nz"),
+    ]
+    out = {
+        r["id"]: r
+        for r in strip_host_boilerplate(
+            _docs(spark, rows), "id", "host", "text",
+            min_docs=3, frac_pct=100).collect()
+    }
+    # both NAV instances removed, original order of the rest kept
+    assert out[1]["clean_text"] == "x1\nx2\nx3"
+    assert out[1]["n_lines"] == 5 and out[1]["n_removed"] == 2
+
+
+def test_anchor_text_tie_breaks_lexicographic(spark):
+    links = spark.createDataFrame(
+        [
+            ("t1", "zeta"), ("t1", "zeta"),
+            ("t1", "alpha"), ("t1", "alpha"),   # tie 2-2 -> alpha
+            ("t1", "mid"),
+            ("t2", "only"),
+        ],
+        "target string, anchor string")
+    out = {r["target"]: r for r in
+           anchor_text_agg(links, "target", "anchor").collect()}
+    assert out["t1"]["n_refs"] == 5
+    assert out["t1"]["n_anchors"] == 3
+    assert out["t1"]["top_anchor"] == "alpha"
+    assert out["t1"]["top_n"] == 2
+    assert out["t2"]["top_anchor"] == "only" and out["t2"]["top_n"] == 1
+
+
+def test_frontier_schedule_slots_and_delays(spark):
+    urls = spark.createDataFrame(
+        [
+            ("h1", "http://h1/b", 5, 100),
+            ("h1", "http://h1/a", 5, 100),   # prio tie -> url ASC
+            ("h1", "http://h1/c", 9, 100),   # highest prio -> slot 0
+            ("h2", "http://h2/x", 1, 250),
+            ("h2", "http://h2/y", 0, 250),
+        ],
+        "host string, url string, prio int, delay_ms bigint")
+    out = {r["url"]: r for r in frontier_schedule(
+        urls, "host", "url", "prio", "delay_ms").collect()}
+    assert out["http://h1/c"]["slot"] == 0
+    assert out["http://h1/a"]["slot"] == 1
+    assert out["http://h1/b"]["slot"] == 2
+    assert out["http://h1/b"]["offset_ms"] == 200
+    assert out["http://h2/y"]["offset_ms"] == 250
