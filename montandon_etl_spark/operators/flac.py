@@ -13,7 +13,8 @@ FIXED orders 0–4 / LPC orders 1–32, both Rice residual methods
 raw partitions, wasted-bits shifting, and both frame CRCs verified
 (CRC-8 header, CRC-16 frame — mismatch raises ``FlacError``, never a
 wrong sample); both blocking strategies (fixed and variable) and bit
-depths 8–32 decode. More than 2 channels gates.
+depths 8–32 decode, and up to 8 channels (decorrelation is the
+2-channel modes; 3+ channels code independently, per the format).
 
 Losslessness is the oracle lever: ``decode(encode(x)) == x``
 bit-exactly, so a Spark query that synthesizes a closed-form signal,
@@ -348,8 +349,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
     if arr.ndim == 1:
         arr = arr[:, None]
     n, ch = arr.shape
-    if ch not in (1, 2):
-        raise FlacError("1 or 2 channels only")
+    if not 1 <= ch <= 8:
+        raise FlacError("1-8 channels only")
     if stereo_mode != "indep" and ch != 2:
         raise FlacError("stereo_mode needs 2 channels")
     lim = 1 << (bps - 1)
@@ -405,10 +406,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
         tail16 = bcode is None
         hw.u(7 if tail16 else bcode, 4)
         hw.u(0, 4)  # sample rate from STREAMINFO
-        if ch == 1:
-            ca = 0
-        elif stereo_mode == "indep":
-            ca = 1
+        if ch == 1 or stereo_mode == "indep":
+            ca = ch - 1
         else:
             ca = {"left_side": 8, "right_side": 9,
                   "mid_side": 10}[stereo_mode]
@@ -426,8 +425,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 44100,
         if ch == 1:
             subs = [(list(int(v) for v in blk[:, 0]), bps)]
         elif stereo_mode == "indep":
-            subs = [(list(int(v) for v in blk[:, 0]), bps),
-                    (list(int(v) for v in blk[:, 1]), bps)]
+            subs = [(list(int(v) for v in blk[:, c]), bps)
+                    for c in range(ch)]
         else:
             left = [int(v) for v in blk[:, 0]]
             right = [int(v) for v in blk[:, 1]]
@@ -550,8 +549,6 @@ def decode_flac(data: bytes, verify_md5: bool = False):
     bps0 = ir.u(5) + 1
     total = ir.u(36)
     md5 = info[18:34]
-    if nch > 2:
-        raise FlacError("more than 2 channels unsupported")
     chans: list[list[int]] = [[] for _ in range(nch)]
     got = 0
     while got < total:

@@ -209,3 +209,17 @@ def test_flac_features_spark(spark):
         assert g["c1_wsum"] == int((left * (t + 1)).sum())
         assert g["c1_peak"] == int(np.abs(left).max())
         assert g["c2_sum"] == int(right.sum())
+
+def test_multichannel_roundtrip():
+    """3-8 independent channels (ca = nch-1) round-trip, MD5-checked
+    via the interleaved layout; stereo modes stay 2-channel-only."""
+    rng = np.random.default_rng(41)
+    for ch in (3, 5, 8):
+        x = rng.integers(-9000, 9000, (1200, ch))
+        dec, meta = decode_flac(encode_flac(x), verify_md5=True)
+        assert meta["channels"] == ch
+        assert np.array_equal(dec.astype(np.int64), x), ch
+    with pytest.raises(FlacError):
+        encode_flac(rng.integers(-5, 5, (64, 3)), stereo_mode="mid_side")
+    with pytest.raises(FlacError):
+        encode_flac(rng.integers(-5, 5, (64, 9)))
