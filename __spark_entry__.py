@@ -2620,6 +2620,28 @@ def q_frontier_schedule(spark, sf):
     return frontier_schedule(urls, "host", "url", "prio", "delay_ms")
 
 
+
+def q_fuzzy_contamination(spark, sf):
+    """Cross-corpus NEAR-dup decontamination: the benchmark is every
+    13th document with its FIRST WORD DROPPED (a paraphrase exact
+    n-gram overlap still catches only partially, but which shares
+    almost all word shingles), so the matching corpus docs must be
+    flagged by banded-MinHash candidates + exact integer-percent
+    Jaccard verify, reporting the best-matching bench doc."""
+    from montandon_etl_spark.operators.dedup import fuzzy_contamination
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text")
+    bench = (docs.where(F.col("doc_id") % 13 == 0)
+             .select((F.col("doc_id") + 1000000).alias("id"),
+                     F.regexp_replace(F.trim(F.col("text")),
+                                      r"^\S+\s+", "").alias("text")))
+    out = fuzzy_contamination(corpus, bench, "id", "text",
+                              n=3, k=16, bands=4, jaccard_pct=50)
+    return out.select(F.col("id").alias("doc_id"), "bench_id",
+                      "jacc_pct")
+
+
 def q_redact_pii(spark, sf):
     """PII scrubbing with a deterministic needle per doc (the raw
     corpus has no guaranteed PII): each text gets a synthetic email
@@ -3349,6 +3371,61 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+"""
+
+
+
+def _oracle_fuzzy_contamination(n: int = 3, k: int = 16, bands: int = 4,
+                                pct: int = 50) -> str:
+    from montandon_etl_spark.operators.dedup import MINHASH_P
+
+    r = k // bands
+
+    def banded(sig: str) -> str:
+        sel = []
+        for b in range(bands):
+            cols = " || '|' || ".join(
+                f"mh{i}::VARCHAR" for i in range(b * r, (b + 1) * r))
+            sel.append(
+                f"SELECT id, {b} AS band, {cols} AS bucket FROM {sig}")
+        return " UNION ALL ".join(sel)
+
+    sh = _sql_word_shingles(n)
+    hp = _H60.format(x="sh")
+    return f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+bench AS (SELECT doc_id + 1000000 AS id,
+                 regexp_replace(trim(text), '^\\S+\\s+', '') AS text
+          FROM documents WHERE doc_id % 13 = 0),
+ctoks AS (SELECT id, unnest({sh}) AS sh FROM corpus),
+btoks AS (SELECT id, unnest({sh}) AS sh FROM bench),
+chp AS (SELECT id, ({hp}) % {MINHASH_P} AS hp FROM ctoks),
+bhp AS (SELECT id, ({hp}) % {MINHASH_P} AS hp FROM btoks),
+csig AS (SELECT id, {_minhash_mins(k)} FROM chp GROUP BY id),
+bsig AS (SELECT id, {_minhash_mins(k)} FROM bhp GROUP BY id),
+cband AS ({banded("csig")}),
+bband AS ({banded("bsig")}),
+cand AS (SELECT DISTINCT c.id AS id, b.id AS bench_id
+         FROM cband c
+         JOIN bband b ON c.band = b.band AND c.bucket = b.bucket),
+csz AS (SELECT id, count(*) AS nc FROM ctoks GROUP BY 1),
+bsz AS (SELECT id AS bench_id, count(*) AS nb FROM btoks GROUP BY 1),
+inter AS (SELECT cand.id, cand.bench_id, count(*) AS ni
+          FROM cand
+          JOIN ctoks ON ctoks.id = cand.id
+          JOIN btoks ON btoks.id = cand.bench_id
+                    AND btoks.sh = ctoks.sh
+          GROUP BY 1, 2),
+j AS (SELECT inter.id, inter.bench_id,
+             (100 * ni) // (nc + nb - ni) AS jacc_pct
+      FROM inter JOIN csz ON csz.id = inter.id
+                 JOIN bsz ON bsz.bench_id = inter.bench_id
+      WHERE (100 * ni) // (nc + nb - ni) >= {pct}),
+rr AS (SELECT id, bench_id, jacc_pct,
+              row_number() OVER (PARTITION BY id
+                  ORDER BY jacc_pct DESC, bench_id ASC) AS rk
+       FROM j)
+SELECT id AS doc_id, bench_id, jacc_pct FROM rr WHERE rk = 1
 """
 
 
@@ -4113,6 +4190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "fuzzy_contamination": q_fuzzy_contamination,
         "host_boilerplate": q_host_boilerplate,
         "anchor_text": q_anchor_text,
         "frontier_schedule": q_frontier_schedule,
@@ -4125,7 +4203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_wet_export": q_incremental_wet_export,
         "wat_links": q_wat_links,
         "sequence_gap_audit": q_sequence_gap_audit,
-        "bucket_checksums": q_bucket_checksums,
         "debounce_events": q_debounce_events,
         "unigram_encode": q_unigram_encode,
         "fim_transform": q_fim_transform,
@@ -4170,6 +4247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   incremental_bm25_topk -> bm25_topk + the incremental-
         #   index family rows already in the prefix
         "h264_b_temporal": q_h264_b_temporal,
+        #   bucket_checksums -> sequence_gap_audit +
+        #   debounce_events (cdc_audit family)
+        "bucket_checksums": q_bucket_checksums,
         "audio_frame_features": q_audio_frame_features,
         "incremental_bm25_topk": q_incremental_bm25_topk,
         "split_leakage": q_split_leakage,
@@ -6632,6 +6712,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_paras,
                    CAST(sum(n) - count(*) AS BIGINT) AS n_removed
             FROM f GROUP BY 1""",
+        "fuzzy_contamination": _oracle_fuzzy_contamination(),
         "host_boilerplate": """
             WITH t AS (
               SELECT doc_id, source AS host,

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "incremental_bm25_topk",  # CDC-maintained inverted index, pruned probes
     "curation_gate",  # quality+lang+dedup funnel: one scan, one shuffle
     "host_boilerplate",  # cross-doc site-template strip, (host,line) agg
+    "fuzzy_contamination",  # cross-corpus MinHash near-dup gate (bench broadcast)
     "anchor_text",  # per-target anchor rollup, two map-combinable aggs
     "frontier_schedule",  # per-host politeness window, no global sort
     "train_quality_classifier",  # logistic GD, exact micro-unit trajectory

@@ -588,3 +588,66 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> Data
         term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select("id", fp.alias("simhash"))
+
+
+def fuzzy_contamination(corpus: DataFrame, bench: DataFrame,
+                        id_col: str, text_col: str,
+                        n: int = 3, k: int = 16, bands: int = 4,
+                        jaccard_pct: int = 50) -> DataFrame:
+    """Cross-corpus NEAR-duplicate decontamination — the FineWeb-style
+    middle path between ``ngram_contamination`` (exact n-gram overlap,
+    misses light paraphrase) and semantic contamination (needs
+    embeddings): flag corpus documents whose word-shingle Jaccard with
+    ANY benchmark document clears ``jaccard_pct`` percent.
+
+    Candidates come from joining the corpus's banded MinHash buckets
+    to the BENCHMARK's banded buckets — never corpus x corpus, so the
+    Σ|bucket|² blowup of self-LSH does not exist here; the benchmark
+    side (eval sets: thousands of docs) is broadcast. Candidates are
+    verified with EXACT set Jaccard over the same distinct shingles,
+    as an integer percentage ``(100*|A∩B|) div |A∪B|`` (truncating
+    div, pinned cross-engine), and each flagged doc reports its
+    best-matching benchmark doc (max Jaccard, smallest bench id on
+    ties — partition-order-free).
+
+    Returns (id, bench_id, jacc_pct), one row per FLAGGED corpus doc.
+
+    Scale shape: corpus text is scanned twice (signature pass, verify
+    pass), both scan-local explodes; the verify join touches only
+    candidate docs' shingles, and everything benchmark-sided is a
+    broadcast. At 10^10 corpus docs the wide work is one groupBy(id)
+    for signatures and one groupBy(id, bench_id) for intersections.
+
+    Reference lineage: the reference gates loads against existing
+    item registries by exact id (apps/etl/load checks); this is the
+    content-level generalization a training corpus needs.
+    """
+    assert k % bands == 0
+    c_sig = minhash_signatures(corpus, id_col, text_col, n=n, k=k)
+    b_sig = minhash_signatures(bench, id_col, text_col, n=n, k=k)
+    bb = (_banded(b_sig, k, bands)
+          .withColumnRenamed("id", "bench_id"))
+    cand = (_banded(c_sig, k, bands)
+            .join(F.broadcast(bb), ["band", "bucket"])
+            .select("id", "bench_id").distinct())
+    sh = lambda df, alias: df.select(  # noqa: E731
+        F.col(id_col).alias(alias),
+        F.explode(F.array_distinct(word_shingles(text_col, n)))
+        .alias("sh"))
+    c_sh = sh(corpus, "id")
+    b_sh = sh(bench, "bench_id")
+    c_sz = c_sh.groupBy("id").agg(F.count(F.lit(1)).alias("_nc"))
+    b_sz = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("_nb"))
+    inter = (cand.join(c_sh, "id")
+             .join(F.broadcast(b_sh), ["bench_id", "sh"])
+             .groupBy("id", "bench_id").agg(F.count(F.lit(1)).alias("_ni")))
+    j = (inter.join(c_sz, "id").join(F.broadcast(b_sz), "bench_id")
+         .select("id", "bench_id",
+                 F.expr("(100 * _ni) div (_nc + _nb - _ni)")
+                 .alias("jacc_pct"))
+         .where(F.col("jacc_pct") >= F.lit(jaccard_pct)))
+    best = F.min(F.struct((-F.col("jacc_pct")).alias("_nj"),
+                          F.col("bench_id").alias("_b")))
+    return (j.groupBy("id").agg(best.alias("_t"))
+            .select("id", F.col("_t")["_b"].alias("bench_id"),
+                    (-F.col("_t")["_nj"]).alias("jacc_pct")))

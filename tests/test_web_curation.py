@@ -110,3 +110,45 @@ def test_frontier_schedule_slots_and_delays(spark):
     assert out["http://h1/b"]["slot"] == 2
     assert out["http://h1/b"]["offset_ms"] == 200
     assert out["http://h2/y"]["offset_ms"] == 250
+
+
+def test_fuzzy_contamination_flags_near_dups_only(spark):
+    from montandon_etl_spark.operators.dedup import fuzzy_contamination
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                       # near-dup of bench 101
+            (2, base.replace("quick", "slow")),  # still near bench 101
+            (3, "completely different content about spark shuffles "
+                "and partition pruning at webscale with no overlap"),
+        ],
+        "id bigint, text string")
+    bench = spark.createDataFrame(
+        [(101, base + " extra"), (102, "unrelated benchmark prompt "
+                                       "about arithmetic word problems")],
+        "id bigint, text string")
+    out = {r["id"]: r for r in fuzzy_contamination(
+        corpus, bench, "id", "text", n=3, k=16, bands=4,
+        jaccard_pct=50).collect()}
+    assert 1 in out and out[1]["bench_id"] == 101
+    assert out[1]["jacc_pct"] >= 80
+    assert 3 not in out  # no shared shingles -> never a candidate
+    # doc 2 shares most shingles except around the substituted word
+    if 2 in out:
+        assert out[2]["bench_id"] == 101
+
+
+def test_fuzzy_contamination_best_match_election(spark):
+    from montandon_etl_spark.operators.dedup import fuzzy_contamination
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([(1, t)], "id bigint, text string")
+    # two IDENTICAL bench docs -> equal jaccard; smallest id must win
+    bench = spark.createDataFrame(
+        [(202, t), (201, t)], "id bigint, text string")
+    out = fuzzy_contamination(corpus, bench, "id", "text",
+                              jaccard_pct=50).collect()
+    assert len(out) == 1
+    assert out[0]["bench_id"] == 201 and out[0]["jacc_pct"] == 100
