@@ -469,3 +469,24 @@ def test_unigram_word_table_broadcasts(spark):
     plan = _physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_frontier_schedule_single_exchange(spark):
+    """Politeness scheduling is ONE host-partitioned window: exactly
+    one hash exchange, no join — the minimum the semantics allow."""
+    df = entry_mod.queries()["frontier_schedule"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_anchor_text_no_join_two_aggs(spark):
+    """Anchor rollup is two hash aggregations (each with a map-side
+    partial) and nothing else — no window sort, no join."""
+    df = entry_mod.queries()["anchor_text"](spark, SF_DIR)
+    plan = _physical_plan(df)
+    import re
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:2000]
