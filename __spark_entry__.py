@@ -2642,6 +2642,51 @@ def q_fuzzy_contamination(spark, sf):
                       "jacc_pct")
 
 
+
+def _op_expr():
+    return F.when(F.col("event_type") == "error",
+                  F.lit("delete")).otherwise(F.lit("upsert"))
+
+
+def q_scd2_history(spark, sf):
+    """SCD2 validity intervals over the event stream (error events act
+    as deletes): each surviving version is valid from its own ts until
+    the NEXT event's ts (tombstones close intervals but emit no row),
+    the last survivor is current; version numbers count the full
+    change sequence. Oracle is the same lead/row_number window."""
+    from montandon_etl_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf, "events").withColumn("op", _op_expr())
+    out = scd2_history(ev, "user_id", ["ts", "event_id"], op_col="op")
+    return out.select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to",
+        F.col("version").cast("bigint").alias("version"), "is_current")
+
+
+def q_log_compaction(spark, sf):
+    """Kafka-style log compaction: the one latest event per key, op
+    preserved (trailing deletes survive as tombstones) — the minimal
+    changelog with the same replay result, pinned by the lake-MERGE
+    equivalence test in test_scd.py."""
+    from montandon_etl_spark.operators.scd import compact_changelog
+
+    ev = _t(spark, sf, "events").withColumn("op", _op_expr()).select(
+        "user_id", "event_id", "ts", "event_type", "op")
+    return compact_changelog(ev, "user_id", ["ts", "event_id"],
+                             op_col="op")
+
+
+def q_column_churn(spark, sf):
+    """Per-column change frequency across consecutive revisions of
+    each key (null-safe compare, exact integer percent) — the signal
+    that drives column-family layout and delta encoding choices."""
+    from montandon_etl_spark.operators.scd import column_churn
+
+    ev = _t(spark, sf, "events")
+    return column_churn(ev, "user_id", ["ts", "event_id"],
+                        ["event_type", "value", "props"])
+
+
 def q_redact_pii(spark, sf):
     """PII scrubbing with a deterministic needle per doc (the raw
     corpus has no guaranteed PII): each text gets a synthetic email
@@ -4190,6 +4235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "scd2_history": q_scd2_history,
+        "log_compaction": q_log_compaction,
+        "column_churn": q_column_churn,
         "fuzzy_contamination": q_fuzzy_contamination,
         "host_boilerplate": q_host_boilerplate,
         "anchor_text": q_anchor_text,
@@ -4205,14 +4253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_gap_audit": q_sequence_gap_audit,
         "debounce_events": q_debounce_events,
         "unigram_encode": q_unigram_encode,
-        "fim_transform": q_fim_transform,
         "gapfill_locf": q_gapfill_locf,
         "perplexity_buckets": q_perplexity_buckets,
-        "wordpiece_encode": q_wordpiece_encode,
         "semantic_contamination": q_semantic_contamination,
         "dsir_select": q_dsir_select,
         "mv_distinct_users": q_mv_distinct_users,
-        "hash_split_report": q_hash_split_report,
         "ann_topk_pq_rerank": q_ann_topk_pq_rerank,
         "purge_time_travel": q_purge_time_travel,
         "incremental_image_near_dup": q_incremental_image_near_dup,
@@ -4250,6 +4295,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   bucket_checksums -> sequence_gap_audit +
         #   debounce_events (cdc_audit family)
         "bucket_checksums": q_bucket_checksums,
+        #   fim_transform -> sequence_pack_stats + chunk_documents
+        #   (packing family); wordpiece_encode -> unigram_encode +
+        #   bpe_tokenize (tokenizer family); hash_split_report ->
+        #   shuffle_shards + mixture_resample (sampling/splits family)
+        "fim_transform": q_fim_transform,
+        "wordpiece_encode": q_wordpiece_encode,
+        "hash_split_report": q_hash_split_report,
         "audio_frame_features": q_audio_frame_features,
         "incremental_bm25_topk": q_incremental_bm25_topk,
         "split_leakage": q_split_leakage,
@@ -6712,6 +6764,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_paras,
                    CAST(sum(n) - count(*) AS BIGINT) AS n_removed
             FROM f GROUP BY 1""",
+        "scd2_history": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'upsert' END AS op
+              FROM events),
+            w AS (
+              SELECT user_id, event_id, event_type, op,
+                     ts AS valid_from,
+                     lead(ts) OVER win AS valid_to,
+                     row_number() OVER win AS version
+              FROM e
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC))
+            SELECT user_id, event_id, event_type, valid_from,
+                   valid_to, version,
+                   valid_to IS NULL AS is_current
+            FROM w WHERE op <> 'delete'""",
+        "log_compaction": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'upsert' END AS op
+              FROM events),
+            r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rk FROM e)
+            SELECT user_id, event_id, ts, event_type, op
+            FROM r WHERE rk = 1""",
+        "column_churn": """
+            WITH w AS (
+              SELECT lag(ts) OVER win IS NOT NULL AS has_prev,
+                     (event_type IS DISTINCT FROM
+                      lag(event_type) OVER win)::INT AS c_et,
+                     (value IS DISTINCT FROM
+                      lag(value) OVER win)::INT AS c_v,
+                     (props IS DISTINCT FROM
+                      lag(props) OVER win)::INT AS c_p
+              FROM events
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)),
+            t AS (SELECT count(*) FILTER (WHERE has_prev)
+                           AS n_transitions,
+                         sum(CASE WHEN has_prev THEN c_et
+                                  ELSE 0 END)::BIGINT AS n_et,
+                         sum(CASE WHEN has_prev THEN c_v
+                                  ELSE 0 END)::BIGINT AS n_v,
+                         sum(CASE WHEN has_prev THEN c_p
+                                  ELSE 0 END)::BIGINT AS n_p
+                  FROM w),
+            u AS (
+              SELECT 'event_type' AS col_name, n_transitions,
+                     n_et AS n_changes FROM t
+              UNION ALL
+              SELECT 'value', n_transitions, n_v FROM t
+              UNION ALL
+              SELECT 'props', n_transitions, n_p FROM t)
+            SELECT col_name, n_transitions, n_changes,
+                   (100 * n_changes) // n_transitions AS churn_pct
+            FROM u""",
         "fuzzy_contamination": _oracle_fuzzy_contamination(),
         "host_boilerplate": """
             WITH t AS (

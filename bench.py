@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "curation_gate",  # quality+lang+dedup funnel: one scan, one shuffle
     "host_boilerplate",  # cross-doc site-template strip, (host,line) agg
     "fuzzy_contamination",  # cross-corpus MinHash near-dup gate (bench broadcast)
+    "scd2_history",  # SCD2 validity intervals, one per-key window
+    "log_compaction",  # Kafka-style minimal changelog, max_by reduce
+    "column_churn",  # per-column change freq, one window + one rollup
     "anchor_text",  # per-target anchor rollup, two map-combinable aggs
     "frontier_schedule",  # per-host politeness window, no global sort
     "train_quality_classifier",  # logistic GD, exact micro-unit trajectory
