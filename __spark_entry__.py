@@ -2687,6 +2687,19 @@ def q_column_churn(spark, sf):
                         ["event_type", "value", "props"])
 
 
+
+def q_recrawl_schedule(spark, sf):
+    """Adaptive recrawl policy over the event ledger: per user_id the
+    mean inter-change gap in exact BIGINT micros decides the next
+    fetch; the oracle replays epoch_us min/max/count + truncating
+    div."""
+    from montandon_etl_spark.operators.relational import (
+        recrawl_schedule)
+
+    ev = _t(spark, sf, "events")
+    return recrawl_schedule(ev, "user_id", "ts")
+
+
 def q_redact_pii(spark, sf):
     """PII scrubbing with a deterministic needle per doc (the raw
     corpus has no guaranteed PII): each text gets a synthetic email
@@ -4235,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "recrawl_schedule": q_recrawl_schedule,
         "scd2_history": q_scd2_history,
         "log_compaction": q_log_compaction,
         "column_churn": q_column_churn,
@@ -4251,7 +4265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_wet_export": q_incremental_wet_export,
         "wat_links": q_wat_links,
         "sequence_gap_audit": q_sequence_gap_audit,
-        "debounce_events": q_debounce_events,
         "unigram_encode": q_unigram_encode,
         "gapfill_locf": q_gapfill_locf,
         "perplexity_buckets": q_perplexity_buckets,
@@ -4299,6 +4312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (packing family); wordpiece_encode -> unigram_encode +
         #   bpe_tokenize (tokenizer family); hash_split_report ->
         #   shuffle_shards + mixture_resample (sampling/splits family)
+        #   debounce_events -> sequence_gap_audit
+        #   (cdc_audit family)
+        "debounce_events": q_debounce_events,
         "fim_transform": q_fim_transform,
         "wordpiece_encode": q_wordpiece_encode,
         "hash_split_report": q_hash_split_report,
@@ -6764,6 +6780,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_paras,
                    CAST(sum(n) - count(*) AS BIGINT) AS n_removed
             FROM f GROUP BY 1""",
+        "recrawl_schedule": """
+            WITH g AS (
+              SELECT user_id AS key, count(*) AS n_changes,
+                     min(epoch_us(ts))::BIGINT AS first_us,
+                     max(epoch_us(ts))::BIGINT AS last_us
+              FROM events GROUP BY 1),
+            i AS (
+              SELECT key, n_changes, last_us,
+                     CASE WHEN n_changes >= 2
+                          THEN (last_us - first_us) // (n_changes - 1)
+                          ELSE 86400000000 END AS interval_us
+              FROM g)
+            SELECT key, n_changes, last_us, interval_us,
+                   last_us + interval_us AS next_fetch_us
+            FROM i""",
         "scd2_history": """
             WITH e AS (
               SELECT user_id, event_id, ts, event_type,

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "scd2_history",  # SCD2 validity intervals, one per-key window
     "log_compaction",  # Kafka-style minimal changelog, max_by reduce
     "column_churn",  # per-column change freq, one window + one rollup
+    "recrawl_schedule",  # crawl-freshness policy, one map-combinable agg
     "anchor_text",  # per-target anchor rollup, two map-combinable aggs
     "frontier_schedule",  # per-host politeness window, no global sort
     "train_quality_classifier",  # logistic GD, exact micro-unit trajectory

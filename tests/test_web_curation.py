@@ -152,3 +152,24 @@ def test_fuzzy_contamination_best_match_election(spark):
                               jaccard_pct=50).collect()
     assert len(out) == 1
     assert out[0]["bench_id"] == 201 and out[0]["jacc_pct"] == 100
+
+
+def test_recrawl_schedule_mean_gap_and_default(spark):
+    import datetime as dt
+
+    from montandon_etl_spark.operators.relational import recrawl_schedule
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # key 1: changes at +0s, +10s, +40s -> mean gap 20s
+        (1, t0), (1, t0 + dt.timedelta(seconds=10)),
+        (1, t0 + dt.timedelta(seconds=40)),
+        # key 2: single observation -> default interval
+        (2, t0),
+    ]
+    out = {r["key"]: r for r in recrawl_schedule(
+        spark.createDataFrame(rows, "k bigint, ts timestamp"),
+        "k", "ts", default_interval_us=3_600_000_000).collect()}
+    assert out[1]["interval_us"] == 20_000_000
+    assert out[1]["next_fetch_us"] == out[1]["last_us"] + 20_000_000
+    assert out[2]["interval_us"] == 3_600_000_000
