@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "log_compaction",  # Kafka-style minimal changelog, max_by reduce
     "column_churn",  # per-column change freq, one window + one rollup
     "recrawl_schedule",  # crawl-freshness policy, one map-combinable agg
+    "incremental_scd2",  # CDC-maintained SCD2 intervals, O(touched parts)
     "anchor_text",  # per-target anchor rollup, two map-combinable aggs
     "frontier_schedule",  # per-host politeness window, no global sort
     "train_quality_classifier",  # logistic GD, exact micro-unit trajectory
