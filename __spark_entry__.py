@@ -2735,6 +2735,30 @@ def q_incremental_scd2(spark, sf):
         F.col("ver").cast("bigint").alias("version"), "is_current")
 
 
+
+def q_table_clone(spark, sf):
+    """Portable snapshot export/import (lake/clone.py): the shared CDC
+    fixture's HEAD — two upsert batches, a rewrite batch, a delete
+    batch — is exported (manifest-listed file copies + clone.json as
+    the atomic commit marker) and re-imported as a NEW table; the
+    clone's read must equal the source's CASE-expressible final state
+    with zero replay. Divergence, tag export, schema-evolution
+    fidelity and torn-export rejection are pytest-pinned
+    (test_clone.py)."""
+    import tempfile
+
+    from montandon_etl_spark.lake.clone import (
+        export_snapshot,
+        import_snapshot,
+    )
+
+    base, table = _cdc_text_table(spark, sf)
+    exp = tempfile.mkdtemp(prefix="cloneexp_")
+    export_snapshot(table, exp)
+    clone = import_snapshot(exp, os.path.join(base, "imported"))
+    return clone.read(spark).select("did", "seq", "text")
+
+
 def q_redact_pii(spark, sf):
     """PII scrubbing with a deterministic needle per doc (the raw
     corpus has no guaranteed PII): each text gets a synthetic email
@@ -4283,6 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "table_clone": q_table_clone,
         "incremental_scd2": q_incremental_scd2,
         "recrawl_schedule": q_recrawl_schedule,
         "scd2_history": q_scd2_history,
@@ -4311,7 +4336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_image_near_dup": q_incremental_image_near_dup,
         "robots_gate": q_robots_gate,
         "corpus_report": q_corpus_report,
-        "snapshot_diff": q_snapshot_diff,
         "incremental_token_shards": q_incremental_token_shards,
         "audio_near_dup": q_audio_near_dup,
         "bm25_topk": q_bm25_topk,
@@ -4353,6 +4377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   perplexity_buckets -> ngram_lm_score (same
         #   self-trained LM core; r04 green driver row)
         "perplexity_buckets": q_perplexity_buckets,
+        #   snapshot_diff -> purge_time_travel +
+        #   zorder_pruned_scan + table_clone (lake-
+        #   fixture family; diff pytest-pinned)
+        "snapshot_diff": q_snapshot_diff,
         "fim_transform": q_fim_transform,
         "wordpiece_encode": q_wordpiece_encode,
         "hash_split_report": q_hash_split_report,
@@ -6833,6 +6861,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, n_changes, last_us, interval_us,
                    last_us + interval_us AS next_fetch_us
             FROM i""",
+        "table_clone": """
+            SELECT doc_id::VARCHAR AS did,
+                   CASE WHEN doc_id % 7 = 0 THEN doc_id + 1000
+                        ELSE doc_id END AS seq,
+                   CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 40)
+                        ELSE text END AS text
+            FROM documents
+            WHERE doc_id < 240 AND doc_id % 5 <> 0""",
         "scd2_history": """
             WITH e AS (
               SELECT user_id, event_id, ts, event_type,

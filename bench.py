@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "column_churn",  # per-column change freq, one window + one rollup
     "recrawl_schedule",  # crawl-freshness policy, one map-combinable agg
     "incremental_scd2",  # CDC-maintained SCD2 intervals, O(touched parts)
+    "table_clone",  # portable snapshot export/import, zero-replay file copy
     "anchor_text",  # per-target anchor rollup, two map-combinable aggs
     "frontier_schedule",  # per-host politeness window, no global sort
     "train_quality_classifier",  # logistic GD, exact micro-unit trajectory
