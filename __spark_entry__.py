@@ -2759,6 +2759,36 @@ def q_table_clone(spark, sf):
     return clone.read(spark).select("did", "seq", "text")
 
 
+
+def q_temporal_join(spark, sf):
+    """Point-in-time (AS OF) enrichment: signup events per user form
+    the SCD2 dimension history, purchases are the facts; each purchase
+    joins the ONE profile version whose interval contains the purchase
+    timestamp — equi-join on the key + interval predicate, never a
+    range/cross join. Purchases before a user's first signup drop."""
+    from montandon_etl_spark.operators.scd import (
+        scd2_history,
+        temporal_join,
+    )
+
+    ev = _t(spark, sf, "events")
+    dim = scd2_history(
+        ev.where(F.col("event_type") == "signup").select(
+            "user_id", "ts", F.col("event_id").alias("seq"),
+            F.col("value").alias("profile_value")),
+        "user_id", ["ts", "seq"])
+    hist = dim.select("user_id", "profile_value", "valid_from",
+                      "valid_to", "version")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts",
+        F.col("value").alias("amount"))
+    out = temporal_join(facts, hist, "user_id", "ts")
+    return out.select(
+        "user_id", "purchase_id", "amount",
+        "dim_profile_value", "dim_valid_from",
+        F.col("dim_version").cast("bigint").alias("dim_version"))
+
+
 def q_redact_pii(spark, sf):
     """PII scrubbing with a deterministic needle per doc (the raw
     corpus has no guaranteed PII): each text gets a synthetic email
@@ -4307,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "temporal_join": q_temporal_join,
         "table_clone": q_table_clone,
         "incremental_scd2": q_incremental_scd2,
         "recrawl_schedule": q_recrawl_schedule,
@@ -4327,7 +4358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_links": q_wat_links,
         "sequence_gap_audit": q_sequence_gap_audit,
         "unigram_encode": q_unigram_encode,
-        "gapfill_locf": q_gapfill_locf,
         "semantic_contamination": q_semantic_contamination,
         "dsir_select": q_dsir_select,
         "mv_distinct_users": q_mv_distinct_users,
@@ -4381,6 +4411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   zorder_pruned_scan + table_clone (lake-
         #   fixture family; diff pytest-pinned)
         "snapshot_diff": q_snapshot_diff,
+        #   gapfill_locf -> temporal_join + asof_join
+        #   (per-key time-series window family)
+        "gapfill_locf": q_gapfill_locf,
         "fim_transform": q_fim_transform,
         "wordpiece_encode": q_wordpiece_encode,
         "hash_split_report": q_hash_split_report,
@@ -6861,6 +6894,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, n_changes, last_us, interval_us,
                    last_us + interval_us AS next_fetch_us
             FROM i""",
+        "temporal_join": """
+            WITH d AS (
+              SELECT user_id, ts, event_id AS seq,
+                     value AS profile_value
+              FROM events WHERE event_type = 'signup'),
+            h AS (
+              SELECT user_id, profile_value,
+                     ts AS valid_from,
+                     lead(ts) OVER win AS valid_to,
+                     row_number() OVER win AS version
+              FROM d
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts ASC, seq ASC)),
+            f AS (
+              SELECT user_id, event_id AS purchase_id, ts,
+                     value AS amount
+              FROM events WHERE event_type = 'purchase')
+            SELECT f.user_id, f.purchase_id, f.amount,
+                   h.profile_value AS dim_profile_value,
+                   h.valid_from AS dim_valid_from,
+                   h.version::BIGINT AS dim_version
+            FROM f JOIN h ON f.user_id = h.user_id
+                         AND h.valid_from <= f.ts
+                         AND (h.valid_to IS NULL OR f.ts < h.valid_to)""",
         "table_clone": """
             SELECT doc_id::VARCHAR AS did,
                    CASE WHEN doc_id % 7 = 0 THEN doc_id + 1000

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "recrawl_schedule",  # crawl-freshness policy, one map-combinable agg
     "incremental_scd2",  # CDC-maintained SCD2 intervals, O(touched parts)
     "table_clone",  # portable snapshot export/import, zero-replay file copy
+    "temporal_join",  # AS-OF enrichment: equi-join + interval predicate
     "anchor_text",  # per-target anchor rollup, two map-combinable aggs
     "frontier_schedule",  # per-host politeness window, no global sort
     "train_quality_classifier",  # logistic GD, exact micro-unit trajectory

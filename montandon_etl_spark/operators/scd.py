@@ -130,3 +130,40 @@ def column_churn(df: DataFrame, keys, order_cols,
         .alias("n_changes"),
         F.expr("(100 * n_changes) div n_transitions").alias("churn_pct"),
     )
+
+
+def temporal_join(facts: DataFrame, history: DataFrame,
+                  key_col: str, ts_col: str,
+                  valid_from: str = "valid_from",
+                  valid_to: str = "valid_to",
+                  how: str = "inner") -> DataFrame:
+    """Point-in-time enrichment: join each fact row to the ONE
+    dimension version whose SCD2 validity interval contains the fact's
+    timestamp (``valid_from <= ts < valid_to``, open-ended current
+    versions match everything after their start). Facts before the
+    key's first version (or inside a deletion hole) match nothing —
+    dropped under ``inner``, NULL-padded under ``left``.
+
+    Shape: an EQUI-join on the key followed by the interval predicate
+    — never a range/cross join, because a key's version count is small
+    (its revision history), so the per-key fan-in is bounded and the
+    filter prunes it to exactly one row. This is the join shape
+    warehouses call "AS OF": at 10^10 facts it is one shuffle (or a
+    broadcast when the dimension history fits), same cost as any
+    equi-join on the key.
+    """
+    f = facts.alias("f")
+    h = history.alias("h")
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        (F.col(f"f.{key_col}") == F.col(f"h.{key_col}"))
+        & (F.col(f"h.{valid_from}") <= ts)
+        & (F.col(f"h.{valid_to}").isNull()
+           | (ts < F.col(f"h.{valid_to}")))
+    )
+    out = f.join(h, cond, how)
+    keep = [F.col(f"f.{c}") for c in facts.columns] + [
+        F.col(f"h.{c}").alias(f"dim_{c}")
+        for c in history.columns if c != key_col
+    ]
+    return out.select(*keep)

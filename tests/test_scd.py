@@ -111,3 +111,33 @@ def test_column_churn_counts_nullsafe(spark):
     assert out["v"]["n_changes"] == 2
     assert out["v"]["churn_pct"] == 66
     assert out["op"]["n_changes"] == 0 and out["op"]["churn_pct"] == 0
+
+
+def test_temporal_join_exactly_one_version_per_fact(spark):
+    from montandon_etl_spark.operators.scd import temporal_join
+
+    hist = scd2_history(
+        spark.createDataFrame(
+            [(1, T[0], 0, "v1", "upsert"), (1, T[4], 1, "v2", "upsert"),
+             (1, T[6], 2, None, "delete"), (1, T[8], 3, "v3", "upsert")],
+            SCHEMA),
+        "k", ["ts", "seq"], op_col="op")
+    facts = spark.createDataFrame(
+        [(10, 1, T[1]), (11, 1, T[4]),   # inside v1; exactly at v2 start
+         (12, 1, T[7]),                  # inside the deletion hole
+         (13, 1, T[9]),                  # current version
+         (14, 2, T[1])],                 # unknown key
+        "fid bigint, k bigint, ts timestamp")
+    got = {r["fid"]: r for r in temporal_join(
+        facts, hist.select("k", "v", "valid_from", "valid_to"),
+        "k", "ts").collect()}
+    assert got[10]["dim_v"] == "v1"
+    assert got[11]["dim_v"] == "v2"   # boundary ts joins the NEW version
+    assert 12 not in got              # deletion hole: no dimension
+    assert got[13]["dim_v"] == "v3"
+    assert 14 not in got
+    left = temporal_join(
+        facts, hist.select("k", "v", "valid_from", "valid_to"),
+        "k", "ts", how="left").collect()
+    assert len(left) == 5             # NULL-padded instead of dropped
+    assert sum(1 for r in left if r["dim_v"] is None) == 2
