@@ -79,7 +79,15 @@ def export_snapshot(table: SnapshotTable, dest: str,
 def import_snapshot(src: str, path: str) -> SnapshotTable:
     """Materialize an exported clone as a new, fully-live table at
     ``path``. A directory without ``clone.json`` (torn export) is
-    rejected."""
+    rejected.
+
+    Crash recovery: the import commits through the lake's atomic
+    head swap, so a crash mid-import leaves either no table or a
+    valid empty table (snapshot 0) plus unreferenced file copies —
+    never a half-readable import. Re-running against the leftover
+    directory fails with FileExistsError by design (an import is not
+    resumable state): delete the target directory and re-import.
+    """
     marker = os.path.join(src, "clone.json")
     if not os.path.exists(marker):
         raise FileNotFoundError(

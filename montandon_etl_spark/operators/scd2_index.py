@@ -104,7 +104,10 @@ class Scd2Index:
         """Apply one micro-batch. ``batch_df`` must carry the
         configured key/ts/seq/op/payload columns; ``version`` must be
         strictly increasing across batches (the stream epoch id). A
-        version already committed is a duplicate delivery → no-op."""
+        version already committed is a duplicate delivery → no-op.
+        ``seq`` is assumed to be the unique event id (the changelog
+        contract): a redelivered (key, seq) pair is byte-identical, so
+        the (key, seq) dedup is deterministic."""
         if version in self.store.versions():
             return
         c = self.cfg
