@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "mv_source_stats",  # CDF-maintained materialized aggregate
     "mv_distinct_users",  # CDF-maintained HLL distinct-count view
     "video_frame_index",  # MP4 sample-table demux, per-frame rows
+    "avro_ocf_roundtrip",  # Avro OCF write+scan, deflate/null codecs
+    "debezium_avro_decode",  # Confluent-framed binary Debezium decode
     "image_near_dup",  # PNG decode -> dHash -> banded Hamming pairs
     "image_near_dup_jpeg",  # same pipeline across the lossy baseline-JPEG path
     "h264_pcm_decode",  # distributed H.264 encode->decode round trip

@@ -480,29 +480,51 @@ _DIALECTS = {"json": decode_json_changelog, "debezium": decode_debezium,
              "wal2json": decode_wal2json}
 
 
-def _decode_kwargs(dialect: str, schema_change_topic: str | None) -> dict:
-    if schema_change_topic is None:
-        return {}
-    if dialect != "debezium":
-        raise ValueError("schema_change_topic is a Debezium-dialect "
-                         "concept (the JSON dialect carries DDL in-band)")
-    return {"schema_change_topic": schema_change_topic}
+def _decode_fn(dialect: str):
+    if dialect == "debezium-avro":
+        # Confluent-framed binary Debezium (sources/avro.py) — imported
+        # lazily so the pure-JSON dialects stay pandas-free.
+        from montandon_etl_spark.sources.avro import decode_debezium_avro
+        return decode_debezium_avro
+    return _DIALECTS[dialect]
+
+
+def _decode_kwargs(dialect: str, schema_change_topic: str | None,
+                   registry: dict[int, str] | None = None) -> dict:
+    kw: dict = {}
+    if schema_change_topic is not None:
+        if dialect != "debezium":
+            raise ValueError("schema_change_topic is a Debezium-dialect "
+                             "concept (the JSON dialect carries DDL in-band)")
+        kw["schema_change_topic"] = schema_change_topic
+    if dialect == "debezium-avro":
+        if registry is None:
+            raise ValueError("debezium-avro requires registry= "
+                             "(schema-registry snapshot {id: schema json})")
+        kw["registry"] = registry
+    elif registry is not None:
+        raise ValueError("registry is a debezium-avro-dialect concept")
+    return kw
 
 
 def kafka_source(bootstrap_servers: str, topic: str, dialect: str = "debezium",
                  starting_offsets: str = "earliest",
                  options: dict[str, str] | None = None,
                  keep_raw: bool = True,
-                 schema_change_topic: str | None = None):
+                 schema_change_topic: str | None = None,
+                 registry: dict[int, str] | None = None):
     """Factory for a real Kafka tail (requires the spark-sql-kafka
     package on the cluster — not present in the sandbox, where
     ``kafka_frames_dir_source`` exercises the identical decode).
 
     ``schema_change_topic`` (Debezium dialect): subscribe ``topic`` to
     both the data and schema topics (comma-separated) and pass the
-    schema topic's name here — its frames decode to in-band DDL."""
-    decode = _DIALECTS[dialect]
-    kw = _decode_kwargs(dialect, schema_change_topic)
+    schema topic's name here — its frames decode to in-band DDL.
+
+    ``registry`` (debezium-avro dialect): schema-registry snapshot
+    {schema_id: schema json} for Confluent-framed binary values."""
+    decode = _decode_fn(dialect)
+    kw = _decode_kwargs(dialect, schema_change_topic, registry)
 
     def factory(spark) -> DataFrame:
         r = (spark.readStream.format("kafka")
@@ -519,13 +541,14 @@ def kafka_source(bootstrap_servers: str, topic: str, dialect: str = "debezium",
 def kafka_frames_dir_source(frames_dir: str, dialect: str = "debezium",
                             max_files_per_trigger: int | None = 1,
                             keep_raw: bool = True,
-                            schema_change_topic: str | None = None):
+                            schema_change_topic: str | None = None,
+                            registry: dict[int, str] | None = None):
     """Factory tailing a directory of parquet files in Kafka's fixed
     frame shape (KAFKA_FRAME_SCHEMA) — the sandbox/e2e-test stand-in
     for ``kafka_source``: micro-batches arrive wire-shaped and flow
     through the same decode → quarantine → MERGE path."""
-    decode = _DIALECTS[dialect]
-    kw = _decode_kwargs(dialect, schema_change_topic)
+    decode = _decode_fn(dialect)
+    kw = _decode_kwargs(dialect, schema_change_topic, registry)
 
     def factory(spark) -> DataFrame:
         r = spark.readStream.schema(KAFKA_FRAME_SCHEMA)
