@@ -3557,6 +3557,53 @@ def q_debezium_avro_decode(spark, sf):
     )
 
 
+def q_pdf_text_extract(spark, sf):
+    """REAL PDF parsing in the query path (sources/pdf.py): a
+    deterministic PDF is built per document (1 + doc_id % 3 pages;
+    each page 1-2 lines naming (doc, page, line) plus a 30-char slice
+    of the doc text; even docs Flate-compressed, every 3rd doc written
+    as kerned TJ arrays, every 5th as hex strings), then the
+    dependency-free reader (xref walk → page tree → content-stream
+    text interpreter) extracts per-page text. The oracle rebuilds every
+    page string analytically with substr — any xref/Flate/escape/TJ
+    bug flips the hash."""
+    import pandas as pd
+
+    from montandon_etl_spark.sources.pdf import build_pdf, pdf_pages
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(it):
+        for pdf_ in it:
+            rows = []
+            for d, text in zip(pdf_["doc_id"], pdf_["text"]):
+                d = int(d)
+                pages = []
+                for pg in range(1 + d % 3):
+                    lines = []
+                    for ln in range(1 + (d + pg) % 2):
+                        chunk = text[(pg * 2 + ln) * 30:
+                                     (pg * 2 + ln) * 30 + 30]
+                        lines.append(f"d{d}p{pg}l{ln}:{chunk}")
+                    pages.append(lines)
+                rows.append((d, build_pdf(
+                    pages, compress=d % 2 == 0,
+                    kern_every=7 if d % 3 == 0 else 0,
+                    use_hex=d % 5 == 0)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, schema="asset_id bigint, payload binary")
+    out = pdf_pages(assets, "asset_id", "payload")
+    return out.select(
+        F.col("asset_id").alias("doc_id"),
+        "page_idx",
+        F.col("text").alias("page_text"),
+        "n_chars",
+    )
+
+
 def q_video_frame_index(spark, sf):
     """REAL MP4 container demux in the query path: a deterministic MP4
     is muxed per document (1 + doc_id % 6 frames; frame i is
@@ -4444,6 +4491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 Next #1 — the six round-4 additions rotate to the front)
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "debezium_avro_decode": q_debezium_avro_decode,
+        "pdf_text_extract": q_pdf_text_extract,
         "temporal_join": q_temporal_join,
         "table_clone": q_table_clone,
         "incremental_scd2": q_incremental_scd2,
@@ -4943,6 +4991,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 3 = 0 THEN -1
                         ELSE length('t' || CAST(i AS VARCHAR)) END AS title_len
             FROM f""",
+        "pdf_text_extract": """
+            WITH p AS (
+              SELECT doc_id, text, unnest(range(0, 1 + doc_id % 3)) AS pg
+              FROM documents),
+            l AS (
+              SELECT doc_id, pg, text,
+                     unnest(range(0, 1 + (doc_id + pg) % 2)) AS ln
+              FROM p),
+            lines AS (
+              SELECT doc_id, pg, ln,
+                     'd' || CAST(doc_id AS VARCHAR)
+                       || 'p' || CAST(pg AS VARCHAR)
+                       || 'l' || CAST(ln AS VARCHAR) || ':'
+                       || substr(text, (pg * 2 + ln) * 30 + 1, 30) AS line
+              FROM l)
+            SELECT doc_id,
+                   CAST(pg AS INT) AS page_idx,
+                   string_agg(line, chr(10) ORDER BY ln) AS page_text,
+                   CAST(length(string_agg(line, chr(10) ORDER BY ln))
+                        AS INT) AS n_chars
+            FROM lines GROUP BY doc_id, pg""",
         "debezium_avro_decode": """
             WITH d AS (
               SELECT event_id AS e,
