@@ -3604,6 +3604,119 @@ def q_pdf_text_extract(spark, sf):
     )
 
 
+def q_sitemap_scan(spark, sf):
+    """Sitemap discovery (sources/feeds.py): every 10th document is a
+    sitemapindex (2 child sitemaps, loc+lastmod only), the rest are
+    urlsets (1 + doc_id % 4 urls with lastmod/changefreq/priority on a
+    deterministic cycle, every 3rd priority absent). The parser
+    normalizes both shapes into one entry table with W3C lastmod
+    lowered to epoch micros; the oracle rebuilds every field from the
+    doc_id formulas."""
+    import pandas as pd
+
+    from montandon_etl_spark.sources.feeds import (
+        build_sitemap,
+        sitemap_entries,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 10 == 0:
+                    entries = [
+                        {"loc": f"https://d{d % 40}.example.org/sm{j}.xml",
+                         "lastmod": f"2024-01-{1 + (d + j) % 28:02d}"}
+                        for j in range(2)]
+                    blob = build_sitemap(entries, index=True)
+                else:
+                    entries = [
+                        {"loc": f"https://d{d % 40}.example.org/u/{d}/{j}",
+                         "lastmod": f"2024-01-{1 + (d + j) % 28:02d}",
+                         "changefreq": ["daily", "weekly", "monthly"][j % 3],
+                         "priority": (None if j % 3 == 0
+                                      else f"{((d + j) % 11) / 10:.1f}")}
+                        for j in range(1 + d % 4)]
+                    blob = build_sitemap(entries)
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, schema="asset_id bigint, payload binary")
+    out = sitemap_entries(assets, "asset_id", "payload")
+    return out.select(
+        F.col("asset_id").alias("doc_id"),
+        "entry_idx", "kind", "loc", "lastmod_us",
+        F.coalesce("changefreq", F.lit("")).alias("changefreq"),
+        F.coalesce("priority", F.lit(-1.0)).alias("priority"),
+    )
+
+
+def q_feed_scan(spark, sf):
+    """RSS/Atom discovery (sources/feeds.py): even documents publish
+    an RSS 2.0 feed (RFC 822 pubDate), odd documents an Atom 1.0 feed
+    (ISO-8601 published, alternate+self links so rel selection is
+    exercised); both normalize to one entry shape with the timestamp
+    lowered to epoch micros. Any date-parse / link-rel / guid bug
+    flips the hash — both dialects encode the SAME closed-form
+    instant base + (doc_id+k) hours."""
+    import email.utils
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from montandon_etl_spark.sources.feeds import (
+        build_atom,
+        build_rss,
+        feed_entries,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(it):
+        base = 1704067200  # 2024-01-01T00:00:00Z
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                items = []
+                for k in range(1 + d % 3):
+                    ts = base + (d + k) * 3600
+                    dt = datetime.fromtimestamp(ts, tz=timezone.utc)
+                    e = {"title": f"t{d}e{k}",
+                         "link": f"https://f{d % 20}.example.org/{d}/{k}"}
+                    if d % 2 == 0:
+                        e["guid"] = f"g{d}-{k}"
+                        e["pubDate"] = email.utils.format_datetime(dt)
+                        if k % 2 == 0:
+                            e["description"] = f"s{k}"
+                    else:
+                        e["id"] = f"g{d}-{k}"
+                        e["self"] = f"https://f{d % 20}.example.org/self"
+                        e["published"] = dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if k % 2 == 0:
+                            e["summary"] = f"s{k}"
+                    items.append(e)
+                blob = build_rss(items) if d % 2 == 0 else build_atom(items)
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, schema="asset_id bigint, payload binary")
+    out = feed_entries(assets, "asset_id", "payload")
+    return out.select(
+        F.col("asset_id").alias("doc_id"),
+        "entry_idx", "feed_kind", "title", "link", "entry_id",
+        "published_us",
+        F.coalesce("summary", F.lit("")).alias("summary"),
+    )
+
+
 def q_video_frame_index(spark, sf):
     """REAL MP4 container demux in the query path: a deterministic MP4
     is muxed per document (1 + doc_id % 6 frames; frame i is
@@ -4492,6 +4605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "debezium_avro_decode": q_debezium_avro_decode,
         "pdf_text_extract": q_pdf_text_extract,
+        "sitemap_scan": q_sitemap_scan,
+        "feed_scan": q_feed_scan,
         "temporal_join": q_temporal_join,
         "table_clone": q_table_clone,
         "incremental_scd2": q_incremental_scd2,
@@ -4991,6 +5106,49 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 3 = 0 THEN -1
                         ELSE length('t' || CAST(i AS VARCHAR)) END AS title_len
             FROM f""",
+        "sitemap_scan": """
+            WITH u AS (
+              SELECT doc_id,
+                     unnest(range(0, CASE WHEN doc_id % 10 = 0 THEN 2
+                                          ELSE 1 + doc_id % 4 END)) AS j
+              FROM documents)
+            SELECT doc_id, CAST(j AS INT) AS entry_idx,
+                   CASE WHEN doc_id % 10 = 0 THEN 'sitemap'
+                        ELSE 'url' END AS kind,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN 'https://d' || CAST(doc_id % 40 AS VARCHAR)
+                          || '.example.org/sm' || CAST(j AS VARCHAR) || '.xml'
+                        ELSE 'https://d' || CAST(doc_id % 40 AS VARCHAR)
+                          || '.example.org/u/' || CAST(doc_id AS VARCHAR)
+                          || '/' || CAST(j AS VARCHAR) END AS loc,
+                   (1704067200 + ((doc_id + j) % 28) * 86400)
+                     * 1000000 AS lastmod_us,
+                   CASE WHEN doc_id % 10 = 0 THEN ''
+                        ELSE (['daily', 'weekly', 'monthly'])
+                             [CAST(j % 3 AS INT) + 1] END AS changefreq,
+                   CASE WHEN doc_id % 10 = 0 OR j % 3 = 0 THEN -1.0
+                        ELSE CAST((doc_id + j) % 11 AS DOUBLE) / 10
+                        END AS priority
+            FROM u""",
+        "feed_scan": """
+            WITH u AS (
+              SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS k
+              FROM documents)
+            SELECT doc_id, CAST(k AS INT) AS entry_idx,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss'
+                        ELSE 'atom' END AS feed_kind,
+                   't' || CAST(doc_id AS VARCHAR) || 'e'
+                     || CAST(k AS VARCHAR) AS title,
+                   'https://f' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.org/' || CAST(doc_id AS VARCHAR)
+                     || '/' || CAST(k AS VARCHAR) AS link,
+                   'g' || CAST(doc_id AS VARCHAR) || '-'
+                     || CAST(k AS VARCHAR) AS entry_id,
+                   (1704067200 + (doc_id + k) * 3600)
+                     * 1000000 AS published_us,
+                   CASE WHEN k % 2 = 0 THEN 's' || CAST(k AS VARCHAR)
+                        ELSE '' END AS summary
+            FROM u""",
         "pdf_text_extract": """
             WITH p AS (
               SELECT doc_id, text, unnest(range(0, 1 + doc_id % 3)) AS pg

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "mv_distinct_users",  # CDF-maintained HLL distinct-count view
     "video_frame_index",  # MP4 sample-table demux, per-frame rows
     "pdf_text_extract",  # PDF build+parse: xref, Flate, TJ text interp
+    "sitemap_scan",  # sitemap/sitemapindex discovery, W3C date lowering
+    "feed_scan",  # RSS/Atom normalization, RFC822+ISO dates
     "avro_ocf_roundtrip",  # Avro OCF write+scan, deflate/null codecs
     "debezium_avro_decode",  # Confluent-framed binary Debezium decode
     "image_near_dup",  # PNG decode -> dHash -> banded Hamming pairs
