@@ -3557,6 +3557,65 @@ def q_debezium_avro_decode(spark, sf):
     )
 
 
+def q_debezium_proto_decode(spark, sf):
+    """Confluent-framed Debezium-PROTOBUF wire decode (sources/
+    proto.py) — the third registry serde beside JSON and Avro. Same
+    closed-form synthesis as debezium_avro_decode (op cycle c/u/r with
+    every 7th a delete), so the two queries share one oracle body: the
+    varint/zigzag/length-delimited decode must invert the encode
+    exactly, and the envelopes additionally carry fields this
+    consumer's descriptor does NOT declare (a transaction block and a
+    repeated tags field) — the unknown-field skip path runs on every
+    frame."""
+    import pandas as pd
+
+    from montandon_etl_spark.sources.proto import (
+        DEBEZIUM_PROTO_DESCRIPTOR,
+        confluent_proto_frame,
+        decode_debezium_proto,
+        encode_message,
+    )
+
+    wider = dict(DEBEZIUM_PROTO_DESCRIPTOR)
+    wider[6] = ("transaction", {1: ("id", "string"), 2: ("ord", "int64")})
+    wider[7] = ("tags", "string", "repeated")
+
+    ev = _t(spark, sf, "events").select("event_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                us = 1_700_000_000_000_000 + e * 1_000_003
+                rec = {"op": "d" if e % 7 == 0 else "cur"[e % 3],
+                       "ts_ms": us // 1000,
+                       "source": {"seq": e, "ts_us": us},
+                       "transaction": {"id": f"tx-{e}", "ord": e % 5},
+                       "tags": [f"t{e % 3}"]}
+                url = f"https://s{e % 50}.example.org/p/{e}"
+                if e % 7 == 0:
+                    rec["before"] = {"url": url}
+                else:
+                    rec["after"] = {
+                        "url": url, "warc_ts_us": us,
+                        "html": (f"payload {e} " * (1 + e % 3)).encode()}
+                rows.append((confluent_proto_frame(
+                    7, encode_message(wider, rec)),))
+            yield pd.DataFrame(rows, columns=["value"])
+
+    frames = ev.mapInPandas(gen, schema="value binary")
+    decoded = decode_debezium_proto(frames, {7: DEBEZIUM_PROTO_DESCRIPTOR})
+    return decoded.select(
+        "seq", "url", "op",
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_us"),
+        F.coalesce(F.octet_length("html"), F.lit(-1)).alias("html_len"),
+        F.coalesce(F.sha2("html", 256), F.lit("")).alias("html_sha"),
+    )
+
+
 def q_pdf_text_extract(spark, sf):
     """REAL PDF parsing in the query path (sources/pdf.py): a
     deterministic PDF is built per document (1 + doc_id % 3 pages;
@@ -4604,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 Next #1 — the six round-4 additions rotate to the front)
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "debezium_avro_decode": q_debezium_avro_decode,
+        "debezium_proto_decode": q_debezium_proto_decode,
         "pdf_text_extract": q_pdf_text_extract,
         "sitemap_scan": q_sitemap_scan,
         "feed_scan": q_feed_scan,
@@ -5170,6 +5230,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(string_agg(line, chr(10) ORDER BY ln))
                         AS INT) AS n_chars
             FROM lines GROUP BY doc_id, pg""",
+        # debezium_proto_decode shares this body — same closed-form
+        # synthesis, different wire format under test (see below where
+        # the key is aliased after the dict literal)
         "debezium_avro_decode": """
             WITH d AS (
               SELECT event_id AS e,
@@ -7928,6 +7991,9 @@ def oracle_sql() -> dict[str, str]:
     # BM25 SQL over the survivors (upserts minus the delete batch)
     oracles["incremental_bm25_topk"] = _bm25_sql(
         doc_where=" WHERE doc_id % 7 <> 0")
+    # identical closed-form envelope synthesis, different wire format
+    # under test (Avro vs Protobuf) — one oracle body serves both
+    oracles["debezium_proto_decode"] = oracles["debezium_avro_decode"]
     return oracles
 
 

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "feed_scan",  # RSS/Atom normalization, RFC822+ISO dates
     "avro_ocf_roundtrip",  # Avro OCF write+scan, deflate/null codecs
     "debezium_avro_decode",  # Confluent-framed binary Debezium decode
+    "debezium_proto_decode",  # proto3 wire decode w/ unknown-field skip
     "image_near_dup",  # PNG decode -> dHash -> banded Hamming pairs
     "image_near_dup_jpeg",  # same pipeline across the lossy baseline-JPEG path
     "h264_pcm_decode",  # distributed H.264 encode->decode round trip

@@ -486,24 +486,28 @@ def _decode_fn(dialect: str):
         # lazily so the pure-JSON dialects stay pandas-free.
         from montandon_etl_spark.sources.avro import decode_debezium_avro
         return decode_debezium_avro
+    if dialect == "debezium-proto":
+        from montandon_etl_spark.sources.proto import decode_debezium_proto
+        return decode_debezium_proto
     return _DIALECTS[dialect]
 
 
 def _decode_kwargs(dialect: str, schema_change_topic: str | None,
-                   registry: dict[int, str] | None = None) -> dict:
+                   registry: dict | None = None) -> dict:
     kw: dict = {}
     if schema_change_topic is not None:
         if dialect != "debezium":
             raise ValueError("schema_change_topic is a Debezium-dialect "
                              "concept (the JSON dialect carries DDL in-band)")
         kw["schema_change_topic"] = schema_change_topic
-    if dialect == "debezium-avro":
+    if dialect in ("debezium-avro", "debezium-proto"):
         if registry is None:
-            raise ValueError("debezium-avro requires registry= "
-                             "(schema-registry snapshot {id: schema json})")
+            raise ValueError(f"{dialect} requires registry= (schema-registry"
+                             " snapshot {id: schema/descriptor})")
         kw["registry"] = registry
     elif registry is not None:
-        raise ValueError("registry is a debezium-avro-dialect concept")
+        raise ValueError("registry is a binary-dialect concept "
+                         "(debezium-avro / debezium-proto)")
     return kw
 
 
@@ -512,7 +516,7 @@ def kafka_source(bootstrap_servers: str, topic: str, dialect: str = "debezium",
                  options: dict[str, str] | None = None,
                  keep_raw: bool = True,
                  schema_change_topic: str | None = None,
-                 registry: dict[int, str] | None = None):
+                 registry: dict | None = None):
     """Factory for a real Kafka tail (requires the spark-sql-kafka
     package on the cluster — not present in the sandbox, where
     ``kafka_frames_dir_source`` exercises the identical decode).
@@ -542,7 +546,7 @@ def kafka_frames_dir_source(frames_dir: str, dialect: str = "debezium",
                             max_files_per_trigger: int | None = 1,
                             keep_raw: bool = True,
                             schema_change_topic: str | None = None,
-                            registry: dict[int, str] | None = None):
+                            registry: dict | None = None):
     """Factory tailing a directory of parquet files in Kafka's fixed
     frame shape (KAFKA_FRAME_SCHEMA) — the sandbox/e2e-test stand-in
     for ``kafka_source``: micro-batches arrive wire-shaped and flow
