@@ -3616,6 +3616,32 @@ def q_debezium_proto_decode(spark, sf):
     )
 
 
+def q_cdc_relay_roundtrip(spark, sf):
+    """CDC relay (sources/relay.py): the shared CDC fixture's
+    snapshot-1 → head change feed (manifest-diff driven, O(changed
+    buckets)) is serialized into Confluent-framed Debezium-Avro Kafka
+    frames and decoded back by the schema-generic consumer. The feed
+    is CASE-expressible: adds are the surviving ≥120 keys, updates the
+    %7 rewrites, deletes the %5 keys with the relay's synthesized
+    dominating seq (= deleted version's seq + 1). Any envelope/
+    schema-generation/varint bug flips the hash."""
+    from montandon_etl_spark.sources.relay import (
+        relay_changelog,
+        relay_frames,
+        relay_schema,
+    )
+
+    _, table = _cdc_text_table(spark, sf)
+    schema = relay_schema("did", "string", "warc_ts", [("text", "string")])
+    frames = relay_frames(table.diff(spark, 1), "did", schema, schema_id=5)
+    decoded = relay_changelog(frames, 5, schema, "did", "string")
+    return decoded.select(
+        "did", "seq", "op",
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_us"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+
+
 def q_pdf_text_extract(spark, sf):
     """REAL PDF parsing in the query path (sources/pdf.py): a
     deterministic PDF is built per document (1 + doc_id % 3 pages;
@@ -4665,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_avro_decode": q_debezium_avro_decode,
         "debezium_proto_decode": q_debezium_proto_decode,
         "pdf_text_extract": q_pdf_text_extract,
+        "cdc_relay_roundtrip": q_cdc_relay_roundtrip,
         "sitemap_scan": q_sitemap_scan,
         "feed_scan": q_feed_scan,
         "temporal_join": q_temporal_join,
@@ -5166,6 +5193,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 3 = 0 THEN -1
                         ELSE length('t' || CAST(i AS VARCHAR)) END AS title_len
             FROM f""",
+        "cdc_relay_roundtrip": """
+            WITH d AS (
+              SELECT doc_id AS i, text FROM documents WHERE doc_id < 240),
+            feed AS (
+              SELECT i, CASE WHEN i % 7 = 0 THEN i + 1000 ELSE i END AS seq,
+                     'upsert' AS op,
+                     CASE WHEN i % 7 = 0 THEN substr(text, 1, 40)
+                          ELSE text END AS text
+              FROM d WHERE i >= 120 AND i % 5 <> 0
+              UNION ALL
+              SELECT i, i + 1000 AS seq, 'upsert' AS op,
+                     substr(text, 1, 40) AS text
+              FROM d WHERE i < 120 AND i % 5 <> 0 AND i % 7 = 0
+              UNION ALL
+              -- the OLD side is snapshot 1 (batch 0 only), so the
+              -- deleted version's seq is always i; relay dominates +1
+              SELECT i, i + 1 AS seq, 'delete' AS op, '' AS text
+              FROM d WHERE i < 120 AND i % 5 = 0)
+            SELECT CAST(i AS VARCHAR) AS did, seq, op,
+                   1704067200000000 AS warc_us, text
+            FROM feed""",
         "sitemap_scan": """
             WITH u AS (
               SELECT doc_id,
