@@ -3642,6 +3642,61 @@ def q_cdc_relay_roundtrip(spark, sf):
     )
 
 
+def q_main_content_extract(spark, sf):
+    """Within-page boilerplate removal (functions/extract.py
+    main-content pair — the jusText core: block segmentation +
+    link-density / length classification). Each document becomes a
+    page with a nav bar (pure anchor text → link density ≈ 1), 1 +
+    doc_id % 3 content paragraphs (30-char slices of the doc text;
+    block 0 additionally carries an &amp; entity), a too-short block,
+    and an anchor-farm footer; every 4th page hides a script + comment
+    that must strip. The oracle rebuilds the classifier's decisions
+    analytically: content block i survives iff
+    length(trim(substr(text, i*13+1, 30))) ≥ 25 (block 0 always, via
+    its ' & done' suffix)."""
+    import pandas as pd
+
+    from montandon_etl_spark.functions.extract import main_content_udf
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(it):
+        for pdf_ in it:
+            rows = []
+            for d, text in zip(pdf_["doc_id"], pdf_["text"]):
+                d = int(d)
+                parts = []
+                if d % 4 == 0:
+                    parts.append(f"<script>var x='j{d}';</script>"
+                                 f"<!-- hidden {d} -->")
+                parts.append(f'<div><a href="/h">home</a> '
+                             f'<a href="/a">about</a> '
+                             f'<a href="/c">contact q{d}</a></div>')
+                for i in range(1 + d % 3):
+                    body = text[i * 13:i * 13 + 30].strip()
+                    if i == 0:
+                        body += " &amp; done"
+                    parts.append(f"<p>{body}</p>")
+                parts.append("<p>tiny</p>")
+                parts.append('<p><a href="/t">terms</a> '
+                             '<a href="/p">privacy policy page</a></p>')
+                rows.append((d, "".join(parts).encode()))
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    pages = docs.mapInPandas(gen, schema="doc_id bigint, html binary")
+    m = main_content_udf()
+    out = pages.select("doc_id", m("html").alias("m"))
+    return out.select(
+        "doc_id",
+        F.col("m.n_blocks").alias("n_blocks"),
+        F.col("m.n_good").alias("n_good"),
+        F.col("m.main_text").alias("main_text"),
+        F.length("m.main_text").alias("n_chars"),
+    )
+
+
 def q_pdf_text_extract(spark, sf):
     """REAL PDF parsing in the query path (sources/pdf.py): a
     deterministic PDF is built per document (1 + doc_id % 3 pages;
@@ -4692,6 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_proto_decode": q_debezium_proto_decode,
         "pdf_text_extract": q_pdf_text_extract,
         "cdc_relay_roundtrip": q_cdc_relay_roundtrip,
+        "main_content_extract": q_main_content_extract,
         "sitemap_scan": q_sitemap_scan,
         "feed_scan": q_feed_scan,
         "temporal_join": q_temporal_join,
@@ -5193,6 +5249,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 3 = 0 THEN -1
                         ELSE length('t' || CAST(i AS VARCHAR)) END AS title_len
             FROM f""",
+        "main_content_extract": """
+            WITH c AS (
+              SELECT doc_id, text, unnest(range(0, 1 + doc_id % 3)) AS i
+              FROM documents),
+            blocks AS (
+              SELECT doc_id, i,
+                     trim(substr(text, CAST(i * 13 + 1 AS INT), 30))
+                       || CASE WHEN i = 0 THEN ' & done' ELSE '' END AS bt
+              FROM c),
+            kept AS (
+              SELECT doc_id, i, bt FROM blocks WHERE length(bt) >= 25)
+            SELECT b.doc_id,
+                   CAST(3 + 1 + b.doc_id % 3 AS INT) AS n_blocks,
+                   CAST(count(k.i) AS INT) AS n_good,
+                   COALESCE(string_agg(k.bt, chr(10) ORDER BY k.i), '')
+                     AS main_text,
+                   CAST(COALESCE(length(string_agg(k.bt, chr(10)
+                                                   ORDER BY k.i)), 0)
+                        AS INT) AS n_chars
+            FROM (SELECT DISTINCT doc_id FROM documents) b
+            LEFT JOIN kept k ON k.doc_id = b.doc_id
+            GROUP BY b.doc_id""",
         "cdc_relay_roundtrip": """
             WITH d AS (
               SELECT doc_id AS i, text FROM documents WHERE doc_id < 240),

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "avro_ocf_roundtrip",  # Avro OCF write+scan, deflate/null codecs
     "debezium_avro_decode",  # Confluent-framed binary Debezium decode
     "debezium_proto_decode",  # proto3 wire decode w/ unknown-field skip
+    "cdc_relay_roundtrip",  # change feed -> Debezium-Avro frames -> decode
+    "main_content_extract",  # jusText block classification per page
     "image_near_dup",  # PNG decode -> dHash -> banded Hamming pairs
     "image_near_dup_jpeg",  # same pipeline across the lossy baseline-JPEG path
     "h264_pcm_decode",  # distributed H.264 encode->decode round trip

@@ -158,3 +158,99 @@ def extract_text_udf(html: pd.Series) -> pd.DataFrame:
     byte-identical to the oracle; Arrow moves batches, not rows."""
     pairs = [extract_text_bytes(h) for h in html]
     return pd.DataFrame(pairs, columns=["text", "lang"])
+
+
+# --- main-content extraction (within-page boilerplate removal) ---------------
+# The jusText/trafilatura problem: a page's TEXT is not its CONTENT —
+# navigation, link farms, and chrome survive tag-stripping. This is the
+# within-page complement to the cross-doc (host, line) document-
+# frequency strip in operators/textstats.strip_host_boilerplate: block
+# segmentation + per-block link-density / length / stopword-density
+# classification (the deterministic jusText core, WITHOUT the
+# neighbour-smoothing context pass — documented subset). Same
+# byte-identical pure/Arrow pair contract as the extractor above.
+
+_BLOCK_SPLIT_RE = re.compile(
+    r"</?(?:p|div|br|hr|h[1-6]|li|ul|ol|table|tr|td|th|thead|tbody|section|"
+    r"article|header|footer|nav|aside|blockquote|pre|form|figure|figcaption|"
+    r"main|title)\b[^>]*/?>",
+    re.IGNORECASE,
+)
+_A_CONTENT_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def _clean_inline(s: str) -> str:
+    """inline fragment → collapsed visible text (tags stripped FIRST,
+    then entities unescaped so &lt; cannot fabricate a tag)."""
+    s = _ANY_TAG_RE.sub("", s)
+    s = _htmlmod.unescape(s)
+    return " ".join(s.split())
+
+
+def main_content_blocks(html: bytes | None,
+                        stop_lang: str = "en") -> list[dict]:
+    """Segment a page at block-level tags and measure each block:
+    ``text`` (collapsed visible text), ``n_chars``, ``link_density``
+    (anchor-text chars / block chars), ``stop_density`` (fraction of
+    lower-cased words in the language's stopword list)."""
+    if html is None:
+        return []
+    s = html.decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub("", s)
+    s = _DROP_CONTENT_RE.sub("", s)
+    stops = _LANG_STOPWORDS.get(stop_lang, frozenset())
+    out = []
+    for seg in _BLOCK_SPLIT_RE.split(s):
+        link_chars = sum(len(_clean_inline(m))
+                         for m in _A_CONTENT_RE.findall(seg))
+        text = _clean_inline(seg)
+        if not text:
+            continue
+        words = text.split()
+        n_stop = sum(1 for w in words if w.lower() in stops)
+        out.append({
+            "text": text,
+            "n_chars": len(text),
+            "link_density": link_chars / max(1, len(text)),
+            "stop_density": n_stop / max(1, len(words)),
+        })
+    return out
+
+
+def extract_main_content(html: bytes | None, min_len: int = 25,
+                         max_link_density: float = 0.33,
+                         min_stop_density: float = 0.0,
+                         stop_lang: str = "en") -> tuple[str, int, int]:
+    """(main_text, n_blocks, n_good): good blocks are long enough, not
+    link-dominated, and (optionally) stopword-dense; main_text joins
+    them with newlines. Deterministic — thresholds are exact
+    comparisons on exact integer counts and one float ratio."""
+    blocks = main_content_blocks(html, stop_lang)
+    good = [b for b in blocks
+            if b["n_chars"] >= min_len
+            and b["link_density"] <= max_link_density
+            and b["stop_density"] >= min_stop_density]
+    return "\n".join(b["text"] for b in good), len(blocks), len(good)
+
+
+_MAIN_RESULT_TYPE = T.StructType([
+    T.StructField("main_text", T.StringType(), False),
+    T.StructField("n_blocks", T.IntegerType(), False),
+    T.StructField("n_good", T.IntegerType(), False),
+])
+
+
+def main_content_udf(min_len: int = 25, max_link_density: float = 0.33,
+                     min_stop_density: float = 0.0, stop_lang: str = "en"):
+    """Configured Arrow-vectorized form of ``extract_main_content``
+    (parameters are captured, not columns — one codegen per config)."""
+
+    @F.pandas_udf(_MAIN_RESULT_TYPE)
+    def udf(html: pd.Series) -> pd.DataFrame:
+        rows = [extract_main_content(h, min_len, max_link_density,
+                                     min_stop_density, stop_lang)
+                for h in html]
+        return pd.DataFrame(rows, columns=["main_text", "n_blocks",
+                                           "n_good"])
+
+    return udf

@@ -67,3 +67,69 @@ def test_generator_deterministic():
     pd.testing.assert_frame_equal(a, b)
     c = gen_changelog(200, 80, seed=8)
     assert not a["html"].equals(c["html"])
+
+
+# --- main-content extraction --------------------------------------------------
+from montandon_etl_spark.functions.extract import (  # noqa: E402
+    extract_main_content,
+    main_content_blocks,
+    main_content_udf,
+)
+
+_LONG = "the quick brown fox jumps over the lazy dog repeatedly today"
+
+
+def test_main_content_rules():
+    html = ("<div><a href=x>home</a> <a>about page links</a></div>"
+            f"<p>{_LONG}</p>"
+            "<p>ok</p>"
+            "<p>footer <a>terms and conditions of this whole site</a></p>"
+            ).encode()
+    text, n_blocks, n_good = extract_main_content(html)
+    assert text == _LONG and (n_blocks, n_good) == (4, 1)
+    # link-density boundary: exactly 0.33 passes, above fails
+    b = main_content_blocks(html)
+    nav = b[0]
+    assert nav["link_density"] > 0.33
+    # length boundary: 25 chars is kept, 24 dropped
+    pad = "x" * 25
+    t, _, g = extract_main_content(f"<p>{pad}</p>".encode(), min_len=25)
+    assert g == 1 and t == pad
+    _, _, g = extract_main_content(f"<p>{pad[:-1]}</p>".encode(), min_len=25)
+    assert g == 0
+
+
+def test_main_content_stopword_gate_and_entities():
+    good = f"<p>{_LONG}</p>"  # 'the'/'over' are stopwords
+    listy = "<p>alpha beta gamma delta epsilon zeta eta theta iota</p>"
+    html = (good + listy).encode()
+    _, _, g = extract_main_content(html, min_stop_density=0.1)
+    assert g == 1  # the keyword list has zero stopwords
+    _, _, g = extract_main_content(html, min_stop_density=0.0)
+    assert g == 2
+    # entities unescape AFTER tag stripping: &lt;p&gt; is text, not a tag
+    t, _, _ = extract_main_content(
+        b"<p>this block shows &lt;p&gt; literally &amp; fine today</p>")
+    assert "<p> literally & fine" in t
+    # script/comment content never counts
+    t, n, _ = extract_main_content(
+        (f"<script>var x = 'junk junk junk';</script><!-- hidden -->"
+         f"<p>{_LONG}</p>").encode())
+    assert t == _LONG and n == 1
+
+
+def test_main_content_udf_matches_pure(spark):
+    docs = [
+        (0, (f"<div><a>home</a> <a>about us now</a></div><p>{_LONG}</p>"
+             f"<p>short</p>").encode()),
+        (1, b"<p>one &amp; two block that is long enough to keep</p>"),
+        (2, None),
+        (3, b"plain text with no tags at all but quite long anyway"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, html binary")
+    got = {r.doc_id: (r.m.main_text, r.m.n_blocks, r.m.n_good)
+           for r in df.select("doc_id",
+                              main_content_udf()("html").alias("m"))
+           .collect()}
+    for did, h in docs:
+        assert got[did] == extract_main_content(h), did
