@@ -4765,9 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": q_gif_decode,
         "flac_roundtrip": q_flac_roundtrip,
         "point_in_polygon": q_point_in_polygon,
-        "c4_clean": q_c4_clean,
         "cdx_index": q_cdx_index,
-        "incremental_wet_export": q_incremental_wet_export,
         "wat_links": q_wat_links,
         "sequence_gap_audit": q_sequence_gap_audit,
         "unigram_encode": q_unigram_encode,
@@ -4788,20 +4786,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_classifier": q_train_quality_classifier,
         "mixture_resample": q_mixture_resample,
         "bpe_tokenize": q_bpe_tokenize,
-        "sequence_pack_stats": q_sequence_pack_stats,
         "chunk_documents": q_chunk_documents,
         "zorder_pruned_scan": q_zorder_pruned_scan,
-        "range_join_windows": q_range_join_windows,
-        "strip_dup_spans": q_strip_dup_spans,
-        "countmin_freq": q_countmin_freq,
-        "link_pagerank": q_pagerank,
-        "image_near_dup_jpeg": q_image_near_dup_jpeg,
         "incremental_ann_topk_pq": q_incremental_ann_topk_pq,
         "mv_source_extremes": q_mv_source_extremes,
         "value_percentiles_approx": q_value_percentiles_approx,
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
+        # --------- 50-prefix boundary (driver samples ~50 head rows)
+        "strip_dup_spans": q_strip_dup_spans,
+        "countmin_freq": q_countmin_freq,
+        "link_pagerank": q_pagerank,
+        "image_near_dup_jpeg": q_image_near_dup_jpeg,
         "adpcm_roundtrip": q_adpcm_roundtrip,
         # prefix demotions (same-family winners stay in the 50):
+        #   c4_clean -> curation_gate + main_content_extract
+        #   (page-cleaning family); incremental_wet_export ->
+        #   incremental_token_shards (changed_buckets export family);
+        #   sequence_pack_stats -> chunk_documents (packing family);
+        #   range_join_windows -> temporal_join (interval-join family)
+        "c4_clean": q_c4_clean,
+        "incremental_wet_export": q_incremental_wet_export,
+        "sequence_pack_stats": q_sequence_pack_stats,
+        "range_join_windows": q_range_join_windows,
         #   h264_b_temporal -> h264_p_multiref,
         #   audio_frame_features -> audio_near_dup + adpcm_roundtrip,
         #   incremental_bm25_topk -> bm25_topk + the incremental-
