@@ -3456,8 +3456,10 @@ def q_warc_roundtrip(spark, sf):
 def q_avro_ocf_roundtrip(spark, sf):
     """REAL Avro Object Container File codec in the query path
     (sources/avro.py): a deterministic OCF is written per document
-    (1 + doc_id % 5 records; odd docs deflate-compressed, even docs
-    null codec; block_records=2 forces multi-block containers), then
+    (1 + doc_id % 5 records; codec cycles null/deflate/snappy by
+    doc_id % 3 — the snappy path is the from-scratch raw-format codec
+    in sources/snappy.py with the Avro CRC32 block suffix;
+    block_records=2 forces multi-block containers), then
     the from-scratch OCF reader (varint zigzag longs, union branches,
     deflate blocks, sync-marker validation) recovers every record.
     The oracle derives every value analytically from the doc_id
@@ -3485,7 +3487,8 @@ def q_avro_ocf_roundtrip(spark, sf):
                          "title": None if i % 3 == 0 else f"t{i}"}
                         for i in range(1 + d % 5)]
                 rows.append((d, write_ocf(
-                    schema, recs, codec="deflate" if d % 2 else "null",
+                    schema, recs,
+                    codec=("null", "deflate", "snappy")[d % 3],
                     block_records=2)))
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 

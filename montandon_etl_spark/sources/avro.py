@@ -328,7 +328,7 @@ def write_ocf(schema_json: str, records: list[dict], codec: str = "null",
         sync = hashlib.sha256(schema_json.encode()).digest()[:16]
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec {codec!r}")
     out = io.BytesIO()
     out.write(MAGIC)
@@ -344,6 +344,12 @@ def write_ocf(schema_json: str, records: list[dict], codec: str = "null",
         payload = body.getvalue()
         if codec == "deflate":
             payload = zlib.compress(payload, 9)[2:-4]  # raw deflate
+        elif codec == "snappy":
+            # Avro spec: snappy blocks carry a 4-byte big-endian CRC32
+            # of the UNCOMPRESSED data after the compressed body
+            from montandon_etl_spark.sources.snappy import snappy_compress
+            payload = snappy_compress(payload) + struct.pack(
+                ">I", zlib.crc32(payload))
         write_long(out, len(chunk))
         write_long(out, len(payload))
         out.write(payload)
@@ -360,7 +366,7 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
     meta, pos = decode_value(_META_SCHEMA, data, 4)
     schema_json = meta["avro.schema"].decode("utf-8")
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec {codec!r}")
     schema = parse_schema(schema_json)
     sync = data[pos:pos + 16]
@@ -378,6 +384,12 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
         pos += 16
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
+        elif codec == "snappy":
+            from montandon_etl_spark.sources.snappy import snappy_decompress
+            body, crc = payload[:-4], payload[-4:]
+            payload = snappy_decompress(body)
+            if struct.pack(">I", zlib.crc32(payload)) != crc:
+                raise ValueError("snappy block CRC mismatch")
         p = 0
         for _ in range(cnt):
             rec, p = decode_value(schema, payload, p)
