@@ -122,11 +122,16 @@ def parse_schema(schema_json: str | dict | list) -> Any:
             names[full] = rec
             names.setdefault(n["name"], rec)
             for f_ in n["fields"]:
-                rec["fields"].append(
-                    {"name": f_["name"], "type": resolve(f_["type"], nns)})
+                ent = {"name": f_["name"], "type": resolve(f_["type"], nns)}
+                if "default" in f_:
+                    ent["default"] = f_["default"]
+                rec["fields"].append(ent)
             return rec
         if t == "enum":
-            e = {"type": "enum", "name": n["name"], "symbols": list(n["symbols"])}
+            e = {"type": "enum", "name": n["name"],
+                 "symbols": list(n["symbols"])}
+            if "default" in n:
+                e["default"] = n["default"]
             names[n["name"]] = e
             return e
         if t == "fixed":
@@ -305,11 +310,124 @@ def encode_record(schema_json: str, record: dict) -> bytes:
     return out.getvalue()
 
 
-def decode_record(schema_json: str, data: bytes) -> dict:
-    v, pos = decode_value(parse_schema(schema_json), data, 0)
+def decode_record(schema_json: str, data: bytes,
+                  reader_schema_json: str | None = None) -> dict:
+    """Decode against the WRITER schema; if ``reader_schema_json`` is
+    given, project the result through Avro schema resolution (the
+    spec's evolution contract, see ``adapt_value``)."""
+    writer = parse_schema(schema_json)
+    v, pos = decode_value(writer, data, 0)
     if pos != len(data):
         raise ValueError(f"{len(data) - pos} trailing bytes after record")
-    return v
+    if reader_schema_json is None:
+        return v
+    return adapt_value(v, writer, parse_schema(reader_schema_json))
+
+
+# ------------------------------------------------------- schema resolution --
+# The Avro spec's writer→reader resolution, applied VALUE-side after a
+# full writer-schema decode (equivalent to streaming resolution, and
+# what schema evolution in a registry-backed CDC tail requires: the
+# consumer holds ONE reader schema while producers register new writer
+# versions):
+# - record fields match by name; writer-only fields drop; reader-only
+#   fields take their declared default (error without one);
+# - promotions: int→long/float/double, long→float/double, float→
+#   double, string↔bytes;
+# - writer union: the decoded branch is matched structurally; reader
+#   union: first branch the adapted value resolves against wins;
+# - enum: writer symbol unknown to the reader falls back to the
+#   reader's declared enum ``default`` (error without one).
+
+_PROMOTE = {
+    ("int", "long"): int, ("int", "float"): float,
+    ("int", "double"): float, ("long", "float"): float,
+    ("long", "double"): float, ("float", "double"): float,
+}
+
+
+def _branch_for(v: Any, union: list) -> Any:
+    for b in union:
+        if _matches(b, v):
+            return b
+    raise ValueError(f"decoded value {v!r} matches no writer union branch")
+
+
+def adapt_value(v: Any, writer: Any, reader: Any) -> Any:
+    if isinstance(writer, list):
+        writer = _branch_for(v, writer)
+    if isinstance(reader, list):
+        last_err = None
+        for b in reader:
+            try:
+                return adapt_value(v, writer, b)
+            except ValueError as e:
+                last_err = e
+        raise ValueError(f"no reader union branch accepts writer value: "
+                         f"{last_err}")
+    wt = writer if isinstance(writer, str) else writer["type"]
+    rt = reader if isinstance(reader, str) else reader["type"]
+    if wt == rt and wt in _PRIMITIVES:
+        return v
+    if (wt, rt) in _PROMOTE:
+        return _PROMOTE[(wt, rt)](v)
+    if wt == "string" and rt == "bytes":
+        return v.encode("utf-8")
+    if wt == "bytes" and rt == "string":
+        return v.decode("utf-8")
+    if wt == "record" and rt == "record":
+        wf = {f_["name"]: f_ for f_ in writer["fields"]}
+        out = {}
+        for f_ in reader["fields"]:
+            name = f_["name"]
+            if name in wf:
+                out[name] = adapt_value(v[name], wf[name]["type"],
+                                        f_["type"])
+            elif "default" in f_:
+                out[name] = _default_value(f_["type"], f_["default"])
+            else:
+                raise ValueError(
+                    f"reader field {name!r} absent from writer schema and "
+                    f"has no default")
+        return out
+    if wt == "enum" and rt == "enum":
+        if v in reader["symbols"]:
+            return v
+        if "default" in reader:
+            return reader["default"]
+        raise ValueError(f"enum symbol {v!r} unknown to reader")
+    if wt == "array" and rt == "array":
+        return [adapt_value(x, writer["items"], reader["items"]) for x in v]
+    if wt == "map" and rt == "map":
+        return {k: adapt_value(x, writer["values"], reader["values"])
+                for k, x in v.items()}
+    if wt == "fixed" and rt == "fixed":
+        if writer["size"] != reader["size"]:
+            raise ValueError("fixed size mismatch between schemas")
+        return v
+    raise ValueError(f"cannot resolve writer type {wt!r} to reader {rt!r}")
+
+
+def _default_value(schema: Any, dflt: Any) -> Any:
+    """JSON default → runtime value (spec: bytes/fixed defaults are
+    strings holding latin-1 code points; union defaults conform to the
+    FIRST branch)."""
+    if isinstance(schema, list):
+        return _default_value(schema[0], dflt)
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t in ("bytes", "fixed"):
+        return dflt.encode("latin-1")
+    if t in ("float", "double"):
+        return float(dflt)
+    if t == "record":
+        return {f_["name"]: _default_value(f_["type"], dflt[f_["name"]])
+                for f_ in schema["fields"]}
+    if t == "array":
+        return [_default_value(schema["items"], x) for x in dflt]
+    if t == "map":
+        return {k: _default_value(schema["values"], x)
+                for k, x in dflt.items()}
+    return dflt
 
 
 # ------------------------------------------------------------------- OCF ----
@@ -403,23 +521,30 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
 def avro_ocf_rows(df: DataFrame, id_col: str, bin_col: str,
                   schema_json: str, out_schema: str) -> DataFrame:
     """One row per record inside each OCF blob. ``schema_json`` is the
-    expected writer schema (mismatching containers fail the blob, one
-    NULL row, record-not-drop); ``out_schema`` is the Spark DDL of the
-    emitted columns: ``id_col, rec_idx int`` + one column per
-    top-level record field (nulls for absent union branches)."""
+    READER schema: containers written under a DIFFERENT schema resolve
+    through the spec's evolution rules (``adapt_value`` — name-matched
+    fields, defaults, promotions); an unresolvable container fails the
+    blob with one NULL row (record-not-drop). ``out_schema`` is the
+    Spark DDL of the emitted columns: ``id_col, rec_idx int`` + one
+    column per top-level reader field (nulls for absent union
+    branches)."""
     fields = [f_["name"] for f_ in json.loads(schema_json)["fields"]]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [id_col, "rec_idx"] + fields
+        reader = parse_schema(schema_json)
+        reader_plain = json.loads(schema_json)
         for pdf in it:
             rows = []
             for aid, p in zip(pdf[id_col], pdf[bin_col]):
                 try:
                     meta, recs = read_ocf(bytes(p))
-                    if json.loads(meta["avro.schema"].decode()) != \
-                            json.loads(schema_json):
-                        raise ValueError("writer schema mismatch")
+                    wj = meta["avro.schema"].decode()
+                    same = json.loads(wj) == reader_plain
+                    writer = None if same else parse_schema(wj)
                     for i, r in enumerate(recs):
+                        if not same:
+                            r = adapt_value(r, writer, reader)
                         rows.append((aid, i, *[r.get(f_) for f_ in fields]))
                 except Exception:
                     rows.append((aid, None) + (None,) * len(fields))
@@ -471,7 +596,8 @@ _DBZ_OPS = {"c": "upsert", "u": "upsert", "r": "upsert", "d": "delete"}
 
 def decode_debezium_avro(kafka_df: DataFrame, registry: dict[int, str],
                          value_col: str = "value",
-                         keep_raw: bool = False) -> DataFrame:
+                         keep_raw: bool = False,
+                         reader_schema: str | None = None) -> DataFrame:
     """Confluent-framed Debezium-Avro frames → changelog rows
     (+ ``decode_ok``) — the binary twin of kafka.decode_debezium, same
     output columns so split_quarantine and the MERGE are dialect-blind.
@@ -483,11 +609,23 @@ def decode_debezium_avro(kafka_df: DataFrame, registry: dict[int, str],
     decode_ok=false (NULL fields, frame preserved) for: bad magic,
     unknown schema id, truncated/trailing bytes, unknown op, missing
     after-row on upsert / key on delete.
+
+    ``reader_schema``: the consumer's envelope schema (defaults to
+    DEBEZIUM_AVRO_SCHEMA when any registry writer differs from it) —
+    frames written under EVOLVED registry schemas resolve through
+    ``adapt_value`` before field access, so a producer adding envelope
+    fields or widening types never breaks this consumer.
     """
     reg_json = dict(registry)
+    if reader_schema is None and any(
+            json.loads(s) != json.loads(DEBEZIUM_AVRO_SCHEMA)
+            for s in reg_json.values()):
+        reader_schema = DEBEZIUM_AVRO_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parsed: dict[int, Any] = {}
+        rdr = parse_schema(reader_schema) if reader_schema else None
+        rdr_plain = json.loads(reader_schema) if reader_schema else None
         cols = ["seq", "url", "warc_ts_us", "op", "html", "decode_ok", "raw"]
         for pdf in it:
             rows = []
@@ -504,6 +642,9 @@ def decode_debezium_avro(kafka_df: DataFrame, registry: dict[int, str],
                     rec, pos = decode_value(parsed[sid], raw, 5)
                     if pos != len(raw):
                         raise ValueError("trailing bytes")
+                    if rdr is not None and \
+                            json.loads(reg_json[sid]) != rdr_plain:
+                        rec = adapt_value(rec, parsed[sid], rdr)
                     op = _DBZ_OPS[rec["op"]]  # KeyError → quarantine
                     if op == "delete":
                         key = rec["before"] or {}

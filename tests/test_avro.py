@@ -328,3 +328,138 @@ def test_registry_plumbing_validation():
     with pytest.raises(ValueError, match="registry"):
         kafka_frames_dir_source("/tmp/x", dialect="debezium",
                                 registry={1: "{}"})
+
+
+# ---------------------------------------------------- schema resolution -----
+from montandon_etl_spark.sources.avro import adapt_value, parse_schema  # noqa: E402
+
+
+def _resolve(writer_json, reader_json, rec):
+    enc = encode_record(writer_json, rec)
+    return decode_record(writer_json, enc, reader_schema_json=reader_json)
+
+
+def test_resolution_field_add_drop_defaults():
+    w = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "gone", "type": "string"}]})
+    r = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "added_s", "type": "string", "default": "dflt"},
+        {"name": "added_b", "type": "bytes", "default": "ÿ!"},
+        {"name": "added_u", "type": ["null", "long"], "default": None},
+        {"name": "added_arr", "type": {"type": "array", "items": "int"},
+         "default": [1, 2]}]})
+    got = _resolve(w, r, {"a": 7, "gone": "x"})
+    assert got == {"a": 7, "added_s": "dflt", "added_b": b"\xff!",
+                   "added_u": None, "added_arr": [1, 2]}
+    # reader-only field WITHOUT default -> loud error
+    r_bad = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "nodefault", "type": "long"}]})
+    with pytest.raises(ValueError, match="no default"):
+        _resolve(w, r_bad, {"a": 1, "gone": ""})
+
+
+def test_resolution_promotions_and_unions():
+    w = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "n", "type": "int"},
+        {"name": "x", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "u", "type": ["null", "int"]}]})
+    r = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "n", "type": "double"},
+        {"name": "x", "type": ["null", "double"]},
+        {"name": "s", "type": "bytes"},
+        {"name": "u", "type": ["null", "long", "string"]}]})
+    got = _resolve(w, r, {"n": 3, "x": 9, "s": "hi", "u": 5})
+    assert got == {"n": 3.0, "x": 9.0, "s": b"hi", "u": 5}
+    assert isinstance(got["n"], float) and isinstance(got["u"], int)
+    got = _resolve(w, r, {"n": 0, "x": 0, "s": "", "u": None})
+    assert got["u"] is None
+
+
+def test_resolution_enum_default_and_nested():
+    w = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "k", "type": {"type": "enum", "name": "K",
+                               "symbols": ["A", "B", "NEW"]}},
+        {"name": "sub", "type": {"type": "record", "name": "S", "fields": [
+            {"name": "v", "type": "int"},
+            {"name": "extra", "type": "string"}]}}]})
+    r = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "k", "type": {"type": "enum", "name": "K",
+                               "symbols": ["A", "B"], "default": "A"}},
+        {"name": "sub", "type": {"type": "record", "name": "S", "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "w", "type": "long", "default": 42}]}}]})
+    got = _resolve(w, r, {"k": "NEW", "sub": {"v": 1, "extra": "drop"}})
+    assert got == {"k": "A", "sub": {"v": 1, "w": 42}}
+    got = _resolve(w, r, {"k": "B", "sub": {"v": 2, "extra": ""}})
+    assert got["k"] == "B"
+
+
+def test_ocf_scan_resolves_evolved_writers(spark, tmp_path):
+    """One directory, three writer generations; the reader schema
+    resolves all of them into one column set."""
+    from montandon_etl_spark.sources.avro import read_avro_ocf
+    v1 = json.dumps({"type": "record", "name": "P", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"}]})
+    v2 = json.dumps({"type": "record", "name": "P", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string"}]})       # added field
+    v3 = json.dumps({"type": "record", "name": "P", "fields": [
+        {"name": "doc_id", "type": "int"},           # narrower writer
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string"},
+        {"name": "junk", "type": "double"}]})        # writer-only
+    reader = json.dumps({"type": "record", "name": "P", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string", "default": "und"}]})
+    d = tmp_path / "evo"
+    d.mkdir()
+    (d / "g1.avro").write_bytes(write_ocf(
+        v1, [{"doc_id": 1, "text": "one"}]))
+    (d / "g2.avro").write_bytes(write_ocf(
+        v2, [{"doc_id": 2, "text": "two", "lang": "en"}]))
+    (d / "g3.avro").write_bytes(write_ocf(
+        v3, [{"doc_id": 3, "text": "three", "lang": "fr", "junk": 1.5}]))
+    out = read_avro_ocf(
+        spark, str(d), reader,
+        "path string, rec_idx int, doc_id long, text string, lang string")
+    got = sorted((r.doc_id, r.text, r.lang) for r in out.collect())
+    assert got == [(1, "one", "und"), (2, "two", "en"), (3, "three", "fr")]
+
+
+def test_debezium_avro_evolved_producer(spark):
+    """A producer registers an EVOLVED envelope (extra field in after,
+    extra top-level block) under a new schema id; the consumer's fixed
+    reader schema resolves it — frames decode, nothing quarantines."""
+    evolved = json.loads(DEBEZIUM_AVRO_SCHEMA)
+    for f in evolved["fields"]:
+        if f["name"] == "after":
+            f["type"][1]["fields"].append(
+                {"name": "content_type", "type": "string"})
+    evolved["fields"].append(
+        {"name": "transaction",
+         "type": ["null", {"type": "record", "name": "Tx", "fields": [
+             {"name": "id", "type": "string"}]}]})
+    evolved_json = json.dumps(evolved)
+    us = int(TS.value // 1000)
+    frame = confluent_frame(9, encode_record(evolved_json, {
+        "op": "c", "ts_ms": us // 1000,
+        "source": {"seq": 8, "ts_us": us},
+        "before": None,
+        "after": {"url": "https://e/8", "warc_ts_us": us,
+                  "html": b"<p>evolved</p>", "content_type": "text/html"},
+        "transaction": {"id": "tx-9"}}))
+    reg = {7: DEBEZIUM_AVRO_SCHEMA, 9: evolved_json}
+    old_frame = _dbz_avro(1, "https://e/1", TS, "c", b"<p>old</p>")
+    decoded = decode_debezium_avro(_frames_df(spark, [old_frame, frame]),
+                                   reg)
+    good, bad = split_quarantine(decoded)
+    assert bad.count() == 0
+    rows = sorted(good.collect(), key=lambda r: r["seq"])
+    assert [r["seq"] for r in rows] == [1, 8]
+    assert rows[1]["html"] == b"<p>evolved</p>"
