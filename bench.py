@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "avro_ocf_roundtrip",  # Avro OCF write+scan, deflate/null codecs
     "debezium_avro_decode",  # Confluent-framed binary Debezium decode
     "debezium_proto_decode",  # proto3 wire decode w/ unknown-field skip
+    "kafka_segment_decode",  # RecordBatch v2 wire: lz4/snappy/gzip + crc32c
     "cdc_relay_roundtrip",  # change feed -> Debezium-Avro frames -> decode
     "main_content_extract",  # jusText block classification per page
     "image_near_dup",  # PNG decode -> dHash -> banded Hamming pairs

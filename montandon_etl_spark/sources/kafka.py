@@ -91,7 +91,8 @@ def _ddl_spec_ok(ddl: F.Column, op: F.Column) -> F.Column:
 
 
 def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value",
-                          keep_raw: bool = False) -> DataFrame:
+                          keep_raw: bool = False,
+                          passthrough: tuple = ()) -> DataFrame:
     """Flat-JSON frames → changelog rows (+ ``decode_ok``).
 
     ``decode_ok`` requires more than parseable JSON: the changelog
@@ -101,7 +102,8 @@ def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value",
 
     ``keep_raw`` appends the undecoded frame bytes as ``_raw`` for
     quarantine forensics (run_stream strips ``_``-prefixed columns
-    before the merge)."""
+    before the merge). ``passthrough`` names input columns to carry
+    through unchanged (wire provenance: topic/partition/offset)."""
     v = _parse(value_col, JSON_VALUE_SCHEMA)
     out = kafka_df.withColumn("_v", v)
     # try_to_binary, not unbase64: under ANSI mode (Spark 4 default) a
@@ -145,6 +147,7 @@ def decode_json_changelog(kafka_df: DataFrame, value_col: str = "value",
     ]
     if keep_raw:
         cols.append(F.col(value_col).alias("_raw"))
+    cols.extend(F.col(c) for c in passthrough)
     return out.select(*cols)
 
 
