@@ -3705,6 +3705,95 @@ def q_kafka_segment_decode(spark, sf):
     )
 
 
+def q_kafka_txn_read_committed(spark, sf):
+    """Transactional Kafka segment read with read_committed isolation
+    (sources/kafka_wire.py): each 16-event group becomes a
+    transactional batch (producer id = g % 4) followed by its control
+    marker — COMMIT except every (g % 3 == 2)th, which ABORTS — and
+    every (g % 5 == 0)th batch is redelivered verbatim (idempotent-
+    producer retry). The committed view must contain exactly the
+    events of committed groups, exactly once: aborted groups vanish
+    via marker scoping, duplicates via (pid, epoch, baseSequence)
+    dedup. The oracle is the group-arithmetic filter."""
+    import base64
+    import json
+
+    import pandas as pd
+
+    from montandon_etl_spark.sources.kafka import decode_json_changelog
+    from montandon_etl_spark.sources.kafka_wire import (
+        CTRL_ABORT,
+        CTRL_COMMIT,
+        control_marker,
+        encode_record_batch,
+        segment_records,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", F.expr("event_id div 16").alias("g"))
+
+    def group_bytes(sub: pd.DataFrame, base: int) -> tuple[bytes, int]:
+        recs = []
+        for e in sub["event_id"]:
+            e = int(e)
+            us = 1_700_000_000_000_000 + e * 1_000_003
+            v = {"seq": e,
+                 "url": f"https://s{e % 50}.example.org/p/{e}",
+                 "warc_ts_us": us,
+                 "op": "delete" if e % 7 == 0 else "upsert"}
+            if v["op"] == "upsert":
+                body = (f"payload {e} " * (1 + e % 3)).encode()
+                v["html_b64"] = base64.b64encode(body).decode()
+            recs.append({"timestamp": us // 1000,
+                         "key": v["url"].encode(),
+                         "value": json.dumps(v).encode()})
+        g = int(sub["g"].iloc[0])
+        pid = g % 4
+        batch = encode_record_batch(recs, base_offset=base, producer_id=pid,
+                                    producer_epoch=0, base_sequence=g,
+                                    transactional=True, codec="snappy")
+        base += len(recs)
+        if g % 5 == 0:  # producer retry: same (pid, epoch, bseq)
+            batch += batch
+        kind = CTRL_ABORT if g % 3 == 2 else CTRL_COMMIT
+        batch += encode_record_batch(
+            [control_marker(kind)], base_offset=base, producer_id=pid,
+            producer_epoch=0, control=True, transactional=True)
+        return batch, base + 1
+
+    def gen(it):
+        carry = None
+        for pdf in it:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last_g = pdf["g"].iloc[-1]
+            head = pdf[pdf["g"] != last_g]
+            carry = pdf[pdf["g"] == last_g]
+            if len(head):
+                blob, base = b"", 0
+                for _, sub in head.groupby("g", sort=True):
+                    b, base = group_bytes(sub, base)
+                    blob += b
+                yield pd.DataFrame({"segment": [blob]})
+        if carry is not None and len(carry):
+            yield pd.DataFrame({"segment": [group_bytes(carry, 0)[0]]})
+
+    segs = (ev.repartition(64, "g")
+            .sortWithinPartitions("g", "event_id")
+            .mapInPandas(gen, schema="segment binary"))
+    decoded = decode_json_changelog(segment_records(segs,
+                                                    read_committed=True))
+    return decoded.select(
+        "seq", "url", "op",
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_us"),
+        F.coalesce(F.octet_length("html"), F.lit(-1)).alias("html_len"),
+        F.coalesce(F.sha2("html", 256), F.lit("")).alias("html_sha"),
+    )
+
+
 def q_cdc_relay_roundtrip(spark, sf):
     """CDC relay (sources/relay.py): the shared CDC fixture's
     snapshot-1 → head change feed (manifest-diff driven, O(changed
@@ -4886,6 +4975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   oracle IS the scd2_history window — same validity-interval
         #   core, the in-prefix row is the stronger check)
         "scd2_history": q_scd2_history,
+        #   kafka_txn_read_committed -> kafka_segment_decode (same
+        #   batch/codec/CRC decode core; the txn-isolation and
+        #   producer-dedup layer is pinned by test_kafka_wire)
+        "kafka_txn_read_committed": q_kafka_txn_read_committed,
         "strip_dup_spans": q_strip_dup_spans,
         "countmin_freq": q_countmin_freq,
         "link_pagerank": q_pagerank,
@@ -5455,6 +5548,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(string_agg(line, chr(10) ORDER BY ln))
                         AS INT) AS n_chars
             FROM lines GROUP BY doc_id, pg""",
+        "kafka_txn_read_committed": """
+            WITH d AS (
+              SELECT event_id AS e,
+                     event_id % 7 = 0 AS is_del,
+                     1700000000000000 + event_id * 1000003 AS us,
+                     repeat('payload ' || CAST(event_id AS VARCHAR) || ' ',
+                            CAST(1 + event_id % 3 AS INT)) AS body
+              FROM events
+              WHERE (event_id // 16) % 3 <> 2)
+            SELECT e AS seq,
+                   'https://s' || CAST(e % 50 AS VARCHAR)
+                     || '.example.org/p/' || CAST(e AS VARCHAR) AS url,
+                   CASE WHEN is_del THEN 'delete' ELSE 'upsert' END AS op,
+                   us AS warc_us,
+                   CASE WHEN is_del THEN -1
+                        ELSE octet_length(encode(body)) END AS html_len,
+                   CASE WHEN is_del THEN ''
+                        ELSE sha256(body) END AS html_sha
+            FROM d""",
         "kafka_segment_decode": """
             WITH d AS (
               SELECT event_id AS e,

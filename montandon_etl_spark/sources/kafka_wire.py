@@ -234,12 +234,22 @@ def encode_record_batch(records: list[dict], base_offset: int = 0,
                      2, crc) + mid
 
 
-def decode_record_batches(data: bytes, *, verify_crc: bool = True,
-                          skip_control: bool = True) -> Iterator[dict]:
-    """Iterate records of every batch in a segment blob (batches are
-    concatenated back to back in `.log` files). Yields dicts with
-    absolute ``offset``, resolved ``timestamp`` (log-append time wins
-    when attributes bit 3 is set), ``key``, ``value``, ``headers``."""
+# Control-record keys: version int16 + type int16 (0 abort, 1 commit)
+CTRL_ABORT, CTRL_COMMIT = 0, 1
+
+
+def control_marker(kind: int, coordinator_epoch: int = 0) -> dict:
+    """Build the record a transaction coordinator writes to end a
+    transaction: key = (version=0, type), value = (version=0,
+    coordinatorEpoch)."""
+    return {"timestamp": 0,
+            "key": struct.pack(">hh", 0, kind),
+            "value": struct.pack(">hi", 0, coordinator_epoch)}
+
+
+def _scan_batches(data: bytes, verify_crc: bool) -> Iterator[tuple]:
+    """Low-level batch walk: yields (header fields, decompressed
+    payload) per batch, CRC-verified."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -255,7 +265,7 @@ def decode_record_batches(data: bytes, *, verify_crc: bool = True,
         mid = data[pos + _HDR.size:end]
         if verify_crc and crc32c(mid) != crc:
             raise ValueError(f"batch crc mismatch at offset {base_offset}")
-        (attrs, _last_delta, base_ts, max_ts, _pid, _pep, _bseq,
+        (attrs, _last_delta, base_ts, max_ts, pid, pep, bseq,
          n_rec) = _MID.unpack_from(mid, 0)
         payload = mid[_MID.size:]
         cnum = attrs & 0x07
@@ -269,41 +279,104 @@ def decode_record_batches(data: bytes, *, verify_crc: bool = True,
             raise ValueError("zstd record batches unsupported (gated)")
         elif cnum != CODEC_NONE:
             raise ValueError(f"unknown codec bits {cnum}")
-        if not (skip_control and attrs & 0x20):
-            log_append = bool(attrs & 0x08)
-            rpos = 0
-            for _ in range(n_rec):
-                rec, rpos = _decode_record(payload, rpos)
-                yield {
-                    "offset": base_offset + rec["offset_delta"],
-                    "timestamp": (max_ts if log_append
-                                  else base_ts + rec["timestamp_delta"]),
-                    "key": rec["key"],
-                    "value": rec["value"],
-                    "headers": rec["headers"],
-                }
-            if rpos != len(payload):
-                raise ValueError("records payload has trailing bytes")
+        yield (base_offset, attrs, base_ts, max_ts, pid, pep, bseq,
+               n_rec, payload)
         pos = end
+
+
+def _batch_records(base_offset: int, attrs: int, base_ts: int, max_ts: int,
+                   payload: bytes, n_rec: int) -> Iterator[dict]:
+    log_append = bool(attrs & 0x08)
+    rpos = 0
+    for _ in range(n_rec):
+        rec, rpos = _decode_record(payload, rpos)
+        yield {
+            "offset": base_offset + rec["offset_delta"],
+            "timestamp": (max_ts if log_append
+                          else base_ts + rec["timestamp_delta"]),
+            "key": rec["key"],
+            "value": rec["value"],
+            "headers": rec["headers"],
+        }
+    if rpos != len(payload):
+        raise ValueError("records payload has trailing bytes")
+
+
+def decode_record_batches(data: bytes, *, verify_crc: bool = True,
+                          skip_control: bool = True,
+                          read_committed: bool = False) -> Iterator[dict]:
+    """Iterate records of every batch in a segment blob (batches are
+    concatenated back to back in `.log` files). Yields dicts with
+    absolute ``offset``, resolved ``timestamp`` (log-append time wins
+    when attributes bit 3 is set), ``key``, ``value``, ``headers``.
+
+    Idempotent-producer semantics always apply: a redelivered batch —
+    same (producerId, producerEpoch, baseSequence) with pid ≥ 0 — is
+    skipped, exactly the broker's duplicate-produce dedup, so a retry
+    storm in the producer can't double-feed the CDC merge.
+
+    ``read_committed=True`` adds transaction isolation: a batch with
+    the transactional bit belongs to the producer's transaction that
+    ends at that pid's NEXT control marker in the log; if that marker
+    is ABORT the batch's records are dropped. An unterminated
+    transaction (no marker in this blob) is beyond the last stable
+    offset, so its records are not yet visible either — matching what
+    a read_committed consumer would be allowed to fetch."""
+    if read_committed:
+        # markers[pid] = ordered [(marker_offset, kind), ...]
+        markers: dict[int, list[tuple[int, int]]] = {}
+        for (boff, attrs, _bt, _mt, pid, _pep, _bseq, n_rec,
+             payload) in _scan_batches(data, verify_crc=False):
+            if attrs & 0x20:
+                rec = next(iter(_batch_records(boff, attrs, 0, 0, payload,
+                                               n_rec)))
+                _ver, kind = struct.unpack(">hh", rec["key"][:4])
+                markers.setdefault(pid, []).append((boff, kind))
+
+    seen: set[tuple[int, int, int]] = set()
+    for (boff, attrs, base_ts, max_ts, pid, pep, bseq, n_rec,
+         payload) in _scan_batches(data, verify_crc):
+        is_control = bool(attrs & 0x20)
+        if pid >= 0 and bseq >= 0 and not is_control:
+            dup_key = (pid, pep, bseq)
+            if dup_key in seen:
+                continue
+            seen.add(dup_key)
+        if is_control:
+            if skip_control:
+                continue
+        elif read_committed and attrs & 0x10:
+            nxt = next((k for off, k in markers.get(pid, ())
+                        if off > boff), None)
+            if nxt != CTRL_COMMIT:
+                continue  # aborted, or still open (past the LSO)
+        yield from _batch_records(boff, attrs, base_ts, max_ts, payload,
+                                  n_rec)
 
 
 # ------------------------------------------------------------ Spark ---------
 RECORD_SCHEMA = ("offset bigint, timestamp bigint, key binary, value binary")
 
 
-def segment_records(df, blob_col: str = "segment"):
+def segment_records(df, blob_col: str = "segment",
+                    read_committed: bool = False):
     """DataFrame[... blob_col binary] → DataFrame[offset, timestamp,
     key, value]: every record of every v2 batch in every blob, CRC
-    verified, control batches skipped. One Arrow batch in, many rows
-    out — the scan stays embarrassingly parallel (one task per segment
-    file slice), nothing shuffles."""
+    verified, control batches skipped, redelivered idempotent-producer
+    batches deduped (and aborted transactions dropped when
+    ``read_committed``). One Arrow batch in, many rows out — the scan
+    stays embarrassingly parallel (one task per segment file slice),
+    nothing shuffles; transaction markers live in the same segment as
+    the batches they terminate, so isolation needs no cross-blob
+    state."""
     import pandas as pd
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows: list[tuple[Any, ...]] = []
             for blob in pdf[blob_col]:
-                for r in decode_record_batches(bytes(blob)):
+                for r in decode_record_batches(
+                        bytes(blob), read_committed=read_committed):
                     rows.append((r["offset"], r["timestamp"], r["key"],
                                  r["value"]))
             yield pd.DataFrame(
@@ -313,6 +386,7 @@ def segment_records(df, blob_col: str = "segment"):
 
 
 def kafka_segment_dir_source(segments_dir: str, dialect: str = "json",
+                             read_committed: bool = False,
                              **decode_kwargs):
     """Source factory over a directory of Kafka segment `.log` dumps:
     binaryFile scan → batch decode → the chosen envelope dialect from
@@ -325,7 +399,8 @@ def kafka_segment_dir_source(segments_dir: str, dialect: str = "json",
         raw = (spark.read.format("binaryFile")
                .option("pathGlobFilter", "*.log").load(segments_dir)
                .select(F.col("content").alias("segment")))
-        recs = segment_records(raw).withColumnRenamed(
+        recs = segment_records(
+            raw, read_committed=read_committed).withColumnRenamed(
             "timestamp", "kafka_ts_ms")
         return _decode_fn(dialect)(recs, **decode_kwargs)
 

@@ -233,3 +233,102 @@ def test_kafka_segment_dir_source_json_dialect(spark, tmp_path):
     assert list(pdf["seq"]) == list(range(30))
     assert pdf["op"].iloc[8] == "delete"
     assert bytes(pdf["html"].iloc[1]) == b"<p>1</p>"
+
+
+# ------------------------------------------------------- transactions ------
+def _txn_segment():
+    """Two interleaved transactional producers: pid 1 commits, pid 2
+    aborts, then pid 1 leaves a transaction open (no marker)."""
+    from montandon_etl_spark.sources.kafka_wire import (
+        CTRL_ABORT,
+        CTRL_COMMIT,
+        control_marker,
+    )
+
+    def data(pid, seq, base, tag, n=3):
+        recs = [{"timestamp": 1000 + base + i,
+                 "key": f"{tag}{i}".encode(),
+                 "value": f"{tag}-v{i}".encode()} for i in range(n)]
+        return encode_record_batch(recs, base_offset=base, codec="lz4",
+                                   producer_id=pid, producer_epoch=0,
+                                   base_sequence=seq, transactional=True)
+
+    def marker(pid, base, kind):
+        return encode_record_batch([control_marker(kind)], base_offset=base,
+                                   producer_id=pid, producer_epoch=0,
+                                   control=True, transactional=True)
+
+    seg = (data(1, 0, 0, "a")          # pid1 txn#1: offsets 0-2
+           + data(2, 0, 3, "b")        # pid2 txn:   offsets 3-5
+           + data(1, 3, 6, "c")        # pid1 txn#1 continued: 6-8
+           + marker(1, 9, CTRL_COMMIT)   # pid1 commits (a,c visible)
+           + marker(2, 10, CTRL_ABORT)   # pid2 aborts (b dropped)
+           + data(1, 6, 11, "d")       # pid1 txn#2: OPEN (no marker)
+           )
+    return seg
+
+
+def test_read_committed_filters_aborted_and_open():
+    seg = _txn_segment()
+    uncommitted = [r["key"].decode() for r in decode_record_batches(seg)]
+    assert uncommitted == ["a0", "a1", "a2", "b0", "b1", "b2",
+                           "c0", "c1", "c2", "d0", "d1", "d2"]
+    committed = [r["key"].decode()
+                 for r in decode_record_batches(seg, read_committed=True)]
+    # aborted pid-2 batch AND the open pid-1 tail are invisible
+    assert committed == ["a0", "a1", "a2", "c0", "c1", "c2"]
+
+
+def test_multi_txn_same_pid_marker_scoping():
+    """A second transaction of the same producer scopes to ITS next
+    marker, not the first one."""
+    from montandon_etl_spark.sources.kafka_wire import (
+        CTRL_ABORT,
+        CTRL_COMMIT,
+        control_marker,
+    )
+
+    def data(seq, base, tag):
+        return encode_record_batch(
+            [{"timestamp": 1, "key": tag.encode(), "value": tag.encode()}],
+            base_offset=base, producer_id=9, producer_epoch=2,
+            base_sequence=seq, transactional=True)
+
+    def marker(base, kind):
+        return encode_record_batch([control_marker(kind)], base_offset=base,
+                                   producer_id=9, producer_epoch=2,
+                                   control=True, transactional=True)
+
+    seg = (data(0, 0, "x") + marker(1, CTRL_COMMIT)
+           + data(1, 2, "y") + marker(3, CTRL_ABORT)
+           + data(2, 4, "z") + marker(5, CTRL_COMMIT))
+    got = [r["key"].decode()
+           for r in decode_record_batches(seg, read_committed=True)]
+    assert got == ["x", "z"]
+
+
+def test_idempotent_producer_dedup():
+    """A redelivered (pid, epoch, baseSequence) batch is skipped; a
+    new sequence from the same producer is not; pid=-1 batches are
+    never deduped."""
+    recs = _mk_records(4)
+    b = encode_record_batch(recs, base_offset=0, producer_id=5,
+                            producer_epoch=1, base_sequence=0)
+    b_retry = encode_record_batch(recs, base_offset=0, producer_id=5,
+                                  producer_epoch=1, base_sequence=0)
+    b_next = encode_record_batch(_mk_records(2, seed=9), base_offset=4,
+                                 producer_id=5, producer_epoch=1,
+                                 base_sequence=4)
+    got = list(decode_record_batches(b + b_retry + b_next))
+    assert len(got) == 6
+    plain = encode_record_batch(recs, base_offset=0)  # pid -1
+    assert len(list(decode_record_batches(plain + plain))) == 8
+
+
+def test_segment_records_read_committed_spark(spark):
+    seg = _txn_segment()
+    df = spark.createDataFrame([(bytearray(seg),)], "segment binary")
+    got = segment_records(df, read_committed=True).toPandas()
+    assert sorted(bytes(k).decode() for k in got["key"]) == [
+        "a0", "a1", "a2", "c0", "c1", "c2"]
+    assert sorted(got["offset"]) == [0, 1, 2, 6, 7, 8]
