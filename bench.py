@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "scd2_history",  # SCD2 validity intervals, one per-key window
     "log_compaction",  # Kafka-style minimal changelog, max_by reduce
     "column_churn",  # per-column change freq, one window + one rollup
+    "schema_drift_report",  # unannounced-drift profile: 1 agg, no join
     "recrawl_schedule",  # crawl-freshness policy, one map-combinable agg
     "incremental_scd2",  # CDC-maintained SCD2 intervals, O(touched parts)
     "table_clone",  # portable snapshot export/import, zero-replay file copy
