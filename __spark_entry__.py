@@ -3623,8 +3623,9 @@ def q_kafka_segment_decode(spark, sf):
     """Kafka RecordBatch v2 segment decode (sources/kafka_wire.py):
     events are grouped 16-per-batch (g = event_id div 16), each group
     encoded into a broker wire-format record batch — codec cycling
-    lz4 / snappy / gzip by g % 3, so all three from-scratch codecs sit
-    on the decode hot path under a verified CRC32C — then decoded back
+    lz4 / snappy / gzip / zstd by g % 4, so all four from-scratch
+    codecs sit on the decode hot path under a verified CRC32C (zstd =
+    the RFC 8878 FSE/Huffman codec of sources/zstd.py) — then decoded back
     through segment_records → decode_json_changelog, the same dialect
     tree the live kafka_source uses. Every projected value (including
     the reconstructed per-record offset = batch base + delta and the
@@ -3663,7 +3664,7 @@ def q_kafka_segment_decode(spark, sf):
         g = int(sub["g"].iloc[0])
         return encode_record_batch(
             recs, base_offset=int(sub["event_id"].min()),
-            codec=("lz4", "snappy", "gzip")[g % 3])
+            codec=("lz4", "snappy", "gzip", "zstd")[g % 4])
 
     # one mapInPandas pass over g-clustered partitions, not one
     # applyInPandas call per 16-event group (6k tiny Arrow frames at

@@ -21,8 +21,9 @@ conventions are implemented with this repo's own codecs: gzip = RFC
 1952 via zlib, snappy = xerial-framed blocks over sources/snappy.py
 (magic ``\\x82SNAPPY\\x00`` + BE version/compat + BE-length chunks —
 what the JVM SnappyOutputStream writes), lz4 = the LZ4 FRAME format
-over sources/lz4.py. zstd is honestly gated (no public-spec codec in
-this repo). The batch CRC is CRC32C (Castagnoli, reflected poly
+over sources/lz4.py, zstd = RFC 8878 frames over sources/zstd.py
+(from-scratch FSE/Huffman, reference-verified in test_zstd). The
+batch CRC is CRC32C (Castagnoli, reflected poly
 0x82F63B78) — table-built here, pinned to crc32c(b"123456789") ==
 0xE3069283 — and is VERIFIED on decode; control batches (bit 5) are
 CRC-checked then skipped, matching consumer semantics.
@@ -54,6 +55,10 @@ from montandon_etl_spark.sources.proto import (
     _zz_enc,
     read_varint,
     write_varint,
+)
+from montandon_etl_spark.sources.zstd import (
+    zstd_compress,
+    zstd_decompress,
 )
 from montandon_etl_spark.sources.snappy import (
     snappy_compress,
@@ -113,7 +118,8 @@ def xerial_unframe(data: bytes) -> bytes:
 # ---------------------------------------------------------- record I/O ------
 CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD = range(5)
 _CODEC_NAMES = {"none": CODEC_NONE, "gzip": CODEC_GZIP,
-                "snappy": CODEC_SNAPPY, "lz4": CODEC_LZ4}
+                "snappy": CODEC_SNAPPY, "lz4": CODEC_LZ4,
+                "zstd": CODEC_ZSTD}
 
 
 def _zz_write(out: io.BytesIO, n: int) -> None:
@@ -209,8 +215,7 @@ def encode_record_batch(records: list[dict], base_offset: int = 0,
         raise ValueError("empty record batch")
     cnum = _CODEC_NAMES.get(codec)
     if cnum is None:
-        raise ValueError(f"unsupported codec {codec!r} (zstd is gated: "
-                         "no from-scratch zstd in this repo)")
+        raise ValueError(f"unsupported codec {codec!r}")
     base_ts = min(r["timestamp"] for r in records)
     max_ts = max(r["timestamp"] for r in records)
     body = io.BytesIO()
@@ -225,6 +230,8 @@ def encode_record_batch(records: list[dict], base_offset: int = 0,
         payload = xerial_frame(payload)
     elif cnum == CODEC_LZ4:
         payload = lz4_frame_compress(payload)
+    elif cnum == CODEC_ZSTD:
+        payload = zstd_compress(payload)
     attrs = cnum | (0x10 if transactional else 0) | (0x20 if control else 0)
     mid = _MID.pack(attrs, len(records) - 1, base_ts, max_ts, producer_id,
                     producer_epoch, base_sequence, len(records)) + payload
@@ -276,7 +283,7 @@ def _scan_batches(data: bytes, verify_crc: bool) -> Iterator[tuple]:
         elif cnum == CODEC_LZ4:
             payload = lz4_frame_decompress(payload)
         elif cnum == CODEC_ZSTD:
-            raise ValueError("zstd record batches unsupported (gated)")
+            payload = zstd_decompress(payload)
         elif cnum != CODEC_NONE:
             raise ValueError(f"unknown codec bits {cnum}")
         yield (base_offset, attrs, base_ts, max_ts, pid, pep, bseq,

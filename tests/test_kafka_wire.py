@@ -57,7 +57,8 @@ def _mk_records(n, seed=0):
     return recs
 
 
-@pytest.mark.parametrize("codec", ["none", "gzip", "snappy", "lz4"])
+@pytest.mark.parametrize("codec", ["none", "gzip", "snappy", "lz4",
+                                   "zstd"])
 def test_batch_roundtrip_all_codecs(codec):
     recs = _mk_records(40, seed=hash(codec) & 0xFFFF)
     blob = encode_record_batch(recs, base_offset=1000, codec=codec)
@@ -107,19 +108,19 @@ def test_crc_corruption_detected():
     assert len(list(decode_record_batches(ok, verify_crc=False))) == 4
 
 
-def test_bad_magic_and_zstd_gate():
+def test_bad_magic_and_unknown_codec():
     blob = bytearray(encode_record_batch(_mk_records(2), codec="none"))
     blob[16] = 1  # magic v1
     with pytest.raises(ValueError, match="magic"):
         list(decode_record_batches(bytes(blob)))
-    with pytest.raises(ValueError, match="zstd"):
-        encode_record_batch(_mk_records(2), codec="zstd")
-    # a wire batch with codec bits 4 (zstd) must gate on decode too
+    with pytest.raises(ValueError, match="unsupported codec"):
+        encode_record_batch(_mk_records(2), codec="brotli")
+    # codec bits 5+ are unassigned in the protocol: decode must refuse
     blob2 = bytearray(encode_record_batch(_mk_records(2), codec="none"))
     attrs = struct.unpack_from(">h", blob2, 21)[0]
-    struct.pack_into(">h", blob2, 21, attrs | 4)
+    struct.pack_into(">h", blob2, 21, attrs | 5)
     struct.pack_into(">I", blob2, 17, crc32c(bytes(blob2[21:])))
-    with pytest.raises(ValueError, match="zstd"):
+    with pytest.raises(ValueError, match="unknown codec"):
         list(decode_record_batches(bytes(blob2)))
 
 
@@ -188,7 +189,7 @@ def test_segment_records_spark(spark, tmp_path):
                 for i in range(10)]
         segs.append(encode_record_batch(
             recs, base_offset=off, codec=["none", "gzip", "snappy",
-                                          "lz4"][s % 4]))
+                                          "lz4", "zstd"][s % 5]))
         off += 10
     df = spark.createDataFrame([(bytearray(b),) for b in segs],
                                "segment binary")
