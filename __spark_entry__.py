@@ -2761,6 +2761,33 @@ def q_table_clone(spark, sf):
 
 
 
+def q_rebucket_roundtrip(spark, sf):
+    """Partition-spec evolution (lake/table.py rebucket): the shared
+    CDC fixture respecs 8 → 16 buckets MID-STREAM (after batch 1), so
+    later merges — the rewrite batch and the delete batch — land under
+    the new layout while earlier snapshots keep the old one. Final
+    state must equal the same CASE-expressible oracle as table_clone:
+    the respec lost nothing, duplicated nothing, and tombstones kept
+    working across the boundary. Layout assertions (head really is 16
+    buckets; keys really landed in the new id space) run engine-side —
+    a silently-skipped respec fails the query, not just the diff.
+    Time travel, change feed, purge-across-respec, and z-stats
+    stickiness are pytest-pinned (test_rebucket.py)."""
+
+    def on_batch(table, i):
+        if i == 1:
+            table.rebucket(spark, 16)
+
+    base, table = _cdc_text_table(spark, sf, on_batch=on_batch)
+    assert table.properties["n_buckets"] == 16
+    bs = {m["bucket"] for m in table.manifest_entries()}
+    assert bs and max(bs) >= 8, f"still in the old id space: {sorted(bs)}"
+    assert any(s["type"] == "rebucket" for s in table.history())
+    return table.read(spark).select(
+        "did", "seq", "text",
+        F.lit(table.properties["n_buckets"]).cast("int").alias("n_buckets"))
+
+
 def q_temporal_join(spark, sf):
     """Point-in-time (AS OF) enrichment: signup events per user form
     the SCD2 dimension history, purchases are the facts; each purchase
@@ -5048,6 +5075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix-biased subset of this dict, and enumeration order is
         # the only builder-controlled signal (VERDICT r3 Next #4,
         # r4 Next #1 — the six round-4 additions rotate to the front)
+        "rebucket_roundtrip": q_rebucket_roundtrip,
         "schema_drift_report": q_schema_drift_report,
         "schema_drift_ddl": q_schema_drift_ddl,
         "kafka_segment_decode": q_kafka_segment_decode,
@@ -7858,6 +7886,15 @@ def oracle_sql() -> dict[str, str]:
                      '{{"field":"'||key||'","dtype":"'||inferred||'"}}'
                    END AS ddl
             FROM framed WHERE op IS NOT NULL""",
+        "rebucket_roundtrip": """
+            SELECT doc_id::VARCHAR AS did,
+                   CASE WHEN doc_id % 7 = 0 THEN doc_id + 1000
+                        ELSE doc_id END AS seq,
+                   CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 40)
+                        ELSE text END AS text,
+                   16::INTEGER AS n_buckets
+            FROM documents
+            WHERE doc_id < 240 AND doc_id % 5 <> 0""",
         "table_clone": """
             SELECT doc_id::VARCHAR AS did,
                    CASE WHEN doc_id % 7 = 0 THEN doc_id + 1000

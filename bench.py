@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "recrawl_schedule",  # crawl-freshness policy, one map-combinable agg
     "incremental_scd2",  # CDC-maintained SCD2 intervals, O(touched parts)
     "table_clone",  # portable snapshot export/import, zero-replay file copy
+    "rebucket_roundtrip",  # partition-spec evolution mid-stream, 8->16
     "temporal_join",  # AS-OF enrichment: equi-join + interval predicate
     "anchor_text",  # per-target anchor rollup, two map-combinable aggs
     "frontier_schedule",  # per-host politeness window, no global sort

@@ -995,6 +995,119 @@ class SnapshotTable:
             raise
         return new_snap
 
+    def rebucket(self, spark: SparkSession, n_buckets: int,
+                 tombstone_horizon: int | None = None) -> dict:
+        """Partition-spec evolution: rewrite the table under a new
+        bucket count (Iceberg's ``ALTER TABLE ... WRITE DISTRIBUTED BY``
+        / partition-spec-evolution move). A table sized for 10^8 keys
+        at 64 buckets drowns at 10^10 — each bucket becomes a 100-GB
+        shuffle target and compaction unit; respec'ing to 1024 restores
+        bounded per-bucket work without touching the key contract.
+
+        Semantics:
+
+        - full LWW-resolved rewrite into ``pmod(xxhash64(key), new_B)``
+          layout, committed as ONE snapshot of type ``rebucket`` whose
+          ``properties.n_buckets`` carries the new count. Tombstones
+          are preserved (``tombstone_horizon`` GC knob as ``compact``).
+        - ``n_buckets`` rides each snapshot's own properties, so time
+          travel to pre-rebucket snapshots keeps resolving the OLD
+          layout; subsequent MERGE / compact / point reads pick up the
+          new count from HEAD automatically.
+        - ONE exchange: raw delta rows repartition by the NEW bucket
+          (bucket = f(key) co-locates every version of a key), then
+          ``groupBy(bucket, key)`` reduces in place — hash(bucket)
+          satisfies the clustered distribution, same one-job shape as
+          MERGE. Sticky z-order stats (``stats_cols``) re-harvest on
+          the rewrite, so range pruning survives the respec.
+        - crash/conflict safe: token-staged data + manifests, OCC
+          commit; a losing attempt aborts clean (``CommitConflict``
+          surfaces to the caller like ``compact``).
+        """
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        snap = self.snapshot()
+        props = snap["properties"]
+        if int(n_buckets) == int(props["n_buckets"]):
+            return snap
+        key = props["key_col"]
+        next_sid = snap["snapshot_id"] + 1
+        raw = self.read(spark, include_tombstones=True, resolve=False)
+        resolved = lww_latest(
+            raw.withColumn(
+                _BUCKET_COL,
+                F.pmod(F.xxhash64(F.col(key)), F.lit(int(n_buckets))).cast("int"),
+            ).repartition(max(1, min(int(n_buckets), 32)), F.col(_BUCKET_COL)),
+            keys=[_BUCKET_COL, key], order_cols=props["order_cols"],
+        )
+        if tombstone_horizon is not None:
+            seqk = props["order_cols"][-1]
+            resolved = resolved.filter(
+                ~((F.col("op") == F.lit("delete"))
+                  & (F.col(seqk) <= tombstone_horizon)))
+        cluster_by = list(props.get("stats_cols", []))
+        sort_cols, drop_cols = [_BUCKET_COL, key], []
+        if cluster_by:
+            from montandon_etl_spark.lake.zorder import quantize, zvalue
+
+            longs = [self._stats_long_col(c, snap) for c in cluster_by]
+            rng = resolved.agg(*[
+                f for i, c in enumerate(longs)
+                for f in (F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}"))
+            ]).first()  # 1 row: bounded driver work
+            qs = [
+                quantize(c, rng[f"_lo{i}"] or 0, rng[f"_hi{i}"] or 0, 8)
+                for i, c in enumerate(longs)
+            ]
+            resolved = resolved.withColumn("_zv", zvalue(qs, 8))
+            sort_cols, drop_cols = [_BUCKET_COL, "_zv"], ["_zv"]
+        from uuid import uuid4
+
+        token = uuid4().hex[:8]
+        out_dir = self.io.commit_data_dir(next_sid, token)
+        writer = (resolved.sortWithinPartitions(*sort_cols)
+                  .drop(*drop_cols).write.mode("overwrite"))
+        if props.get("target_file_rows"):
+            writer = writer.option(
+                "maxRecordsPerFile", int(props["target_file_rows"]))
+        writer.partitionBy(_BUCKET_COL).parquet(out_dir)
+        new_entries = self._scan_commit_dir(
+            next_sid, snap["schema_version"],
+            stats_cols=cluster_by or None, token=token)
+        self._harvest_key_blooms(spark, new_entries)
+        self._harvest_ndv_regs(spark, new_entries)
+        legacy = snap.get("manifest")
+        replaced = ({m["bucket"] for m in legacy} if legacy is not None
+                    else {int(b) for b in snap.get("manifest_files", {})})
+        manifest_files, _ = self._commit_manifests(
+            next_sid, snap, new_entries,
+            replaced_buckets=sorted(replaced), token=token)
+        new_snap = {
+            "snapshot_id": next_sid,
+            "parent_id": snap["snapshot_id"],
+            "type": "rebucket",
+            "batch_id": None,
+            "schema_version": snap["schema_version"],
+            "schemas": snap["schemas"],
+            "manifest_files": manifest_files,
+            "properties": {**props, "n_buckets": int(n_buckets)},
+            "offsets": snap["offsets"],
+            "metrics": {
+                "rows_written": sum(e["rows"] for e in new_entries),
+                "buckets_rewritten": len(replaced),
+                "n_buckets_from": int(props["n_buckets"]),
+                "n_buckets_to": int(n_buckets),
+                "tombstone_horizon": tombstone_horizon,
+            },
+            "committed_max_batch_id": snap["committed_max_batch_id"],
+        }
+        try:
+            self.io.write_snapshot_and_swap_head(new_snap)
+        except CommitConflict:
+            self._abort_commit_attempt(next_sid, token, manifest_files)
+            raise
+        return new_snap
+
     def _abort_commit_attempt(self, next_sid: int, token: str | None,
                               manifest_files: dict | None) -> None:
         """Remove everything a LOSING commit attempt staged: its
@@ -1447,10 +1560,6 @@ class SnapshotTable:
             return report
         props = self.properties
         key_col = props["key_col"]
-        buckets = sorted({
-            r["b"] for r in spark.createDataFrame(
-                [(k,) for k in keyset], f"`{key_col}` string")
-            .select(self.bucket_expr(key_col).alias("b")).collect()})
         fd = self.io._acquire_commit_lock()
         try:
             head_snap = self.io.read_snapshot()
@@ -1463,10 +1572,24 @@ class SnapshotTable:
                 return next(f.name for f in fields if f.id == key_id)
 
             snaps = self.history()
+            # a rebucket changes which bucket a key lives in, so the
+            # bucket prune must use each snapshot's OWN n_buckets —
+            # head's bucket ids would miss the keys' pre-respec files.
+            bs_needed = sorted({
+                int(s["properties"]["n_buckets"]) for s in snaps})
+            brows = spark.createDataFrame(
+                [(k,) for k in keyset], f"`{key_col}` string"
+            ).select(*[
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(b))
+                .cast("int").alias(f"b{b}") for b in bs_needed
+            ]).collect()  # |keys| x |distinct B| — bounded driver work
+            buckets_by_b = {
+                b: {r[f"b{b}"] for r in brows} for b in bs_needed}
             rel_entries: dict[str, list[dict]] = {}
             for s in snaps:
+                bset = buckets_by_b[int(s["properties"]["n_buckets"])]
                 for b_str, rel in s.get("manifest_files", {}).items():
-                    if int(b_str) in buckets and rel not in rel_entries:
+                    if int(b_str) in bset and rel not in rel_entries:
                         rel_entries[rel] = self.io.read_bucket_manifest(rel)
             cand: dict[str, dict] = {}
             for ents in rel_entries.values():
