@@ -624,6 +624,24 @@ class SnapshotTable:
         props = snap["properties"]
         key = props["key_col"]
         order_cols = props["order_cols"]
+        # a producer that predates a key/order-column RENAME still
+        # sends the historical name — resolve it up front by field-id
+        # name history (payload columns get the same treatment inside
+        # _conform on the winners)
+        ids_by_name = {f.name: f.id for f in self.current_fields(snap)}
+        hist: dict[int, list[str]] = {}
+        for ver_fields in snap["schemas"].values():
+            for fj in ver_fields:
+                ns = hist.setdefault(fj["id"], [])
+                if fj["name"] not in ns:
+                    ns.append(fj["name"])
+        for c in [key, *order_cols]:
+            if c not in batch_df.columns:
+                src = next(
+                    (n for n in hist.get(ids_by_name.get(c), [])
+                     if n in batch_df.columns), None)
+                if src is not None:
+                    batch_df = batch_df.withColumnRenamed(src, c)
         # fail loudly on a malformed producer: a batch missing the key
         # or order columns would otherwise _conform to NULL keys —
         # NULL-bucketed rows silently corrupting the table
@@ -2024,6 +2042,12 @@ class SnapshotTable:
             hits = [f for f in fields if f.name == field]
             if not hits:
                 raise ValueError(f"no such column {field}")
+            if hits[0].id >= 1000:
+                # seq/op are wired into LWW + tombstone filtering by
+                # name — renaming them would brick every read
+                raise ValueError(f"cannot rename system column {field}")
+            if any(f.name == new_name for f in fields):
+                raise ValueError(f"column {new_name} already exists")
             hits[0].name = new_name
         elif op == "drop_column":
             hits = [f for f in fields if f.name == field]
@@ -2053,6 +2077,21 @@ class SnapshotTable:
         next_version = snap["schema_version"] + 1
         schemas = dict(snap["schemas"])
         schemas[str(next_version)] = TableMetadataIO.fields_to_json(fields)
+        props = snap["properties"]
+        if op == "rename_column":
+            # the key/order/stats contracts follow the NAME (ids are a
+            # storage detail): renaming the key column must rename the
+            # key_col property too, or every later read/merge resolves
+            # a column that no longer exists
+            def _ren(x: str) -> str:
+                return new_name if x == field else x
+
+            props = dict(props)
+            props["key_col"] = _ren(props["key_col"])
+            props["order_cols"] = [_ren(c) for c in props["order_cols"]]
+            for lk in ("stats_cols", "ndv_cols"):
+                if lk in props:
+                    props[lk] = [_ren(c) for c in props[lk]]
         new_snap = {
             "snapshot_id": snap["snapshot_id"] + 1,
             "parent_id": snap["snapshot_id"],
@@ -2068,7 +2107,7 @@ class SnapshotTable:
                 if "manifest" in snap
                 else {"manifest_files": snap.get("manifest_files", {})}
             ),
-            "properties": snap["properties"],
+            "properties": props,
             "offsets": snap["offsets"],
             "metrics": {"rows_written": 0, "buckets_rewritten": 0},
             # a DDL-ONLY micro-batch has no data commit to carry its

@@ -149,6 +149,39 @@ def test_schema_evolution_add_and_rename(spark, table, small_changelog):
     assert fields["language"] == 5 and fields["title"] == 6
 
 
+def test_rename_key_column_follows_through(spark, table, small_changelog):
+    """Renaming the key column must rename properties.key_col too —
+    otherwise every later read/merge resolves a dead name. Batches may
+    keep arriving under the HISTORICAL name (conform maps by field
+    id), and LWW/point reads work under the new one."""
+    _merge_pdf(spark, table, small_changelog.iloc[:400], batch_id=0)
+    table.apply_ddl("rename_column", "url", new_name="page_url")
+    assert table.properties["key_col"] == "page_url"
+    df = table.read(spark)
+    assert "page_url" in df.columns and "url" not in df.columns
+    n0 = df.count()
+    assert n0 > 0
+    # a post-rename batch still carrying the old name conforms by id
+    _merge_pdf(spark, table, small_changelog.iloc[400:], batch_id=1)
+    got = table.read(spark).withColumnRenamed("page_url", "url").toPandas()
+    assert_state_equals_oracle(got, replay_oracle(small_changelog))
+    # point lookup under the new key name
+    url = got["url"].iloc[0]
+    assert table.read(spark, point_lookup=url).count() == 1
+    # order-col rename follows through as well
+    table.apply_ddl("rename_column", "warc_ts", new_name="seen_ts")
+    assert table.properties["order_cols"][0] == "seen_ts"
+    assert table.read(spark).count() == len(got)
+
+
+def test_rename_system_or_taken_name_rejected(spark, table, small_changelog):
+    _merge_pdf(spark, table, small_changelog.iloc[:50], batch_id=0)
+    with pytest.raises(ValueError, match="system column"):
+        table.apply_ddl("rename_column", "seq", new_name="sequence")
+    with pytest.raises(ValueError, match="already exists"):
+        table.apply_ddl("rename_column", "text", new_name="lang")
+
+
 def test_bucket_pruned_read_reads_fewer_files(spark, table, small_changelog):
     _merge_pdf(spark, table, small_changelog, batch_id=0)
     snap = table.snapshot()
