@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "incremental_scd2",  # CDC-maintained SCD2 intervals, O(touched parts)
     "table_clone",  # portable snapshot export/import, zero-replay file copy
     "rebucket_roundtrip",  # partition-spec evolution mid-stream, 8->16
+    "stream_stream_join",  # watermarked interval join, bounded state
     "temporal_join",  # AS-OF enrichment: equi-join + interval predicate
     "anchor_text",  # per-target anchor rollup, two map-combinable aggs
     "frontier_schedule",  # per-host politeness window, no global sort

@@ -120,6 +120,53 @@ def _lww_state_fn(
         )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    max_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-interval bound —
+    the request/response (impression/click) shape of a CDC firehose:
+    each left event matches right events for the same key whose
+    timestamp lands in ``[left_ts, left_ts + max_delay]``.
+
+    Scale contract: BOTH sides carry a watermark and the join condition
+    bounds event-time distance, so Spark's symmetric hash join can
+    evict state once the watermark passes ``left_ts + max_delay`` —
+    state is O(events inside the lateness+delay horizon), never
+    O(stream). Without the interval bound the state store grows
+    forever; this wrapper makes the bound non-optional.
+
+    ``how``: ``inner`` (append output as matches arrive) or
+    ``leftOuter`` (unmatched lefts emit NULL-padded ONLY after the
+    watermark proves no match can still arrive — results trail the
+    data by the watermark delay, the documented Spark semantics).
+    Column contract: ``key`` joins by name; every other right column
+    must not collide with a left name (rename upstream).
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be inner|leftOuter, got {how}")
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(f"column collision (rename upstream): {sorted(overlap)}")
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c != key]
+    return lw.join(rw, cond, how).select(*out_cols)
+
+
 def streaming_lww_state(stream: DataFrame) -> DataFrame:
     """Per-url LWW winner tracking across micro-batches; emits only
     winner changes. Arrow-batched state function (pandas in/out), state
