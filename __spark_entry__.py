@@ -2930,6 +2930,38 @@ def q_ngram_lm_score(spark, sf):
     return X.ngram_lm_score(_t(spark, sf, "documents"), "doc_id", "text", n=3)
 
 
+def q_gopher_rules(spark, sf):
+    """Gopher/MassiveText quality heuristics
+    (operators/textstats.gopher_rules): pages are synthesized with
+    discriminating structure per doc_id residue — a hash-symbol burst,
+    a bullet prefix, ellipsis-terminated lines, all-numeric words
+    (alpha rule + the mean=3 boundary), stop-word-free alphabetic
+    words, 12-char words (long_words) — on top of the natural corpus,
+    whose 10-99-word spread exercises both word-count bounds against
+    [50, 80]. Every threshold is integer cross-multiplication, so the
+    oracle replays rules AND synthesis exactly (no float crosses the
+    boundary)."""
+    from montandon_etl_spark.operators.textstats import gopher_rules
+
+    docs = _t(spark, sf, "documents")
+    did, base = F.col("doc_id"), F.col("text")
+    page = (
+        F.when(did % 7 == 0, F.concat(base, F.lit(" ###########")))
+        .when(did % 7 == 1, F.concat(F.lit("- "), base))
+        .when(did % 7 == 2, F.concat(
+            base, F.lit("\nmore to come...\nand again...\nfin")))
+        .when(did % 7 == 3, F.trim(F.repeat(F.lit("123 456 "), 30)))
+        .when(did % 7 == 4, F.trim(F.repeat(F.lit("zebra quokka "), 30)))
+        .when(did % 7 == 5, F.trim(F.repeat(F.lit("abcdefghijkl "), 60)))
+        # the synthetic corpus carries only ONE Gopher stop word
+        # ("the") — pad the passthrough residue so in-range pages can
+        # actually be kept (otherwise the stop-word rule rejects all)
+        .otherwise(F.concat(base, F.lit(" and that with of"))))
+    src = docs.select("doc_id", page.alias("page"))
+    return gopher_rules(src, "doc_id", "page",
+                        min_words=50, max_words=80)
+
+
 def q_quality_score(spark, sf):
     return X.quality_score(_t(spark, sf, "documents"), "doc_id", "text")
 
@@ -5122,6 +5154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 Next #1 — the six round-4 additions rotate to the front)
         "rebucket_roundtrip": q_rebucket_roundtrip,
         "stream_stream_join": q_stream_stream_join,
+        "gopher_rules": q_gopher_rules,
         "schema_drift_report": q_schema_drift_report,
         "schema_drift_ddl": q_schema_drift_ddl,
         "kafka_segment_decode": q_kafka_segment_decode,
@@ -7932,6 +7965,86 @@ def oracle_sql() -> dict[str, str]:
                      '{{"field":"'||key||'","dtype":"'||inferred||'"}}'
                    END AS ddl
             FROM framed WHERE op IS NOT NULL""",
+        "gopher_rules": """
+            WITH pages AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 7 = 0 THEN text || ' ###########'
+                       WHEN doc_id % 7 = 1 THEN '- ' || text
+                       WHEN doc_id % 7 = 2 THEN text ||
+                         chr(10) || 'more to come...' ||
+                         chr(10) || 'and again...' || chr(10) || 'fin'
+                       WHEN doc_id % 7 = 3 THEN trim(repeat('123 456 ', 30))
+                       WHEN doc_id % 7 = 4 THEN trim(repeat('zebra quokka ', 30))
+                       WHEN doc_id % 7 = 5 THEN trim(repeat('abcdefghijkl ', 60))
+                       ELSE text || ' and that with of'
+                     END AS page
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(page), '\\s+'),
+                                 x -> x <> '') AS words,
+                     list_filter(string_split(page, chr(10)),
+                                 x -> trim(x) <> '') AS lines,
+                     (length(page) -
+                      length(replace(page, '#', '')))::BIGINT AS n_hash,
+                     ((length(page) -
+                       length(replace(page, '...', ''))) // 3)::BIGINT
+                       AS n_ellipsis
+              FROM pages),
+            c AS (
+              SELECT doc_id,
+                     len(words)::BIGINT AS n_words,
+                     coalesce(list_sum(list_transform(
+                       words, x -> length(x))), 0)::BIGINT
+                       AS total_word_len,
+                     n_hash, n_ellipsis,
+                     len(lines)::BIGINT AS n_lines,
+                     len(list_filter(lines, x ->
+                       starts_with(trim(x), chr(8226)) OR
+                       starts_with(trim(x), '-') OR
+                       starts_with(trim(x), '*')))::BIGINT
+                       AS n_bullet_lines,
+                     len(list_filter(lines, x ->
+                       ends_with(rtrim(x), '...') OR
+                       ends_with(rtrim(x), chr(8230))))::BIGINT
+                       AS n_ellipsis_lines,
+                     len(list_filter(words, x ->
+                       regexp_matches(x, '[a-zA-Z]')))::BIGINT
+                       AS n_alpha_words,
+                     (list_contains(list_transform(words, x -> lower(x)), 'the')::INT
+                      + list_contains(list_transform(words, x -> lower(x)), 'be')::INT
+                      + list_contains(list_transform(words, x -> lower(x)), 'to')::INT
+                      + list_contains(list_transform(words, x -> lower(x)), 'of')::INT
+                      + list_contains(list_transform(words, x -> lower(x)), 'and')::INT
+                      + list_contains(list_transform(words, x -> lower(x)), 'that')::INT
+                      + list_contains(list_transform(words, x -> lower(x)), 'have')::INT
+                      + list_contains(list_transform(words, x -> lower(x)), 'with')::INT
+                     )::BIGINT AS n_stop_words
+              FROM b),
+            r AS (
+              SELECT *,
+                     CASE
+                       WHEN n_words < 50 THEN 'too_few_words'
+                       WHEN n_words > 80 THEN 'too_many_words'
+                       WHEN total_word_len < 3 * n_words THEN 'short_words'
+                       WHEN total_word_len > 10 * n_words THEN 'long_words'
+                       WHEN 10 * (n_hash + n_ellipsis) > n_words
+                         THEN 'symbol_ratio'
+                       WHEN 10 * n_bullet_lines > 9 * n_lines
+                         THEN 'bullet_lines'
+                       WHEN 10 * n_ellipsis_lines > 3 * n_lines
+                         THEN 'ellipsis_lines'
+                       WHEN 5 * n_alpha_words < 4 * n_words
+                         THEN 'alpha_words'
+                       WHEN n_stop_words < 2 THEN 'stop_words'
+                     END AS reject_reason
+              FROM c)
+            SELECT doc_id, n_words, total_word_len, n_hash, n_ellipsis,
+                   n_lines, n_bullet_lines, n_ellipsis_lines,
+                   n_alpha_words, n_stop_words,
+                   reject_reason IS NULL AS kept, reject_reason
+            FROM r""",
         "stream_stream_join": """
             SELECT l.user_id,
                    l.event_id AS signup_id,

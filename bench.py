@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "bm25_topk",  # one-shot lexical BM25, broadcast query vocabulary
     "incremental_bm25_topk",  # CDC-maintained inverted index, pruned probes
     "curation_gate",  # quality+lang+dedup funnel: one scan, one shuffle
+    "gopher_rules",  # Gopher quality heuristics, integer-exact thresholds
     "host_boilerplate",  # cross-doc site-template strip, (host,line) agg
     "fuzzy_contamination",  # cross-corpus MinHash near-dup gate (bench broadcast)
     "scd2_history",  # SCD2 validity intervals, one per-key window

@@ -452,6 +452,97 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str,
         .alias("clean_text"))
 
 
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str,
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """The Gopher/MassiveText quality heuristics (Rae et al. 2021,
+    App. A — public): keep a page only if
+
+    1. word count in ``[min_words, max_words]``;
+    2. mean word length in [3, 10] characters;
+    3. symbol-to-word ratio (``#`` or ``...``) <= 0.1;
+    4. <= 90% of lines start with a bullet (``•``, ``-``, ``*``);
+    5. <= 30% of lines end with an ellipsis (``...`` / ``…``);
+    6. >= 80% of words contain an alphabetic character;
+    7. >= 2 distinct Gopher stop words present ({the, be, to, of,
+       and, that, have, with}).
+
+    Every threshold evaluates by INTEGER cross-multiplication
+    (``3*n <= total_len <= 10*n`` instead of a float mean), so the
+    decision — and every emitted statistic — is exact and engine-
+    portable; no float ever crosses the oracle boundary. Output is one
+    row per page with the raw counts, ``kept`` and an ORDERED
+    ``reject_reason`` (rule order above, first violation wins — the
+    ``curation_gate`` determinism convention). Pure codegen column
+    program: zero shuffles, zero Python."""
+    text = F.col(text_col)
+    words = F.filter(F.split(F.trim(text), r"\s+"),
+                     lambda x: x != F.lit(""))
+    lines = F.filter(F.split(text, "\n"),
+                     lambda x: F.trim(x) != F.lit(""))
+    n_words = F.size(words).cast("bigint")
+    total_wlen = F.aggregate(
+        words, F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x))
+    n_hash = (F.length(text)
+              - F.length(F.replace(text, F.lit("#"), F.lit("")))
+              ).cast("bigint")
+    n_ellipsis = ((F.length(text)
+                   - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+                  / 3).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    is_bullet = lambda x: (  # noqa: E731
+        F.startswith(F.trim(x), F.lit("•"))
+        | F.startswith(F.trim(x), F.lit("-"))
+        | F.startswith(F.trim(x), F.lit("*")))
+    n_bullet = F.size(F.filter(lines, is_bullet)).cast("bigint")
+    ends_ell = lambda x: (  # noqa: E731
+        F.endswith(F.rtrim(x), F.lit("..."))
+        | F.endswith(F.rtrim(x), F.lit("…")))
+    n_ell_lines = F.size(F.filter(lines, ends_ell)).cast("bigint")
+    n_alpha = F.size(F.filter(
+        words, lambda x: x.rlike("[a-zA-Z]"))).cast("bigint")
+    def _stop_hit(s: str) -> F.Column:
+        return F.exists(words, lambda x: F.lower(x) == F.lit(s)).cast("int")
+
+    stop_hits = None
+    for s in GOPHER_STOPS:
+        hit = _stop_hit(s)
+        stop_hits = hit if stop_hits is None else (stop_hits + hit)
+    n_stops = stop_hits.cast("bigint")
+
+    d = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        total_wlen.alias("total_word_len"),
+        n_hash.alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell_lines.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        n_stops.alias("n_stop_words"),
+    )
+    w = F.col("n_words")
+    reason = (
+        F.when(w < min_words, F.lit("too_few_words"))
+        .when(w > max_words, F.lit("too_many_words"))
+        .when(F.col("total_word_len") < 3 * w, F.lit("short_words"))
+        .when(F.col("total_word_len") > 10 * w, F.lit("long_words"))
+        .when(10 * (F.col("n_hash") + F.col("n_ellipsis")) > w,
+              F.lit("symbol_ratio"))
+        .when(10 * F.col("n_bullet_lines") > 9 * F.col("n_lines"),
+              F.lit("bullet_lines"))
+        .when(10 * F.col("n_ellipsis_lines") > 3 * F.col("n_lines"),
+              F.lit("ellipsis_lines"))
+        .when(5 * F.col("n_alpha_words") < 4 * w, F.lit("alpha_words"))
+        .when(F.col("n_stop_words") < 2, F.lit("stop_words")))
+    return d.withColumn("kept", reason.isNull()) \
+            .withColumn("reject_reason", reason)
+
+
 def strip_host_boilerplate(df: DataFrame, id_col: str, host_col: str,
                            text_col: str, sep: str = "\n",
                            min_docs: int = 3,

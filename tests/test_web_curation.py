@@ -44,6 +44,66 @@ def test_boilerplate_threshold_and_min_docs(spark):
     assert out[5]["n_removed"] == 0
 
 
+def test_gopher_rules_every_reason_and_boundaries(spark):
+    """Each crafted page violates exactly one ordered Gopher rule;
+    boundary pages sit ON a threshold and must be kept."""
+    from montandon_etl_spark.operators.textstats import gopher_rules
+
+    good = ("the quick brown fox jumps with energy and grace that "
+            "dogs have to admire every single day of a long year ")
+    docs = [
+        (0, good * 5),                            # kept (~100 words)
+        (1, "the and short"),                     # too_few_words
+        (2, good * 300),                          # too_many_words
+        (3, ("a be to of " * 25).strip()),        # short_words (mean 1.75)
+        (4, ("incomprehensibilities " * 25).strip()),  # mean 21 long_words
+        (5, good * 3 + ("## " * 30).strip()),     # symbol_ratio (hashes)
+        (6, "\n".join("- " + good for _ in range(10))),   # bullet_lines
+        (7, "\n".join(good + "..." for _ in range(10))),  # ellipsis? see below
+        (8, ("12 345 " * 30).strip() + " the with extra padding words "
+             * 5),                                 # alpha_words
+        (9, ("zebra quokka wombat lynx " * 20).strip()),  # stop_words
+        (10, ("abc " * 60).strip()),              # mean exactly 3 -> kept? needs stops
+        (11, ("the with " + "abcdefghij " * 58).strip()),  # mean<=10 boundary
+    ]
+    out = {r["doc_id"]: r for r in gopher_rules(
+        spark.createDataFrame(docs, "doc_id int, page string"),
+        "doc_id", "page", min_words=10, max_words=1500,
+    ).collect()}
+    assert out[0]["kept"] and out[0]["reject_reason"] is None
+    assert out[1]["reject_reason"] == "too_few_words"
+    assert out[2]["reject_reason"] == "too_many_words"
+    assert out[3]["reject_reason"] == "short_words"
+    assert out[4]["reject_reason"] == "long_words"
+    assert out[5]["reject_reason"] == "symbol_ratio"
+    assert out[6]["reject_reason"] == "bullet_lines"
+    # every line of page 7 ends in "...": 10*10 > 3*10
+    assert out[7]["reject_reason"] == "ellipsis_lines"
+    assert out[8]["reject_reason"] == "alpha_words"
+    assert out[9]["reject_reason"] == "stop_words"
+    # page 10: mean word length EXACTLY 3 passes the bound, but it has
+    # no stop words — the LAST rule catches it (order is the contract)
+    assert out[10]["reject_reason"] == "stop_words"
+    assert out[10]["total_word_len"] == 3 * out[10]["n_words"]
+    # page 11: 58 10-char words + 'the with' -> mean just under 10, kept
+    assert out[11]["kept"], out[11]["reject_reason"]
+
+
+def test_gopher_rules_counts_exact(spark):
+    from montandon_etl_spark.operators.textstats import gopher_rules
+
+    page = "the cat...\n- item one\n• item two\nplain end…\nwith # and ## done"
+    r = gopher_rules(
+        spark.createDataFrame([(1, page)], "doc_id int, page string"),
+        "doc_id", "page", min_words=1).collect()[0]
+    assert r["n_lines"] == 5
+    assert r["n_bullet_lines"] == 2
+    assert r["n_ellipsis_lines"] == 2  # '...' line and the '…' line
+    assert r["n_hash"] == 3
+    assert r["n_ellipsis"] == 1
+    assert r["n_stop_words"] == 3  # 'the', 'with', 'and'
+
+
 def test_boilerplate_all_boiler_doc_survives_empty(spark):
     rows = [(i, "h", "NAV\nFOOT") for i in range(1, 4)] + [
         (9, "h", "NAV\nFOOT\nreal body")]
