@@ -5155,12 +5155,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebucket_roundtrip": q_rebucket_roundtrip,
         "stream_stream_join": q_stream_stream_join,
         "gopher_rules": q_gopher_rules,
+        "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "value_percentiles_approx": q_value_percentiles_approx,
+        "bpe_merges": q_bpe_merges,
         "schema_drift_report": q_schema_drift_report,
-        "schema_drift_ddl": q_schema_drift_ddl,
         "kafka_segment_decode": q_kafka_segment_decode,
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "debezium_avro_decode": q_debezium_avro_decode,
-        "debezium_proto_decode": q_debezium_proto_decode,
         "pdf_text_extract": q_pdf_text_extract,
         "cdc_relay_roundtrip": q_cdc_relay_roundtrip,
         "main_content_extract": q_main_content_extract,
@@ -5184,14 +5186,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": q_unigram_encode,
         "semantic_contamination": q_semantic_contamination,
         "dsir_select": q_dsir_select,
-        "mv_distinct_users": q_mv_distinct_users,
         "ann_topk_pq_rerank": q_ann_topk_pq_rerank,
         "purge_time_travel": q_purge_time_travel,
         "incremental_image_near_dup": q_incremental_image_near_dup,
         "robots_gate": q_robots_gate,
         "corpus_report": q_corpus_report,
         "incremental_token_shards": q_incremental_token_shards,
-        "audio_near_dup": q_audio_near_dup,
         "bm25_topk": q_bm25_topk,
         "shuffle_shards": q_shuffle_shards,
         "curation_gate": q_curation_gate,
@@ -5203,7 +5203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruned_scan": q_zorder_pruned_scan,
         "incremental_ann_topk_pq": q_incremental_ann_topk_pq,
         "mv_source_extremes": q_mv_source_extremes,
-        "value_percentiles_approx": q_value_percentiles_approx,
         "incremental_dedup_survivors": q_incremental_dedup_survivors,
         # --------- 50-prefix boundary (driver samples ~50 head rows)
         #   scd2_history -> incremental_scd2 (the incremental index's
@@ -5280,7 +5279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "dup_spans": q_dup_spans,
         "video_keyframe_pixels": q_video_keyframe_pixels,
-        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "audio_fingerprint": q_audio_fingerprint,
         "sequence_pack": q_sequence_pack,
         "zorder_cells": q_zorder_cells,
@@ -5315,7 +5313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the stronger row) — all stay pytest-parity-exact.
         "wet_export": q_wet_export,
         "h264_p_decode": q_h264_p_decode,
-        "bpe_merges": q_bpe_merges,
         # h264_b_multiref ↔ h264_b_temporal/h264_p_multiref — same
         # closed-form anchor family; the te(v) selection has its
         # in-prefix P row, and the B lists are pinned in test_h264
@@ -5323,8 +5320,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_b_decode": q_h264_b_decode,
         "h264_b_weighted": q_h264_b_weighted,
         "h264_b_implicit": q_h264_b_implicit,
-        "ann_topk_pq": q_ann_topk_pq,
         "h264_pcm_decode": q_h264_pcm_decode,
+        "schema_drift_ddl": q_schema_drift_ddl,
+        "debezium_proto_decode": q_debezium_proto_decode,
+        "audio_near_dup": q_audio_near_dup,
+        "mv_distinct_users": q_mv_distinct_users,
         "simplify_polygons": q_simplify_polygons,
         "warc_roundtrip": q_warc_roundtrip,
         "image_features_png": q_image_features_png,
