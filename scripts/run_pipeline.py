@@ -8,7 +8,7 @@ Usage (local sandbox):
         scripts/run_pipeline.py \\
         --changelog /path/to/changelog --table /path/to/pages \\
         --checkpoint /path/to/ckpt [--mode stream|batch] \\
-        [--buckets 64] [--write-mode mor|cow] [--salted]
+        [--buckets 64] [--write-mode mor|cow] [--salted] [--rebucket N]
 
 On a real cluster, drop the local master: spark-submit's own --master
 and executor flags take over; nothing in the pipeline assumes local
@@ -36,6 +36,9 @@ def main() -> None:
                          "enables tombstone GC at compactions")
     ap.add_argument("--retention", type=int, default=None,
                     help="expire snapshots beyond the newest N after commits")
+    ap.add_argument("--rebucket", type=int, default=None,
+                    help="after the run, respec the table to this bucket "
+                         "count (partition-spec evolution; no-op if equal)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,6 +76,8 @@ def main() -> None:
     else:
         table = plan.run_batch(spark, n_batches=args.batches)
 
+    if args.rebucket is not None:
+        table.rebucket(spark, args.rebucket)
     head = table.snapshot()
     print(
         json.dumps(
