@@ -1051,11 +1051,17 @@ class SnapshotTable:
         key = props["key_col"]
         next_sid = snap["snapshot_id"] + 1
         raw = self.read(spark, include_tombstones=True, resolve=False)
+        # same wave logic as MERGE: hash(new bucket) partitioning already
+        # clusters (bucket, key), so the groupBy reduces with NO second
+        # exchange; width follows the session's shuffle parallelism
+        n_part = max(1, min(int(n_buckets),
+                            4 * int(spark.conf.get(
+                                "spark.sql.shuffle.partitions"))))
         resolved = lww_latest(
             raw.withColumn(
                 _BUCKET_COL,
                 F.pmod(F.xxhash64(F.col(key)), F.lit(int(n_buckets))).cast("int"),
-            ).repartition(max(1, min(int(n_buckets), 32)), F.col(_BUCKET_COL)),
+            ).repartition(n_part, F.col(_BUCKET_COL)),
             keys=[_BUCKET_COL, key], order_cols=props["order_cols"],
         )
         if tombstone_horizon is not None:

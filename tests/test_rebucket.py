@@ -158,6 +158,33 @@ def test_rebucket_noop_and_empty(spark, tmp_path):
     assert not glob.glob(os.path.join(str(tmp_path / "t"), "data", "s1*", "*"))
 
 
+def test_rebucket_plan_single_exchange(spark, tmp_path, small_changelog):
+    """The rebucket rewrite is ONE exchange: repartition by the NEW
+    bucket clusters (bucket, key), so the LWW groupBy reduces in place
+    (hash(bucket) satisfies the clustered distribution — the same
+    one-job shape as MERGE). Pins the expression rebucket() builds."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from montandon_etl_spark.lake.table import _BUCKET_COL
+    from montandon_etl_spark.operators.lww import lww_latest
+
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    sdf = spark.createDataFrame(
+        small_changelog[["seq", "url", "warc_ts", "op", "html"]])
+    t.merge(spark, enrich_batch(sdf), batch_id=0)
+    raw = t.read(spark, include_tombstones=True, resolve=False)
+    resolved = lww_latest(
+        raw.withColumn(_BUCKET_COL, F.pmod(
+            F.xxhash64(F.col("url")), F.lit(32)).cast("int"))
+        .repartition(16, F.col(_BUCKET_COL)),
+        keys=[_BUCKET_COL, "url"], order_cols=["warc_ts", "seq"])
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    ex = re.findall(r"Exchange (\w+)", plan)
+    assert ex == ["hashpartitioning"], plan[:2000]
+
+
 def test_rebucket_sticky_zorder_stats(spark, tmp_path, small_changelog):
     t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
     sdf = spark.createDataFrame(
