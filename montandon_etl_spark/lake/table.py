@@ -215,13 +215,24 @@ class SnapshotTable:
         if not changed:
             return spark.createDataFrame([], schema=out_ddl)
 
+        to_ids = {f.name: f.id for f in self.current_fields(new_snap)}
+
         def side(sid: int | str | None, tag: str) -> DataFrame:
+            # resolve the requested (to-side) names onto THIS side's
+            # schema by field id — a key/column rename between the two
+            # snapshots must not break the comparison
+            snap_side = self.snapshot(sid)
+            by_id = {f.id: f.name for f in self.current_fields(snap_side)}
+            loc = {n: by_id.get(to_ids[n]) for n in [key, *cols]}
+            want = [loc[n] for n in [key, *cols] if loc[n] is not None]
             d = self.read(spark, snapshot_id=sid, buckets=changed,
-                          columns=[key, *cols])
+                          columns=want)
             return d.select(
-                F.col(key),
+                F.col(loc[key]).alias(key),
                 F.lit(True).alias(f"_{tag}_present"),
-                *[F.col(c).alias(f"{tag}_{c}") for c in cols])
+                *[(F.col(loc[c]) if loc[c] is not None
+                   else F.lit(None).cast(types[c])).alias(f"{tag}_{c}")
+                  for c in cols])
 
         o = side(old_snap["snapshot_id"], "old")
         n = side(new_snap["snapshot_id"], "new")
@@ -1498,12 +1509,21 @@ class SnapshotTable:
             # through to an empty, full-schema change feed
 
         from_names = {f.id: f.name for f in self.user_fields(s_from)}
+        to_ids = {f.name: f.id for f in self.user_fields(s_to)}
 
         def side(sid: int, tag: str) -> DataFrame:
             df = self.read(
                 spark, snapshot_id=sid, include_tombstones=True,
                 buckets=changed, resolve=True,
             )
+            # key/ts resolve by field id against THIS side's schema —
+            # a rename between the snapshots must not break the feed
+            # (seq/op are system columns, names fixed)
+            if tag == "new":
+                k_src, ts_src = key, tsk
+            else:
+                k_src = from_names.get(to_ids[key], key)
+                ts_src = from_names.get(to_ids[tsk], tsk)
             payloads = []
             if tag == "new":
                 payloads = [F.col(f.name).alias(f"new_{f.name}")
@@ -1518,8 +1538,8 @@ class SnapshotTable:
                            else F.lit(None)).cast(f.type)
                     payloads.append(col.alias(f"old_{f.name}"))
             return df.select(
-                F.col(key),
-                F.col(tsk).alias(f"{tag}_{tsk}"),
+                F.col(k_src).alias(key),
+                F.col(ts_src).alias(f"{tag}_{tsk}"),
                 F.col(seqk).alias(f"{tag}_seq"),
                 (F.col("op") == F.lit("upsert")).alias(f"{tag}_live"),
                 *payloads,

@@ -174,6 +174,33 @@ def test_rename_key_column_follows_through(spark, table, small_changelog):
     assert table.read(spark).count() == len(got)
 
 
+def test_diff_and_changes_across_key_rename(spark, table, small_changelog):
+    """Cross-snapshot operators resolve each side by FIELD ID, so a
+    key/order-column rename between the snapshots doesn't break the
+    change feed — and a rename-only pair of snapshots diffs empty."""
+    n = len(small_changelog)
+    _merge_pdf(spark, table, small_changelog.iloc[: n // 2], batch_id=0)
+    sid0 = table.snapshot()["snapshot_id"]
+    table.apply_ddl("rename_column", "url", new_name="page_url")
+    table.apply_ddl("rename_column", "warc_ts", new_name="seen_ts")
+    assert table.changes(spark, sid0).count() == 0
+    assert table.diff(spark, sid0).count() == 0
+    _merge_pdf(spark, table, small_changelog.iloc[n // 2 :], batch_id=1)
+    feed = table.changes(spark, sid0, include_old_values=True).toPandas()
+    a = replay_oracle(small_changelog.iloc[: n // 2]).set_index("url")
+    b = replay_oracle(small_changelog).set_index("url")
+    ins = set(b.index) - set(a.index)
+    dels = set(a.index) - set(b.index)
+    upd = {u for u in set(a.index) & set(b.index)
+           if a.loc[u, "seq"] != b.loc[u, "seq"]}
+    got = {t: set(g["page_url"]) for t, g in feed.groupby("change_type")}
+    assert got.get("insert", set()) == ins
+    assert got.get("delete", set()) == dels
+    assert got.get("update", set()) == upd
+    d = table.diff(spark, sid0).toPandas()
+    assert set(d["page_url"]) == ins | dels | upd
+
+
 def test_rename_system_or_taken_name_rejected(spark, table, small_changelog):
     _merge_pdf(spark, table, small_changelog.iloc[:50], batch_id=0)
     with pytest.raises(ValueError, match="system column"):
