@@ -135,8 +135,12 @@ class ShardExport:
             columns=[key, *self.state["input_cols"]])
         from montandon_etl_spark.operators.dedup import hash60
 
+        # shard by the TARGET snapshot's own bucket count (≠ HEAD's
+        # after a rebucket when pinned to an older snapshot)
+        shard = F.pmod(F.xxhash64(F.col(key)),
+                       F.lit(int(props["n_buckets"]))).cast("int")
         sel = rows.select(
-            table.bucket_expr(key).alias("shard"),
+            shard.alias("shard"),
             hash60(F.col(key)).alias("sid"),
             F.expr(self.state["token_sql"]).alias("toks"))
         man = tokbin.to_token_shards(

@@ -89,8 +89,12 @@ class WetExport:
             spark, snapshot_id=sid,
             buckets=sorted(changed) if changed is not None else None,
             columns=cols)
+        # shard by the TARGET snapshot's own bucket count (≠ HEAD's
+        # after a rebucket when pinned to an older snapshot)
+        shard = F.pmod(F.xxhash64(F.col(key)),
+                       F.lit(int(props["n_buckets"]))).cast("int")
         sel = rows.select(
-            table.bucket_expr(key).alias("shard"),
+            shard.alias("shard"),
             F.col(key).alias("_u"), F.col(ts_col).alias("_t"),
             F.col(text_col).alias("_x"),
             (F.col(pay_col) if pay_col

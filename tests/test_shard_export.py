@@ -174,3 +174,31 @@ def test_shard_export_rides_the_stream(spark):
                os.path.join(base, "ckpt"),
                derived_updaters=[exp.updater(table)]).awaitTermination(300)
     assert _files(exp.path) == want
+
+
+def test_rebucket_respec_rewrites_and_removes_stale_shards(spark):
+    """A 8→4 rebucket changes the shard universe: the incremental
+    export after the respec must equal a from-scratch export (stale
+    shard-ids past the new bucket count removed), and an export pinned
+    to a PRE-respec snapshot still shards under the old count."""
+    base = tempfile.mkdtemp(prefix="shexrb_")
+    table = _mk_table(spark, base)
+    inc = ShardExport.create(os.path.join(base, "inc"), vocab_size=50000)
+    _run_batches(spark, table, exp=inc)
+    pre_sid = table.snapshot()["snapshot_id"]
+    pre_files = _files(inc.path)
+    table.rebucket(spark, 4)
+    inc.refresh(spark, table)
+    full = ShardExport.create(os.path.join(base, "full"), vocab_size=50000)
+    full.refresh(spark, table)
+    fi, ff = _files(inc.path), _files(full.path)
+    assert fi.keys() == ff.keys() and len(fi) > 0
+    for name in fi:
+        assert fi[name] == ff[name], name
+    # every surviving shard id is under the NEW bucket count
+    ids = {int(n.split("-")[1].split(".")[0]) for n in fi}
+    assert ids and max(ids) < 4
+    # pinned pre-respec export reproduces the OLD layout byte-for-byte
+    pinned = ShardExport.create(os.path.join(base, "pin"), vocab_size=50000)
+    pinned.refresh(spark, table, snapshot_id=pre_sid)
+    assert _files(pinned.path) == pre_files

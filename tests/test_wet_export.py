@@ -88,3 +88,30 @@ def test_emptied_bucket_shard_removed(spark, tmp_path):
     assert exp.state["shards"] == {}
     assert n_before > 0
     assert exp.read(spark).count() == 0
+
+
+def test_rebucket_respec_sidecar_follows(spark, tmp_path):
+    """After an 8→4 rebucket the incremental sidecar equals a
+    from-scratch export (stale wet shards removed); pinned to a
+    pre-respec snapshot it reproduces the old layout."""
+    t = _mk_table(spark, str(tmp_path / "t"))
+    t.merge(spark, _batch(spark, range(0, 40), 0), batch_id=0)
+    t.merge(spark, _batch(spark, range(0, 40, 5), 100, op="delete"),
+            batch_id=1)
+    inc = WetExport.create(str(tmp_path / "inc"))
+    inc.refresh(spark, t)
+    pre_sid = t.snapshot()["snapshot_id"]
+    pre = _shard_bytes(inc.path)
+    t.rebucket(spark, 4)
+    inc.refresh(spark, t)
+    full = WetExport.create(str(tmp_path / "full"))
+    full.refresh(spark, t)
+    fi, ff = _shard_bytes(inc.path), _shard_bytes(full.path)
+    assert fi.keys() == ff.keys() and len(fi) > 0
+    for name in fi:
+        assert fi[name] == ff[name], name
+    ids = {int(n.split("-")[1].split(".")[0]) for n in fi}
+    assert ids and max(ids) < 4
+    pinned = WetExport.create(str(tmp_path / "pin"))
+    pinned.refresh(spark, t, snapshot_id=pre_sid)
+    assert _shard_bytes(pinned.path) == pre
