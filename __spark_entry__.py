@@ -2930,6 +2930,24 @@ def q_ngram_lm_score(spark, sf):
     return X.ngram_lm_score(_t(spark, sf, "documents"), "doc_id", "text", n=3)
 
 
+def q_weighted_sample(spark, sf):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/sampling.weighted_sample): 200 documents drawn with
+    probability proportional to word count via the hash-derived
+    u^(1/w) score — the deterministic data-mixing draw. No shuffle
+    (TakeOrderedAndProject, plan-pinned in test_operators); the oracle
+    replays the identical md5 → u → pow program and takes the same
+    top-k."""
+    from montandon_etl_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                     lambda x: x != F.lit(""))
+    src = docs.select(
+        "doc_id", F.size(words).cast("bigint").alias("weight"))
+    return weighted_sample(src, "doc_id", "weight", k=200, seed=7)
+
+
 def q_gopher_rules(spark, sf):
     """Gopher/MassiveText quality heuristics
     (operators/textstats.gopher_rules): pages are synthesized with
@@ -5155,6 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebucket_roundtrip": q_rebucket_roundtrip,
         "stream_stream_join": q_stream_stream_join,
         "gopher_rules": q_gopher_rules,
+        "weighted_sample": q_weighted_sample,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "value_percentiles_approx": q_value_percentiles_approx,
@@ -5177,7 +5196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "frontier_schedule": q_frontier_schedule,
         "h264_p_multiref": q_h264_p_multiref,
-        "gif_decode": q_gif_decode,
         "flac_roundtrip": q_flac_roundtrip,
         "point_in_polygon": q_point_in_polygon,
         "cdx_index": q_cdx_index,
@@ -5321,6 +5339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_b_weighted": q_h264_b_weighted,
         "h264_b_implicit": q_h264_b_implicit,
         "h264_pcm_decode": q_h264_pcm_decode,
+        "gif_decode": q_gif_decode,
         "schema_drift_ddl": q_schema_drift_ddl,
         "debezium_proto_decode": q_debezium_proto_decode,
         "audio_near_dup": q_audio_near_dup,
@@ -7965,6 +7984,21 @@ def oracle_sql() -> dict[str, str]:
                      '{{"field":"'||key||'","dtype":"'||inferred||'"}}'
                    END AS ddl
             FROM framed WHERE op IS NOT NULL""",
+        "weighted_sample": """
+            WITH w AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> ''))::BIGINT AS weight
+              FROM documents),
+            s AS (
+              SELECT doc_id, weight,
+                     pow((('0x' || substr(md5(doc_id::VARCHAR || '#7'),
+                                          1, 15))::BIGINT + 1)
+                         / 1152921504606846976.0,
+                         1.0 / weight) AS sc
+              FROM w WHERE weight > 0)
+            SELECT doc_id, weight FROM s
+            ORDER BY sc DESC, doc_id LIMIT 200""",
         "gopher_rules": """
             WITH pages AS (
               SELECT doc_id,

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "gapfill_locf",  # per-key regular grid + carry-forward
     "chunk_documents",  # token-budget packing over the same vocab
     "pps_sample",  # two-phase bucketed PPS cumsum (no global sort)
+    "weighted_sample",  # A-ES weighted draw, TakeOrderedAndProject
     "zorder_pruned_scan",  # CDC merges -> z-clustered compact -> pruned range read
     "sequence_pack_stats",  # cross-doc greedy packing + per-sequence utilization
     "mixture_resample",  # per-stratum corpus reweighting (down/up-sample)

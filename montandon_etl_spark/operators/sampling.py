@@ -28,6 +28,42 @@ def hash_sample(
     return df.filter(h < fraction_pct)
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int, seed: int = 0) -> DataFrame:
+    """Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT
+    replacement: each row draws u ∈ (0, 1] from a content-stable hash
+    of (id, seed) and scores ``u^(1/w)``; the global top-k by score is
+    distributed exactly as k sequential weighted draws without
+    replacement (Efraimidis & Spirakis 2006, public) — the data-mixing
+    primitive behind "sample 1M docs proportional to quality".
+
+    Determinism: u = (hash60(id ‖ '#' ‖ seed) + 1) / 2^60 is a pure
+    function of the row id — the same rows are selected on any
+    partition layout, any cluster size, any engine (the oracle replays
+    the identical md5 arithmetic). New seed → fresh independent
+    sample. Rows with NULL or non-positive weight are excluded (they
+    can never be drawn).
+
+    Scale shape: NO shuffle — Catalyst plans the global
+    ``orderBy(...).limit(k)`` as TakeOrderedAndProject (per-partition
+    top-k heaps merged once at the driver): O(corpus) scan +
+    O(k log k) merge, driver memory O(k). Plan-pinned.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (hash60(F.concat(F.col(id_col).cast("string"),
+                         F.lit("#"), F.lit(seed)))
+         + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_aes", score)
+        .orderBy(F.desc("_aes"), F.col(id_col))
+        .limit(k)
+        .drop("_aes")
+    )
+
+
 def stratified_cap(
     df: DataFrame, class_col: str, id_col: str, cap: int
 ) -> DataFrame:

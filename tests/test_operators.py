@@ -510,3 +510,49 @@ def test_gapfill_locf_semantics(spark):
                                   step_us=3_600_000_000,
                                   order_col="eid").collect()}
     assert got2 == got
+
+
+def test_weighted_sample_aes(spark):
+    """A-ES weighted sampling: exact agreement with a Python replay of
+    the same hash→u→u^(1/w) program, layout invariance, weight
+    monotonicity, and the no-shuffle TakeOrderedAndProject plan."""
+    import hashlib
+    import math
+
+    from montandon_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i}", 100.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    rows += [("zero", 0.0), ("neg", -3.0), ("nullw", None)]
+    df = spark.createDataFrame(rows, "id string, w double")
+    got = weighted_sample(df, "id", "w", k=80, seed=7).collect()
+    assert len(got) == 80
+    ids = [r["id"] for r in got]
+    assert "zero" not in ids and "neg" not in ids and "nullw" not in ids
+
+    # exact replay: same md5-derived u, same score, same top-k
+    def score(i, w):
+        h = int(hashlib.md5(f"{i}#7".encode()).hexdigest()[:15], 16)
+        return math.pow((h + 1) / float(1 << 60), 1.0 / w)
+
+    want = sorted((r for r in rows[:1000]),
+                  key=lambda r: (-score(r[0], r[1]), r[0]))[:80]
+    assert ids == [r[0] for r in want]
+
+    # heavy weights dominate: 100 heavy ids among 1000, weight 100x
+    heavy = sum(1 for i in ids if int(i[1:]) % 10 == 0)
+    assert heavy > 55, heavy
+
+    # layout invariance
+    got2 = weighted_sample(df.repartition(13), "id", "w", 80, seed=7).collect()
+    assert [r["id"] for r in got2] == ids
+
+    # fresh seed -> different sample; k > n -> every positive-weight row
+    got3 = weighted_sample(df, "id", "w", 80, seed=8).collect()
+    assert [r["id"] for r in got3] != ids
+    assert weighted_sample(df, "id", "w", 5000).count() == 1000
+
+    # plan: global top-k, not a sort shuffle
+    plan = weighted_sample(df, "id", "w", 80)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert "Exchange" not in plan, plan[:1200]
