@@ -2930,6 +2930,30 @@ def q_ngram_lm_score(spark, sf):
     return X.ngram_lm_score(_t(spark, sf, "documents"), "doc_id", "text", n=3)
 
 
+def q_fix_mojibake(spark, sf):
+    """Encoding-artifact repair (functions/extract.fix_mojibake): an
+    accented marker is injected into every page (both engines), the
+    corpus is then DAMAGED the way the web actually is (UTF-8 bytes
+    read as cp1252 — "é" → "Ã©", "’" → "â€™") and repaired; the
+    repaired text must be byte-identical to the pre-damage oracle.
+    The corrupter is asserted engine-side to have really changed the
+    marker pages, so an identity "repair" cannot pass vacuously."""
+    from montandon_etl_spark.functions.extract import (
+        fix_mojibake_udf,
+        make_mojibake_udf,
+    )
+
+    docs = _t(spark, sf, "documents")
+    page = F.replace(F.col("text"), F.lit("table"), F.lit("tablé’"))
+    src = docs.select("doc_id", page.alias("page"))
+    staged = src.select(
+        "doc_id", "page", make_mojibake_udf("page").alias("bad"))
+    n_damaged = staged.filter(F.col("bad") != F.col("page")).count()
+    assert n_damaged > 0, "corrupter was a no-op"
+    return staged.select(
+        "doc_id", fix_mojibake_udf("bad").alias("text"))
+
+
 def q_weighted_sample(spark, sf):
     """Efraimidis–Spirakis weighted sampling without replacement
     (operators/sampling.weighted_sample): 200 documents drawn with
@@ -5174,6 +5198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "gopher_rules": q_gopher_rules,
         "weighted_sample": q_weighted_sample,
+        "fix_mojibake": q_fix_mojibake,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "value_percentiles_approx": q_value_percentiles_approx,
@@ -5195,7 +5220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "anchor_text": q_anchor_text,
         "frontier_schedule": q_frontier_schedule,
-        "h264_p_multiref": q_h264_p_multiref,
         "flac_roundtrip": q_flac_roundtrip,
         "point_in_polygon": q_point_in_polygon,
         "cdx_index": q_cdx_index,
@@ -5339,6 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_b_weighted": q_h264_b_weighted,
         "h264_b_implicit": q_h264_b_implicit,
         "h264_pcm_decode": q_h264_pcm_decode,
+        "h264_p_multiref": q_h264_p_multiref,
         "gif_decode": q_gif_decode,
         "schema_drift_ddl": q_schema_drift_ddl,
         "debezium_proto_decode": q_debezium_proto_decode,
@@ -7984,6 +8009,10 @@ def oracle_sql() -> dict[str, str]:
                      '{{"field":"'||key||'","dtype":"'||inferred||'"}}'
                    END AS ddl
             FROM framed WHERE op IS NOT NULL""",
+        "fix_mojibake": """
+            SELECT doc_id,
+                   replace(text, 'table', 'tablé’') AS text
+            FROM documents""",
         "weighted_sample": """
             WITH w AS (
               SELECT doc_id,

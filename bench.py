@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "kafka_segment_decode",  # RecordBatch v2 wire: lz4/snappy/gzip + crc32c
     "cdc_relay_roundtrip",  # change feed -> Debezium-Avro frames -> decode
     "main_content_extract",  # jusText block classification per page
+    "fix_mojibake",  # ftfy-style encoding repair, Arrow UDF pair
     "image_near_dup",  # PNG decode -> dHash -> banded Hamming pairs
     "image_near_dup_jpeg",  # same pipeline across the lossy baseline-JPEG path
     "h264_pcm_decode",  # distributed H.264 encode->decode round trip

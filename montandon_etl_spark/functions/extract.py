@@ -254,3 +254,80 @@ def main_content_udf(min_len: int = 25, max_link_density: float = 0.33,
                                            "n_good"])
 
     return udf
+
+
+# --- mojibake repair (ftfy-style encoding-artifact cleanup) -------------------
+# The web's most common corruption: UTF-8 bytes decoded as cp1252
+# somewhere upstream ("café" → "cafÃ©", "’" → "â€™"). Repair =
+# re-encode through a SLOPPY cp1252 (the 5 undefined positions
+# 0x81/0x8D/0x8F/0x90/0x9D pass through as their Latin-1 codepoints,
+# exactly how lenient decoders produced the damage) and accept the
+# pass ONLY if the bytes decode as strict UTF-8 — valid text is a
+# fixed point because its sloppy-encoding is not valid UTF-8.
+# Inherent ambiguity (a document LEGITIMATELY containing "Ã©") is
+# resolved toward repair, the ftfy convention. max_passes bounds the
+# doubly-encoded case. Pure + Arrow forms are byte-identical, the
+# extractor contract.
+
+_SLOPPY_DEC = [bytes([i]).decode("cp1252", "ignore") or chr(i)
+               for i in range(256)]
+_SLOPPY_ENC = {c: i for i, c in enumerate(_SLOPPY_DEC)}
+
+
+def sloppy_cp1252_decode(b: bytes) -> str:
+    """cp1252 with the 5 undefined bytes passed through (how lenient
+    decoders actually behave — Python's strict codec would raise)."""
+    return "".join(_SLOPPY_DEC[x] for x in b)
+
+
+def _sloppy_cp1252_encode(s: str) -> bytes | None:
+    out = bytearray()
+    for c in s:
+        i = _SLOPPY_ENC.get(c)
+        if i is None:
+            return None  # not a cp1252 view of anything — leave text alone
+        out.append(i)
+    return bytes(out)
+
+
+def make_mojibake(s: str | None) -> str | None:
+    """The corrupter (fixtures/tests): what a page looks like after
+    its UTF-8 bytes were read as cp1252."""
+    if s is None:
+        return None
+    return sloppy_cp1252_decode(s.encode("utf-8"))
+
+
+def fix_mojibake(s: str | None, max_passes: int = 2) -> str | None:
+    """Pure oracle form: undo up to ``max_passes`` rounds of
+    UTF-8-read-as-cp1252 damage; returns the input unchanged when the
+    round-trip does not validate (clean text is a fixed point)."""
+    if s is None:
+        return None
+    out = s
+    for _ in range(max_passes):
+        if all(ord(c) < 0x80 for c in out):
+            break  # pure ASCII can never be mojibake
+        b = _sloppy_cp1252_encode(out)
+        if b is None:
+            break
+        try:
+            dec = b.decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            break
+        if dec == out:
+            break
+        out = dec
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def fix_mojibake_udf(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized engine form of ``fix_mojibake``."""
+    return text.map(lambda s: fix_mojibake(s) if s is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def make_mojibake_udf(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized corrupter (fixture synthesis)."""
+    return text.map(lambda s: make_mojibake(s) if s is not None else None)

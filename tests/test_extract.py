@@ -133,3 +133,50 @@ def test_main_content_udf_matches_pure(spark):
            .collect()}
     for did, h in docs:
         assert got[did] == extract_main_content(h), did
+
+
+def test_mojibake_repair_vectors():
+    from montandon_etl_spark.functions.extract import (
+        fix_mojibake,
+        make_mojibake,
+    )
+
+    vec = [
+        ("cafÃ©", "café"),
+        ("â€™", "’"),
+        ("naÃ¯ve rÃ©sumÃ©", "naïve résumé"),
+        ("â€œquotedâ€\x9d", "“quoted”"),  # 0x9d = sloppy passthrough byte
+        ("plain ascii.", "plain ascii."),          # fixed point
+        ("café already clean", "café already clean"),  # fixed point
+        (None, None),
+    ]
+    for damaged, want in vec:
+        assert fix_mojibake(damaged) == want, damaged
+    # generated damage always repairs, including CJK and double damage
+    for s in ["café", "中文 text", "αβγ — δ", "emoji 🙂 ok"]:
+        m = make_mojibake(s)
+        assert m != s
+        assert fix_mojibake(m) == s
+        assert fix_mojibake(make_mojibake(m)) == s
+
+
+def test_mojibake_udf_byte_identical(spark):
+    from montandon_etl_spark.functions.extract import (
+        fix_mojibake,
+        fix_mojibake_udf,
+        make_mojibake_udf,
+    )
+
+    rows = [(i, s) for i, s in enumerate(
+        ["café crème", "plain", "naïve — “q”", "中文", None, "Ã ambiguous"])]
+    df = spark.createDataFrame(rows, "i int, s string")
+    out = {r["i"]: (r["m"], r["f"]) for r in df.select(
+        "i", make_mojibake_udf("s").alias("m")
+    ).select("i", "m", fix_mojibake_udf("m").alias("f")).collect()}
+    import montandon_etl_spark.functions.extract as ex
+    for i, s in rows:
+        if s is None:
+            assert out[i] == (None, None)
+        else:
+            assert out[i][0] == ex.make_mojibake(s)
+            assert out[i][1] == fix_mojibake(ex.make_mojibake(s)) == s
