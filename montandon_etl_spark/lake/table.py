@@ -1647,29 +1647,83 @@ class SnapshotTable:
             out_dir = os.path.join(self.path, "data", f"purge-{tok}")
             path_map: dict[str, tuple[str, int]] = {}
             dropped: set[str] = set()
-            for i, (relp, e) in enumerate(sorted(cand.items())):
-                df = spark.read.parquet(os.path.join(self.path, relp))
-                kname = key_name(e.get("schema_version", 0))
-                bad = df.filter(F.col(kname).isin(keyset)).count()
-                if bad == 0:
-                    continue
-                report["rows_purged"] += bad
-                n_keep = e["rows"] - bad
-                if n_keep <= 0:
-                    dropped.add(relp)
+            # TWO Spark jobs per key-column name (one name in the
+            # common no-rename history), never O(files) serialized
+            # driver-loop jobs: job 1 counts the keys' rows per
+            # candidate file (key column only — columnar scan), job 2
+            # rewrites every affected file without those rows in one
+            # pass, one output file per input file via a file-index
+            # partition column. At 100x, a purge key resident in
+            # hundreds of files across retained history costs two job
+            # latencies, not hundreds.
+            from urllib.parse import unquote, urlparse
+
+            ordered = sorted(cand.items())
+            file_idx = {relp: i for i, (relp, _) in enumerate(ordered)}
+            by_kname: dict[str, list[tuple[str, dict]]] = {}
+            for relp, e in ordered:
+                by_kname.setdefault(
+                    key_name(e.get("schema_version", 0)), []).append((relp, e))
+            for kname, group in sorted(by_kname.items()):
+                # job 1: per-file count of rows to purge
+                bad_rows = (
+                    spark.read.parquet(
+                        *[os.path.join(self.path, r) for r, _ in group])
+                    .select(F.input_file_name().alias("_f"), F.col(kname))
+                    .filter(F.col(kname).isin(keyset))
+                    .groupBy("_f").agg(F.count(F.lit(1)).alias("bad"))
+                    .collect()
+                )
+                bad_by_rel: dict[str, int] = {}
+                uri_by_rel: dict[str, str] = {}
+                for r in bad_rows:
+                    p = unquote(urlparse(r["_f"]).path)
+                    rel = os.path.relpath(p, self.path)
+                    bad_by_rel[rel] = int(r["bad"])
+                    uri_by_rel[rel] = r["_f"]
+                rewrite: list[tuple[str, int]] = []  # (relp, n_keep)
+                for relp, e in group:
+                    bad = bad_by_rel.get(relp, 0)
+                    if bad == 0:
+                        continue  # clean file: untouched (idempotent re-run)
+                    report["rows_purged"] += bad
+                    n_keep = e["rows"] - bad
+                    if n_keep <= 0:
+                        dropped.add(relp)
+                    else:
+                        rewrite.append((relp, n_keep))
+                if not rewrite:
                     continue
                 os.makedirs(out_dir, exist_ok=True)
-                tmp = os.path.join(out_dir, f"_tmp-{i}")
-                (df.filter(~F.col(kname).isin(keyset))
-                 .coalesce(1).write.mode("overwrite").parquet(tmp))
-                part = next(f for f in sorted(os.listdir(tmp))
-                            if f.endswith(".parquet"))
-                newrel = os.path.join("data", f"purge-{tok}",
-                                      f"f-{i:05d}.parquet")
-                os.replace(os.path.join(tmp, part),
-                           os.path.join(self.path, newrel))
-                shutil.rmtree(tmp, ignore_errors=True)
-                path_map[relp] = (newrel, n_keep)
+                staging = os.path.join(out_dir, "_tmp")
+                # job 2: the join key is the exact input_file_name
+                # string job 1 produced, so the file→index mapping can
+                # never miss on URI-encoding differences
+                mapping = spark.createDataFrame(
+                    [(uri_by_rel[relp], file_idx[relp])
+                     for relp, _ in rewrite], "_f string, _fi int")
+                (
+                    spark.read.parquet(
+                        *[os.path.join(self.path, r) for r, _ in rewrite])
+                    .withColumn("_f", F.input_file_name())
+                    .filter(~F.col(kname).isin(keyset))
+                    .join(F.broadcast(mapping), "_f")
+                    .drop("_f")
+                    .repartition(max(1, min(len(rewrite), 32)), "_fi")
+                    .write.mode("overwrite").partitionBy("_fi")
+                    .parquet(staging)
+                )
+                for relp, n_keep in rewrite:
+                    i = file_idx[relp]
+                    fdir = os.path.join(staging, f"_fi={i}")
+                    part = next(f for f in sorted(os.listdir(fdir))
+                                if f.endswith(".parquet"))
+                    newrel = os.path.join("data", f"purge-{tok}",
+                                          f"f-{i:05d}.parquet")
+                    os.replace(os.path.join(fdir, part),
+                               os.path.join(self.path, newrel))
+                    path_map[relp] = (newrel, n_keep)
+                shutil.rmtree(staging, ignore_errors=True)
             report["files_rewritten"] = len(path_map)
             report["files_dropped"] = len(dropped)
             if not path_map and not dropped:
