@@ -2824,12 +2824,29 @@ def q_stream_stream_join(spark, sf):
         right_ts="purchase_ts", watermark="1 hour", max_delay="6 hours",
         how="inner")
     name = f"ssj_{uuid4().hex[:10]}"
-    q = (joined.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    # state partitions are pinned at the first batch from
+    # spark.sql.shuffle.partitions; a symmetric hash join keeps FOUR
+    # state stores per partition, and at this fixture's volume the
+    # wall is state-store commit latency (measured: 128 instances,
+    # ~72s cumulative commitTimeMs at width 32). Size the state to
+    # the stream volume — the knob a real deployment sets per topic —
+    # and restore after; inner-join results are width-invariant.
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(600), "stream join did not drain"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    # amount goes out as DOUBLE: the oracle's DECIMAL(28,6) column
+    # reaches the driver as float64 via the pandas fetch, and this was
+    # the registry's only raw-DECIMAL output (the r05 hash-mismatch —
+    # same values, different canonical form). The decimal hop keeps
+    # the oracle's exact 6-dp quantization before the float conversion.
     out = spark.table(name).select(
         "user_id", "signup_id", "purchase_id",
-        F.col("amount").cast("decimal(28,6)").alias("amount"))
+        F.col("amount").cast("decimal(28,6)").cast("double").alias("amount"))
     return out
 
 
