@@ -240,7 +240,8 @@ def minhash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
@@ -248,16 +249,29 @@ def minhash_signatures(
     P[min_i(A)=min_i(B)] = J(A,B). One explode + one groupBy with k
     min-aggregates (all map-side combinable) — a single shuffle and a
     single md5 per shingle regardless of k.
+
+    ``carry_cols``: extra columns to ride the aggregation (grouped
+    with the unique id — identical rows per id, so the grouping is
+    equivalent and the caller skips a re-join against the source).
+
+    Shape note (measured, r06): a per-row higher-order-function form
+    (array_min over transform) removes this shuffle but runs OUTSIDE
+    whole-stage codegen — per-element interpreted lambda eval roughly
+    doubled every minhash consumer's wall, so the explode + codegen'd
+    partial-min aggregation stays. The shuffle moves k partial mins
+    per id per map partition, not the shingles.
     """
+    carry = list(carry_cols or [])
     sh = word_shingles(text_col, n)
     toks = df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("sh")
+        F.col(id_col).alias("id"), *carry,
+        F.explode(F.array_distinct(sh)).alias("sh")
     ).withColumn("hp", hash60(F.col("sh")) % F.lit(MINHASH_P))
     aggs = [
         F.min((F.lit(a) * F.col("hp") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_coeffs(k))
     ]
-    return toks.groupBy("id").agg(*aggs)
+    return toks.groupBy("id", *carry).agg(*aggs)
 
 
 def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:

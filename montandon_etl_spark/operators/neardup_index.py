@@ -52,7 +52,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from montandon_etl_spark.lake.format import Field
@@ -186,11 +186,14 @@ class NearDupIndex:
         """
         key = self.key_col
         ups = batch_df.filter(F.col("op") == "upsert")
+        # carry (key, warc_ts, op) through the signature aggregation —
+        # seq is unique per event, so grouping by the richer tuple is
+        # equivalent and the batch never re-joins against itself
         sigs = (
             minhash_signatures(ups, id_col="seq", text_col=text_col,
-                               n=self.n, k=self.k)
+                               n=self.n, k=self.k,
+                               carry_cols=[key, "warc_ts", "op"])
             .withColumnRenamed("id", "seq")
-            .join(ups.select("seq", key, "warc_ts", "op"), "seq")
         )
         dels = batch_df.filter(F.col("op") == "delete").select(
             "seq", key, "warc_ts", "op"
@@ -210,8 +213,9 @@ class NearDupIndex:
         # table (stale events that lose the LWW election re-derive from
         # the winner, never the stale row)
         touched_keys = (
-            batch_df.select(F.col(key).alias("id")).distinct().localCheckpoint()
-        )
+            batch_df.select(F.col(key).alias("id")).distinct()
+            .localCheckpoint(eager=False)
+        )  # materialized by the bucket collect below — one job, not two
         # the touched keys' SnapshotTable buckets (bucket is a pure
         # function of the key, so OLD and NEW state live in the same
         # buckets) — bounded driver metadata (≤ n_buckets ints) that
@@ -248,8 +252,9 @@ class NearDupIndex:
             old_banded = self._with_pfx(_banded(old_sigs, self.k, self.bands))
             tb = tb.unionByName(old_banded.select("band", "bucket", "pfx"))
         # touched buckets: stays distributed (can be batch-sized); only
-        # the prefix set (≤ n_pfx ints) is driver-side metadata
-        tb = tb.distinct().localCheckpoint()
+        # the prefix set (≤ n_pfx ints) is driver-side metadata. Lazy
+        # checkpoint: the pfx collect materializes it in the same job.
+        tb = tb.distinct().localCheckpoint(eager=False)
         touched_pfx = {r["pfx"] for r in tb.select("pfx").distinct().collect()}
 
         # ONE versioned rewrite of the touched prefixes, both row
@@ -272,16 +277,25 @@ class NearDupIndex:
             .unionByName(new_banded)
             .persist()
         )
-        ents = idx_slice.join(tb.select("band", "bucket").distinct(),
-                              ["band", "bucket"], "left_semi")
+        # tb rows are already distinct, and pfx is a pure function of
+        # (band, bucket) — so its (band, bucket) projection is distinct
+        # too; no extra shuffle to re-distinct it
+        tbb = tb.select("band", "bucket")
+        # ONE exchange for the whole per-bucket phase: the cap count
+        # (window over the clustering) and BOTH sides of the pair
+        # self-join consume the same repartition by (band, bucket) —
+        # Catalyst reuses the exchange for the identical subplans —
+        # replacing a groupBy shuffle + cap semi-join + two-sided join
+        # shuffle (3 exchanges → 1; guide §2.4)
+        n_w = max(1, min(
+            self.n_pfx,
+            int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        ents = (idx_slice.join(tbb, ["band", "bucket"], "left_semi")
+                .repartition(n_w, "band", "bucket"))
         if self.max_bucket is not None:
-            ok = (
-                ents.groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") <= self.max_bucket)
-                .select("band", "bucket")
-            )
-            ents = ents.join(ok, ["band", "bucket"], "left_semi")
+            w = Window.partitionBy("band", "bucket")
+            ents = (ents.withColumn("_n", F.count(F.lit(1)).over(w))
+                    .filter(F.col("_n") <= self.max_bucket).drop("_n"))
         a = ents.select(F.col("id").alias("id_a"), "band", "bucket", "pfx")
         b = ents.select(F.col("id").alias("id_b"), "band", "bucket")
         new_pairs = a.join(b, ["band", "bucket"]).filter(
@@ -289,7 +303,6 @@ class NearDupIndex:
         ).select("id_a", "id_b", "band", "bucket", "pfx")
         prev_pairs = prev.filter(F.col("kind") == "p").select(
             "id_a", "id_b", "band", "bucket")
-        tbb = tb.select("band", "bucket").distinct()
         kept = prev_pairs.join(tbb, ["band", "bucket"], "left_anti")
         pair_rows = self._with_pfx(kept).unionByName(new_pairs)
         null_s = F.lit(None).cast("string")
