@@ -311,21 +311,27 @@ class TextIndex:
             "seq", key, "warc_ts", "op", toks.alias("toks"))
         # term stats per EVENT (seq), not per key: one batch may carry
         # several upserts of the same key and only the LWW winner's
-        # stats may survive the merge
-        term_rows = (
-            ups.select("seq", F.explode("toks").alias("term"))
-            .groupBy("seq", "term").agg(F.count(F.lit(1)).alias("tf"))
-            .groupBy("seq").agg(
-                F.array_sort(
-                    F.collect_list(F.struct("term", "tf"))
-                ).alias("tt"))
-        )
-        ups = ups.select(
-            "seq", key, "warc_ts", "op", F.size("toks").alias("dl"),
-        ).join(term_rows, "seq", "left").select(
-            "seq", key, "warc_ts", "op", "dl",
-            F.col("tt.term").alias("terms"),
-            F.col("tt.tf").alias("tfs"),
+        # stats may survive the merge. (key, warc_ts, op, dl) ride
+        # both aggregations — seq is unique per event, so the richer
+        # grouping is equivalent and the batch never re-joins against
+        # itself. explode_outer keeps zero-token docs (their term list
+        # lands empty rather than NULL — every consumer explodes it,
+        # so both read as zero term rows).
+        ups = (
+            ups.select("seq", key, "warc_ts", "op",
+                       F.size("toks").alias("dl"),
+                       F.explode_outer("toks").alias("term"))
+            .groupBy("seq", key, "warc_ts", "op", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .groupBy("seq", key, "warc_ts", "op", "dl")
+            .agg(F.array_sort(F.collect_list(
+                F.when(F.col("term").isNotNull(),
+                       F.struct("term", "tf")))).alias("tt"))
+            .select(
+                "seq", key, "warc_ts", "op", "dl",
+                F.col("tt.term").alias("terms"),
+                F.col("tt.tf").alias("tfs"),
+            )
         )
         dels = batch_df.filter(F.col("op") == "delete").select(
             "seq", key, "warc_ts", "op")
@@ -336,19 +342,23 @@ class TextIndex:
         if res is None and head in self.postings.versions():
             return  # duplicate delivery, all artifacts exist → no-op
 
+        # lazy checkpoints: the bucket collect / stats aggregation
+        # below materialize these in the same job instead of paying a
+        # separate eager-checkpoint job each
         touched_keys = (
-            batch_df.select(F.col(key)).distinct().localCheckpoint()
+            batch_df.select(F.col(key)).distinct()
+            .localCheckpoint(eager=False)
         )
         tk_buckets = sorted({
             r["b"] for r in touched_keys.select(
                 self.table.bucket_expr(key).alias("b")).distinct().collect()
         })
         new_rows = self.doc_rows(spark, buckets=tk_buckets).join(
-            touched_keys, key, "left_semi").localCheckpoint()
+            touched_keys, key, "left_semi").localCheckpoint(eager=False)
         if prev_sid is not None:
             old_rows = self.doc_rows(spark, snapshot_id=prev_sid,
                                      buckets=tk_buckets).join(
-                touched_keys, key, "left_semi").localCheckpoint()
+                touched_keys, key, "left_semi").localCheckpoint(eager=False)
         else:
             old_rows = spark.createDataFrame(
                 [], f"{key} {self.key_type}, dl bigint,"
