@@ -309,7 +309,9 @@ class MaterializedAggregate:
                  *[_rem(F.min, c).alias(f"r_mn_{c}") for c in self.min_cols],
                  *[_ins(F.max, c).alias(f"i_mx_{c}") for c in self.max_cols],
                  *[_rem(F.max, c).alias(f"r_mx_{c}") for c in self.max_cols])
-            .localCheckpoint()
+            # lazy: the gp_parts collect below materializes it in the
+            # same job (one job per refresh instead of two)
+            .localCheckpoint(eager=False)
         )
         # the delta's state partitions: bounded driver metadata
         # (≤ n_state_parts ints) — everything else stays untouched
@@ -350,7 +352,9 @@ class MaterializedAggregate:
             rescan.alias("_rescan"),
         ).filter(F.col("n_rows") > 0)
         if mm_cols:
-            merged = merged.localCheckpoint()
+            # lazy: materialized by the store write's single action;
+            # both consumers below share the one checkpointed RDD
+            merged = merged.localCheckpoint(eager=False)
             resc = merged.filter(F.col("_rescan")).select(*gs).distinct()
             live = self.table.read(spark)
             jc = None
@@ -589,7 +593,8 @@ class DistinctCountView:
                  .groupBy(*gs, "j", "mjc")
                  .agg(F.max(F.col("_sign") == 1).alias("any_ins"),
                       F.max(F.col("_sign") == -1).alias("any_del"))
-                 .localCheckpoint())
+                 # lazy: the gp_parts collect materializes it
+                 .localCheckpoint(eager=False))
         # the delta's state partitions: bounded driver metadata
         # (≤ n_state_parts ints) — everything else stays untouched
         gp_parts = {r["gp"] for r in
@@ -617,7 +622,7 @@ class DistinctCountView:
             jc = eq if jc is None else (jc & eq)
         jc = jc & (cur["j"] == rem["j"]) & (cur["mj"] == rem["mjc"])
         flagged = (rem.join(cur, jc, "leftsemi")
-                   .select(*gs).distinct().localCheckpoint())
+                   .select(*gs).distinct().localCheckpoint(eager=False))
         if flagged.limit(1).count() > 0:
             live = self.table.read(spark)
             fc = None

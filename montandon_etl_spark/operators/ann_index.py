@@ -186,8 +186,9 @@ class AnnIndex:
             return  # duplicate delivery, all artifacts exist → no-op
 
         touched_keys = (
-            batch_df.select(F.col(key)).distinct().localCheckpoint()
-        )
+            batch_df.select(F.col(key)).distinct()
+            .localCheckpoint(eager=False)
+        )  # materialized by the bucket collect below — one job, not two
         # touched keys' lake buckets (same for old and new state —
         # bucket is a pure function of the key): bounded driver
         # metadata that prunes both assignment-table reads to

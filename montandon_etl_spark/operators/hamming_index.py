@@ -147,7 +147,7 @@ class HammingIndex:
             return  # duplicate delivery, artifacts exist → no-op
 
         touched_keys = (batch_df.select(F.col(key).alias("id"))
-                        .distinct().localCheckpoint())
+                        .distinct().localCheckpoint(eager=False))
         tk_buckets = sorted({
             r["b"] for r in touched_keys.select(
                 self.table.bucket_expr("id").alias("b"))
@@ -167,7 +167,7 @@ class HammingIndex:
                 .withColumnRenamed(key, "id")
                 .join(touched_keys, "id", "left_semi"))
             tb = tb.unionByName(old_ents.select("band", "value", "pfx"))
-        tb = tb.distinct().localCheckpoint()
+        tb = tb.distinct().localCheckpoint(eager=False)
         touched_pfx = {r["pfx"] for r in
                        tb.select("pfx").distinct().collect()}
 
@@ -180,8 +180,15 @@ class HammingIndex:
             self._with_pfx(
                 prev_banded.join(touched_keys, "id", "left_anti"))
             .unionByName(new_ents).persist())
-        ents = idx_slice.join(tb.select("band", "value").distinct(),
-                              ["band", "value"], "left_semi")
+        # tb rows are already distinct and pfx is a pure function of
+        # (band, value); ONE explicit repartition feeds both sides of
+        # the pair self-join (reused exchange) — guide §2.4
+        tbb = tb.select("band", "value")
+        n_w = max(1, min(
+            self.n_pfx,
+            int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        ents = (idx_slice.join(tbb, ["band", "value"], "left_semi")
+                .repartition(n_w, "band", "value"))
         a = ents.select(F.col("id").alias("id_a"), "band", "value",
                         "pfx",
                         *[F.col(f"f{i}").alias(f"a{i}")
@@ -201,7 +208,6 @@ class HammingIndex:
             .select("id_a", "id_b", "hamming", "band", "value", "pfx"))
         prev_pairs = prev.filter(F.col("kind") == "p").select(
             "id_a", "id_b", "hamming", "band", "value")
-        tbb = tb.select("band", "value").distinct()
         kept = prev_pairs.join(tbb, ["band", "value"], "left_anti")
         pair_rows = self._with_pfx(kept).unionByName(new_pairs)
         null_s = F.lit(None).cast("string")
