@@ -1133,13 +1133,21 @@ def q_mv_source_stats(spark, sf):
         "source", "n_chars",
     )
     part = F.pmod(hash60(F.col("did")), F.lit(3))
-    table.merge(spark, src.filter(part == 0), batch_id=0)
-    mv = MaterializedAggregate.create(os.path.join(base, "mv"), spark, table,
-                                      group_cols=["source"],
-                                      sum_cols=["n_chars"])
-    for i in (1, 2):
-        table.merge(spark, src.filter(part == i), batch_id=i)
-        mv.refresh(spark)
+    # tiny per-batch working sets: size the shuffle to the workload
+    # (the sibling incremental fixtures set the same knob; results
+    # are width-invariant and parity-tested)
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        table.merge(spark, src.filter(part == 0), batch_id=0)
+        mv = MaterializedAggregate.create(os.path.join(base, "mv"), spark,
+                                          table, group_cols=["source"],
+                                          sum_cols=["n_chars"])
+        for i in (1, 2):
+            table.merge(spark, src.filter(part == i), batch_id=i)
+            mv.refresh(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
     return mv.state(spark).select(
         "source", "n_rows",
         F.col("sum_n_chars").cast("double").alias("sum_n_chars"),
@@ -2238,15 +2246,6 @@ def q_mv_source_extremes(spark, sf):
         "source", "n_chars",
     )
     part = F.pmod(hash60(F.col("did")), F.lit(3))
-    table.merge(spark, src.filter(part == 0), batch_id=0)
-    mv = MaterializedAggregate.create(os.path.join(base, "mv"), spark, table,
-                                      group_cols=["source"],
-                                      sum_cols=["n_chars"],
-                                      min_cols=["n_chars"],
-                                      max_cols=["n_chars"])
-    for i in (1, 2):
-        table.merge(spark, src.filter(part == i), batch_id=i)
-        mv.refresh(spark)
     dels = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
         F.col("doc_id").cast("string").alias("did"),
         (F.col("doc_id") + F.lit(10_000_000)).alias("seq"),
@@ -2255,8 +2254,24 @@ def q_mv_source_extremes(spark, sf):
         F.lit(None).cast("string").alias("source"),
         F.lit(None).cast("bigint").alias("n_chars"),
     )
-    table.merge(spark, dels, batch_id=3)
-    mv.refresh(spark)
+    # tiny per-batch working sets: size the shuffle to the workload
+    # (sibling fixtures set the same knob; width-invariant results)
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        table.merge(spark, src.filter(part == 0), batch_id=0)
+        mv = MaterializedAggregate.create(os.path.join(base, "mv"), spark,
+                                          table, group_cols=["source"],
+                                          sum_cols=["n_chars"],
+                                          min_cols=["n_chars"],
+                                          max_cols=["n_chars"])
+        for i in (1, 2):
+            table.merge(spark, src.filter(part == i), batch_id=i)
+            mv.refresh(spark)
+        table.merge(spark, dels, batch_id=3)
+        mv.refresh(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
     return mv.state(spark).select(
         "source", "n_rows",
         F.col("sum_n_chars").cast("double").alias("sum_n_chars"),
