@@ -61,6 +61,29 @@ MICRO = 1_000_000.0
 PIECE_W = 1000
 
 
+
+def _topk_pieces(df, k: int):
+    """Exact global top-k of (piece, ...) rows under (c DESC, piece
+    ASC) WITHOUT an unpartitioned window (a single task sorting the
+    whole distinct-substring table, VERDICT r5 Next #6): a per-hash-
+    bucket top-k first — every global top-k row is in its bucket's
+    top-k under the same total order — then the final rank over the
+    <= n_buckets*k survivors, bounded by configuration, never by the
+    piece table."""
+    from pyspark.sql import Window
+
+    from montandon_etl_spark.operators.dedup import hash60
+
+    n_b = 32
+    wb = Window.partitionBy("_tb").orderBy(F.col("c").desc(), F.col("piece"))
+    w = Window.orderBy(F.col("c").desc(), F.col("piece"))
+    return (df.withColumn("_tb", F.pmod(hash60(F.col("piece")), F.lit(n_b))
+                          .cast("int"))
+            .withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= k).drop("_rk", "_tb")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))
+
 def _snap_ln_score(count_col: F.Column, total: int) -> F.Column:
     """ln(count/total) in integer micro-units — floor(x·1e6 + 0.5),
     the one float in the pipeline (dsir.py's ULP-absorption snap)."""
@@ -104,14 +127,10 @@ def unigram_vocab(docs: DataFrame, text_col: str = "text",
     The ranking window is global but runs over the distinct-substring
     table, bounded by alphabet combinatorics (≤ 37^max_piece_len ≈
     1.9M rows at the default), never by corpus size."""
-    from pyspark.sql import Window
-
     cnt = _piece_counts(_word_occurrences(docs, text_col), max_piece_len)
     chars = cnt.filter(F.col("len") == 1)
-    w = Window.orderBy(F.col("c").desc(), F.col("piece"))
-    ngrams = (cnt.filter((F.col("len") >= 2) & (F.col("c") >= min_count))
-              .withColumn("_rk", F.row_number().over(w))
-              .filter(F.col("_rk") <= top_k).drop("_rk"))
+    ngrams = _topk_pieces(
+        cnt.filter((F.col("len") >= 2) & (F.col("c") >= min_count)), top_k)
     vocab = chars.select("piece", "c").unionByName(
         ngrams.select("piece", "c"))
     total = vocab.agg(F.sum("c")).collect()[0][0] or 1
@@ -253,11 +272,8 @@ def unigram_train(docs: DataFrame, text_col: str = "text",
                   .groupBy("piece")
                   .agg(F.sum("wf").cast("bigint").alias("c")))
         chars = counts.filter(F.length("piece") == 1)
-        from pyspark.sql import Window
-        w = Window.orderBy(F.col("c").desc(), F.col("piece"))
-        multi = (counts.filter(F.length("piece") >= 2)
-                 .withColumn("_rk", F.row_number().over(w))
-                 .filter(F.col("_rk") <= vocab_size).drop("_rk"))
+        multi = _topk_pieces(
+            counts.filter(F.length("piece") >= 2), vocab_size)
         kept = chars.unionByName(multi)
         rows = kept.collect()  # bounded by vocab_size + |alphabet|
         total = sum(r["c"] + 1 for r in rows) or 1
