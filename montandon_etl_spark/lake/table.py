@@ -2162,7 +2162,13 @@ class SnapshotTable:
             # the key/order/stats contracts follow the NAME (ids are a
             # storage detail): renaming the key column must rename the
             # key_col property too, or every later read/merge resolves
-            # a column that no longer exists
+            # a column that no longer exists.
+            # Known degradation (ADVICE r5, accepted): historical
+            # manifest entries keep col_stats/bloom keyed under the OLD
+            # name, so range_filters pruning on the renamed column
+            # conservatively keeps those files (full-bucket scan, never
+            # a wrong result) until the next compaction re-harvests
+            # stats under the new name.
             def _ren(x: str) -> str:
                 return new_name if x == field else x
 

@@ -48,9 +48,22 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
     ``orderBy(...).limit(k)`` as TakeOrderedAndProject (per-partition
     top-k heaps merged once at the driver): O(corpus) scan +
     O(k log k) merge, driver memory O(k). Plan-pinned.
+
+    Accepted ulp risk (ADVICE r5, documented rather than changed —
+    the oracle SQL text is frozen): the score crosses the oracle
+    boundary as a raw libm double (``pow``); Java Math.pow and
+    DuckDB/C pow may differ in the last ulp, so a near-tie at the
+    k-th rank could in principle select different rows. Inputs are
+    integer-exact on both sides, the driver fixtures have no such
+    ties, and any future re-keying should quantize the score before
+    ranking.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if "_aes" in df.columns:
+        raise ValueError(
+            "weighted_sample: input already has an '_aes' column - it "
+            "would be overwritten and dropped; rename it upstream")
     u = (hash60(F.concat(F.col(id_col).cast("string"),
                          F.lit("#"), F.lit(seed)))
          + F.lit(1)).cast("double") / F.lit(float(1 << 60))

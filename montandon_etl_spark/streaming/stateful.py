@@ -142,6 +142,13 @@ def stream_stream_join(
     O(stream). Without the interval bound the state store grows
     forever; this wrapper makes the bound non-optional.
 
+    Drain-semantics caveat (ADVICE r5): inner-join completeness vs a
+    batch join of the same inputs holds when availableNow drains each
+    side in one micro-batch (no ``maxFilesPerTrigger``) or arrival is
+    event-time-ordered; with many-file triggers, rows arriving behind
+    the already-advanced watermark are dropped from join state and
+    matches can be lost relative to the batch oracle.
+
     ``how``: ``inner`` (append output as matches arrive) or
     ``leftOuter`` (unmatched lefts emit NULL-padded ONLY after the
     watermark proves no match can still arrive — results trail the
