@@ -469,7 +469,26 @@ class SnapshotTable:
             # file can still hold other keys in the same range)
             out = out.filter(F.col(props["key_col"]) == F.lit(point_lookup))
         if resolve and props.get("write_mode", "cow") == "mor":
-            out = lww_latest(out, keys=props["key_col"], order_cols=props["order_cols"])
+            # single-delta-file fast path: every commit's per-bucket
+            # output is key-unique (the merge elects per (bucket, key)
+            # before writing, compaction writes resolved rows), and a
+            # key lives in exactly one bucket — so when every selected
+            # bucket has ONE data file there is nothing to resolve
+            # ACROSS and the election exchange is skipped outright
+            # (guide §2.4). Post-compaction reads — the common state
+            # of a mature table — never pay the election shuffle.
+            per_bucket: dict[int, int] = {}
+            for m in manifest:
+                per_bucket[m["bucket"]] = per_bucket.get(m["bucket"], 0) + 1
+            if any(c > 1 for c in per_bucket.values()):
+                out = lww_latest(out, keys=props["key_col"],
+                                 order_cols=props["order_cols"])
+            else:
+                # keep the elected column order (key first) so both
+                # paths hand downstream the identical schema
+                kc = props["key_col"]
+                out = out.select(
+                    kc, *[c for c in out.columns if c != kc])
         if not include_tombstones:
             out = out.filter(F.col("op") == F.lit("upsert")).drop("op")
         if range_filters:

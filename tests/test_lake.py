@@ -300,3 +300,27 @@ def test_projected_read_prunes_scan_and_matches(spark, table, small_changelog):
     assert {(r.url, r.language) for r in renamed.collect()} == full
     with pytest.raises(ValueError, match="unknown column"):
         table.read(spark, columns=["nope"])
+
+
+def test_mor_single_file_fast_path_equals_election(spark, tmp_path,
+                                                   small_changelog):
+    """r06: a MOR read over buckets holding ONE data file each skips
+    the LWW election exchange; result and schema must be identical to
+    the elected form (single-commit per-bucket output is key-unique
+    by construction)."""
+    t = SnapshotTable.create(str(tmp_path / "ff"), n_buckets=8,
+                             write_mode="mor")
+    _merge_pdf(spark, t, small_changelog, batch_id=0)
+    fast = t.read(spark)
+    # no election aggregate in the plan when every bucket has one file
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan
+    assert_state_equals_oracle(fast.toPandas(), replay_oracle(small_changelog))
+    # second batch: buckets now hold two delta files -> election is back
+    pdf2 = small_changelog.copy()
+    pdf2["seq"] = pdf2["seq"] + 1_000_000
+    _merge_pdf(spark, t, pdf2, batch_id=1)
+    slow = t.read(spark)
+    plan2 = slow._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan2
+    assert list(fast.columns) == list(slow.columns)
