@@ -457,7 +457,17 @@ class SnapshotTable:
                 )
             parts = []
             for ver, paths in sorted(by_version.items()):
-                df = spark.read.parquet(*paths)
+                # a file written under version ``ver`` physically
+                # carries exactly that version's fields plus ``op`` —
+                # hand the scan that schema so Spark skips the
+                # footer-inference job every read otherwise pays
+                # (parquet columns resolve by name, order-independent)
+                vf = TableMetadataIO.fields_from_json(
+                    snap["schemas"][str(ver)])
+                ddl_v = ", ".join(f"`{f.name}` {f.type}" for f in vf)
+                if not any(f.name == "op" for f in vf):
+                    ddl_v += ", `op` string"
+                df = spark.read.schema(ddl_v).parquet(*paths)
                 parts.append(df.select(
                     *self._select_exprs_for_version(ver, snap, current)))
             out = parts[0]
