@@ -35,6 +35,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one input table, fanning the scan out when the file layout
+    caps its parallelism below the session's cores.
+
+    The testdata tables are single-file, SINGLE-ROW-GROUP parquet, so
+    a bare scan runs as ONE task no matter how many cores the session
+    has (parquet cannot split below a row group) — and every
+    downstream map-side operator (shingling, minhash, n-gram explodes,
+    vector math, partial aggregation) inherits that width. Guide §2.5:
+    "one huge unsplittable file — repartition immediately after the
+    read". Used ONLY by queries whose per-row compute dominates the
+    exchange cost (measured per query; cheap scan→aggregate queries
+    keep the bare ``_t`` — for them the extra exchange is pure loss).
+
+    The gate is SCALE-ADAPTIVE, not a local constant: it compares the
+    scan's achievable split count (bytes / maxPartitionBytes) against
+    the session's core count, so any production-sized input (more
+    splits than cores) passes through untouched and pays no extra
+    exchange."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    try:
+        n_bytes = sum(
+            os.path.getsize(os.path.join(p, f))
+            for p, _, fs in os.walk(path) for f in fs
+            if f.endswith(".parquet")
+        ) if os.path.isdir(path) else os.path.getsize(path)
+        cores = spark.sparkContext.defaultParallelism
+        try:
+            max_pb = int(spark.conf.get(
+                "spark.sql.files.maxPartitionBytes"))
+        except ValueError:
+            max_pb = 128 * 1024 * 1024  # size-suffixed default
+        if n_bytes // max_pb + 1 < cores:
+            return df.repartition(cores)
+    except OSError:
+        pass
+    return df
+
+
 def _dec_sum(expr: str) -> str:
     """SQL fragment: order-independent double sum via exact decimal."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -895,7 +935,7 @@ def q_unigram_encode(spark, sf):
     from montandon_etl_spark.operators.unigram import (unigram_encode,
                                                        unigram_vocab)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     voc = unigram_vocab(docs, min_count=3, top_k=400)
     return unigram_encode(docs, voc)
 
@@ -921,7 +961,7 @@ def q_gapfill_locf(spark, sf):
 
 
 def q_q1_pricing_summary(spark, sf):
-    li = _t(spark, sf, "lineitem")
+    li = _tp(spark, sf, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -999,7 +1039,7 @@ def q_minhash_signatures(spark, sf):
 
 
 def q_minhash_lsh_candidates(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4, max_bucket=500)
 
 
@@ -1020,7 +1060,7 @@ def _run_incremental_neardup(spark, sf, max_bucket, with_clusters=False,
     from montandon_etl_spark.operators.neardup_index import NearDupIndex
     from montandon_etl_spark.operators.survivor_index import SurvivorIndex
 
-    docs = _t(spark, sf, "documents").select(
+    docs = _tp(spark, sf, "documents").select(
         F.format_string("%020d", F.col("doc_id")).alias("did"),
         F.col("doc_id").alias("seq"),
         "text",
@@ -1162,7 +1202,7 @@ def q_perplexity_buckets(spark, sf):
     assignment scan-side against two literals."""
     from montandon_etl_spark.operators.textstats import perplexity_buckets
 
-    return perplexity_buckets(_t(spark, sf, "documents"),
+    return perplexity_buckets(_tp(spark, sf, "documents"),
                               "doc_id", "text", n=3, sample_size=512)
 
 
@@ -1238,7 +1278,7 @@ def q_dsir_select(spark, sf):
     replays the full model bit-for-bit."""
     from montandon_etl_spark.operators.dsir import dsir_select
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    docs = _tp(spark, sf, "documents").select("doc_id", "text", "lang")
     return dsir_select(spark, docs.filter(F.col("lang") == "en"),
                        docs, "doc_id", "text", n_buckets=2048, k=150)
 
@@ -1505,7 +1545,7 @@ def q_range_join_windows(spark, sf):
     engines agree bit-for-bit."""
     from montandon_etl_spark.operators.relational import bucketed_range_join
 
-    ev = _t(spark, sf, "events")
+    ev = _tp(spark, sf, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     hours = (F.col("user_id") % 48 + 1).cast("bigint")
     # every 7th signup: the interesting cost is pairs-per-interval
@@ -1618,7 +1658,7 @@ def q_semantic_dedup(spark, sf):
     lower-id same-cell neighbor is within cosine 0.7 (one-pass
     keep-smallest-id rule). Cells, similarities, and the kept set are
     all value-exact against the composed SQL replay."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     return S.semantic_dedup(emb, n_centroids=8, threshold=0.7)
 
 
@@ -2470,7 +2510,7 @@ def q_dedup_clusters(spark, sf):
     """Near-dup clustering: LSH candidate pairs → connected components
     → per-doc canonical cluster id (the keep-one-copy decision stage of
     a web-scale dedup pipeline)."""
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4,
                                 max_bucket=500)
     out = D.dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
@@ -2538,16 +2578,16 @@ def q_heavy_hitters(spark, sf):
 
 
 def q_simhash(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return D.simhash64(docs, "doc_id", "text", bits=32).withColumnRenamed("id", "doc_id")
 
 
 def q_doc_fingerprint(spark, sf):
-    return X.doc_fingerprint(_t(spark, sf, "documents"), "doc_id", "text", n=4)
+    return X.doc_fingerprint(_tp(spark, sf, "documents"), "doc_id", "text", n=4)
 
 
 def q_token_stats(spark, sf):
-    return X.token_stats(_t(spark, sf, "documents"), "doc_id", "text")
+    return X.token_stats(_tp(spark, sf, "documents"), "doc_id", "text")
 
 
 def q_dedup_paragraphs(spark, sf):
@@ -2646,7 +2686,7 @@ def q_fuzzy_contamination(spark, sf):
     Jaccard verify, reporting the best-matching bench doc."""
     from montandon_etl_spark.operators.dedup import fuzzy_contamination
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     corpus = docs.select(F.col("doc_id").alias("id"), "text")
     bench = (docs.where(F.col("doc_id") % 13 == 0)
              .select((F.col("doc_id") + 1000000).alias("id"),
@@ -2918,7 +2958,7 @@ def q_ngram_contamination(spark, sf):
     the held-out benchmark; every other doc is flagged when it shares
     >= 1 distinct word 5-gram with that set. Near-dup fixture families
     make real hits, so both branches of the flag are exercised."""
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = docs.filter(F.col("doc_id") % 17 != 0)
     return D.ngram_contamination(corpus, "doc_id", "text", bench,
@@ -2947,7 +2987,7 @@ def q_bloom_decontamination(spark, sf):
     contract, not noise."""
     from montandon_etl_spark.operators.sketches import bloom_contamination
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = docs.filter(F.col("doc_id") % 17 != 0)
     return bloom_contamination(corpus, "doc_id", "text", bench,
@@ -2959,7 +2999,7 @@ def q_ngram_lm_score(spark, sf):
     engines train the same counts over the same corpus and score each
     doc as the mean conditional probability of its trigrams, snapped
     to integer micro-units before the order-independent sum."""
-    return X.ngram_lm_score(_t(spark, sf, "documents"), "doc_id", "text", n=3)
+    return X.ngram_lm_score(_tp(spark, sf, "documents"), "doc_id", "text", n=3)
 
 
 def q_fix_mojibake(spark, sf):
@@ -3037,7 +3077,7 @@ def q_gopher_rules(spark, sf):
 
 
 def q_quality_score(spark, sf):
-    return X.quality_score(_t(spark, sf, "documents"), "doc_id", "text")
+    return X.quality_score(_tp(spark, sf, "documents"), "doc_id", "text")
 
 
 def q_winnowing_fingerprints(spark, sf):
@@ -3052,7 +3092,7 @@ def q_winnowing_fingerprints(spark, sf):
 def q_repetition_stats(spark, sf):
     """Gopher-style within-document repetition ratios (boilerplate /
     SEO-spam signal) — scan-local, zero shuffle."""
-    return X.repetition_stats(_t(spark, sf, "documents"), "doc_id", "text", ngram=3)
+    return X.repetition_stats(_tp(spark, sf, "documents"), "doc_id", "text", ngram=3)
 
 
 def q_lang_id(spark, sf):
@@ -3169,7 +3209,7 @@ def q_embedding_near_dup_lsh(spark, sf):
     """Embedding near-dup pairs blocked by random-hyperplane LSH — the
     100-TB path: blocking key derived from the vector itself, computed
     inline in the scan, no label column and no extra join."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     return S.embedding_near_dup_lsh(emb, threshold=0.3, n_planes=4, dim=64, seed=42)
 
 
@@ -4810,7 +4850,7 @@ def q_dup_spans(spark, sf):
     dedup for templated web boilerplate."""
     from montandon_etl_spark.operators.spans import dup_spans
 
-    return dup_spans(_t(spark, sf, "documents"), "doc_id", "text", k=8)
+    return dup_spans(_tp(spark, sf, "documents"), "doc_id", "text", k=8)
 
 
 def q_strip_dup_spans(spark, sf):
@@ -4858,7 +4898,7 @@ def q_classifier_score(spark, sf):
     from montandon_etl_spark.operators.classifier import (
         score_hashed_linear, seeded_weights)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     wts = seeded_weights(spark, n_buckets=4096, n_classes=3)
     return score_hashed_linear(docs, "doc_id", "text", wts,
                                n_buckets=4096, n_classes=3)
