@@ -1257,7 +1257,7 @@ def q_semantic_contamination(spark, sf):
     from montandon_etl_spark.operators.similarity import (
         semantic_contamination)
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = _tp(spark, sf, "embeddings").select("vec_id", "embedding")
     bench = emb.filter(F.col("vec_id") % 13 == 0)
     planted = bench.filter(F.col("vec_id") % 3 == 0).select(
         (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
@@ -2421,7 +2421,7 @@ def q_bm25_topk(spark, sf):
     so the per-doc sum is order-independent and engine-exact."""
     from montandon_etl_spark.operators.text_index import bm25_topk
 
-    return bm25_topk(_t(spark, sf, "documents"),
+    return bm25_topk(_tp(spark, sf, "documents"),
                      _bm25_queries_df(spark), k=10)
 
 
@@ -3115,7 +3115,7 @@ def q_ann_topk_ivf_computed(spark, sf):
     """IVF with data-computed cells (nearest of 8 centroids from a
     seeded sampled k-means) — the no-label-column scale path; the
     oracle recomputes the same Lloyd iterations bit-for-bit."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return S.cosine_topk_ivf_computed(emb, queries, k=5, n_centroids=8)
 
@@ -3149,7 +3149,7 @@ def q_ann_topk_ivfpq(spark, sf):
     k-means quantizer prunes candidates to each query's 2 probe cells;
     8x16 PQ codes score them (engine-exact ADC). Cells, codes, and
     scores are all reproduced by the composed SQL oracle."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"))
@@ -3190,7 +3190,7 @@ def q_ann_topk_pq_rerank(spark, sf):
     standard compressed-scan + full-precision-rerank composition. The
     oracle nests the full IVF-PQ replay as stage 1 and re-ranks with
     the exact-cosine expression, so both stages are value-pinned."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"))
@@ -4968,7 +4968,7 @@ def q_train_quality_classifier(spark, sf):
     to GD)."""
     from montandon_etl_spark.operators.classifier import train_logistic
 
-    docs = _t(spark, sf, "documents").withColumn(
+    docs = _tp(spark, sf, "documents").withColumn(
         "y", (F.col("lang") == "en").cast("bigint"))
     return train_logistic(docs, "doc_id", "text", "y",
                           n_buckets=512, epochs=3, lr=0.5)
