@@ -47,6 +47,19 @@ def main() -> None:
                       key=lambda j: j["jobId"])
         tot = 0.0
         print(f"--- {name}: wall={t1 - t0:.2f}s, {len(jobs)} jobs")
+        prev_end = None
+        from datetime import datetime as _dt
+        for j in jobs:
+            st = _dt.strptime(j["submissionTime"][:-3],
+                              "%Y-%m-%dT%H:%M:%S.%f")
+            if prev_end is not None:
+                g = (st - prev_end).total_seconds()
+                if g > 0.3:
+                    print(f"      >>> gap {g:.2f}s before job {j['jobId']}")
+            en = _dt.strptime(j.get("completionTime",
+                                    j["submissionTime"])[:-3],
+                              "%Y-%m-%dT%H:%M:%S.%f")
+            prev_end = en if prev_end is None or en > prev_end else prev_end
         for j in jobs:
             sub = j["submissionTime"]
             comp = j.get("completionTime", sub)
