@@ -366,18 +366,37 @@ class TextIndex:
 
         # exact integer stats delta: live docs and token mass swing by
         # (new − old) over the touched keys only — ONE tagged
-        # aggregation job for both sides
+        # aggregation job for both sides. The touched postings
+        # partitions (hash of old ∪ new term sets) ride the SAME job
+        # as a bit_or-folded per-doc partition bitmask when n_parts
+        # fits a bigint — one driver round-trip instead of two, and
+        # still bounded driver metadata (one 64-bit word).
         tag = F.col("_new")
+        part_sql = (f"cast(pmod(cast(conv(substring(md5(t), 1, 15),"
+                    f" 16, 10) as bigint), {self.n_parts}) as int)")
+        mask = F.expr(
+            f"aggregate(transform(coalesce(terms, array()),"
+            f" t -> {part_sql}), 0L, (acc, p) -> acc | shiftleft(1L, p))"
+        ).alias("_pm")
+        aggs = [
+            F.coalesce(F.sum(tag), F.lit(0)).alias("nn"),
+            F.coalesce(F.sum(tag * F.col("dl")), F.lit(0)).alias("nd"),
+            F.coalesce(F.sum(1 - tag), F.lit(0)).alias("on"),
+            F.coalesce(F.sum((1 - tag) * F.col("dl")),
+                       F.lit(0)).alias("od"),
+        ]
+        fuse_parts = self.n_parts <= 64
+        if fuse_parts:
+            aggs.append(F.coalesce(F.expr("bit_or(_pm)"),
+                                   F.lit(0)).alias("pm"))
+        cols = (["_new", "dl", "_pm"] if fuse_parts
+                else ["_new", "dl"])
         stats_row = (
-            new_rows.select(F.lit(1).alias("_new"), "dl")
-            .unionByName(old_rows.select(F.lit(0).alias("_new"), "dl"))
-            .agg(
-                F.coalesce(F.sum(tag), F.lit(0)).alias("nn"),
-                F.coalesce(F.sum(tag * F.col("dl")), F.lit(0)).alias("nd"),
-                F.coalesce(F.sum(1 - tag), F.lit(0)).alias("on"),
-                F.coalesce(F.sum((1 - tag) * F.col("dl")),
-                           F.lit(0)).alias("od"),
-            ).first()
+            new_rows.select(F.lit(1).alias("_new"), "dl", mask)
+            .unionByName(old_rows.select(F.lit(0).alias("_new"),
+                                         "dl", mask))
+            .select(*cols)
+            .agg(*aggs).first()
         )
         new_n, new_dl = int(stats_row["nn"]), int(stats_row["nd"])
         old_n, old_dl = int(stats_row["on"]), int(stats_row["od"])
@@ -389,16 +408,21 @@ class TextIndex:
         self._write_stats(head, base_n + new_n - old_n,
                           base_dl + new_dl - old_dl)
 
-        # touched postings partitions = hash of old ∪ new term sets —
-        # bounded driver metadata (≤ n_parts ints)
-        terms_df = new_rows.select(
-            F.explode("terms").alias("term")).unionByName(
-            old_rows.select(F.explode("terms").alias("term")))
-        touched_parts = {
-            r["p"] for r in terms_df.select(
-                self._part_expr(F.col("term")).alias("p"))
-            .distinct().collect()
-        }
+        if fuse_parts:
+            pm = int(stats_row["pm"])
+            touched_parts = {p for p in range(self.n_parts)
+                             if pm >> p & 1}
+        else:
+            # n_parts beyond one word: the separate bounded distinct
+            # (≤ n_parts ints of driver metadata)
+            terms_df = new_rows.select(
+                F.explode("terms").alias("term")).unionByName(
+                old_rows.select(F.explode("terms").alias("term")))
+            touched_parts = {
+                r["p"] for r in terms_df.select(
+                    self._part_expr(F.col("term")).alias("p"))
+                .distinct().collect()
+            }
         prev_slice = self.postings.read(spark, self.POSTING_SCHEMA,
                                         part_filter=touched_parts,
                                         attach_part=True)
