@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -57,6 +58,61 @@ from montandon_etl_spark.operators.similarity import (
     cosine_similarity_col,
 )
 from montandon_etl_spark.operators.util import stable_round6
+
+
+def _np_top1(X, cents):
+    """Top-1 centroid id per row of ``X`` (n×dim float64) — the numpy
+    twin of ``element_at(_top_cells(cents, vec, 1), 1)``, producing
+    IDENTICAL IEEE doubles: the dot and the norm are sequential folds
+    over dimensions (the SQL ``aggregate`` order), each step one
+    multiply then one add (no FMA, like the JVM), the centroid norm is
+    the same driver-side ``math.sqrt(sum(x*x))`` the literal tree
+    compiles in, and the argmax uses strict ``>`` so ties keep the
+    smaller cid (the sort_array (cos, -cid) tie-break).
+
+    Why it exists: the literal ADC expression trees are correct but
+    cost ~1.3 s of Catalyst ANALYSIS per action that contains them
+    (measured on the incremental fixtures — the plan has thousands of
+    literal nodes); the per-batch update path swaps them for one
+    Arrow-evaluated numpy pass. The one-shot similarity queries keep
+    the expression trees — they are the parity surface the SQL oracles
+    mirror, and they pay the analysis once, not per batch."""
+    import math
+
+    import numpy as np
+
+    n = X.shape[0]
+    acc = np.zeros(n)
+    for d in range(X.shape[1]):
+        xd = X[:, d]
+        acc = acc + xd * xd
+    norm_v = np.sqrt(acc)
+    best = None
+    bc = None
+    for c in cents:
+        vec = [float(x) for x in c["cvec"]]
+        nrm = math.sqrt(sum(x * x for x in vec))
+        dot = np.zeros(n)
+        for d, b in enumerate(vec):
+            dot = dot + X[:, d] * b
+        cos = dot / (nrm * norm_v)
+        if best is None:
+            best = cos
+            bc = np.full(n, int(c["cid"]), dtype=np.int64)
+        else:
+            m = cos > best
+            best = np.where(m, cos, best)
+            bc = np.where(m, int(c["cid"]), bc)
+    return bc
+
+
+def _np_matrix(vs):
+    """(n, dim) float64 matrix from a pandas Series of float32 vector
+    cells — the exact widening the SQL path's CAST(v AS DOUBLE) does."""
+    import numpy as np
+
+    return np.array([np.asarray(v, dtype=np.float32) for v in vs],
+                    dtype=np.float64)
 
 
 class AnnIndex:
@@ -119,6 +175,47 @@ class AnnIndex:
                     *[f"_c{m}" for m in range(len(self.books))], "cell"]
         return [self.key_col, "vec", "cell"]
 
+    def _assign_udf(self):
+        """Arrow-evaluated cell assignment for the UPDATE path — the
+        ``_np_top1`` twin of the ``_top_cells`` literal tree (see its
+        docstring for the bit-exactness argument)."""
+        from pyspark.sql.functions import pandas_udf
+
+        cents = self.cents
+
+        @pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if not len(vs):
+                return pd.Series([], dtype="int32")
+            return pd.Series(
+                _np_top1(_np_matrix(vs), cents).astype(np.int32))
+
+        return assign
+
+    def _encode_udf(self):
+        """Arrow-evaluated PQ codes (array of M subspace argmaxes) for
+        the UPDATE path — the numpy twin of ``_encode``'s literal
+        trees, one ``_np_top1`` per subspace slice."""
+        from pyspark.sql.functions import pandas_udf
+
+        books, d = self.books, self.subdim
+
+        @pandas_udf("array<int>")
+        def encode(vs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if not len(vs):
+                return pd.Series([], dtype="object")
+            X = _np_matrix(vs)
+            cols = [_np_top1(X[:, m * d:(m + 1) * d], book)
+                    for m, book in enumerate(books)]
+            return pd.Series(
+                np.stack(cols, axis=1).astype(np.int32).tolist())
+
+        return encode
+
     # ------------------------------------------------------------- lifecycle
     @classmethod
     def create(cls, path: str, centroids: list[list[float]],
@@ -173,9 +270,7 @@ class AnnIndex:
         ups = batch_df.filter(F.col("op") == "upsert").select(
             "seq", key, "warc_ts", "op",
             F.col(vec_col).alias("vec"),
-        ).withColumn(
-            "cell", F.element_at(_top_cells(self.cents, "vec", 1), 1)
-        )
+        ).withColumn("cell", self._assign_udf()(F.col("vec")))
         dels = batch_df.filter(F.col("op") == "delete").select(
             "seq", key, "warc_ts", "op")
         merged = ups.unionByName(dels, allowMissingColumns=True)
@@ -215,10 +310,15 @@ class AnnIndex:
                                         part_filter=touched_cells,
                                         attach_part=True)
         if self.books is not None:
-            # encode ONLY the batch's new rows (scan-local argmax);
-            # surviving rows keep their immutable codes
-            new_post = self._encode(new_rows, "vec").select(
-                *self._posting_cols())
+            # encode ONLY the batch's new rows (Arrow-evaluated numpy
+            # argmax — see _np_top1); surviving rows keep their
+            # immutable codes
+            m_codes = self._encode_udf()(F.col("vec"))
+            new_post = new_rows.withColumn("_codes", m_codes).select(
+                key,
+                *[F.element_at("_codes", m + 1).alias(f"_c{m}")
+                  for m in range(len(self.books))],
+                "cell")
         else:
             new_post = new_rows.select(key, "vec", "cell")
         out = (
