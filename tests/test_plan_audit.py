@@ -212,12 +212,17 @@ def test_index_side_table_reads_are_bucket_pruned(spark, tmp_path):
 def test_bloom_decontamination_is_join_free(spark):
     """The Bloom filter must compile into the corpus scan as an array
     literal: membership = element_at + mask tests inside codegen — the
-    plan may contain NO join of any kind and exactly one exchange (the
-    per-doc count)."""
+    plan may contain NO join of any kind and no exchange beyond the
+    per-doc count plus (r6) the optional round-robin scan fan-out for
+    unsplittable single-row-group inputs (`_tp`, guide §2.5)."""
     df = entry_mod.queries()["bloom_decontamination"](spark, SF_DIR)
     plan = _physical_plan(df)
     assert "Join" not in plan, plan[:1500]
-    assert plan.count("Exchange") <= 2, plan[:1500]  # agg partial+final
+    # formatted mode prints each Exchange twice (tree + details) but
+    # its RoundRobinPartitioning argument once
+    non_fanout = (plan.count("Exchange")
+                  - 2 * plan.count("RoundRobinPartitioning"))
+    assert non_fanout <= 2, plan[:1500]  # agg partial+final
 
 
 def test_pps_sample_no_global_sort(spark):
