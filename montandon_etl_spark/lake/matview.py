@@ -314,11 +314,22 @@ class MaterializedAggregate:
             .localCheckpoint(eager=False)
         )
         # the delta's state partitions: bounded driver metadata
-        # (≤ n_state_parts ints) — everything else stays untouched
-        gp_parts = {
-            r["gp"] for r in
-            delta.select(self._gp(gs).alias("gp")).distinct().collect()
-        }
+        # (≤ n_state_parts ints) — everything else stays untouched.
+        # The same job also answers "does ANY group carry a removal
+        # candidate": when a refresh is insert-only (the common
+        # streaming case) no group can flag a rescan, so the whole
+        # live-table rescan subplan is skipped below — smaller plan,
+        # no table scan in the write job.
+        rm_flag = F.lit(False)
+        for c in self.min_cols:
+            rm_flag = rm_flag | F.col(f"r_mn_{c}").isNotNull()
+        for c in self.max_cols:
+            rm_flag = rm_flag | F.col(f"r_mx_{c}").isNotNull()
+        gp_rows = (delta.select(self._gp(gs).alias("gp"),
+                                rm_flag.alias("_rm"))
+                   .groupBy("gp").agg(F.max("_rm").alias("rm")).collect())
+        gp_parts = {r["gp"] for r in gp_rows}
+        any_removal = any(bool(r["rm"]) for r in gp_rows)
         cur = self.state(spark, part_filter=gp_parts, below_version=head)
         cond = None
         for g in gs:  # null-safe: a NULL group is a group like any other
@@ -351,7 +362,12 @@ class MaterializedAggregate:
               .alias(f"max_{c}") for c in self.max_cols],
             rescan.alias("_rescan"),
         ).filter(F.col("n_rows") > 0)
-        if mm_cols:
+        if mm_cols and not any_removal:
+            # insert-only delta: no group can flag a rescan (the flag
+            # requires a removal candidate), so min/max advanced purely
+            # incrementally above — drop the all-False marker
+            merged = merged.drop("_rescan")
+        elif mm_cols:
             # lazy: materialized by the store write's single action;
             # both consumers below share the one checkpointed RDD
             merged = merged.localCheckpoint(eager=False)
@@ -596,10 +612,17 @@ class DistinctCountView:
                  # lazy: the gp_parts collect materializes it
                  .localCheckpoint(eager=False))
         # the delta's state partitions: bounded driver metadata
-        # (≤ n_state_parts ints) — everything else stays untouched
-        gp_parts = {r["gp"] for r in
-                    cells.select(self._gp(gs).alias("gp"))
-                    .distinct().collect()}
+        # (≤ n_state_parts ints) — everything else stays untouched.
+        # The same job also answers "does ANY cell carry a delete
+        # without an insert": only such cells can tie a stored register
+        # max, so an insert-only refresh (the common streaming case)
+        # skips the flagged-group probe action AND the rebuild branch.
+        gp_rows = (cells.select(
+            self._gp(gs).alias("gp"),
+            (F.col("any_del") & ~F.col("any_ins")).alias("_d"))
+            .groupBy("gp").agg(F.max("_d").alias("d")).collect())
+        gp_parts = {r["gp"] for r in gp_rows}
+        any_del_only = any(bool(r["d"]) for r in gp_rows)
         cur = self.state(spark, part_filter=gp_parts, below_version=head)
         ins = (cells.filter(F.col("any_ins"))
                .groupBy(*gs, "j").agg(F.max("mjc").alias("imj")))
@@ -614,16 +637,21 @@ class DistinctCountView:
             F.coalesce(cur["j"], ins["j"]).alias("j"),
             F.greatest(cur["mj"], ins["imj"]).alias("mj"))
         # retractions that TIE a stored register max flag the group;
-        # delete-only cells strictly below the stored max are skipped
-        rem = cells.filter(F.col("any_del") & ~F.col("any_ins"))
-        jc = None
-        for g in gs:
-            eq = cur[g].eqNullSafe(rem[g])
-            jc = eq if jc is None else (jc & eq)
-        jc = jc & (cur["j"] == rem["j"]) & (cur["mj"] == rem["mjc"])
-        flagged = (rem.join(cur, jc, "leftsemi")
-                   .select(*gs).distinct().localCheckpoint(eager=False))
-        if flagged.limit(1).count() > 0:
+        # delete-only cells strictly below the stored max are skipped.
+        # any_del_only (from the gp_parts job) gates the whole probe:
+        # an insert-only delta has no delete-only cell, so no group can
+        # flag — skip the probe action and the rebuild branch outright.
+        flagged = None
+        if any_del_only:
+            rem = cells.filter(F.col("any_del") & ~F.col("any_ins"))
+            jc = None
+            for g in gs:
+                eq = cur[g].eqNullSafe(rem[g])
+                jc = eq if jc is None else (jc & eq)
+            jc = jc & (cur["j"] == rem["j"]) & (cur["mj"] == rem["mjc"])
+            flagged = (rem.join(cur, jc, "leftsemi")
+                       .select(*gs).distinct().localCheckpoint(eager=False))
+        if flagged is not None and flagged.limit(1).count() > 0:
             live = self.table.read(spark)
             fc = None
             for g in gs:
